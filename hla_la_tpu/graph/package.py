@@ -1,0 +1,276 @@
+"""Graph data-package reader/writer (the on-disk contract, SURVEY.md §1.1).
+
+Layout relative to the package dir (same as the reference's downloaded
+`graphs/PRG_MHC_GRCh38_withIMGT`):
+
+  PRG/graph.txt            — the PRG (hla_la_tpu.graph.prg format)
+  PRG/segments.txt         — ordered list of segment file names
+  PRG/<segment files>      — space-separated allele matrices
+                             (header `IndividualID <locusID>...`, then one row
+                             per known allele; HLATyper.cpp:1198-1299)
+  sequences.txt            — TSV SequenceID Name FASTAID Chr Start_1based
+                             Stop_1based (processBAM.cpp:1209-1393)
+  translation/<id>.txt     — one int (graph level) per line per base of
+                             linearized sequence <id> (processBAM.cpp:4389)
+  mapping_PRGonly/referenceGenome.fa — linearized PRG haplotypes (bwa remap
+                             target in the reference, HLA-LA.cpp:617)
+  extendedReferenceGenome/extendedReferenceGenome.fa (optional)
+  knownReferences/*.txt    — known BAM reference specs (README.md:190-212)
+  serializedGRAPH.npz      — compiled dense arrays (our replacement for the
+                             Boost serializedGRAPH archives)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fasta import read_fasta, write_fasta
+from .compile import CompiledPRG, compile_prg
+from .prg import PRG
+
+
+@dataclass
+class SequenceInfo:
+    prg_id: int
+    name: str
+    fasta_id: str
+    chrom: str           # "" for PRG-only haplotypes
+    start_1based: int    # position in extended reference (0 if standalone)
+    stop_1based: int
+
+
+class GraphPackage:
+    def __init__(self, graph_dir: str):
+        self.dir = graph_dir
+        self._prg: PRG | None = None
+        self._compiled: CompiledPRG | None = None
+        self._graph_loci: list[str] | None = None
+        self._sequences: list[SequenceInfo] | None = None
+        self._translations: dict[int, np.ndarray] = {}
+        self._prg_fasta: dict[str, str] | None = None
+        self._level_to_seqpos: dict[int, dict[int, int]] | None = None
+
+    # ------------------------------------------------------------------ PRG
+    @property
+    def graph_txt(self) -> str:
+        return os.path.join(self.dir, "PRG", "graph.txt")
+
+    @property
+    def serialized_path(self) -> str:
+        return os.path.join(self.dir, "serializedGRAPH.npz")
+
+    def prg(self) -> PRG:
+        if self._prg is None:
+            self._prg = PRG.from_file(self.graph_txt)
+        return self._prg
+
+    def compiled(self) -> CompiledPRG:
+        """Load the compiled cache iff newer than graph.txt, else recompile
+        (mirrors the serializedGRAPH freshness rule, processBAM.cpp:37-53)."""
+        if self._compiled is None:
+            sp = self.serialized_path
+            if (os.path.exists(sp)
+                    and os.path.getmtime(sp) >= os.path.getmtime(self.graph_txt)):
+                self._compiled = CompiledPRG.load(sp)
+            else:
+                self._compiled = compile_prg(self.prg())
+        return self._compiled
+
+    def prepare(self) -> CompiledPRG:
+        """The `--action prepareGraph` equivalent: compile and cache."""
+        c = compile_prg(self.prg())
+        c.save(self.serialized_path)
+        self._compiled = c
+        return c
+
+    # ------------------------------------------------------------- loci map
+    def graph_loci(self) -> list[str]:
+        """Ordered graph column (locus) names across all segments
+        (Graph::readGraphLoci, Graph.cpp:2563-2613)."""
+        if self._graph_loci is None:
+            loci: list[str] = []
+            seg_file = os.path.join(self.dir, "PRG", "segments.txt")
+            with open(seg_file) as fh:
+                segments = [l.strip() for l in fh if l.strip()]
+            for seg in segments:
+                with open(os.path.join(self.dir, "PRG", seg)) as fh:
+                    header = fh.readline().rstrip("\n").split(" ")
+                assert header[0] == "IndividualID", seg
+                loci.extend(header[1:])
+            self._graph_loci = loci
+        return self._graph_loci
+
+    def locus_to_level(self) -> dict[str, int]:
+        return {name: i for i, name in enumerate(self.graph_loci())}
+
+    def segment_files(self) -> list[str]:
+        with open(os.path.join(self.dir, "PRG", "segments.txt")) as fh:
+            return [l.strip() for l in fh if l.strip()]
+
+    def read_segment(self, filename: str) -> tuple[list[str], dict[str, list[str]]]:
+        """Returns (column locus names, {alleleID: per-column strings})."""
+        path = os.path.join(self.dir, "PRG", filename)
+        with open(path) as fh:
+            header = fh.readline().rstrip("\n").split(" ")
+            assert header[0] == "IndividualID"
+            cols = header[1:]
+            rows: dict[str, list[str]] = {}
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                f = line.split(" ")
+                assert len(f) == len(header), (filename, len(f), len(header))
+                rows[f[0]] = f[1:]
+        return cols, rows
+
+    # ----------------------------------------------------------- sequences
+    def sequences(self) -> list[SequenceInfo]:
+        if self._sequences is None:
+            out = []
+            with open(os.path.join(self.dir, "sequences.txt")) as fh:
+                header = fh.readline().rstrip("\n").split("\t")
+                idx = {h: i for i, h in enumerate(header)}
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line:
+                        continue
+                    f = line.split("\t")
+                    out.append(SequenceInfo(
+                        prg_id=int(f[idx["SequenceID"]]),
+                        name=f[idx["Name"]],
+                        fasta_id=f[idx["FASTAID"]],
+                        chrom=f[idx.get("Chr", idx["FASTAID"])] if "Chr" in idx else "",
+                        start_1based=int(f[idx["Start_1based"]] or 0) if "Start_1based" in idx else 0,
+                        stop_1based=int(f[idx["Stop_1based"]] or 0) if "Stop_1based" in idx else 0,
+                    ))
+            self._sequences = out
+        return self._sequences
+
+    def translation(self, prg_id: int) -> np.ndarray:
+        """Graph level per base of linearized sequence prg_id
+        (processBAM::_loadMapping)."""
+        if prg_id not in self._translations:
+            path = os.path.join(self.dir, "translation", f"{prg_id}.txt")
+            self._translations[prg_id] = np.loadtxt(path, dtype=np.int64, ndmin=1)
+        return self._translations[prg_id]
+
+    def level_to_seqpos(self) -> dict[int, dict[int, int]]:
+        """graph level -> {prg_id: position} inverse maps, used for
+        insert-size distances in underlying-sequence coordinates
+        (graphLevel_2_underlyingSequencePositions, processBAM.cpp:3434)."""
+        if self._level_to_seqpos is None:
+            m: dict[int, dict[int, int]] = {}
+            for s in self.sequences():
+                t = self.translation(s.prg_id)
+                for pos, lv in enumerate(t.tolist()):
+                    m.setdefault(lv, {})[s.prg_id] = pos
+            self._level_to_seqpos = m
+        return self._level_to_seqpos
+
+    def prg_fasta(self) -> dict[str, str]:
+        """The PRG-only linearized reference (seeding target)."""
+        if self._prg_fasta is None:
+            self._prg_fasta = read_fasta(
+                os.path.join(self.dir, "mapping_PRGonly", "referenceGenome.fa"))
+        return self._prg_fasta
+
+    # ------------------------------------------------------ knownReferences
+    def known_references(self, more_dirs: list[str] = ()) -> dict[str, dict]:
+        """Parse knownReferences/*.txt (+ extra dirs): each file is a TSV with
+        header contigID contigLength ExtractCompleteContig
+        PartialExtraction_Start PartialExtraction_Stop (README.md:190-212)."""
+        out = {}
+        dirs = [os.path.join(self.dir, "knownReferences"), *more_dirs]
+        for d in dirs:
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if not fn.endswith(".txt"):
+                    continue
+                path = os.path.join(d, fn)
+                contigs = {}
+                with open(path) as fh:
+                    header = fh.readline().rstrip("\n").split("\t")
+                    for line in fh:
+                        line = line.rstrip("\n")
+                        if not line:
+                            continue
+                        f = dict(zip(header, line.split("\t")))
+                        contigs[f["contigID"]] = f
+                out[path] = contigs
+        return out
+
+    def match_known_reference(self, bam_contigs: dict[str, int],
+                              more_dirs: list[str] = ()) -> str | None:
+        """Find the unique knownReferences spec whose (contigID, length) set
+        exactly matches the BAM header (HLA-LA.pl:259-373).  Returns the spec
+        path or None."""
+        matches = []
+        for path, contigs in self.known_references(more_dirs).items():
+            spec = {cid: int(rec["contigLength"]) for cid, rec in contigs.items()}
+            if spec == bam_contigs:
+                matches.append(path)
+        if len(matches) == 1:
+            return matches[0]
+        if len(matches) > 1:
+            raise RuntimeError(f"ambiguous knownReferences match: {matches}")
+        return None
+
+
+# --------------------------------------------------------------------- write
+def write_package(graph_dir: str, prg: PRG,
+                  segments: list[tuple[str, list[str], dict[str, list[str]]]],
+                  haplotype_seqs: dict[str, tuple[str, np.ndarray]],
+                  known_references: dict[str, dict[str, int]] | None = None,
+                  compile_now: bool = True) -> GraphPackage:
+    """Write a complete graph package (the simulator's storeLikeRealPRG
+    equivalent, simpleGraphSimulator.h:21-54).
+
+    segments: ordered (filename, column_names, {allele: per-col strings}).
+    haplotype_seqs: {fasta_id: (sequence_without_gaps, level_per_base)}.
+    """
+    os.makedirs(os.path.join(graph_dir, "PRG"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "translation"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "mapping_PRGonly"), exist_ok=True)
+    os.makedirs(os.path.join(graph_dir, "knownReferences"), exist_ok=True)
+
+    prg.to_file(os.path.join(graph_dir, "PRG", "graph.txt"))
+
+    with open(os.path.join(graph_dir, "PRG", "segments.txt"), "w") as fh:
+        for name, _, _ in segments:
+            fh.write(name + "\n")
+    for name, cols, rows in segments:
+        with open(os.path.join(graph_dir, "PRG", name), "w") as fh:
+            fh.write("IndividualID " + " ".join(cols) + "\n")
+            for allele, vals in rows.items():
+                assert len(vals) == len(cols)
+                fh.write(allele + " " + " ".join(vals) + "\n")
+
+    fasta = {}
+    with open(os.path.join(graph_dir, "sequences.txt"), "w") as fh:
+        fh.write("SequenceID\tName\tFASTAID\tChr\tStart_1based\tStop_1based\n")
+        for i, (fasta_id, (seq, levels)) in enumerate(haplotype_seqs.items()):
+            assert len(seq) == len(levels)
+            fh.write(f"{i}\t{fasta_id}\t{fasta_id}\t\t\t\n")
+            np.savetxt(os.path.join(graph_dir, "translation", f"{i}.txt"),
+                       np.asarray(levels, dtype=np.int64), fmt="%d")
+            fasta[fasta_id] = seq
+    write_fasta(os.path.join(graph_dir, "mapping_PRGonly", "referenceGenome.fa"),
+                fasta)
+
+    if known_references:
+        with open(os.path.join(graph_dir, "knownReferences",
+                               "simulated.txt"), "w") as fh:
+            fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                     "PartialExtraction_Start\tPartialExtraction_Stop\n")
+            for cid, length in known_references.items():
+                fh.write(f"{cid}\t{length}\t1\t\t\n")
+
+    pkg = GraphPackage(graph_dir)
+    if compile_now:
+        pkg.prepare()
+    return pkg

@@ -1,0 +1,460 @@
+"""Population Reference Graph (PRG) core.
+
+The PRG is a level-structured DAG: every node sits at an integer level,
+every edge connects level l -> l+1 and emits exactly one character ('_' for a
+gap column).  The reference keeps it as pointer sets (Graph.h:80-82,
+Node.h:60-89, Edge.h:30-64); here it is parsed directly into dense numpy
+arrays — node ids are level-major indices, edges live in CSR adjacency —
+which is both faster on the host and the form the TPU kernels consume.
+
+File format (text `PRG/graph.txt`) compatibility with the reference
+(Graph.cpp:2225-2330 write, 2329-2545 read):
+
+    CODE:
+    <locus>|||<alleleString>|||<int code>
+    NODES:
+    <idx>|||<level>|||<terminal 0/1>
+    EDGES:
+    <idx>|||<locusID>|||<count>|||<code char>|||<fromIdx>|||<toIdx>[|||<label>|||<pgf 0/1>]
+
+The emission field holds the single *code byte* assigned in the CODE section;
+'|' is escaped as 'SLASH' inside '|||...|||' (see problematic_part handling,
+Graph.cpp:2340-2366).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+GAP = ord("_")
+
+_SEP = "|||"
+_PROBLEM = "|||||||"
+_SUBST = "|||SLASH|||"
+_SLASH = "SLASH"
+
+
+@dataclass
+class PRG:
+    """Dense level-structured sequence graph.
+
+    Node ids are 0-based and sorted level-major (all nodes of level 0, then
+    level 1, ...).  Edge ids are 0-based, sorted by (from_level, from_node).
+    """
+
+    # nodes
+    node_level: np.ndarray          # [N] int32
+    node_terminal: np.ndarray       # [N] bool
+    level_offsets: np.ndarray       # [n_levels+1] int32 — nodes of level l are
+                                    #   ids level_offsets[l]:level_offsets[l+1]
+    # edges
+    edge_from: np.ndarray           # [E] int32 node id
+    edge_to: np.ndarray             # [E] int32 node id
+    edge_emission: np.ndarray       # [E] uint8 character byte ('_' = gap)
+    edge_locus: np.ndarray          # [E] int32 index into locus_names
+    locus_names: list[str]
+    edge_label: list[str] = field(default_factory=list)
+    edge_pgf_protect: np.ndarray | None = None
+
+    # CSR adjacency (built in __post_init__)
+    out_offsets: np.ndarray = None  # [N+1]
+    out_edges: np.ndarray = None    # [E] edge ids sorted by from-node
+    in_offsets: np.ndarray = None   # [N+1]
+    in_edges: np.ndarray = None     # [E] edge ids sorted by to-node
+
+    # gap-edge path index (computed by compute_gap_edge_paths)
+    gap_paths: list[tuple[int, int, np.ndarray]] | None = None
+
+    def __post_init__(self):
+        n = len(self.node_level)
+        e = len(self.edge_from)
+        order = np.argsort(self.edge_from, kind="stable")
+        self.out_edges = order.astype(np.int32)
+        self.out_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(self.out_offsets, self.edge_from + 1, 1)
+        self.out_offsets = np.cumsum(self.out_offsets).astype(np.int64)
+        order_in = np.argsort(self.edge_to, kind="stable")
+        self.in_edges = order_in.astype(np.int32)
+        self.in_offsets = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(self.in_offsets, self.edge_to + 1, 1)
+        self.in_offsets = np.cumsum(self.in_offsets).astype(np.int64)
+        assert self.out_offsets[-1] == e and self.in_offsets[-1] == e
+
+    # ------------------------------------------------------------------ basic
+    @property
+    def n_nodes(self) -> int:
+        return len(self.node_level)
+
+    @property
+    def n_edges(self) -> int:
+        return len(self.edge_from)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.level_offsets) - 1
+
+    def nodes_at_level(self, level: int) -> np.ndarray:
+        return np.arange(self.level_offsets[level], self.level_offsets[level + 1],
+                         dtype=np.int32)
+
+    def z_of_node(self, node: int) -> int:
+        """Index of the node within its level (the DP 'z' coordinate)."""
+        return int(node - self.level_offsets[self.node_level[node]])
+
+    def node_of_z(self, level: int, z: int) -> int:
+        return int(self.level_offsets[level] + z)
+
+    def out_edge_ids(self, node: int) -> np.ndarray:
+        return self.out_edges[self.out_offsets[node]:self.out_offsets[node + 1]]
+
+    def in_edge_ids(self, node: int) -> np.ndarray:
+        return self.in_edges[self.in_offsets[node]:self.in_offsets[node + 1]]
+
+    # ----------------------------------------------------------- consistency
+    def check_structure(self) -> None:
+        """Structure checks mirroring Graph::checkStructure (Graph.cpp:517+):
+        levels contiguous, edges span exactly one level, every non-final node
+        has outgoing edges, every non-first node has incoming edges, single
+        connected frame from level 0 to the last level."""
+        assert self.n_levels >= 2, "graph needs at least one edge level"
+        lv_from = self.node_level[self.edge_from]
+        lv_to = self.node_level[self.edge_to]
+        assert np.all(lv_to == lv_from + 1), "edges must span exactly one level"
+        out_deg = np.diff(self.out_offsets)
+        in_deg = np.diff(self.in_offsets)
+        last = self.n_levels - 1
+        non_final = self.node_level < last
+        assert np.all(out_deg[non_final] > 0), "non-final node without outgoing edge"
+        non_first = self.node_level > 0
+        assert np.all(in_deg[non_first] > 0), "non-first node without incoming edge"
+        assert np.all(out_deg[~non_final] == 0), "final-level node with outgoing edge"
+        for lv in range(self.n_levels):
+            assert self.level_offsets[lv + 1] > self.level_offsets[lv], \
+                f"empty level {lv}"
+
+    # ------------------------------------------------------------- traversal
+    def simulate_random_paths(self, n: int, rng: np.random.Generator
+                              ) -> list[tuple[str, np.ndarray, np.ndarray]]:
+        """Sample n uniform random source->sink paths.
+
+        Returns (sequence_with_gaps, edge_ids, node_ids) per path; the
+        sequence includes '_' characters for traversed gap edges (one char per
+        level).  Reference: Graph::simulateHaplotypes (Graph.cpp:1441+).
+        """
+        out = []
+        for _ in range(n):
+            first_nodes = self.nodes_at_level(0)
+            node = int(rng.choice(first_nodes))
+            chars = []
+            edge_ids = []
+            node_ids = [node]
+            for _lv in range(self.n_levels - 1):
+                es = self.out_edge_ids(node)
+                e = int(es[rng.integers(len(es))])
+                edge_ids.append(e)
+                chars.append(chr(self.edge_emission[e]))
+                node = int(self.edge_to[e])
+                node_ids.append(node)
+            out.append(("".join(chars), np.asarray(edge_ids, dtype=np.int32),
+                        np.asarray(node_ids, dtype=np.int32)))
+        return out
+
+    def simulate_random_diploid_path(self, rng: np.random.Generator):
+        """Two independent random paths (Graph::simulateRandomDiploidPath,
+        Graph.cpp:1482)."""
+        return self.simulate_random_paths(2, rng)
+
+    def path_emits(self, seq_with_gaps: str, start_level: int = 0) -> bool:
+        """True iff `seq_with_gaps` (one char per level, '_' allowed) is
+        emittable along some path starting at start_level.
+
+        Reference: sequence-presence checks, Graph.cpp:162-346.
+        """
+        want = np.frombuffer(seq_with_gaps.encode(), dtype=np.uint8)
+        frontier = set(self.nodes_at_level(start_level).tolist())
+        for c in want:
+            nxt = set()
+            for node in frontier:
+                for e in self.out_edge_ids(node):
+                    if self.edge_emission[e] == c:
+                        nxt.add(int(self.edge_to[e]))
+            if not nxt:
+                return False
+            frontier = nxt
+        return True
+
+    # -------------------------------------------------------- gap-path index
+    def compute_gap_edge_paths(self) -> list[tuple[int, int, np.ndarray]]:
+        """Enumerate maximal all-gap edge paths and return them as
+        (first_node, last_node, edge_ids) triples.
+
+        A path starts at a node u with a gap out-edge, follows gap edges, and
+        completes at the first node that has a non-gap out-edge (or the final
+        level).  Only one path per (first_node, last_node) pair is kept — same
+        dedup as the reference (Graph.cpp:347-475).  The aligner uses these as
+        O(1) "jump" pseudo-edges across long graph gaps.
+        """
+        if self.gap_paths is not None:
+            return self.gap_paths
+        is_gap = self.edge_emission == GAP
+        # running[v] = {first_node: edge_id_list}
+        running: dict[int, dict[int, list[int]]] = {}
+        completed: list[tuple[int, int, np.ndarray]] = []
+        last_level = self.n_levels - 1
+        for lv in range(self.n_levels):
+            running_next: dict[int, dict[int, list[int]]] = {}
+            nodes = self.nodes_at_level(lv)
+            for node in nodes.tolist():
+                es = self.out_edge_ids(node)
+                gap_es = es[is_gap[es]] if len(es) else es
+                n_non_gap = len(es) - len(gap_es)
+                paths_here = running.get(node)
+                if paths_here:
+                    for e in gap_es.tolist():
+                        tgt = int(self.edge_to[e])
+                        slot = running_next.setdefault(tgt, {})
+                        for first, elist in paths_here.items():
+                            if first not in slot:
+                                slot[first] = elist + [e]
+                    if n_non_gap > 0 or lv == last_level:
+                        for first, elist in paths_here.items():
+                            completed.append(
+                                (first, node, np.asarray(elist, dtype=np.int32)))
+                else:
+                    # fresh maximal runs start only at nodes not themselves
+                    # reached by a gap run (Graph.cpp:431-456 seen_gap_edge)
+                    for e in gap_es.tolist():
+                        tgt = int(self.edge_to[e])
+                        slot = running_next.setdefault(tgt, {})
+                        if node not in slot:
+                            slot[node] = [e]
+            running = running_next
+        self.gap_paths = completed
+        return completed
+
+    # ------------------------------------------------------------------- I/O
+    @classmethod
+    def from_file(cls, path: str) -> "PRG":
+        with open(path, "r") as fh:
+            return cls.from_text(fh.read())
+
+    @classmethod
+    def from_text(cls, text: str) -> "PRG":
+        code_lines, node_lines, edge_lines = [], [], []
+        mode = None
+        for line in text.splitlines():
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            if _PROBLEM in line:
+                line = line.replace(_PROBLEM, _SUBST, 1)
+            if line == "CODE:":
+                mode = "code"
+            elif line == "NODES:":
+                mode = "node"
+            elif line == "EDGES:":
+                mode = "edge"
+            else:
+                {"code": code_lines, "node": node_lines,
+                 "edge": edge_lines}[mode].append(line)
+
+        # CODE: (locus, code byte) -> allele string
+        decode: dict[tuple[str, int], str] = {}
+        for line in code_lines:
+            locus, allele, code = line.split(_SEP)
+            if allele == _SLASH:
+                allele = "|"
+            decode[(locus, int(code))] = allele
+
+        # NODES
+        idx2node: dict[int, int] = {}
+        levels = []
+        terminals = []
+        raw = []
+        for line in node_lines:
+            f = line.split(_SEP)
+            raw.append((int(f[0]), int(f[1]), f[2] not in ("0", "")))
+        # sort level-major, stable by original idx
+        raw.sort(key=lambda t: (t[1], t[0]))
+        for new_id, (orig, lv, term) in enumerate(raw):
+            idx2node[orig] = new_id
+            levels.append(lv)
+            terminals.append(term)
+        node_level = np.asarray(levels, dtype=np.int32)
+        node_terminal = np.asarray(terminals, dtype=bool)
+        n_levels = int(node_level.max()) + 1 if len(node_level) else 0
+        level_offsets = np.searchsorted(
+            node_level, np.arange(n_levels + 1)).astype(np.int64)
+
+        # EDGES
+        e_from, e_to, e_em, e_loc, e_lab, e_pgf = [], [], [], [], [], []
+        locus_ids: dict[str, int] = {}
+        recs = []
+        for line in edge_lines:
+            f = line.split(_SEP)
+            if len(f) not in (6, 8):
+                raise ValueError(f"bad edge line: {line!r}")
+            locus = f[1]
+            code_char = f[3]
+            if code_char == _SLASH:
+                code_char = "|"
+            allele = decode.get((locus, ord(code_char[0])), code_char[0])
+            assert len(allele) == 1, f"non-unit emission {allele!r}"
+            label = f[6] if len(f) > 6 else ""
+            pgf = (f[7] not in ("0", "")) if len(f) > 6 else False
+            recs.append((idx2node[int(f[4])], idx2node[int(f[5])],
+                         ord(allele), locus, label, pgf))
+        recs.sort(key=lambda t: t[0])
+        for fr, to, em, locus, label, pgf in recs:
+            e_from.append(fr)
+            e_to.append(to)
+            e_em.append(em)
+            if locus not in locus_ids:
+                locus_ids[locus] = len(locus_ids)
+            e_loc.append(locus_ids[locus])
+            e_lab.append(label)
+            e_pgf.append(pgf)
+
+        locus_names = [None] * len(locus_ids)
+        for name, i in locus_ids.items():
+            locus_names[i] = name
+
+        return cls(
+            node_level=node_level,
+            node_terminal=node_terminal,
+            level_offsets=level_offsets,
+            edge_from=np.asarray(e_from, dtype=np.int32),
+            edge_to=np.asarray(e_to, dtype=np.int32),
+            edge_emission=np.asarray(e_em, dtype=np.uint8),
+            edge_locus=np.asarray(e_loc, dtype=np.int32),
+            locus_names=locus_names,
+            edge_label=e_lab,
+            edge_pgf_protect=np.asarray(e_pgf, dtype=bool),
+        )
+
+    def to_file(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(self.to_text())
+
+    def to_text(self) -> str:
+        """Serialise in the reference text format.  Codes are allocated per
+        (locus, allele) as printable single bytes (the reference allocates via
+        LocusCodeAllocation; any byte works as long as CODE declares it)."""
+        buf = io.StringIO()
+        # allocate codes: use the allele character itself when it is a safe
+        # printable byte, otherwise allocate from a counter
+        code_of: dict[tuple[str, str], int] = {}
+        used: dict[str, set[int]] = {}
+        for e in range(self.n_edges):
+            locus = self.locus_names[self.edge_locus[e]]
+            allele = chr(self.edge_emission[e])
+            key = (locus, allele)
+            if key in code_of:
+                continue
+            u = used.setdefault(locus, set())
+            c = ord(allele)
+            if c < 33 or c > 126 or c in u:
+                c = 33
+                while c in u or chr(c) in "|":
+                    c += 1
+            code_of[key] = c
+            u.add(c)
+        buf.write("CODE:\n")
+        for (locus, allele), c in code_of.items():
+            a = _SLASH if allele == "|" else allele
+            buf.write(f"{locus}{_SEP}{a}{_SEP}{c}\n")
+        buf.write("NODES:\n")
+        for i in range(self.n_nodes):
+            buf.write(f"{i + 1}{_SEP}{self.node_level[i]}{_SEP}"
+                      f"{int(self.node_terminal[i])}\n")
+        buf.write("EDGES:\n")
+        lines = []
+        for e in range(self.n_edges):
+            locus = self.locus_names[self.edge_locus[e]]
+            allele = chr(self.edge_emission[e])
+            cc = chr(code_of[(locus, allele)])
+            if cc == "|":
+                cc = _SLASH
+            label = self.edge_label[e] if self.edge_label else ""
+            pgf = int(self.edge_pgf_protect[e]) if self.edge_pgf_protect is not None else 0
+            lines.append(f"{e + 1}{_SEP}{locus}{_SEP}1{_SEP}{cc}{_SEP}"
+                         f"{self.edge_from[e] + 1}{_SEP}{self.edge_to[e] + 1}"
+                         f"{_SEP}{label}{_SEP}{pgf}")
+        buf.write("\n".join(lines))
+        return buf.getvalue()
+
+
+def prg_from_haplotypes(haplotypes: list[str], locus_names: list[str] | None = None,
+                        merge: bool = True) -> PRG:
+    """Build a PRG from equal-length aligned haplotype strings ('_' = gap).
+
+    Column i becomes edge level i; identical (prefix-state, emission) edges are
+    merged when `merge` (mirrors Graph::buildFromHaplotypes, Graph.cpp:567 —
+    the reference merges via node identity of haplotype groups; here nodes at
+    level l+1 are identified by the *set of haplotypes* passing through them,
+    which yields the same graph for panel input).
+    """
+    assert haplotypes, "need at least one haplotype"
+    L = len(haplotypes[0])
+    assert all(len(h) == L for h in haplotypes)
+    if locus_names is None:
+        locus_names = [f"L{i}" for i in range(L)]
+    assert len(locus_names) == L
+
+    # state = frozenset of haplotype indices sharing the node
+    node_level = []
+    node_ids: dict[tuple[int, frozenset], int] = {}
+
+    def get_node(level: int, grp: frozenset) -> int:
+        key = (level, grp)
+        if key not in node_ids:
+            node_ids[key] = len(node_level)
+            node_level.append(level)
+        return node_ids[key]
+
+    all_h = frozenset(range(len(haplotypes)))
+    e_from, e_to, e_em, e_loc = [], [], [], []
+    frontier = {all_h: get_node(0, all_h)}
+    for lv in range(L):
+        nxt: dict[frozenset, int] = {}
+        for grp, node in frontier.items():
+            by_char: dict[str, list[int]] = {}
+            for h in grp:
+                by_char.setdefault(haplotypes[h][lv], []).append(h)
+            for ch, hs in by_char.items():
+                tgt_grp = frozenset(hs) if (merge and lv < L - 1) else frozenset(hs)
+                # merge groups with same member set at next level
+                if tgt_grp not in nxt:
+                    nxt[tgt_grp] = get_node(lv + 1, tgt_grp)
+                e_from.append(node)
+                e_to.append(nxt[tgt_grp])
+                e_em.append(ord(ch))
+                e_loc.append(lv)
+        frontier = nxt
+
+    node_level_arr = np.asarray(node_level, dtype=np.int32)
+    order = np.argsort(node_level_arr, kind="stable")
+    remap = np.empty(len(order), dtype=np.int64)
+    remap[order] = np.arange(len(order))
+    node_level_sorted = node_level_arr[order]
+    level_offsets = np.searchsorted(node_level_sorted,
+                                    np.arange(L + 2)).astype(np.int64)
+    e_from = remap[np.asarray(e_from)]
+    e_to = remap[np.asarray(e_to)]
+    eorder = np.argsort(e_from, kind="stable")
+
+    return PRG(
+        node_level=node_level_sorted,
+        node_terminal=(node_level_sorted == L),
+        level_offsets=level_offsets,
+        edge_from=e_from[eorder].astype(np.int32),
+        edge_to=e_to[eorder].astype(np.int32),
+        edge_emission=np.asarray(e_em, dtype=np.uint8)[eorder],
+        edge_locus=np.asarray(e_loc, dtype=np.int32)[eorder],
+        locus_names=list(locus_names),
+    )

@@ -1,0 +1,112 @@
+"""Exact k-mer index over the linearized PRG haplotypes.
+
+This is the native replacement for the external linear mapper (the reference
+shells out to `bwa mem -a` against mapping_PRGonly/referenceGenome.fa,
+BWAmapper.cpp:67-140; its own dormant native index is GraphAndEdgeIndex).
+Design: 2-bit-packed k-mers over the concatenated reference, sorted arrays +
+binary search — O(1)-ish vectorised batch queries with numpy, no external
+processes, and the hit lists feed diagonal chaining (seeder.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+_CODE = np.full(256, 255, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _CODE[b] = i
+    _CODE[b + 32] = i  # lowercase
+
+
+def encode_kmers(seq_bytes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mer codes of a uint8 sequence.  Returns (codes uint64, valid bool)
+    — invalid where any base is non-ACGT."""
+    codes2 = _CODE[seq_bytes]
+    n = len(seq_bytes) - k + 1
+    if n <= 0:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool))
+    out = np.zeros(n, dtype=np.uint64)
+    bad = np.zeros(n, dtype=bool)
+    for i in range(k):
+        c = codes2[i:i + n]
+        out = (out << np.uint64(2)) | c.astype(np.uint64)
+        bad |= c == 255
+    return out, ~bad
+
+
+def revcomp_bytes(seq_bytes: np.ndarray) -> np.ndarray:
+    comp = np.full(256, ord("N"), dtype=np.uint8)
+    for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
+        comp[a] = b
+    return comp[seq_bytes][::-1]
+
+
+@dataclass
+class KmerIndex:
+    k: int
+    seq_names: list[str]
+    seq_offsets: np.ndarray        # [S+1] global offsets of each sequence
+    sorted_codes: np.ndarray       # [M] uint64
+    sorted_pos: np.ndarray         # [M] int64 global positions
+    max_occurrences: int = 64      # k-mers more frequent than this are skipped
+
+    @classmethod
+    def build(cls, seqs: dict[str, str], k: int = 20,
+              max_occurrences: int = 64) -> "KmerIndex":
+        names = list(seqs)
+        offsets = np.zeros(len(names) + 1, dtype=np.int64)
+        codes_all = []
+        pos_all = []
+        cursor = 0
+        for i, name in enumerate(names):
+            b = np.frombuffer(seqs[name].encode(), dtype=np.uint8)
+            offsets[i] = cursor
+            codes, valid = encode_kmers(b, k)
+            p = np.nonzero(valid)[0]
+            codes_all.append(codes[p])
+            pos_all.append(p + cursor)
+            cursor += len(b) + 1  # +1 gap so k-mers never span sequences
+        offsets[len(names)] = cursor
+        codes_cat = np.concatenate(codes_all) if codes_all else np.zeros(0, np.uint64)
+        pos_cat = np.concatenate(pos_all) if pos_all else np.zeros(0, np.int64)
+        order = np.argsort(codes_cat, kind="stable")
+        return cls(k=k, seq_names=names, seq_offsets=offsets,
+                   sorted_codes=codes_cat[order], sorted_pos=pos_cat[order],
+                   max_occurrences=max_occurrences)
+
+    def locate(self, global_pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Global position -> (seq index, position within sequence)."""
+        si = np.searchsorted(self.seq_offsets, global_pos, side="right") - 1
+        return si.astype(np.int32), (global_pos - self.seq_offsets[si])
+
+    def query_codes(self, codes: np.ndarray, valid: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """For each query k-mer: ref hits.  Returns (query_idx, global_pos)
+        arrays (one row per hit), capped at max_occurrences per k-mer."""
+        lo = np.searchsorted(self.sorted_codes, codes, side="left")
+        hi = np.searchsorted(self.sorted_codes, codes, side="right")
+        counts = hi - lo
+        counts = np.where(valid & (counts <= self.max_occurrences), counts, 0)
+        total = int(counts.sum())
+        qidx = np.repeat(np.arange(len(codes)), counts)
+        # ranges -> flat indices
+        starts = np.repeat(lo, counts)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        return qidx.astype(np.int64), self.sorted_pos[starts + within]
+
+    def query_read(self, seq: str) -> dict[bool, tuple[np.ndarray, np.ndarray]]:
+        """Hits for both strands: {is_reverse: (read_kmer_pos, global_ref_pos)}.
+
+        For the reverse strand, read_kmer_pos is the k-mer start within the
+        *reverse-complemented* read.
+        """
+        b = np.frombuffer(seq.encode(), dtype=np.uint8)
+        out = {}
+        for is_rev, bb in ((False, b), (True, revcomp_bytes(b))):
+            codes, valid = encode_kmers(bb, self.k)
+            qi, gp = self.query_codes(codes, valid)
+            out[is_rev] = (qi, gp)
+        return out

@@ -1,0 +1,358 @@
+"""Read alignment pipeline: seeds -> banded NW -> projection -> pair selection.
+
+This is the L3/L5 workhorse replacing processBAM (mapper/processBAM.cpp):
+
+  1. seed candidates per read via the native k-mer index (bwa `-a` analogue);
+  2. one fixed-shape banded-NW job per (read, candidate) — batched across the
+     whole read set and runnable on TPU (ops/banded_nw.py);
+  3. projection into graph coordinates (models/alignment.py);
+  4. per-pair combination selection: chain log-likelihoods + insert-size
+     log-likelihood over underlying-sequence distances, posterior mapQ per
+     chain and per position (alignOneReadPair, processBAM.cpp:3129-3616;
+     assignMappingQualities, processBAM.cpp:4062-4310);
+  5. insert-size estimation from up to 4000 pairs via the weighted-median
+     histogram rule (estimateInsertSize, processBAM.cpp:991-1182).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.package import GraphPackage
+from ..io.fastq import FastqRead
+from ..mapping.kmer_index import KmerIndex
+from ..mapping.seeder import Seeder
+from ..ops.banded_nw import NWScoring, banded_nw_backtrace, banded_nw_forward
+from ..sim.read_sim import revcomp
+from ..utils.config import RunConfig
+from ..utils.phred import p_correct_to_phred_char
+from ..utils.timing import Stats, log_progress
+from .alignment import (GraphAlignment, pair_distance_graph_levels,
+                        pair_distances_underlying, project_linear_alignment,
+                        score_alignment, strands_valid)
+
+_ENC = np.full(256, 4, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _ENC[b] = i
+    _ENC[b + 32] = i
+
+
+@dataclass
+class AlignedPair:
+    read_id: str
+    chain1: GraphAlignment
+    chain2: GraphAlignment
+    mapq: float  # pair-level posterior
+
+
+@dataclass
+class _Job:
+    pair_idx: int
+    mate: int              # 1 or 2
+    cand_seq: int
+    reverse: bool
+    window_start: int
+    oriented_seq: str
+    oriented_qual: str
+
+
+class ReadAligner:
+    def __init__(self, pkg: GraphPackage, cfg: RunConfig | None = None,
+                 band: int = 32, kmer_k: int = 20, use_jax: bool = False):
+        self.pkg = pkg
+        self.cfg = cfg or RunConfig()
+        self.band = band
+        fasta = pkg.prg_fasta()
+        self.seq_infos = pkg.sequences()
+        self.hap_names = [s.fasta_id for s in self.seq_infos]
+        self.hap_seqs = [fasta[n] for n in self.hap_names]
+        self.hap_codes = [np.frombuffer(s.encode(), dtype=np.uint8)
+                          for s in self.hap_seqs]
+        self.hap_levels = [pkg.translation(s.prg_id) for s in self.seq_infos]
+        self.prg_ids = [s.prg_id for s in self.seq_infos]
+        self.index = KmerIndex.build(dict(zip(self.hap_names, self.hap_seqs)),
+                                     k=kmer_k)
+        self.seeder = Seeder(self.index)
+        self.level_to_seqpos = pkg.level_to_seqpos()
+        self.long_reads = bool(self.cfg.long_reads)
+        self.stats = Stats()
+        self._jax_fwd = None
+        self._jax_shapes = None
+        self.use_jax = use_jax
+
+    # ------------------------------------------------------------- NW batch
+    def _run_nw(self, reads_arr, lens_arr, refs_arr):
+        if not self.use_jax:
+            return banded_nw_forward(reads_arr, lens_arr, refs_arr)
+        import jax.numpy as jnp
+        from ..ops.banded_nw import make_jax_banded_nw
+        L = reads_arr.shape[1]
+        W = refs_arr.shape[1] - L
+        if self._jax_shapes != (L, W):
+            self._jax_fwd = make_jax_banded_nw(L, W)
+            self._jax_shapes = (L, W)
+        out = self._jax_fwd(jnp.asarray(reads_arr), jnp.asarray(lens_arr),
+                            jnp.asarray(refs_arr))
+        return tuple(np.asarray(x) for x in out)
+
+    def _make_jobs(self, pair_idx: int, mate: int, read: FastqRead
+                   ) -> list[_Job]:
+        cands = self.seeder.candidates(read.seq)
+        jobs = []
+        for c in cands:
+            if c.reverse:
+                oriented = revcomp(read.seq)
+                qual = read.qual[::-1]
+            else:
+                oriented = read.seq
+                qual = read.qual
+            jobs.append(_Job(pair_idx, mate, c.seq_idx, c.reverse,
+                             c.ref_start - self.band // 2, oriented, qual))
+        self.stats.considered_chains += len(jobs)
+        return jobs
+
+    def _jobs_to_alignments(self, jobs: list[_Job]
+                            ) -> list[GraphAlignment | None]:
+        if not jobs:
+            return []
+        L = max(len(j.oriented_seq) for j in jobs)
+        W = self.band
+        B = len(jobs)
+        reads_arr = np.full((B, L), 4, dtype=np.uint8)
+        lens_arr = np.zeros(B, dtype=np.int64)
+        refs_arr = np.full((B, L + W), 4, dtype=np.uint8)
+        for bi, j in enumerate(jobs):
+            rl = len(j.oriented_seq)
+            reads_arr[bi, :rl] = _ENC[np.frombuffer(j.oriented_seq.encode(),
+                                                    dtype=np.uint8)]
+            lens_arr[bi] = rl
+            hap = self.hap_codes[j.cand_seq]
+            lo = j.window_start
+            hi = lo + L + W
+            src_lo = max(lo, 0)
+            src_hi = min(hi, len(hap))
+            if src_hi > src_lo:
+                refs_arr[bi, src_lo - lo:src_hi - lo] = _ENC[hap[src_lo:src_hi]]
+        scores, end_k, end_state, pointers = self._run_nw(
+            reads_arr, lens_arr, refs_arr)
+        self.stats.n_chain_extensions += B
+
+        out: list[GraphAlignment | None] = []
+        for bi, j in enumerate(jobs):
+            if scores[bi] <= -1e29:
+                out.append(None)
+                continue
+            ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
+                                      int(end_k[bi]), int(end_state[bi]))
+            al = project_linear_alignment(
+                ops, j.oriented_seq, j.oriented_qual,
+                self.hap_seqs[j.cand_seq], self.hap_levels[j.cand_seq],
+                j.window_start, j.reverse, self.prg_ids[j.cand_seq])
+            if al is not None:
+                al.from_first_read = (j.mate == 1)
+                al.log_likelihood = score_alignment(al, self.long_reads)
+            out.append(al)
+        return out
+
+    # ------------------------------------------------------ paired pipeline
+    def align_pairs(self, pairs: list[tuple[FastqRead, FastqRead]],
+                    insert_mean: float, insert_sd: float,
+                    truth=None) -> list[AlignedPair]:
+        jobs: list[_Job] = []
+        for pi, (r1, r2) in enumerate(pairs):
+            jobs.extend(self._make_jobs(pi, 1, r1))
+            jobs.extend(self._make_jobs(pi, 2, r2))
+        alignments = self._jobs_to_alignments(jobs)
+
+        per_pair: dict[int, tuple[list, list]] = {}
+        for j, al in zip(jobs, alignments):
+            if al is None:
+                continue
+            slot = per_pair.setdefault(j.pair_idx, ([], []))
+            slot[0 if j.mate == 1 else 1].append(al)
+
+        out: list[AlignedPair] = []
+        insert_sd = max(insert_sd, 1e-6)
+        max_pen_log = _normal_logpdf(insert_mean + 8 * insert_sd,
+                                     insert_mean, insert_sd)
+        for pi, (r1, r2) in enumerate(pairs):
+            chains = per_pair.get(pi)
+            if not chains or not chains[0] or not chains[1]:
+                continue
+            ap = self._select_pair(r1.name, chains[0], chains[1],
+                                   insert_mean, insert_sd, max_pen_log)
+            self.stats.n_align_calls += 1
+            if truth is not None:
+                for mate_i, (chain, read) in enumerate(
+                        ((ap.chain1, r1), (ap.chain2, r2)), start=1):
+                    truth.evaluate(f"{read.name}/{mate_i}",
+                                   chain.aligned_levels_per_base(len(read.seq)),
+                                   chain.reverse)
+            out.append(ap)
+        return out
+
+    def _select_pair(self, read_id: str, chains1: list[GraphAlignment],
+                     chains2: list[GraphAlignment], insert_mean: float,
+                     insert_sd: float, max_pen_log: float) -> AlignedPair:
+        """alignOneReadPair combination model (processBAM.cpp:3408-3540) +
+        assignMappingQualities (processBAM.cpp:4062-4310)."""
+        combos = []
+        lls = []
+        for i1, c1 in enumerate(chains1):
+            for i2, c2 in enumerate(chains2):
+                self.stats.considered_chain_pairs += 1
+                ll = c1.log_likelihood + c2.log_likelihood
+                if strands_valid(c1, c2):
+                    ds = pair_distances_underlying(c1, c2, self.level_to_seqpos)
+                    if ds:
+                        # the reference takes log(pdf) and only substitutes the
+                        # 8-sigma penalty when the pdf underflows to 0
+                        # (processBAM.cpp:3446-3468)
+                        ll_is = max(max_pen_log if lp < -700.0 else lp
+                                    for lp in (_normal_logpdf(d, insert_mean,
+                                                              insert_sd)
+                                               for d in ds))
+                    else:
+                        ll_is = max_pen_log
+                else:
+                    ll_is = max_pen_log
+                combos.append((i1, i2))
+                lls.append(ll + ll_is)
+        lls = np.asarray(lls)
+        best = int(np.argmax(lls))
+        b1, b2 = combos[best]
+        pp = np.exp(lls - lls[best])
+        pp /= pp.sum()
+
+        chain1 = chains1[b1]
+        chain2 = chains2[b2]
+        pair_mapq = float(pp[best])
+        mapq1 = float(sum(p for (i1, _), p in zip(combos, pp) if i1 == b1))
+        mapq2 = float(sum(p for (_, i2), p in zip(combos, pp) if i2 == b2))
+        chain1.mapq = min(mapq1, 1.0)
+        chain2.mapq = min(mapq2, 1.0)
+
+        # per-position posterior: sum combination probabilities that place the
+        # same (graph char, level, read index) at a column
+        # (assignMappingQualities position IDs, processBAM.cpp:4183-4209)
+        for mate, (chains, bsel) in enumerate(((chains1, b1), (chains2, b2))):
+            conf: dict[tuple, float] = {}
+            for (i1, i2), p in zip(combos, pp):
+                ci = i1 if mate == 0 else i2
+                al = chains[ci]
+                for key in _position_keys(al):
+                    conf[key] = conf.get(key, 0.0) + float(p)
+            sel = chains[bsel]
+            q = np.empty(sel.n_columns, dtype=np.float64)
+            for j, key in enumerate(_position_keys(sel)):
+                q[j] = min(conf[key], 1.0)
+            sel.mapq_per_pos = q
+        return AlignedPair(read_id, chain1, chain2, pair_mapq)
+
+    # ----------------------------------------------------- unpaired (long)
+    def align_unpaired(self, reads: list[FastqRead], truth=None
+                       ) -> list[GraphAlignment | None]:
+        """alignOneLongRead equivalent: no pair model; mapQ from chain-LL
+        posteriors (processBAM.cpp:3618-3839)."""
+        jobs: list[_Job] = []
+        for pi, r in enumerate(reads):
+            jobs.extend(self._make_jobs(pi, 1, r))
+        alignments = self._jobs_to_alignments(jobs)
+        per_read: dict[int, list[GraphAlignment]] = {}
+        for j, al in zip(jobs, alignments):
+            if al is not None:
+                per_read.setdefault(j.pair_idx, []).append(al)
+        out: list[GraphAlignment | None] = []
+        for pi, r in enumerate(reads):
+            chains = per_read.get(pi)
+            if not chains:
+                out.append(None)
+                continue
+            lls = np.asarray([c.log_likelihood for c in chains])
+            best = int(np.argmax(lls))
+            pp = np.exp(lls - lls[best])
+            pp /= pp.sum()
+            sel = chains[best]
+            sel.mapq = float(pp[best])
+            conf: dict[tuple, float] = {}
+            for c, p in zip(chains, pp):
+                for key in _position_keys(c):
+                    conf[key] = conf.get(key, 0.0) + float(p)
+            sel.mapq_per_pos = np.asarray(
+                [min(conf[k], 1.0) for k in _position_keys(sel)])
+            if truth is not None:
+                truth.evaluate(r.name, sel.aligned_levels_per_base(len(r.seq)),
+                               sel.reverse)
+            out.append(sel)
+        return out
+
+    # ------------------------------------------------------- insert size
+    def estimate_insert_size(self, pairs: list[tuple[FastqRead, FastqRead]],
+                             max_pairs: int = 4000) -> tuple[float, float]:
+        """estimateInsertSize (processBAM.cpp:1071-1182): primary alignment of
+        each mate, underlying-sequence distances, weighted histogram ->
+        (median, max(|median-q20|, |median-q80|))."""
+        hist: dict[int, float] = {}
+        used = 0
+        for r1, r2 in pairs[:max_pairs]:
+            j1 = self._make_jobs(0, 1, r1)[:1]
+            j2 = self._make_jobs(0, 2, r2)[:1]
+            if not j1 or not j2:
+                continue
+            als = self._jobs_to_alignments(j1 + j2)
+            if len(als) != 2 or als[0] is None or als[1] is None:
+                continue
+            a1, a2 = als
+            if not strands_valid(a1, a2):
+                continue
+            ds = pair_distances_underlying(a1, a2, self.level_to_seqpos)
+            if not ds:
+                continue
+            w = 1.0 / len(ds)
+            for d in ds:
+                hist[d] = hist.get(d, 0.0) + w
+            used += 1
+        if not hist:
+            return 300.0, 100.0
+        return insert_size_from_histogram(hist)
+
+
+def insert_size_from_histogram(hist: dict[int, float]) -> tuple[float, float]:
+    """calculateInsertSizeFromHistogram (processBAM.cpp:991-1072)."""
+    total = sum(hist.values())
+    cum = 0.0
+    median = q20 = q80 = None
+    for d in sorted(hist):
+        cum += hist[d]
+        if q20 is None and cum >= total * 0.2:
+            q20 = d
+        if median is None and cum >= total * 0.5:
+            median = d
+        if q80 is None and cum >= total * 0.8:
+            q80 = d
+    sd = max(abs(median - q20), abs(median - q80))
+    return float(median), float(max(sd, 1.0))
+
+
+def _normal_logpdf(x: float, mean: float, sd: float) -> float:
+    z = (x - mean) / sd
+    return -0.5 * z * z - math.log(sd * math.sqrt(2 * math.pi))
+
+
+def _position_keys(al: GraphAlignment):
+    """Column identity keys for per-position confidence accumulation
+    (positionID strings, processBAM.cpp:4188)."""
+    keys = []
+    i_nogap = -1
+    n_bases = int((al.seq_c != ord("_")).sum())
+    for j in range(al.n_columns):
+        if al.seq_c[j] != ord("_"):
+            i_nogap += 1
+            idx = (n_bases - i_nogap - 1) if al.reverse else i_nogap
+        else:
+            idx = -1
+        keys.append((int(al.graph_c[j]), int(al.levels[j]), al.reverse, idx))
+    return keys

@@ -1,13 +1,20 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
-paths are exercised without TPU hardware (SURVEY.md §4 implication)."""
+paths are exercised without TPU hardware (SURVEY.md §4 implication).
+
+Note: the axon TPU plugin in this environment ignores the JAX_PLATFORMS env
+var, so the platform must be forced via jax.config before any computation.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

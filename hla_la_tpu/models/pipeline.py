@@ -1,0 +1,118 @@
+"""End-to-end HLA typing workflow (reference L5: alignReads_and_inferHLA,
+processBAM.cpp:1788-1923 + the HLA action, HLA-LA.cpp:577-811).
+
+Input: paired FASTQ (short reads) or unpaired FASTQ (long-read mode) already
+extracted from a BAM/CRAM (see cli.py for extraction), plus a graph package.
+Output: the reference-compatible result-file set in the working directory.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.package import GraphPackage
+from ..io.fastq import FastqRead, read_fastq
+from ..utils.config import RunConfig
+from ..utils.timing import Timer, log_progress
+from .aligner import AlignedPair, ReadAligner
+from .typer import HLATyper, LocusResult
+
+
+@dataclass
+class PipelineResult:
+    results: list[LocusResult]
+    n_pairs_input: int
+    n_pairs_aligned: int
+    reads_per_sec: float
+    insert_mean: float
+    insert_sd: float
+
+
+def pair_up_fastq(fq1: str, fq2: str) -> list[tuple[FastqRead, FastqRead]]:
+    r1 = list(read_fastq(fq1))
+    r2 = {r.name: r for r in read_fastq(fq2)}
+    out = []
+    for a in r1:
+        b = r2.get(a.name)
+        if b is not None:
+            out.append((a, b))
+    return out
+
+
+def run_hla_typing(pkg: GraphPackage,
+                   pairs: list[tuple[FastqRead, FastqRead]] | None = None,
+                   unpaired: list[FastqRead] | None = None,
+                   output_dir: str = ".",
+                   cfg: RunConfig | None = None,
+                   backend: str = "numpy",
+                   truth=None) -> PipelineResult:
+    cfg = cfg or RunConfig()
+    pairs = pairs or []
+    unpaired = unpaired or []
+    long_mode = cfg.long_reads
+    os.makedirs(output_dir, exist_ok=True)
+
+    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"))
+
+    insert_mean, insert_sd = 300.0, 100.0
+    if pairs:
+        log_progress("estimating insert size distribution")
+        insert_mean, insert_sd = aligner.estimate_insert_size(pairs)
+        log_progress(f"insert size estimate: mean {insert_mean}, sd {insert_sd}")
+
+    aligned_pairs: list[AlignedPair] = []
+    kept_pairs: list[tuple[FastqRead, FastqRead]] = []
+    aligned_unpaired = []
+    kept_unpaired: list[FastqRead] = []
+    bs = cfg.batch_size
+    with Timer("align") as t:
+        for lo in range(0, len(pairs), bs):
+            batch = pairs[lo:lo + bs]
+            out = aligner.align_pairs(batch, insert_mean, insert_sd,
+                                      truth=truth)
+            by_id = {p.read_id: p for p in out}
+            for pr in batch:
+                ap = by_id.get(pr[0].name)
+                if ap is not None:
+                    aligned_pairs.append(ap)
+                    kept_pairs.append(pr)
+        for lo in range(0, len(unpaired), bs):
+            batch = unpaired[lo:lo + bs]
+            out = aligner.align_unpaired(batch, truth=truth)
+            for r, al in zip(batch, out):
+                if al is not None:
+                    aligned_unpaired.append(al)
+                    kept_unpaired.append(r)
+    n_reads = 2 * len(pairs) + len(unpaired)
+    rps = t.rate(n_reads)
+    log_progress(f"aligned {len(aligned_pairs)}/{len(pairs)} pairs + "
+                 f"{len(aligned_unpaired)}/{len(unpaired)} unpaired "
+                 f"({rps:.1f} reads/s)")
+
+    _write_reads_per_level(aligned_pairs, aligned_unpaired,
+                           pkg, output_dir)
+
+    typer = HLATyper(pkg, cfg.typer, backend=backend)
+    results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
+                             aligned_unpaired, insert_mean, insert_sd,
+                             output_dir, long_reads_mode=long_mode)
+    return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
+                          insert_mean, insert_sd)
+
+
+def _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir):
+    """Coverage track `reads_per_level.txt` (processBAM.cpp:1902-1913)."""
+    n_levels = pkg.compiled().n_levels
+    counts = np.zeros(n_levels, dtype=np.int64)
+    chains = [c for ap in aligned_pairs for c in (ap.chain1, ap.chain2)]
+    chains += [c for c in aligned_unpaired if c is not None]
+    for ch in chains:
+        lv = ch.levels[ch.levels >= 0]
+        if len(lv):
+            counts[lv.astype(np.int64)] += 1
+    with open(os.path.join(output_dir, "reads_per_level.txt"), "w") as fh:
+        for lv, n in enumerate(counts.tolist()):
+            fh.write(f"{lv}\t{n}\n")

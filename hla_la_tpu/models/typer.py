@@ -1,0 +1,892 @@
+"""HLA typing engine (reference L4: hla/HLATyper.{h,cpp}, 4,512 LoC).
+
+Pipeline per locus (HLATyper::HLATypeInference, HLATyper.cpp:933-2810):
+  1. load + combine exon allele matrices, cluster identical exon sequences;
+  2. convert read alignments to exon-position pileups (oneExonPosition);
+  3. read/allele filters (strand, insert size, mapQ, weightedOK, filterFirst20,
+     high-coverage and strand-bias allele filters);
+  4. per-cluster x per-read log-likelihoods — lowered to ONE matmul over
+     one-hot channel encodings (ops/pair_ll.cluster_read_ll);
+  5. diploid pair likelihoods over all cluster pairs — the O(C^2 R) reduction
+     (ops/pair_ll.pair_ll_reduction; Pallas/jnp on TPU);
+  6. posteriors -> bestGuess alleles (marginal for allele 1, conditional for
+     allele 2 with min-mismatch tie-break);
+  7. QC columns + G-group translation + output files
+     (R1_bestguess.txt, R1_bestguess_G.txt, R1_PP_<locus>_pairs.txt,
+      R1_columnIncompatibilities_<locus>.txt, R1_pileup_<locus>.txt,
+      R1_readIDs_<locus>.txt, histogram_matchesPerRead.txt,
+      summaryStatistics.txt, R1_parameters.txt).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..graph.package import GraphPackage
+from ..io.fastq import FastqRead
+from ..ops.pair_ll import (cluster_onehot, cluster_read_ll, pair_ll_reduction,
+                           pair_min_mismatch_row, CH_A, CH_GAP, CH_OTHER)
+from ..sim.read_sim import revcomp
+from ..utils.config import LOCI_2_EXONS, LOCI_FOR_TYPING, TyperConfig
+from ..utils.phred import phred_to_p_correct_table
+from ..utils.timing import log_progress
+from .aligner import AlignedPair
+from .alignment import (GraphAlignment, alignment_fraction_ok,
+                        alignment_weighted_ok_fraction,
+                        pair_distance_graph_levels, strands_valid)
+
+GAP = ord("_")
+_BASE_CH = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+@dataclass
+class ExonObs:
+    """oneExonPosition equivalent (hla/oneExonPosition.h:15-46)."""
+    graph_level: int
+    position_in_exon: int
+    genotype: str            # '_' or one-or-more bases (insertions appended)
+    qualities: bytes
+    mapq: float
+    mapq_position: float
+    read_id: str
+    paired_read_id: str
+    this_weighted_ok: float
+    paired_weighted_ok: float
+    pairs_strands_distance: float
+    alignment_cols_nongap: int
+    running_novel_gap: int
+    reverse: bool
+    from_first_read: bool
+
+
+@dataclass
+class LocusResult:
+    locus: str
+    allele1_id: str
+    allele2_id: str
+    q1_allele1: float
+    q1_allele2: float
+    q2: float
+    allele1_g: str = ""
+    allele2_g: str = ""
+    g1_perfect: bool = True
+    g2_perfect: bool = True
+    avg_coverage: float = 0.0
+    first_decile_coverage: float = 0.0
+    min_coverage: float = 0.0
+    prop_kmers_covered_1: float = -1.0
+    prop_kmers_covered_2: float = -1.0
+    avg_column_error: float = 0.0
+    n_columns_unaccounted: int = 0
+    n_clusters: int = 0
+    n_reads_used: int = 0
+
+    def alleles_g_or_raw(self) -> tuple[str, str]:
+        return (self.allele1_g or self.allele1_id,
+                self.allele2_g or self.allele2_id)
+
+
+class HLATyper:
+    def __init__(self, pkg: GraphPackage, cfg: TyperConfig | None = None,
+                 g_nomenclature_path: str | None = None,
+                 backend: str = "numpy"):
+        self.pkg = pkg
+        self.cfg = cfg or TyperConfig()
+        self.backend = backend
+        self.locus_to_level = pkg.locus_to_level()
+        self.segment_files = pkg.segment_files()
+        self.graph_genes = self._discover_genes()
+        self.loci = [l for l in LOCI_FOR_TYPING if l in self.graph_genes]
+        self.g_path = g_nomenclature_path
+        self._alleles_to_g: dict[str, str] | None = None
+        self._g_loci: set[str] = set()
+
+    # ------------------------------------------------------------- discovery
+    def _discover_genes(self) -> dict[str, dict[str, str]]:
+        """{locus: {exon_id ('exon_2'): segment filename}} from segments.txt
+        (find_file_for_exon semantics, HLATyper.cpp:3129-3190: filename parts
+        <n>_gene_<locus>_<n>_exon_<k>.txt, locus may carry an HLA- prefix)."""
+        out: dict[str, dict[str, str]] = {}
+        for fn in self.segment_files:
+            parts = fn.split("_")
+            if len(parts) < 6 or parts[1] != "gene":
+                continue
+            locus = parts[2]
+            if locus.startswith("HLA-"):
+                locus = locus[4:]
+            if parts[4] == "exon":
+                exon_n = parts[5][:-4] if parts[5].endswith(".txt") else parts[5]
+                out.setdefault(locus, {})[f"exon_{exon_n}"] = fn
+        return out
+
+    # ------------------------------------------------------- G nomenclature
+    def _load_g(self) -> dict[str, str]:
+        """Parse the IPD-IMGT/HLA G-group nomenclature file (hla_nom_g.txt
+        format: 'LOCUS*;a1/a2/...;GCODE;', read_G_alleles HLATyper.cpp:
+        4153-4209).  Search order: explicit path, graph dir, cwd."""
+        if self._alleles_to_g is not None:
+            return self._alleles_to_g
+        candidates = [self.g_path] if self.g_path else []
+        candidates += [os.path.join(self.pkg.dir, "hla_nom_g.txt"),
+                       "hla_nom_g.txt"]
+        path = next((p for p in candidates if p and os.path.exists(p)), None)
+        m: dict[str, str] = {}
+        if path:
+            with open(path) as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#"):
+                        continue
+                    comp = line.split(";")
+                    locus_star = comp[0]
+                    if not locus_star.endswith("*"):
+                        continue
+                    self._g_loci.add(locus_star[:-1])
+                    g_code = comp[-1] if comp[-1] else comp[1]
+                    g_code = locus_star + g_code
+                    for a in comp[1].split("/"):
+                        m[locus_star + a] = g_code
+        self._alleles_to_g = m
+        return m
+
+    def translate_to_g(self, alleles: list[str]) -> tuple[str, bool]:
+        """translate_allele_list_to_G_allele (HLATyper.cpp:4095-4152)."""
+        m = self._load_g()
+        groups: dict[str, int] = {}
+        for a in alleles:
+            g = m.get(a)
+            if g is None:
+                continue
+            groups[g] = groups.get(g, 0) + 1
+        if not groups:
+            return ";".join(alleles), False
+        if len(groups) == 1:
+            return next(iter(groups)), True
+        best = max(groups.items(), key=lambda kv: kv[1])
+        return best[0], False
+
+    def can_translate_locus(self, locus: str) -> bool:
+        self._load_g()
+        return locus in self._g_loci
+
+    # ---------------------------------------------------------------- typing
+    def type_all(self, raw_pairs: list[tuple[FastqRead, FastqRead]],
+                 aligned_pairs: list[AlignedPair],
+                 raw_unpaired: list[FastqRead],
+                 aligned_unpaired: list[GraphAlignment],
+                 insert_mean: float, insert_sd: float,
+                 output_dir: str, long_reads_mode: str = ""
+                 ) -> list[LocusResult]:
+        os.makedirs(output_dir, exist_ok=True)
+        cfg = self.cfg.for_long_reads() if long_reads_mode else self.cfg
+        long_reads = bool(long_reads_mode)
+
+        kmer_counts = self._read_kmer_index(raw_pairs, raw_unpaired, cfg)
+        self._write_summary_statistics(raw_pairs, aligned_pairs, raw_unpaired,
+                                       aligned_unpaired, insert_mean,
+                                       insert_sd, output_dir, cfg)
+
+        results: list[LocusResult] = []
+        hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
+        with open(hist_path, "w") as hist_fh:
+            hist_fh.write("Locus\tLevelValue\n")
+            for locus in self.loci:
+                log_progress(f"HLATypeInference: locus {locus}")
+                r = self._type_locus(locus, raw_pairs, aligned_pairs,
+                                     raw_unpaired, aligned_unpaired,
+                                     insert_mean, insert_sd, output_dir,
+                                     cfg, long_reads, kmer_counts, hist_fh)
+                if r is not None:
+                    results.append(r)
+
+        self._write_bestguess(results, output_dir, cfg)
+        with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
+            fh.write(f"Loci = {','.join(self.loci)}\n")
+            fh.write("veryConservativeReadLikelihoods = 1\n")
+        return results
+
+    # ------------------------------------------------------------- per locus
+    def _combined_exon_matrix(self, locus: str):
+        """Combined exon allele matrix: returns (graph_levels [J],
+        exon_index [J], exon_pos [J], {allele: combined string})
+        (HLATyper.cpp:1186-1320)."""
+        exon_ids = [e for e in LOCI_2_EXONS.get(locus, [])
+                    if e in self.graph_genes[locus]]
+        assert exon_ids, f"no exon files for locus {locus}"
+        levels: list[int] = []
+        exon_idx: list[int] = []
+        exon_pos: list[int] = []
+        combined: dict[str, str] = {}
+        for ei, exon_id in enumerate(exon_ids):
+            fn = self.graph_genes[locus][exon_id]
+            cols, rows = self.pkg.read_segment(fn)
+            first_level = self.locus_to_level[cols[0]]
+            last_level = self.locus_to_level[cols[-1]]
+            assert last_level - first_level + 1 == len(cols)
+            for li, cname in enumerate(cols):
+                assert self.locus_to_level[cname] == first_level + li
+                levels.append(first_level + li)
+                exon_idx.append(ei)
+                exon_pos.append(li)
+            for allele, vals in rows.items():
+                if ":" not in allele:
+                    continue
+                seq = "".join(vals)
+                assert len(seq) == len(cols), \
+                    f"multi-char column in {fn} allele {allele}"
+                if ei == 0:
+                    combined[allele] = seq
+                else:
+                    assert allele in combined, (locus, allele)
+                    combined[allele] += seq
+        return (np.asarray(levels), np.asarray(exon_idx),
+                np.asarray(exon_pos), combined)
+
+    def _cluster_alleles(self, combined: dict[str, str]):
+        """(cluster sequences, clusters as allele lists, allele->cluster)."""
+        seq_to_cluster: dict[str, int] = {}
+        clusters: list[list[str]] = []
+        cluster_seqs: list[str] = []
+        allele_to_cluster: dict[str, int] = {}
+        for allele in combined:  # dict preserves file order
+            seq = combined[allele]
+            ci = seq_to_cluster.get(seq)
+            if ci is None:
+                ci = len(clusters)
+                seq_to_cluster[seq] = ci
+                clusters.append([])
+                cluster_seqs.append(seq)
+            clusters[ci].append(allele)
+            allele_to_cluster[allele] = ci
+        return cluster_seqs, clusters, allele_to_cluster
+
+    def _alignment_to_obs(self, al: GraphAlignment, read: FastqRead,
+                          paired_al: GraphAlignment | None,
+                          paired_read: FastqRead | None,
+                          lv_min: int, lv_max: int,
+                          level_to_pos: dict[int, int]) -> list[ExonObs]:
+        """oneReadAlignment_2_exonPositions_{paired,unpaired}
+        (HLATyper.cpp:3192-3566): walk alignment columns, build genotype
+        strings (insertions appended to the previous record), then keep the
+        contiguous exon-position run."""
+        first, last = al.first_level(), al.last_level()
+        if first == -1 or not (first <= lv_max and last >= lv_min):
+            return []
+        this_ok = alignment_fraction_ok(al)
+        this_wok = alignment_weighted_ok_fraction(al)
+        if paired_al is not None:
+            paired_wok = alignment_weighted_ok_fraction(paired_al)
+            strands_distance = float(pair_distance_graph_levels(al, paired_al))
+        else:
+            paired_wok = this_wok
+            strands_distance = 0.0
+
+        seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
+        n_cols = al.n_columns
+        cols_nongap = int(((seq_c != GAP) | (graph_c != GAP)).sum())
+        # running novel gap lengths, both directions (HLATyper.cpp:3237-3290)
+        run_novel = np.zeros(n_cols, dtype=np.int64)
+        rg = 0
+        for c in range(n_cols):
+            if seq_c[c] != GAP and graph_c[c] != GAP:
+                rg = 0
+            elif not (seq_c[c] == GAP and graph_c[c] == GAP):
+                rg += 1
+            run_novel[c] = max(run_novel[c], rg)
+        rg = 0
+        for c in range(n_cols - 1, -1, -1):
+            if seq_c[c] != GAP and graph_c[c] != GAP:
+                rg = 0
+            elif not (seq_c[c] == GAP and graph_c[c] == GAP):
+                rg += 1
+            if rg > run_novel[c]:
+                run_novel[c] = rg
+        mq = al.mapq_per_pos if al.mapq_per_pos is not None \
+            else np.ones(n_cols)
+
+        recs: list[ExonObs] = []
+
+        def new_rec(c: int, genotype: str, quals: bytes):
+            recs.append(ExonObs(
+                graph_level=int(levels_arr[c]), position_in_exon=-1,
+                genotype=genotype, qualities=quals,
+                mapq=al.mapq, mapq_position=float(mq[c]),
+                read_id=read.name,
+                paired_read_id=paired_read.name if paired_read else read.name,
+                this_weighted_ok=this_wok, paired_weighted_ok=paired_wok,
+                pairs_strands_distance=strands_distance,
+                alignment_cols_nongap=cols_nongap,
+                running_novel_gap=int(run_novel[c]),
+                reverse=al.reverse, from_first_read=al.from_first_read))
+
+        for c in range(n_cols):
+            lv = int(levels_arr[c])
+            if lv == -1:
+                # insertion: extend the previous record's genotype
+                if recs:
+                    prev = recs[-1]
+                    prev.genotype += chr(seq_c[c])
+                    prev.qualities += bytes([al.seq_qual[c]])
+                    if len(prev.genotype) == len(prev.qualities) + 1:
+                        # leading '_' record absorbed an insertion
+                        assert prev.genotype[0] == "_"
+                        prev.genotype = prev.genotype[1:]
+                continue
+            if seq_c[c] != GAP:
+                new_rec(c, chr(seq_c[c]), bytes([al.seq_qual[c]]))
+            else:
+                new_rec(c, "_", b"")
+
+        # keep the contiguous exon run (HLATyper.cpp:3501-3563)
+        out: list[ExonObs] = []
+        for r in recs:
+            pos = level_to_pos.get(r.graph_level)
+            if pos is not None:
+                r.position_in_exon = pos
+                out.append(r)
+        return out
+
+    @staticmethod
+    def _remove_double_positions(obs: list[ExonObs]) -> list[ExonObs]:
+        """Keep one record per graph level: best worst-quality
+        (removeDoublePositionsFromRead, HLATyper.cpp:2850-2920)."""
+        by_level: dict[int, ExonObs] = {}
+        order: list[int] = []
+        for o in obs:
+            worst = min(o.qualities) if o.qualities else 0
+            cur = by_level.get(o.graph_level)
+            if cur is None:
+                by_level[o.graph_level] = o
+                order.append(o.graph_level)
+            else:
+                cur_worst = min(cur.qualities) if cur.qualities else 0
+                if worst > cur_worst:
+                    by_level[o.graph_level] = o
+        return [by_level[lv] for lv in sorted(order)]
+
+    def _type_locus(self, locus, raw_pairs, aligned_pairs, raw_unpaired,
+                    aligned_unpaired, insert_mean, insert_sd, output_dir,
+                    cfg: TyperConfig, long_reads: bool,
+                    kmer_counts: dict, hist_fh) -> LocusResult | None:
+        levels, exon_idx, exon_pos, combined = self._combined_exon_matrix(locus)
+        if not combined:
+            return None
+        lv_min, lv_max = int(levels.min()), int(levels.max())
+        level_to_pos = {int(lv): j for j, lv in enumerate(levels)}
+        cluster_seqs, clusters, allele_to_cluster = \
+            self._cluster_alleles(combined)
+        C = len(cluster_seqs)
+        J = len(levels)
+
+        # ---- pileups per read (pair mates merged; reference 1386-1500)
+        reads_obs: list[list[ExonObs]] = []
+        for (r1, r2), ap in zip(raw_pairs, aligned_pairs):
+            o1 = self._alignment_to_obs(ap.chain1, r1, ap.chain2, r2,
+                                        lv_min, lv_max, level_to_pos)
+            o2 = self._alignment_to_obs(ap.chain2, r2, ap.chain1, r1,
+                                        lv_min, lv_max, level_to_pos)
+            ok = (strands_valid(ap.chain1, ap.chain2)
+                  and abs(pair_distance_graph_levels(ap.chain1, ap.chain2)
+                          - insert_mean) <= cfg.insert_size_sd_range * insert_sd
+                  and ap.chain1.mapq >= cfg.minimum_mapping_quality
+                  and alignment_weighted_ok_fraction(ap.chain1)
+                  >= cfg.min_both_reads_weighted_ok
+                  and alignment_weighted_ok_fraction(ap.chain2)
+                  >= cfg.min_both_reads_weighted_ok)
+            if ok:
+                merged = self._remove_double_positions(o1 + o2)
+                if merged:
+                    reads_obs.append(merged)
+                    w1 = alignment_weighted_ok_fraction(ap.chain1)
+                    w2 = alignment_weighted_ok_fraction(ap.chain2)
+                    hist_fh.write(f"{locus}\tread{w1}\n{locus}\tread{w2}\n")
+                    hist_fh.write(f"{locus}\treadPair{(w1 + w2) / 2}\n")
+        for r, al in zip(raw_unpaired, aligned_unpaired):
+            if al is None:
+                continue
+            if (al.mapq >= cfg.minimum_mapping_quality
+                    and al.n_columns >= cfg.min_alignment_length_unpaired):
+                o = self._alignment_to_obs(al, r, None, None, lv_min, lv_max,
+                                           level_to_pos)
+                if o:
+                    reads_obs.append(o)
+
+        # ---- filters ----------------------------------------------------
+        ignore_read_ids: set[str] = set()
+        ignore_alleles: dict[int, set[str]] = {}
+        if cfg.filter_first20 and not long_reads:
+            self._filter_first20(reads_obs, ignore_read_ids, ignore_alleles,
+                                 cfg)
+        counts_post, strand_freqs, read1_freqs = self._allele_filters(
+            reads_obs, ignore_read_ids, ignore_alleles, cfg, long_reads)
+
+        # ---- final pileup ------------------------------------------------
+        def obs_used(o: ExonObs) -> bool:
+            if o.mapq_position < cfg.minimum_per_position_mapping_quality:
+                return False
+            if o.genotype in ignore_alleles.get(o.position_in_exon, ()):
+                return False
+            if o.read_id in ignore_read_ids:
+                return False
+            if long_reads and o.running_novel_gap >= 2:
+                return False
+            return True
+
+        pileup: dict[int, list[ExonObs]] = {}
+        utilized_reads: set[str] = set()
+        for obs in reads_obs:
+            for o in obs:
+                if obs_used(o):
+                    pileup.setdefault(o.position_in_exon, []).append(o)
+                    utilized_reads.add(o.read_id)
+                    hist_fh.write(f"{locus}\tbase{o.this_weighted_ok}\n")
+        self._write_pileup(locus, pileup, exon_idx, exon_pos, strand_freqs,
+                           read1_freqs, output_dir)
+        with open(os.path.join(output_dir, f"R1_readIDs_{locus}.txt"),
+                  "w") as fh:
+            for rid in sorted(utilized_reads):
+                fh.write(rid + "\n")
+
+        # ---- likelihood tensors ------------------------------------------
+        p_ins = 0.075 if long_reads else 0.001
+        contrib, mismatch, used_count = self._build_read_tensors(
+            reads_obs, J, cfg, ignore_read_ids, ignore_alleles, long_reads,
+            p_ins)
+        R = contrib.shape[0]
+        onehot = cluster_onehot(cluster_seqs)
+        LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
+                                       backend=self.backend)
+        log_progress(f"  {locus}: {C} clusters x {R} reads")
+
+        # ---- pair reduction ----------------------------------------------
+        pair_LL = pair_ll_reduction(LLmat, backend=self.backend)
+        iu = np.triu_indices(C)
+        pair_vals = pair_LL[iu]                    # ordered (c1 <= c2)
+        max_ll = float(pair_vals.max()) if len(pair_vals) else 0.0
+        P = np.exp(pair_vals - max_ll)
+        s = P.sum()
+        P = P / s if s > 0 else np.full_like(P, 1.0 / len(P))
+
+        # marginal per-cluster posterior (HLATyper.cpp:2489-2517)
+        marg = np.zeros(C)
+        np.add.at(marg, iu[0], P)
+        sec = iu[1] != iu[0]
+        np.add.at(marg, iu[1][sec], P[sec])
+        best1 = int(np.argmax(marg))
+
+        # conditional second allele (2519-2538)
+        pair_index = {}
+        for idx, (a, b) in enumerate(zip(iu[0], iu[1])):
+            pair_index[(int(a), int(b))] = idx
+        cand_P = np.empty(C)
+        for c2 in range(C):
+            key = (min(best1, c2), max(best1, c2))
+            cand_P[c2] = P[pair_index[key]]
+        best2_p = float(cand_P.max())
+        mm_min_row = pair_min_mismatch_row(MMmat, best1)
+        tie = np.nonzero(cand_P == best2_p)[0]
+        best2 = int(tie[np.argmax(-mm_min_row[tie])])
+
+        mism_rowsums = MMmat.sum(axis=1)
+        mism_avg = 0.5 * (mism_rowsums[iu[0]] + mism_rowsums[iu[1]])
+
+        # ---- outputs: pair posterior dump --------------------------------
+        order = np.argsort(
+            np.rec.fromarrays([pair_vals, -mism_avg]), order=("f0", "f1"))[::-1]
+        with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
+                  "w") as fh:
+            fh.write("ClusterID\tP\tLL\tMismatches_avg\n")
+            for idx in order:
+                c1, c2 = int(iu[0][idx]), int(iu[1][idx])
+                cid = (";".join(sorted(clusters[c1])) + "/"
+                       + ";".join(sorted(clusters[c2])))
+                fh.write(f"{cid}\t{P[idx]}\t{pair_vals[idx]}\t"
+                         f"{mism_avg[idx]}\n")
+
+        # ---- QC ----------------------------------------------------------
+        allele1_id = ";".join(sorted(clusters[best1]))
+        allele2_id = ";".join(sorted(clusters[best2]))
+        allele1_one = sorted(clusters[best1])[0]
+        allele2_one = sorted(clusters[best2])[0]
+        qc = self._column_qc(locus, cluster_seqs[best1], cluster_seqs[best2],
+                             pileup, counts_post, exon_idx, exon_pos,
+                             kmer_counts, combined[allele1_one],
+                             combined[allele2_one], cfg, output_dir)
+
+        res = LocusResult(
+            locus=locus,
+            allele1_id=allele1_id, allele2_id=allele2_id,
+            q1_allele1=float(marg[best1]), q1_allele2=best2_p,
+            q2=float(-mm_min_row[best2]),
+            avg_coverage=used_count / J if J else 0.0,
+            first_decile_coverage=qc["decile"],
+            min_coverage=qc["min_cov"],
+            prop_kmers_covered_1=qc["kmers1"],
+            prop_kmers_covered_2=qc["kmers2"],
+            avg_column_error=qc["avg_err"],
+            n_columns_unaccounted=qc["unaccounted"],
+            n_clusters=C, n_reads_used=R,
+        )
+        if self.can_translate_locus(locus):
+            res.allele1_g, res.g1_perfect = self.translate_to_g(
+                sorted(clusters[best1]))
+            res.allele2_g, res.g2_perfect = self.translate_to_g(
+                sorted(clusters[best2]))
+        return res
+
+    # -------------------------------------------------------------- tensors
+    def _build_read_tensors(self, reads_obs, J, cfg, ignore_read_ids,
+                            ignore_alleles, long_reads, p_ins):
+        """[R, J, 6] log-likelihood contribution and mismatch tensors
+        (the matmul lowering of HLATyper.cpp:2089-2276)."""
+        log_ins_act = math.log(p_ins) + math.log(0.25)
+        log_del = math.log(p_ins)
+        log_mm = math.log(1.0 - 2 * p_ins)
+        table = phred_to_p_correct_table(conservative_cap=0.999, floor=None)
+
+        kept_reads = []
+        for obs in reads_obs:
+            kept = [o for o in obs
+                    if o.mapq_position >= cfg.minimum_per_position_mapping_quality
+                    and o.genotype not in ignore_alleles.get(o.position_in_exon, ())
+                    and o.read_id not in ignore_read_ids]
+            kept_reads.append(kept)
+
+        R = len(kept_reads)
+        contrib = np.zeros((R, J, 6), dtype=np.float32)
+        mismatch = np.zeros((R, J, 6), dtype=np.float32)
+        used = 0
+        for r, kept in enumerate(kept_reads):
+            for o in kept:
+                j = o.position_in_exon
+                geno = o.genotype
+                used += 1
+                l_diff = len(geno) - 1
+                # channel GAP: cluster column is '_'
+                if geno != "_":
+                    contrib[r, j, CH_GAP] += (1 + l_diff) * log_ins_act
+                # channels A/C/G/T/other: cluster column is a base (or
+                # unknown char, which never matches)
+                if geno == "_":
+                    v_first_match = log_del
+                    v_first_mismatch = log_del
+                else:
+                    first = geno[0]
+                    if first == "_":
+                        # (cannot happen: leading '_' absorbed)
+                        v_first_match = v_first_mismatch = log_del
+                    else:
+                        q = o.qualities[0]
+                        p_c = float(table[q])
+                        if p_c <= 0:
+                            p_c = 0.001
+                        v_first_match = log_mm + math.log(p_c)
+                        v_first_mismatch = log_mm + math.log((1 - p_c) / 3.0)
+                tail = l_diff * log_ins_act
+                for base, ch in _BASE_CH.items():
+                    if geno != "_" and geno[0] == base:
+                        contrib[r, j, ch] += v_first_match + tail
+                    else:
+                        contrib[r, j, ch] += v_first_mismatch + tail
+                    if geno != "_" and geno != base:
+                        mismatch[r, j, ch] += 1
+                contrib[r, j, CH_OTHER] += v_first_mismatch + tail
+                if geno != "_":
+                    mismatch[r, j, CH_OTHER] += 1
+                    mismatch[r, j, CH_GAP] += 1
+        return contrib, mismatch, used
+
+    # -------------------------------------------------------------- filters
+    def _filter_first20(self, reads_obs, ignore_read_ids, ignore_alleles,
+                        cfg: TyperConfig):
+        """'filterFirst20' top-N-by-quality allele plausibility filter
+        (HLATyper.cpp:1509-1719).  Note the reference divides the top-N count
+        by the *boolean* filterFirst20 (==1), so an allele passes iff it
+        appears in the top N at all; replicated faithfully."""
+        per_pos: dict[int, list[tuple[str, float, int]]] = {}
+        for ri, obs in enumerate(reads_obs):
+            for o in obs:
+                if o.mapq_position < cfg.minimum_per_position_mapping_quality:
+                    continue
+                w = (o.this_weighted_ok + o.paired_weighted_ok) / 2.0
+                per_pos.setdefault(o.position_in_exon, []).append(
+                    (o.genotype, w, ri))
+        per_read_kicked_robust: dict[int, int] = {}
+        for pos, items in per_pos.items():
+            if len(items) < cfg.filter_first20_n:
+                continue
+            items_sorted = sorted(items, key=lambda t: -t[1])
+            topN = {g for g, _, _ in items_sorted[:cfg.filter_first20_n]}
+            kicked: dict[str, int] = {}
+            for g, _, ri in items:
+                if g not in topN:
+                    ignore_alleles.setdefault(pos, set()).add(g)
+                    kicked[g] = kicked.get(g, 0) + 1
+            for g, _, ri in items:
+                if kicked.get(g, 0) >= 2:
+                    per_read_kicked_robust[ri] = \
+                        per_read_kicked_robust.get(ri, 0) + 1
+        for ri, n in per_read_kicked_robust.items():
+            if n > cfg.filter_first20_kickout_limit:
+                if reads_obs[ri]:
+                    ignore_read_ids.add(reads_obs[ri][0].read_id)
+                    ignore_read_ids.add(reads_obs[ri][0].paired_read_id)
+
+    def _allele_filters(self, reads_obs, ignore_read_ids, ignore_alleles,
+                        cfg: TyperConfig, long_reads: bool):
+        """Low-frequency and strand-bias allele filters
+        (HLATyper.cpp:1721-1880)."""
+        counts: dict[int, dict[str, int]] = {}
+        by_strand: dict[int, dict[str, list[int]]] = {}
+        read1_counts: dict[int, dict[str, int]] = {}
+        for obs in reads_obs:
+            for o in obs:
+                if o.read_id in ignore_read_ids:
+                    continue
+                if o.mapq_position < cfg.minimum_per_position_mapping_quality:
+                    continue
+                if o.genotype in ignore_alleles.get(o.position_in_exon, ()):
+                    continue
+                c = counts.setdefault(o.position_in_exon, {})
+                c[o.genotype] = c.get(o.genotype, 0) + 1
+                st = by_strand.setdefault(o.position_in_exon, {}).setdefault(
+                    o.genotype, [0, 0])
+                st[1 if o.reverse else 0] += 1
+                r1 = read1_counts.setdefault(o.position_in_exon, {})
+                if o.from_first_read:
+                    r1[o.genotype] = r1.get(o.genotype, 0) + 1
+
+        counts_post: dict[int, dict[str, int]] = {}
+        strand_freqs: dict[int, dict[str, float]] = {}
+        read1_freqs: dict[int, dict[str, float]] = {}
+        for pos, alleles in counts.items():
+            total = sum(alleles.values())
+            if total >= cfg.high_coverage_min_coverage:
+                for g, n in alleles.items():
+                    af = n / total
+                    if (af < cfg.high_coverage_min_allele_freq
+                            and cfg.high_coverage_filter_alleles):
+                        ignore_alleles.setdefault(pos, set()).add(g)
+                    else:
+                        counts_post.setdefault(pos, {})[g] = n
+            for g, (fwd, rev) in by_strand[pos].items():
+                tot = fwd + rev
+                min_strand = min(fwd, rev) / tot if tot else 0.0
+                strand_freqs.setdefault(pos, {})[g] = min_strand
+                r1c = read1_counts.get(pos, {}).get(g, 0)
+                read1_freqs.setdefault(pos, {})[g] = r1c / tot if tot else 0.0
+                if (long_reads and cfg.long_reads_filter_strand
+                        and tot >= cfg.long_reads_filter_strand_min_allele_coverage
+                        and min_strand < cfg.long_reads_filter_strand_min_strand_freq):
+                    ignore_alleles.setdefault(pos, set()).add(g)
+        return counts_post, strand_freqs, read1_freqs
+
+    # ------------------------------------------------------------------- QC
+    def _column_qc(self, locus, seq1, seq2, pileup, counts_post, exon_idx,
+                   exon_pos, kmer_counts, comb1, comb2, cfg, output_dir):
+        J = len(seq1)
+        cov = np.array([len(pileup.get(j, ())) for j in range(J)], dtype=float)
+        cov_sorted = np.sort(cov)
+        decile = float(cov_sorted[int(len(cov_sorted) / 10.0)]) \
+            if len(cov_sorted) else 0.0
+        min_cov = float(cov_sorted[0]) if len(cov_sorted) else 0.0
+
+        total_alleles = 0
+        incompatible = 0
+        per_col_total = np.zeros(J, dtype=int)
+        per_col_incomp = np.zeros(J, dtype=int)
+        unaccounted = 0
+        for j in range(J):
+            a1, a2 = seq1[j], seq2[j]
+            for o in pileup.get(j, ()):
+                total_alleles += 1
+                per_col_total[j] += 1
+                if o.genotype != a1 and o.genotype != a2:
+                    incompatible += 1
+                    per_col_incomp[j] += 1
+            if j in counts_post:
+                tot = sum(counts_post[j].values())
+                if tot >= cfg.unaccounted_min_coverage:
+                    for g, n in counts_post[j].items():
+                        if g in (a1, a2):
+                            continue
+                        if n / tot >= cfg.unaccounted_min_allele_fraction:
+                            unaccounted += 1
+        avg_err = incompatible / total_alleles if total_alleles else 0.0
+
+        with open(os.path.join(output_dir,
+                               f"R1_columnIncompatibilities_{locus}.txt"),
+                  "w") as fh:
+            fh.write("Column\tCoverage\tExpectedIncompatible\t"
+                     "ObservedIncompatible\tp\n")
+            for j in range(J):
+                expected = avg_err * per_col_total[j]
+                observed = per_col_incomp[j]
+                p = 1.0
+                if observed > expected and expected > 0:
+                    p = _chi2_p1(
+                        [per_col_total[j] - observed, observed],
+                        [per_col_total[j] - expected, expected])
+                fh.write(f"{j}\t{per_col_total[j]}\t{expected}\t{observed}\t"
+                         f"{p}\n")
+
+        def kmer_presence(combined: str) -> float:
+            k = cfg.k_for_kmer_index
+            # split by exon, drop gaps, count k-mers present in the read index
+            total = present = 0
+            by_exon: dict[int, list[str]] = {}
+            for j, ch in enumerate(combined):
+                by_exon.setdefault(int(exon_idx[j]), []).append(ch)
+            for chars in by_exon.values():
+                s = "".join(c for c in chars if c != "_")
+                for i in range(len(s) - k + 1):
+                    mer = s[i:i + k]
+                    total += 1
+                    if "*" in mer:
+                        continue
+                    if kmer_counts.get(_canonical(mer), 0) > 0:
+                        present += 1
+            return present / total if total else -1.0
+
+        return dict(decile=decile, min_cov=min_cov, avg_err=avg_err,
+                    unaccounted=unaccounted,
+                    kmers1=kmer_presence(comb1), kmers2=kmer_presence(comb2))
+
+    # -------------------------------------------------------------- outputs
+    def _write_pileup(self, locus, pileup, exon_idx, exon_pos, strand_freqs,
+                      read1_freqs, output_dir):
+        path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
+        with open(path, "w") as fh:
+            J = len(exon_idx)
+            for j in range(J):
+                items = pileup.get(j, [])
+                fields = [str(int(exon_idx[j])), str(int(exon_pos[j])),
+                          str(len(items))]
+                if items:
+                    summary = []
+                    by_allele: dict[str, list[int]] = {}
+                    for o in items:
+                        by_allele.setdefault(o.genotype, []).append(
+                            o.alignment_cols_nongap)
+                    for g, lens in sorted(by_allele.items()):
+                        sf = strand_freqs.get(j, {}).get(g, 0.0)
+                        r1f = read1_freqs.get(j, {}).get(g, 0.0)
+                        summary.append(
+                            f"{g}x{len(lens)}[{np.mean(lens):.1f};{sf};{r1f}]")
+                    fields.append(",".join(summary))
+                fh.write("\t".join(fields) + "\n")
+
+    def _write_bestguess(self, results: list[LocusResult], output_dir,
+                         cfg: TyperConfig):
+        unacc = ("NColumns_UnaccountedAllele_fGT"
+                 f"{cfg.unaccounted_min_allele_fraction}")
+        header = ("Locus\tChromosome\tAllele\tQ1\tQ2\tAverageCoverage\t"
+                  "CoverageFirstDecile\tMinimumCoverage\t"
+                  f"proportionkMersCovered\tLocusAvgColumnError\t{unacc}")
+        with open(os.path.join(output_dir, "R1_bestguess.txt"), "w") as fh:
+            fh.write(header + "\n")
+            for r in results:
+                common = (f"{r.avg_coverage}\t{r.first_decile_coverage}\t"
+                          f"{r.min_coverage}")
+                fh.write(f"{r.locus}\t1\t{r.allele1_id}\t{r.q1_allele1}\t"
+                         f"{r.q2}\t{common}\t{r.prop_kmers_covered_1}\t"
+                         f"{r.avg_column_error}\t{r.n_columns_unaccounted}\n")
+                fh.write(f"{r.locus}\t2\t{r.allele2_id}\t{r.q1_allele2}\t"
+                         f"{r.q2}\t{common}\t{r.prop_kmers_covered_2}\t"
+                         f"{r.avg_column_error}\t{r.n_columns_unaccounted}\n")
+        with open(os.path.join(output_dir, "R1_bestguess_G.txt"), "w") as fh:
+            fh.write(header + "\tperfectG\n")
+            for r in results:
+                if not r.allele1_g and not r.allele2_g:
+                    continue
+                common = (f"{r.avg_coverage}\t{r.first_decile_coverage}\t"
+                          f"{r.min_coverage}")
+                fh.write(f"{r.locus}\t1\t{r.allele1_g}\t{r.q1_allele1}\t"
+                         f"{r.q2}\t{common}\t{r.prop_kmers_covered_1}\t"
+                         f"{r.avg_column_error}\t{r.n_columns_unaccounted}\t"
+                         f"{int(r.g1_perfect)}\n")
+                fh.write(f"{r.locus}\t2\t{r.allele2_g}\t{r.q1_allele2}\t"
+                         f"{r.q2}\t{common}\t{r.prop_kmers_covered_2}\t"
+                         f"{r.avg_column_error}\t{r.n_columns_unaccounted}\t"
+                         f"{int(r.g2_perfect)}\n")
+
+    def _write_summary_statistics(self, raw_pairs, aligned_pairs, raw_unpaired,
+                                  aligned_unpaired, insert_mean, insert_sd,
+                                  output_dir, cfg):
+        """summaryStatistics.txt (HLATyper.cpp:1030-1125)."""
+        n_valid = 0
+        n_valid_dist = 0
+        dists = []
+        frac_sum = 0.0
+        n_perfect = 0
+        n_one_perfect = 0
+        for ap in aligned_pairs:
+            if strands_valid(ap.chain1, ap.chain2):
+                n_valid += 1
+                d = pair_distance_graph_levels(ap.chain1, ap.chain2)
+                dists.append(d)
+                if abs(d - insert_mean) <= 5 * insert_sd:
+                    n_valid_dist += 1
+            f1 = alignment_fraction_ok(ap.chain1)
+            f2 = alignment_fraction_ok(ap.chain2)
+            n_perfect += int(f1 == 1) + int(f2 == 1)
+            n_one_perfect += int(f1 == 1 or f2 == 1)
+            frac_sum += f1 + f2
+        n_pairs = len(aligned_pairs)
+        with open(os.path.join(output_dir, "summaryStatistics.txt"), "w") as fh:
+            fh.write("\nRead alignment statistics:\n")
+            fh.write(f"\t - Total number (paired) alignments:                 {n_pairs}\n")
+            pct = lambda a, b: f"{(a / b * 100) if b else 0:.2f}"
+            fh.write(f"\t\t - Alignment pairs with strands OK:                  {n_valid} ({pct(n_valid, n_pairs)}%)\n")
+            fh.write(f"\t\t - Alignment pairs with strands OK && distance OK:   {n_valid_dist} ({pct(n_valid_dist, n_pairs)}%)\n")
+            mean_d = float(np.mean(dists)) if dists else 0.0
+            med_d = float(np.median(dists)) if dists else 0.0
+            fh.write(f"\t\t - Alignment pairs with strands OK, mean distance:   {mean_d}\n")
+            fh.write(f"\t\t - Alignment pairs with strands OK, median distance: {med_d}\n")
+            avg_frac = frac_sum / (2 * n_pairs) if n_pairs else 0.0
+            fh.write(f"\t\t - Alignment pairs, average fraction alignment OK:   {avg_frac}\n")
+            fh.write(f"\t\t - Alignment pairs, at least one alignment perfect:   {n_one_perfect}\n")
+            fh.write(f"\t\t - Single alignments, perfect (total):   {n_perfect} ({n_pairs * 2})\n")
+            fh.write(f"\t - Total number (unpaired) alignments:                 {len(aligned_unpaired)}\n")
+
+    # --------------------------------------------------------------- k-mers
+    def _read_kmer_index(self, raw_pairs, raw_unpaired, cfg) -> dict[str, int]:
+        """Canonical 31-mer counts over all input reads
+        (HLATyper.cpp:999-1028)."""
+        k = cfg.k_for_kmer_index
+        counts: dict[str, int] = {}
+
+        def add(s: str):
+            for i in range(len(s) - k + 1):
+                mer = _canonical(s[i:i + k])
+                counts[mer] = counts.get(mer, 0) + 1
+
+        for r1, r2 in raw_pairs:
+            add(r1.seq)
+            add(r2.seq)
+        for r in raw_unpaired:
+            add(r.seq)
+        return counts
+
+
+def _canonical(kmer: str) -> str:
+    """Canonical k-mer = lexicographic min of (kmer, revcomp)
+    (kMer_canonical_representation, HLATyper.cpp:4211-4256)."""
+    rc = revcomp(kmer)
+    return kmer if kmer <= rc else rc
+
+
+def _chi2_p1(observed: list[float], expected: list[float]) -> float:
+    """Chi-square goodness-of-fit p-value with df=1
+    (simpleChiSq, HLATyper.cpp uses boost chi_squared(1))."""
+    stat = 0.0
+    for o, e in zip(observed, expected):
+        if e <= 0:
+            return 1.0
+        stat += (o - e) ** 2 / e
+    # survival function of chi2(1): erfc(sqrt(x/2))
+    return math.erfc(math.sqrt(stat / 2.0))

@@ -1,0 +1,137 @@
+"""TPU kernels for the HLA typing likelihood model.
+
+Two hot ops (SURVEY.md §7 'hard part #2'; reference: HLATyper.cpp:2000-2364):
+
+1. cluster_read_ll — per-cluster x per-read log-likelihoods.  The reference
+   loops clusters x reads x positions over strings (HLATyper.cpp:2089-2277).
+   TPU-native form: each read's pileup observations are lowered to a dense
+   [R, J, 6] tensor of per-channel log-likelihood contributions (channels =
+   cluster column being A/C/G/T/gap/other); cluster sequences become a one-hot
+   [C, J, 6].  Then LL = onehot . T — ONE MXU matmul of shape
+   [C, J*6] @ [J*6, R].  Mismatch counts come from a second matmul.
+
+2. pair_ll_reduction — diploid pair log-likelihoods
+   LL[c1,c2] = sum_r logavg(L[c1,r], L[c2,r])  (HLATyper.cpp:2280-2364,
+   the reference's only OpenMP-parallel loop).  O(C^2 R) elementwise work,
+   computed in R-chunks (jnp) or as a Pallas VMEM-tiled kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LOG_HALF = float(np.log(0.5))
+
+# channel order for the one-hot encoding of cluster columns
+CH_A, CH_C, CH_G, CH_T, CH_GAP, CH_OTHER = range(6)
+_CHANNEL = np.full(256, CH_OTHER, dtype=np.int8)
+for ch, b in ((CH_A, "A"), (CH_C, "C"), (CH_G, "G"), (CH_T, "T"),
+              (CH_GAP, "_")):
+    _CHANNEL[ord(b)] = ch
+
+
+def cluster_onehot(cluster_seqs: list[str]) -> np.ndarray:
+    """[C, J, 6] float32 one-hot of cluster column characters."""
+    C = len(cluster_seqs)
+    J = len(cluster_seqs[0])
+    codes = np.frombuffer("".join(cluster_seqs).encode(), dtype=np.uint8
+                          ).reshape(C, J)
+    onehot = np.zeros((C, J, 6), dtype=np.float32)
+    ch = _CHANNEL[codes]
+    for c in range(6):
+        onehot[:, :, c] = ch == c
+    return onehot
+
+
+def cluster_read_ll(onehot: np.ndarray, contrib: np.ndarray,
+                    mismatch: np.ndarray, backend: str = "numpy"
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """LL[c, r] and mismatches[c, r] via two matmuls.
+
+    onehot:   [C, J, 6]
+    contrib:  [R, J, 6] per-read per-column per-channel log-lik contributions
+    mismatch: [R, J, 6] per-channel mismatch indicator contributions
+    """
+    C, J, _ = onehot.shape
+    R = contrib.shape[0]
+    A = onehot.reshape(C, J * 6)
+    Bc = contrib.reshape(R, J * 6).T
+    Bm = mismatch.reshape(R, J * 6).T
+    if backend == "numpy":
+        return A @ Bc, A @ Bm
+    import jax.numpy as jnp
+    ll = jnp.dot(jnp.asarray(A), jnp.asarray(Bc),
+                 preferred_element_type=jnp.float32)
+    mm = jnp.dot(jnp.asarray(A), jnp.asarray(Bm),
+                 preferred_element_type=jnp.float32)
+    return np.asarray(ll), np.asarray(mm)
+
+
+# ------------------------------------------------------------ pair reduction
+def pair_ll_reduction_numpy(L: np.ndarray, chunk: int = 256) -> np.ndarray:
+    """LL[c1, c2] = sum_r log((exp(L[c1,r]) + exp(L[c2,r])) / 2), computed in
+    read chunks.  Returns the full [C, C] matrix (symmetric)."""
+    C, R = L.shape
+    out = np.zeros((C, C), dtype=np.float64)
+    L = L.astype(np.float64)
+    for lo in range(0, R, chunk):
+        chunk_L = L[:, lo:lo + chunk]                    # [C, Rc]
+        a = chunk_L[:, None, :]                          # [C, 1, Rc]
+        b = chunk_L[None, :, :]                          # [1, C, Rc]
+        hi = np.maximum(a, b)
+        lo_ = np.minimum(a, b)
+        out += (LOG_HALF + hi + np.log1p(np.exp(lo_ - hi))).sum(axis=2)
+    return out
+
+
+def make_pair_ll_jax(C: int, R: int, chunk: int = 512):
+    """jit-compiled pair reduction: lax.scan over read chunks of the shared
+    [C, R] likelihood matrix.  Decomposition used on TPU:
+      logavg(a,b) = (a+b)/2 + |a-b|/2 + log1p(exp(-|a-b|)) + log(1/2)
+    where sum_r (a+b)/2 is a rank-1 term from row sums (cheap) and the rest is
+    elementwise over [C, C, chunk] tiles (VPU-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    n_chunks = -(-R // chunk)
+    Rpad = n_chunks * chunk
+
+    @jax.jit
+    def run(L):
+        # device computes only the difference part (bounded magnitudes keep
+        # f32 precise); the rank-1 (a+b)/2 part is added by the caller in f64.
+        Lp = jnp.pad(L, ((0, 0), (0, Rpad - R)))
+
+        def body(acc, xs):
+            blk = xs                                      # [C, chunk]
+            d = jnp.abs(blk[:, None, :] - blk[None, :, :])
+            acc = acc + (0.5 * d + jnp.log1p(jnp.exp(-d))).sum(axis=2)
+            return acc, None
+
+        blocks = Lp.reshape(C, n_chunks, chunk).transpose(1, 0, 2)
+        acc, _ = jax.lax.scan(body, jnp.zeros((C, C), L.dtype), blocks)
+        return acc
+    return run
+
+
+def pair_ll_reduction(L: np.ndarray, backend: str = "numpy",
+                      chunk: int = 256) -> np.ndarray:
+    if backend == "numpy" or L.size == 0:
+        return pair_ll_reduction_numpy(L, chunk)
+    C, R = L.shape
+    chunk = min(chunk, max(R, 1))
+    n_chunks = -(-R // chunk)
+    Rpad = n_chunks * chunk
+    run = make_pair_ll_jax(C, R, chunk)
+    acc = np.asarray(run(L.astype(np.float32)), dtype=np.float64)
+    rowsum = L.astype(np.float64).sum(axis=1)
+    base = 0.5 * (rowsum[:, None] + rowsum[None, :])
+    # padded reads (value 0) contribute log(2) each to acc and LOG_HALF each
+    # to the per-read constant: log2 + LOG_HALF = 0, so using Rpad cancels
+    return base + acc + LOG_HALF * Rpad
+
+
+def pair_min_mismatch_row(mm: np.ndarray, c1: int) -> np.ndarray:
+    """Mismatches_min for pairs (c1, *): sum_r min(m[c1,r], m[c,r])
+    (HLATyper.cpp:2337-2340, needed only for the best-guess row)."""
+    return np.minimum(mm[c1][None, :], mm).sum(axis=1)

@@ -1,0 +1,262 @@
+"""Command-line interface — the orchestration layer.
+
+Replaces both the Perl driver (HLA-LA.pl: path discovery, BAM compatibility
+check via knownReferences, read extraction, FASTQ conversion) and the C++
+action dispatcher (HLA-LA.cpp:104-129 `--action` modes).  No external tools:
+extraction and FASTQ conversion use the native BAM codec (io/bam.py), seeding
+uses the native k-mer index.
+
+Actions:
+  HLA            production typing from --BAM or --FASTQ1/--FASTQ2/--FASTQU
+  prepareGraph   compile the graph package to dense arrays (serializedGRAPH)
+  testBinary     smoke test (reference prints 'HLA*LA binary functional!')
+  simulate       write a simulated graph package + reads with truth
+  testPRGMapping simulation round-trip: simulate reads -> align -> accuracy
+  TestHLATyping  simulate diploid individual -> type -> compare
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hla-la-tpu", description=__doc__)
+    ap.add_argument("--action", default="HLA")
+    ap.add_argument("--BAM")
+    ap.add_argument("--FASTQ1")
+    ap.add_argument("--FASTQ2")
+    ap.add_argument("--FASTQU")
+    ap.add_argument("--graph", help="graph package directory")
+    ap.add_argument("--sampleID", default="sample")
+    ap.add_argument("--workingDir", default=".")
+    ap.add_argument("--longReads", default="",
+                    choices=["", "ont2d", "pacbio"])
+    ap.add_argument("--maxThreads", type=int, default=1)
+    ap.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    ap.add_argument("--moreReferencesDir", default=None)
+    ap.add_argument("--outputDirectory", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    action = args.action
+    if action == "testBinary":
+        print("hla-la-tpu binary functional!")
+        return 0
+    if action == "prepareGraph":
+        return action_prepare_graph(args)
+    if action == "HLA":
+        return action_hla(args)
+    if action == "simulate":
+        return action_simulate(args)
+    if action == "testPRGMapping":
+        return action_test_prg_mapping(args)
+    if action == "TestHLATyping":
+        return action_test_hla_typing(args)
+    print(f"unknown action {action}", file=sys.stderr)
+    return 2
+
+
+def _require_graph(args):
+    if not args.graph or not os.path.isdir(args.graph):
+        raise SystemExit(f"--graph directory required (got {args.graph!r})")
+    from .graph.package import GraphPackage
+    return GraphPackage(args.graph)
+
+
+def action_prepare_graph(args) -> int:
+    pkg = _require_graph(args)
+    from .utils.timing import log_progress
+    log_progress("prepareGraph: parsing graph.txt and compiling dense arrays")
+    c = pkg.prepare()
+    log_progress(f"prepareGraph: done — {c.n_levels} levels, {c.n_nodes} "
+                 f"nodes, {len(c.edge_from)} edges, {len(c.jump_from)} "
+                 f"gap-jump paths -> {pkg.serialized_path}")
+    return 0
+
+
+def action_hla(args) -> int:
+    from .io.bam import bam_to_fastq_pairs, extract_reads
+    from .io.fastq import read_fastq
+    from .models.pipeline import run_hla_typing
+    from .utils.config import RunConfig
+    from .utils.timing import log_progress
+
+    pkg = _require_graph(args)
+    out_dir = args.outputDirectory or os.path.join(
+        args.workingDir, args.sampleID)
+    os.makedirs(out_dir, exist_ok=True)
+
+    pairs, unpaired = [], []
+    if args.BAM:
+        log_progress(f"extracting reads from {args.BAM}")
+        from .io.bam import BamReader
+        contigs = BamReader(args.BAM).contigs()
+        more = [args.moreReferencesDir] if args.moreReferencesDir else []
+        spec_path = pkg.match_known_reference(contigs, more)
+        regions = None
+        if spec_path is not None:
+            log_progress(f"matched known reference {spec_path}")
+            regions = _regions_from_spec(pkg, spec_path)
+        else:
+            log_progress("WARNING: BAM reference not in knownReferences — "
+                         "extracting ALL reads")
+        by_name, _ = extract_reads(args.BAM, regions)
+        pairs, unpaired = bam_to_fastq_pairs(by_name)
+        if args.longReads:
+            unpaired += [r for p in pairs for r in p]
+            pairs = []
+    else:
+        if args.FASTQ1 and args.FASTQ2:
+            from .models.pipeline import pair_up_fastq
+            pairs = pair_up_fastq(args.FASTQ1, args.FASTQ2)
+        if args.FASTQU:
+            unpaired = list(read_fastq(args.FASTQU))
+        if args.longReads:
+            unpaired = _split_long_reads(unpaired)
+    if not pairs and not unpaired:
+        raise SystemExit("no input reads (--BAM or --FASTQ1/--FASTQ2/--FASTQU)")
+
+    cfg = RunConfig(graph_dir=args.graph, sample_id=args.sampleID,
+                    working_dir=args.workingDir, long_reads=args.longReads,
+                    max_threads=args.maxThreads)
+    res = run_hla_typing(pkg, pairs=pairs, unpaired=unpaired,
+                         output_dir=out_dir, cfg=cfg, backend=args.backend)
+    log_progress(f"typing complete: {len(res.results)} loci -> "
+                 f"{out_dir}/R1_bestguess.txt")
+    for r in res.results:
+        a1, a2 = r.alleles_g_or_raw()
+        print(f"{r.locus}\t{a1}\t{a2}\tQ1={r.q1_allele1:.4f}/"
+              f"{r.q1_allele2:.4f}")
+    return 0
+
+
+def _regions_from_spec(pkg, spec_path: str):
+    """knownReferences spec rows -> extraction regions (HLA-LA.pl:374-412)."""
+    regions = []
+    for cid, rec in pkg.known_references()[spec_path].items():
+        if rec.get("ExtractCompleteContig") in ("1", "yes"):
+            regions.append((cid, 0, 0))
+        else:
+            start = rec.get("PartialExtraction_Start") or ""
+            stop = rec.get("PartialExtraction_Stop") or ""
+            if start and stop:
+                regions.append((cid, int(start) - 1, int(stop)))
+    return regions
+
+
+def _split_long_reads(reads, chunk: int = 50000):
+    """Reads >50kb are split into 50kb chunks (HLA-LA.pl:503-524)."""
+    out = []
+    for r in reads:
+        if len(r.seq) <= chunk:
+            out.append(r)
+            continue
+        for i in range(0, len(r.seq), chunk):
+            from .io.fastq import FastqRead
+            out.append(FastqRead(f"{r.name}:::chunk{i // chunk}",
+                                 r.seq[i:i + chunk], r.qual[i:i + chunk]))
+    return out
+
+
+def action_simulate(args) -> int:
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator, write_levels_file
+    from .io.fastq import write_fastq
+
+    rng = np.random.default_rng(args.seed or 0)
+    out = args.workingDir
+    sim = simulate_prg_package(rng)
+    pkg = sim.write_package(os.path.join(out, "simulated_graph"))
+    rs = ReadSimulator(rng)
+    h1, h2 = 1, 2
+    pairs = []
+    for h in (h1, h2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 15.0,
+                                               name_prefix=f"hap{h}")
+    write_fastq(os.path.join(out, "R_1.fq"), [p.r1.to_fastq() for p in pairs])
+    write_fastq(os.path.join(out, "R_2.fq"), [p.r2.to_fastq() for p in pairs])
+    write_levels_file(os.path.join(out, "R_1.fq.levels"),
+                      [p.r1 for p in pairs])
+    write_levels_file(os.path.join(out, "R_2.fq.levels"),
+                      [p.r2 for p in pairs])
+    print(f"simulated package + {len(pairs)} read pairs (diploid "
+          f"haplotypes {h1}/{h2}) in {out}")
+    return 0
+
+
+def action_test_prg_mapping(args) -> int:
+    """Simulation round-trip (testPRGMapping, HLA-LA.cpp:1533-1621)."""
+    from .graph.package import GraphPackage
+    from .models.aligner import ReadAligner
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator
+    from .sim.truth import TrueReadLevels
+    from .utils.timing import Timer
+
+    rng = np.random.default_rng(args.seed or 99)
+    sim = simulate_prg_package(rng)
+    pkg = sim.write_package(os.path.join(args.workingDir, "testPRG_graph"))
+    rs = ReadSimulator(rng)
+    seq, levels = sim.linearized(1)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 10.0)
+    truth = TrueReadLevels({})
+    for p in pairs:
+        truth.truth[p.r1.name + "/1"] = p.r1.levels
+        truth.truth[p.r2.name + "/2"] = p.r2.levels
+    aligner = ReadAligner(pkg, use_jax=(args.backend == "jax"))
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    with Timer() as t:
+        aligned = aligner.align_pairs(fq, 110, 35, truth=truth)
+    acc = truth.accuracy()
+    rate = t.rate(2 * len(pairs))
+    print(f"testPRGMapping: {len(aligned)}/{len(pairs)} pairs aligned, "
+          f"per-base truth accuracy {acc:.4f}, {rate:.1f} reads/s")
+    assert acc > 0.9, "accuracy regression"
+    print("OK")
+    return 0
+
+
+def action_test_hla_typing(args) -> int:
+    """Simulate individual -> type -> compare (TestHLATyping,
+    HLA-LA.cpp:1262-1340)."""
+    from .models.pipeline import run_hla_typing
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator
+
+    rng = np.random.default_rng(args.seed or 7)
+    sim = simulate_prg_package(rng)
+    pkg = sim.write_package(os.path.join(args.workingDir, "testTyping_graph"))
+    rs = ReadSimulator(rng)
+    h1, h2 = 1, 3
+    pairs = []
+    for h in (h1, h2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 15.0,
+                                               name_prefix=f"hap{h}")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    out_dir = os.path.join(args.workingDir, "testTyping_out")
+    res = run_hla_typing(pkg, pairs=fq, output_dir=out_dir,
+                         backend=args.backend)
+    want = {f"{h1 + 1:02d}", f"{h2 + 1:02d}"}
+    n_ok = 0
+    for r in res.results:
+        called = {a.split("*")[1].split(":")[0]
+                  for aid in (r.allele1_id, r.allele2_id)
+                  for a in aid.split(";")}
+        ok = called == want
+        n_ok += ok
+        print(f"{r.locus}: called {sorted(called)} truth {sorted(want)} "
+              f"{'OK' if ok else 'MISMATCH'}")
+    assert n_ok == len(res.results), "typing mismatch"
+    print("OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,328 @@
+"""Native BAM/BGZF I/O.
+
+The reference links BamTools and shells out to samtools/picard for region
+extraction and FASTQ conversion (HLA-LA.pl:393-479).  Neither exists in this
+framework's runtime, so BAM is read and written directly: BGZF block layer on
+zlib, BAM record codec per the SAM spec.  A C++ fast path for block inflation
+and record parsing lives in native/ (used when built; this module is the
+always-available fallback and the format reference).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Iterator
+
+SEQ_DECODE = "=ACMGRSVTWYHKDNB"
+CIGAR_OPS = "MIDNSHP=X"
+
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+# ---------------------------------------------------------------- BGZF layer
+def _iter_bgzf_blocks(fh) -> Iterator[bytes]:
+    while True:
+        head = fh.read(12)
+        if len(head) == 0:
+            return
+        if len(head) < 12:
+            raise ValueError("truncated BGZF header")
+        magic1, magic2, method, flags, _mtime, _xfl, _os, xlen = \
+            struct.unpack("<BBBBIBBH", head)
+        if magic1 != 0x1F or magic2 != 0x8B:
+            raise ValueError("not a BGZF/gzip stream")
+        extra = fh.read(xlen)
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = struct.unpack_from("<BBH", extra, off)
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, off + 4)[0]
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("missing BGZF BC subfield")
+        cdata_len = bsize - xlen - 19
+        cdata = fh.read(cdata_len)
+        fh.read(8)  # crc32 + isize
+        if cdata_len == 2 and cdata == b"\x03\x00":
+            continue  # empty terminator block
+        yield zlib.decompress(cdata, -15)
+
+
+def _bgzf_compress_block(data: bytes) -> bytes:
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = c.compress(data) + c.flush()
+    total = 12 + 6 + len(cdata) + 8   # header + extra + payload + crc/isize
+    header = struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+    extra = struct.pack("<BBHH", 66, 67, 2, total - 1)
+    tail = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+    return header + extra + cdata + tail
+
+
+class BgzfWriter:
+    def __init__(self, path: str):
+        self.fh = open(path, "wb")
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= 60000:
+            self.fh.write(_bgzf_compress_block(bytes(self.buf[:60000])))
+            del self.buf[:60000]
+
+    def close(self):
+        if self.buf:
+            self.fh.write(_bgzf_compress_block(bytes(self.buf)))
+        self.fh.write(BGZF_EOF)
+        self.fh.close()
+
+
+# ----------------------------------------------------------------- BAM layer
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_SUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamRecord:
+    name: str
+    flag: int
+    ref_id: int
+    pos: int              # 0-based
+    mapq: int
+    cigar: list[tuple[int, int]]   # (oplen, opcode)
+    seq: str
+    qual: str             # phred+33 string ('' if missing)
+    mate_ref_id: int = -1
+    mate_pos: int = -1
+    tlen: int = 0
+    tags: bytes = b""
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_secondary(self) -> bool:
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_read1(self) -> bool:
+        return bool(self.flag & FLAG_READ1)
+
+    def reference_end(self) -> int:
+        end = self.pos
+        for ln, op in self.cigar:
+            if CIGAR_OPS[op] in "MDN=X":
+                end += ln
+        return end
+
+    def cigar_string(self) -> str:
+        return "".join(f"{ln}{CIGAR_OPS[op]}" for ln, op in self.cigar)
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self.path = path
+        self.fh = open(path, "rb")
+        self._blocks = _iter_bgzf_blocks(self.fh)
+        self._buf = b""
+        self._pos = 0
+        magic = self._read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self._read(4))[0]
+        self.header_text = self._read(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", self._read(4))[0]
+        self.references: list[tuple[str, int]] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._read(4))[0]
+            name = self._read(l_name)[:-1].decode()
+            l_ref = struct.unpack("<i", self._read(4))[0]
+            self.references.append((name, l_ref))
+
+    def contigs(self) -> dict[str, int]:
+        return dict(self.references)
+
+    def _read(self, n: int) -> bytes:
+        while len(self._buf) - self._pos < n:
+            try:
+                block = next(self._blocks)
+            except StopIteration:
+                chunk = self._buf[self._pos:]
+                self._buf = b""
+                self._pos = 0
+                if len(chunk) < n:
+                    if chunk:
+                        raise ValueError("truncated BAM")
+                    return b""
+                return chunk
+            self._buf = self._buf[self._pos:] + block
+            self._pos = 0
+        out = self._buf[self._pos:self._pos + n]
+        self._pos += n
+        return out
+
+    def __iter__(self) -> Iterator[BamRecord]:
+        while True:
+            raw = self._read(4)
+            if not raw:
+                return
+            block_size = struct.unpack("<i", raw)[0]
+            data = self._read(block_size)
+            yield _parse_record(data)
+
+    def close(self):
+        self.fh.close()
+
+
+def _parse_record(data: bytes) -> BamRecord:
+    (ref_id, pos, l_name, mapq, _bin, n_cigar, flag, l_seq,
+     mate_ref, mate_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+    off = 32
+    name = data[off:off + l_name - 1].decode()
+    off += l_name
+    cigar = []
+    for _ in range(n_cigar):
+        v = struct.unpack_from("<I", data, off)[0]
+        cigar.append((v >> 4, v & 0xF))
+        off += 4
+    nyb = data[off:off + (l_seq + 1) // 2]
+    off += (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = nyb[i // 2]
+        seq_chars.append(SEQ_DECODE[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+    seq = "".join(seq_chars)
+    qual_raw = data[off:off + l_seq]
+    off += l_seq
+    if l_seq and qual_raw and qual_raw[0] == 0xFF:
+        qual = ""
+    else:
+        qual = "".join(chr(q + 33) for q in qual_raw)
+    return BamRecord(name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=mapq,
+                     cigar=cigar, seq=seq, qual=qual, mate_ref_id=mate_ref,
+                     mate_pos=mate_pos, tlen=tlen, tags=data[off:])
+
+
+class BamWriter:
+    def __init__(self, path: str, references: list[tuple[str, int]],
+                 header_text: str = "@HD\tVN:1.6\tSO:unsorted\n"):
+        self.w = BgzfWriter(path)
+        self.references = references
+        out = bytearray(b"BAM\x01")
+        ht = header_text.encode()
+        out += struct.pack("<i", len(ht)) + ht
+        out += struct.pack("<i", len(references))
+        for name, length in references:
+            nb = name.encode() + b"\x00"
+            out += struct.pack("<i", len(nb)) + nb
+            out += struct.pack("<i", length)
+        self.w.write(bytes(out))
+
+    def write(self, r: BamRecord):
+        name_b = r.name.encode() + b"\x00"
+        l_seq = len(r.seq)
+        seq_nyb = bytearray((l_seq + 1) // 2)
+        for i, c in enumerate(r.seq):
+            code = SEQ_DECODE.find(c)
+            if code < 0:
+                code = 15
+            if i % 2 == 0:
+                seq_nyb[i // 2] |= code << 4
+            else:
+                seq_nyb[i // 2] |= code
+        qual_b = (bytes(ord(q) - 33 for q in r.qual) if r.qual
+                  else b"\xff" * l_seq)
+        body = bytearray()
+        body += struct.pack("<iiBBHHHiiii", r.ref_id, r.pos, len(name_b),
+                            r.mapq, 0, len(r.cigar), r.flag, l_seq,
+                            r.mate_ref_id, r.mate_pos, r.tlen)
+        body += name_b
+        for ln, op in r.cigar:
+            body += struct.pack("<I", (ln << 4) | op)
+        body += bytes(seq_nyb) + qual_b + r.tags
+        self.w.write(struct.pack("<i", len(body)) + bytes(body))
+
+    def close(self):
+        self.w.close()
+
+
+# ------------------------------------------------------------- conveniences
+def revcomp(s: str) -> str:
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    return "".join(comp.get(c, "N") for c in reversed(s))
+
+
+def record_to_fastq(r: BamRecord):
+    """SamToFastq semantics: emit the read in sequencing orientation."""
+    from .fastq import FastqRead
+    seq, qual = r.seq, r.qual or ("I" * len(r.seq))
+    if r.is_reverse:
+        seq = revcomp(seq)
+        qual = qual[::-1]
+    return FastqRead(r.name, seq, qual)
+
+
+def extract_reads(bam_path: str,
+                  regions: list[tuple[str, int, int]] | None,
+                  include_unmapped: bool = True):
+    """Extract primary records overlapping `regions` (contig, start0, stop0;
+    stop=0 means whole contig) plus unmapped reads — the HLA-LA.pl
+    extraction step (HLA-LA.pl:393-465) without samtools.  Returns
+    ({name: [records]}, contigs)."""
+    rd = BamReader(bam_path)
+    name_to_id = {n: i for i, (n, _) in enumerate(rd.references)}
+    wanted: dict[int, list[tuple[int, int]]] = {}
+    if regions:
+        for contig, start, stop in regions:
+            if contig in name_to_id:
+                wanted.setdefault(name_to_id[contig], []).append((start, stop))
+    by_name: dict[str, list[BamRecord]] = {}
+    for rec in rd:
+        if rec.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY):
+            continue
+        take = False
+        if rec.is_unmapped:
+            take = include_unmapped
+        elif regions is None:
+            take = True
+        else:
+            for start, stop in wanted.get(rec.ref_id, ()):
+                if stop == 0 or (rec.pos < stop and rec.reference_end() > start):
+                    take = True
+                    break
+        if take:
+            by_name.setdefault(rec.name, []).append(rec)
+    contigs = rd.contigs()
+    rd.close()
+    return by_name, contigs
+
+
+def bam_to_fastq_pairs(by_name: dict[str, list[BamRecord]]):
+    """Group extracted records into mate pairs + unpaired reads."""
+    pairs = []
+    unpaired = []
+    for name, recs in by_name.items():
+        r1 = next((r for r in recs if r.flag & FLAG_READ1), None)
+        r2 = next((r for r in recs if r.flag & FLAG_READ2), None)
+        if r1 is not None and r2 is not None:
+            pairs.append((record_to_fastq(r1), record_to_fastq(r2)))
+        else:
+            for r in recs:
+                unpaired.append(record_to_fastq(r))
+    return pairs, unpaired

@@ -1,0 +1,86 @@
+"""BAM/BGZF codec tests: write -> read round trip, extraction, FASTQ
+conversion (the reference's BamTools/samtools layer, here native)."""
+
+import numpy as np
+
+from hla_la_tpu.io.bam import (BamReader, BamRecord, BamWriter, FLAG_PAIRED,
+                               FLAG_READ1, FLAG_READ2, FLAG_REVERSE,
+                               FLAG_UNMAPPED, bam_to_fastq_pairs,
+                               extract_reads, record_to_fastq)
+
+
+def _mk_record(name, seq, pos=100, flag=0, ref_id=0):
+    return BamRecord(name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=60,
+                     cigar=[(len(seq), 0)], seq=seq,
+                     qual="I" * len(seq))
+
+
+def test_bam_roundtrip(tmp_path):
+    path = str(tmp_path / "t.bam")
+    refs = [("chr6", 1000), ("chrX", 500)]
+    w = BamWriter(path, refs)
+    recs = [
+        _mk_record("r1", "ACGTACGT", pos=10),
+        _mk_record("r2", "GGGGTTTT", pos=200, flag=FLAG_REVERSE, ref_id=1),
+        _mk_record("r3", "NNACGT", pos=0, flag=FLAG_UNMAPPED),
+    ]
+    for r in recs:
+        w.write(r)
+    w.close()
+
+    rd = BamReader(path)
+    assert rd.references == refs
+    got = list(rd)
+    assert len(got) == 3
+    for a, b in zip(recs, got):
+        assert a.name == b.name
+        assert a.seq == b.seq
+        assert a.qual == b.qual
+        assert a.flag == b.flag
+        assert a.pos == b.pos
+        assert a.cigar == b.cigar
+
+
+def test_bam_many_records_multi_block(tmp_path):
+    path = str(tmp_path / "big.bam")
+    w = BamWriter(path, [("c", 10**6)])
+    rng = np.random.default_rng(1)
+    n = 3000
+    for i in range(n):
+        seq = "".join("ACGT"[j] for j in rng.integers(0, 4, 120))
+        w.write(_mk_record(f"read{i}", seq, pos=int(rng.integers(0, 10**5))))
+    w.close()
+    rd = BamReader(path)
+    got = list(rd)
+    assert len(got) == n
+    assert got[17].name == "read17"
+
+
+def test_extract_and_pair(tmp_path):
+    path = str(tmp_path / "p.bam")
+    w = BamWriter(path, [("chr6", 10000), ("chr7", 10000)])
+    pf = FLAG_PAIRED
+    w.write(_mk_record("p1", "ACGTACGT", pos=100, flag=pf | FLAG_READ1))
+    w.write(_mk_record("p1", "TTTTACGT", pos=300,
+                       flag=pf | FLAG_READ2 | FLAG_REVERSE))
+    w.write(_mk_record("far", "ACGTACGT", pos=9000))
+    w.write(_mk_record("u1", "CCCCC", flag=FLAG_UNMAPPED))
+    w.close()
+
+    by_name, contigs = extract_reads(path, [("chr6", 0, 1000)])
+    assert contigs == {"chr6": 10000, "chr7": 10000}
+    assert set(by_name) == {"p1", "u1"}
+    pairs, unpaired = bam_to_fastq_pairs(by_name)
+    assert len(pairs) == 1 and len(unpaired) == 1
+    r1, r2 = pairs[0]
+    assert r1.seq == "ACGTACGT"
+    # reverse-flagged mate comes back reverse-complemented
+    assert r2.seq == "ACGTAAAA"
+
+
+def test_record_to_fastq_orientation():
+    r = _mk_record("x", "AACCGGTT", flag=FLAG_REVERSE)
+    r.qual = "ABCDEFGH"
+    fq = record_to_fastq(r)
+    assert fq.seq == "AACCGGTT"[::-1].translate(str.maketrans("ACGT", "TGCA"))
+    assert fq.qual == "HGFEDCBA"

@@ -1,0 +1,75 @@
+"""CLI orchestration tests incl. the BAM input path with knownReferences
+auto-detection (HLA-LA.pl equivalent)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.cli import main
+from hla_la_tpu.io.bam import (BamRecord, BamWriter, FLAG_PAIRED, FLAG_READ1,
+                               FLAG_READ2, FLAG_REVERSE)
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
+
+
+def test_test_binary(capsys):
+    assert main(["--action", "testBinary"]) == 0
+    assert "functional" in capsys.readouterr().out
+
+
+def test_prepare_graph(tmp_path, rng):
+    sim = simulate_prg_package(rng, backbone_length=500)
+    pkg = sim.write_package(str(tmp_path / "g"), compile_now=False)
+    assert main(["--action", "prepareGraph", "--graph", str(tmp_path / "g")]) == 0
+    assert os.path.exists(pkg.serialized_path)
+
+
+def test_hla_action_from_bam(tmp_path, rng):
+    # simulated package with a knownReferences spec matching our fake BAM
+    sim = simulate_prg_package(rng, backbone_length=1800, n_haplotypes=4)
+    pkg_dir = str(tmp_path / "g")
+    sim.write_package(pkg_dir)
+    # add a knownReferences file matching the BAM header we will write
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"), "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+
+    # simulate reads from haplotypes 1+2 and write them as a coordinate-less
+    # BAM on contig chr6
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=300, fragment_sd=25)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 12.0,
+                                               name_prefix=f"h{h}")
+    bam_path = str(tmp_path / "in.bam")
+    w = BamWriter(bam_path, [("chr6", contig_len)])
+    for p in pairs:
+        for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            seq, qual = r.seq, r.qual
+            flag = FLAG_PAIRED | mate_flag
+            if r.reverse:
+                # store in reference orientation with the reverse flag
+                seq = revcomp(seq)
+                qual = qual[::-1]
+                flag |= FLAG_REVERSE
+            w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                              pos=max(r.start_pos, 0), mapq=60,
+                              cigar=[(len(seq), 0)], seq=seq, qual=qual))
+    w.close()
+
+    out_dir = str(tmp_path / "out")
+    rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+               "--sampleID", "S1", "--workingDir", str(tmp_path),
+               "--outputDirectory", out_dir])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out_dir, "R1_bestguess.txt"))
+    with open(os.path.join(out_dir, "R1_bestguess.txt")) as fh:
+        lines = fh.read().splitlines()[1:]
+    assert lines
+    called = {l.split("\t")[2].split(";")[0].split("*")[1].split(":")[0]
+              for l in lines if l.startswith("A\t")}
+    assert called == {"02", "03"}

@@ -221,21 +221,23 @@ def make_jax_banded_nw(L: int, W: int, sc: NWScoring = NWScoring()):
             iy_src = (ec > oc).astype(jnp.uint8)
 
             ref_ok = ref_col < 4
-            # IX scan over k (associative (max,+) prefix): IX[k] =
-            #   max_{m>=1} nD[k-m] + open + (m-1)*ext, masked by ref pad
-            def ix_step(c, xs_k):
-                nD_km1, ok_k = xs_k
-                v = jnp.maximum(nD_km1 + open_, c + ext)
-                v = jnp.where(ok_k, v, neg)
-                src = (c + ext > nD_km1 + open_).astype(jnp.uint8)
-                return v, (v, src)
-            _, (ix_rows, ix_srcs) = jax.lax.scan(
-                ix_step, jnp.full((B,), neg),
-                (nD.T[:-1], ref_ok.T[1:]))
+            # IX closed form (no inner scan): IX[k] = max_{m>=1} nD[k-m] +
+            # open + (m-1)*ext.  With g[j] = nD[j] - j*ext this is
+            # IX[k] = open + (k-1)*ext + cummax(g)[k-1] — an associative
+            # running max (ref pads only occur at window edges, so masked
+            # cells never sit inside a live deletion run).
+            karange = jnp.arange(W, dtype=nD.dtype)
+            g = jnp.where(ref_ok, nD - karange[None, :] * ext, neg)
+            gmax = jax.lax.cummax(g, axis=1)                  # inclusive
             nIX = jnp.concatenate(
-                [jnp.full((B, 1), neg), ix_rows.T], axis=1)
-            ix_src = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.uint8), ix_srcs.T], axis=1)
+                [jnp.full((B, 1), neg),
+                 open_ + karange[1:][None, :] * ext - ext + gmax[:, :-1]],
+                axis=1)
+            nIX = jnp.where(ref_ok, nIX, neg)
+            # backtrace bit: came from extend iff IX[k] beats the fresh open
+            oc = jnp.concatenate(
+                [jnp.full((B, 1), neg), nD[:, :-1] + open_], axis=1)
+            ix_src = (nIX > oc).astype(jnp.uint8)
 
             ptr = m_src | (iy_src << 2) | (ix_src << 3)
             best = harvest(i, nD, nIY, nIX, best)

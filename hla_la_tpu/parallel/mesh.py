@@ -1,0 +1,129 @@
+"""Multi-chip scale-out: mesh construction and sharded compute steps.
+
+The reference has no distributed backend — its parallelism is OpenMP over
+allele-cluster pairs (HLATyper.cpp:2293-2364) and thread-ready (but serial)
+per-read loops (SURVEY.md §2.3).  The TPU-native replacement:
+
+  * axis "data"  — reads are i.i.d. work items; read batches and the [R, J6]
+    pileup tensors shard across it; per-pair partial likelihood sums are
+    reduced with psum over ICI.
+  * axis "model" — allele clusters shard across it for the O(C^2 R) pair
+    reduction; the [C_local, R_local] likelihood tile is all-gathered over
+    "model" (C is small) so each device owns a [C/m, C] pair tile.
+
+No parameter sharding is ever needed: the "model" (graph + allele matrices)
+is replicated per host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+LOG_HALF = float(np.log(0.5))
+
+
+def make_mesh(n_data: int, n_model: int = 1, devices=None):
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_model
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    dev = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def sharded_typing_step(mesh):
+    """Returns jitted fn(onehot [C, K], contrib [R, K], mismatch [R, K])
+    -> (pair_LL [C, C], marginal [C]) with C sharded over "model" and R over
+    "data"; psum over "data" completes the pair reduction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+
+    n_model = mesh.shape["model"]
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("model", None), P("data", None)),
+             out_specs=(P("model", None), P("model")))
+    def step(onehot_l, contrib_l):
+        # [C/m, K] x [K, R/d] -> local likelihood tile
+        ll_l = jnp.dot(onehot_l, contrib_l.T,
+                       preferred_element_type=jnp.float32)   # [C/m, R/d]
+        # full-C view of the local reads for the pair tile
+        ll_full = jax.lax.all_gather(ll_l, "model", axis=0,
+                                     tiled=True)             # [C, R/d]
+        a = ll_l[:, None, :]                                 # [C/m, 1, R/d]
+        b = ll_full[None, :, :]                              # [1, C, R/d]
+        d = jnp.abs(a - b)
+        hi = jnp.maximum(a, b)
+        pair_partial = (hi + jnp.log1p(jnp.exp(-d))
+                        + jnp.float32(LOG_HALF)).sum(axis=2)  # [C/m, C]
+        pair = jax.lax.psum(pair_partial, "data")
+        # marginal per local cluster: sum over full C of normalised pair
+        # posterior is computed outside (host) — here return row LL sums as a
+        # cheap marginal proxy reduced over data
+        marg = jax.lax.psum(ll_l.sum(axis=1), "data")         # [C/m]
+        return pair, marg
+
+    @jax.jit
+    def run(onehot, contrib):
+        return step(onehot, contrib)
+
+    return run
+
+
+def sharded_align_step(mesh, L: int, W: int):
+    """Returns jitted fn(reads [B, L], lens [B], refs [B, L+W]) -> scores [B]
+    with B sharded over "data" (replicated over "model")."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    from ..ops.banded_nw import make_jax_banded_nw
+
+    fwd = make_jax_banded_nw(L, W)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("data", None), P("data"), P("data", None)),
+             out_specs=P("data"))
+    def step(reads_l, lens_l, refs_l):
+        s, _, _, _ = fwd(reads_l, lens_l, refs_l)
+        return s
+
+    return jax.jit(step)
+
+
+def full_step(mesh, L: int, W: int):
+    """The complete sharded 'training step' analogue: banded-NW scoring of a
+    read batch (data-parallel) + cluster-likelihood matmul + C^2 pair
+    reduction (model x data) in one jitted program."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from ..ops.banded_nw import make_jax_banded_nw
+
+    fwd = make_jax_banded_nw(L, W)
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("data", None), P("data"), P("data", None),
+                       P("model", None), P("data", None)),
+             out_specs=(P("data"), P("model", None)))
+    def step(reads_l, lens_l, refs_l, onehot_l, contrib_l):
+        scores, _, _, _ = fwd(reads_l, lens_l, refs_l)
+        ll_l = jnp.dot(onehot_l, contrib_l.T,
+                       preferred_element_type=jnp.float32)
+        ll_full = jax.lax.all_gather(ll_l, "model", axis=0, tiled=True)
+        a = ll_l[:, None, :]
+        b = ll_full[None, :, :]
+        d = jnp.abs(a - b)
+        pair_partial = (jnp.maximum(a, b) + jnp.log1p(jnp.exp(-d))
+                        + jnp.float32(LOG_HALF)).sum(axis=2)
+        pair = jax.lax.psum(pair_partial, "data")
+        return scores, pair
+
+    return jax.jit(step)

@@ -1,0 +1,46 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §4: fake meshes via xla_force_host_platform_device_count)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hla_la_tpu.ops.pair_ll import pair_ll_reduction_numpy
+from hla_la_tpu.parallel.mesh import (full_step, make_mesh,
+                                      sharded_typing_step)
+
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_typing_matches_numpy(rng):
+    mesh = make_mesh(n_data=4, n_model=2)
+    C, R, K = 8, 16, 24
+    onehot = (rng.random((C, K)) < 0.2).astype(np.float32)
+    contrib = rng.normal(-1, 0.5, (R, K)).astype(np.float32)
+    run = sharded_typing_step(mesh)
+    pair, marg = run(onehot, contrib)
+    L = onehot @ contrib.T
+    want = pair_ll_reduction_numpy(L.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(pair), want, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(marg), L.sum(axis=1), rtol=1e-4)
+
+
+@needs_8
+def test_full_step_compiles_and_runs(rng):
+    mesh = make_mesh(n_data=4, n_model=2)
+    B, L, W = 8, 16, 8
+    C, R, K = 8, 16, 24
+    reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = np.full(B, L, dtype=np.int64)
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    onehot = (rng.random((C, K)) < 0.2).astype(np.float32)
+    contrib = rng.normal(-1, 0.5, (R, K)).astype(np.float32)
+    step = full_step(mesh, L, W)
+    scores, pair = step(reads, lens, refs, onehot, contrib)
+    assert np.asarray(scores).shape == (B,)
+    assert np.asarray(pair).shape == (C, C)
+    assert np.isfinite(np.asarray(pair)).all()

@@ -136,12 +136,22 @@ class BamRecord:
 
 
 class BamReader:
-    def __init__(self, path: str):
+    def __init__(self, path: str, use_native: bool = True):
         self.path = path
         self.fh = open(path, "rb")
-        self._blocks = _iter_bgzf_blocks(self.fh)
         self._buf = b""
         self._pos = 0
+        self._blocks = None
+        if use_native:
+            from .. import native
+            if native.available():
+                raw = self.fh.read()
+                inflated = native.bgzf_inflate_all(raw)
+                if inflated is not None:
+                    self._buf = inflated
+        if not self._buf:
+            self.fh.seek(0)
+            self._blocks = _iter_bgzf_blocks(self.fh)
         magic = self._read(4)
         if magic != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
@@ -159,6 +169,12 @@ class BamReader:
         return dict(self.references)
 
     def _read(self, n: int) -> bytes:
+        if self._blocks is None:
+            out = self._buf[self._pos:self._pos + n]
+            self._pos += len(out)
+            if out and len(out) < n:
+                raise ValueError("truncated BAM")
+            return out
         while len(self._buf) - self._pos < n:
             try:
                 block = next(self._blocks)

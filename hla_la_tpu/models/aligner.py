@@ -140,13 +140,23 @@ class ReadAligner:
             reads_arr, lens_arr, refs_arr)
         self.stats.n_chain_extensions += B
 
+        native_bt = None
+        from .. import native
+        if native.available():
+            native_bt = native.nw_backtrace_batch(pointers, lens_arr,
+                                                  end_k, end_state)
+
         out: list[GraphAlignment | None] = []
         for bi, j in enumerate(jobs):
             if scores[bi] <= -1e29:
                 out.append(None)
                 continue
-            ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
-                                      int(end_k[bi]), int(end_state[bi]))
+            if native_bt is not None:
+                n_ops = int(native_bt[1][bi])
+                ops = [tuple(row) for row in native_bt[0][bi, :n_ops]]
+            else:
+                ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
+                                          int(end_k[bi]), int(end_state[bi]))
             al = project_linear_alignment(
                 ops, j.oriented_seq, j.oriented_qual,
                 self.hap_seqs[j.cand_seq], self.hap_levels[j.cand_seq],

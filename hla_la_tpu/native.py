@@ -1,0 +1,130 @@
+"""ctypes bindings for the native host runtime (native/hla_native.cpp).
+
+Every function has a pure-Python fallback; `available()` reports whether the
+shared library was found/built.  Build with `make -C native`."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (os.path.join(here, "native", "libhla_native.so"),
+                 os.path.join(here, "libhla_native.so")):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+            except OSError:
+                continue
+            lib.hla_bgzf_inflate_all.restype = ctypes.c_int
+            lib.hla_bgzf_inflate_all.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+            vp, i64, i32p = (ctypes.c_void_p, ctypes.c_int64,
+                             ctypes.POINTER(ctypes.c_int64))
+            lib.hla_bam_count.restype = ctypes.c_int64
+            lib.hla_bam_count.argtypes = [vp, i64, i32p, i32p, i32p]
+            lib.hla_bam_parse.restype = ctypes.c_int64
+            lib.hla_bam_parse.argtypes = [vp, i64] + [vp] * 14
+            lib.hla_nw_backtrace_batch.restype = None
+            lib.hla_nw_backtrace_batch.argtypes = [
+                vp, i64, i64, i64, vp, vp, vp, vp, i64, vp]
+            lib.hla_free.restype = None
+            lib.hla_free.argtypes = [vp]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _find_lib() is not None
+
+
+def bgzf_inflate_all(data: bytes, n_threads: int = 4) -> bytes | None:
+    lib = _find_lib()
+    if lib is None:
+        return None
+    out = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    rc = lib.hla_bgzf_inflate_all(data, len(data), ctypes.byref(out),
+                                  ctypes.byref(out_len), n_threads)
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out.value, out_len.value)
+    finally:
+        lib.hla_free(out)
+
+
+def bam_parse_packed(record_stream: bytes):
+    """Parse a decompressed BAM record stream into packed numpy arrays.
+    Returns dict or None when the native lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    data = np.frombuffer(record_stream, dtype=np.uint8)
+    dp = data.ctypes.data_as(ctypes.c_void_p)
+    tn = ctypes.c_int64()
+    ts = ctypes.c_int64()
+    tc = ctypes.c_int64()
+    n = lib.hla_bam_count(dp, len(data), ctypes.byref(tn), ctypes.byref(ts),
+                          ctypes.byref(tc))
+    if n < 0:
+        return None
+    n = int(n)
+    arrs = dict(
+        ref_id=np.empty(n, np.int32), pos=np.empty(n, np.int32),
+        mapq=np.empty(n, np.uint8), flag=np.empty(n, np.uint16),
+        mate_ref_id=np.empty(n, np.int32), mate_pos=np.empty(n, np.int32),
+        tlen=np.empty(n, np.int32),
+        name_off=np.empty(n + 1, np.int64),
+        name_buf=np.empty(int(tn.value), np.uint8),
+        seq_off=np.empty(n + 1, np.int64),
+        seq_buf=np.empty(int(ts.value), np.uint8),
+        qual_buf=np.empty(int(ts.value), np.uint8),
+        cigar_off=np.empty(n + 1, np.int64),
+        cigar_buf=np.empty(int(tc.value), np.uint32),
+    )
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    got = lib.hla_bam_parse(
+        dp, len(data), c(arrs["ref_id"]), c(arrs["pos"]), c(arrs["mapq"]),
+        c(arrs["flag"]), c(arrs["mate_ref_id"]), c(arrs["mate_pos"]),
+        c(arrs["tlen"]), c(arrs["name_off"]), c(arrs["name_buf"]),
+        c(arrs["seq_off"]), c(arrs["seq_buf"]), c(arrs["qual_buf"]),
+        c(arrs["cigar_off"]), c(arrs["cigar_buf"]))
+    arrs["n"] = int(got)
+    return arrs
+
+
+def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,
+                       end_k: np.ndarray, end_state: np.ndarray
+                       ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Batched backtrace: returns (ops [B, max_ops, 3] int32, n_ops [B])."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    B, Lp1, W = pointers.shape
+    L = Lp1 - 1
+    max_ops = 2 * L + W
+    pointers = np.ascontiguousarray(pointers, dtype=np.uint8)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    ek = np.ascontiguousarray(end_k, dtype=np.int32)
+    es = np.ascontiguousarray(end_state, dtype=np.int32)
+    out_ops = np.zeros((B, max_ops, 3), dtype=np.int32)
+    out_n = np.zeros(B, dtype=np.int32)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_nw_backtrace_batch(c(pointers), B, L, W, c(lens64), c(ek), c(es),
+                               c(out_ops), max_ops, c(out_n))
+    return out_ops, out_n

@@ -1,0 +1,236 @@
+// Native host runtime for hla_la_tpu.
+//
+// The reference implements its entire host pipeline in C++ (BamTools I/O,
+// processBAM record handling, extensionAligner backtrace).  Here the TPU
+// framework keeps compute on the device and implements the host-side hot
+// loops natively: BGZF block inflation, BAM record parsing into packed
+// arrays, and batched banded-NW backtrace.  Exposed via a plain C ABI and
+// loaded from Python with ctypes (hla_la_tpu/native.py); every entry point
+// has a pure-Python fallback.
+//
+// Build: make -C native   (produces libhla_native.so)
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <thread>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- BGZF
+// Inflate an entire BGZF file image (sequence of gzip blocks with BC extra
+// fields) into one buffer.  Returns malloc'd buffer in *out (caller frees
+// with hla_free), size in *out_len.  Returns 0 on success.
+int hla_bgzf_inflate_all(const uint8_t* data, int64_t len,
+                         uint8_t** out, int64_t* out_len, int n_threads) {
+    // pass 1: find block boundaries
+    struct Block { int64_t cdata_off; int64_t cdata_len; int64_t isize; };
+    std::vector<Block> blocks;
+    int64_t off = 0;
+    int64_t total = 0;
+    while (off + 12 <= len) {
+        if (data[off] != 0x1f || data[off + 1] != 0x8b) return -1;
+        uint16_t xlen;
+        std::memcpy(&xlen, data + off + 10, 2);
+        int64_t extra_off = off + 12;
+        if (extra_off + xlen > len) return -2;
+        int64_t bsize = -1;
+        int64_t eo = extra_off;
+        while (eo + 4 <= extra_off + xlen) {
+            uint8_t si1 = data[eo], si2 = data[eo + 1];
+            uint16_t slen;
+            std::memcpy(&slen, data + eo + 2, 2);
+            if (si1 == 66 && si2 == 67 && slen == 2) {
+                uint16_t bs;
+                std::memcpy(&bs, data + eo + 4, 2);
+                bsize = (int64_t)bs + 1;
+            }
+            eo += 4 + slen;
+        }
+        if (bsize < 0) return -3;
+        int64_t cdata_off = extra_off + xlen;
+        int64_t cdata_len = bsize - 12 - xlen - 8;
+        if (cdata_off + cdata_len + 8 > len) return -4;
+        uint32_t isize;
+        std::memcpy(&isize, data + cdata_off + cdata_len + 4, 4);
+        if (isize > 0) {
+            blocks.push_back({cdata_off, cdata_len, (int64_t)isize});
+            total += isize;
+        }
+        off += bsize;
+    }
+    uint8_t* buf = (uint8_t*)std::malloc(total ? total : 1);
+    if (!buf) return -5;
+    // prefix offsets
+    std::vector<int64_t> outs(blocks.size() + 1, 0);
+    for (size_t i = 0; i < blocks.size(); i++)
+        outs[i + 1] = outs[i] + blocks[i].isize;
+
+    int nt = n_threads > 0 ? n_threads : 1;
+    std::vector<std::thread> threads;
+    std::vector<int> errs(nt, 0);
+    auto work = [&](int t) {
+        for (size_t i = t; i < blocks.size(); i += nt) {
+            z_stream zs{};
+            inflateInit2(&zs, -15);
+            zs.next_in = const_cast<uint8_t*>(data + blocks[i].cdata_off);
+            zs.avail_in = (uInt)blocks[i].cdata_len;
+            zs.next_out = buf + outs[i];
+            zs.avail_out = (uInt)blocks[i].isize;
+            int r = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (r != Z_STREAM_END) { errs[t] = -6; return; }
+        }
+    };
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+    for (int e : errs) if (e) { std::free(buf); return e; }
+    *out = buf;
+    *out_len = total;
+    return 0;
+}
+
+void hla_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------- BAM parse
+// Counts records in a decompressed BAM record stream (after header).
+// Returns number of records, fills totals for variable-size fields.
+int64_t hla_bam_count(const uint8_t* data, int64_t len,
+                      int64_t* total_name_bytes, int64_t* total_seq_bytes,
+                      int64_t* total_cigar_ops) {
+    int64_t off = 0, n = 0, names = 0, seqs = 0, cigs = 0;
+    while (off + 4 <= len) {
+        int32_t bs;
+        std::memcpy(&bs, data + off, 4);
+        if (off + 4 + bs > len || bs < 32) break;
+        const uint8_t* r = data + off + 4;
+        uint8_t l_name = r[8];
+        uint16_t n_cigar;
+        std::memcpy(&n_cigar, r + 12, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, r + 16, 4);
+        names += l_name - 1;
+        seqs += l_seq;
+        cigs += n_cigar;
+        n++;
+        off += 4 + bs;
+    }
+    *total_name_bytes = names;
+    *total_seq_bytes = seqs;
+    *total_cigar_ops = cigs;
+    return n;
+}
+
+static const char SEQ_DECODE[17] = "=ACMGRSVTWYHKDNB";
+
+// Parses records into packed arrays (pre-allocated by the caller using
+// hla_bam_count totals).  qual bytes come out phred+33 (0xFF run -> 0).
+// Returns number of records parsed.
+int64_t hla_bam_parse(const uint8_t* data, int64_t len,
+                      int32_t* ref_id, int32_t* pos, uint8_t* mapq,
+                      uint16_t* flag, int32_t* mate_ref_id, int32_t* mate_pos,
+                      int32_t* tlen,
+                      int64_t* name_off, uint8_t* name_buf,
+                      int64_t* seq_off, uint8_t* seq_buf, uint8_t* qual_buf,
+                      int64_t* cigar_off, uint32_t* cigar_buf) {
+    int64_t off = 0, n = 0, no = 0, so = 0, co = 0;
+    while (off + 4 <= len) {
+        int32_t bs;
+        std::memcpy(&bs, data + off, 4);
+        if (off + 4 + bs > len || bs < 32) break;
+        const uint8_t* r = data + off + 4;
+        std::memcpy(&ref_id[n], r, 4);
+        std::memcpy(&pos[n], r + 4, 4);
+        uint8_t l_name = r[8];
+        mapq[n] = r[9];
+        uint16_t n_cigar;
+        std::memcpy(&n_cigar, r + 12, 2);
+        std::memcpy(&flag[n], r + 14, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, r + 16, 4);
+        std::memcpy(&mate_ref_id[n], r + 20, 4);
+        std::memcpy(&mate_pos[n], r + 24, 4);
+        std::memcpy(&tlen[n], r + 28, 4);
+        const uint8_t* p = r + 32;
+        name_off[n] = no;
+        std::memcpy(name_buf + no, p, l_name - 1);
+        no += l_name - 1;
+        p += l_name;
+        cigar_off[n] = co;
+        std::memcpy(cigar_buf + co, p, (size_t)n_cigar * 4);
+        co += n_cigar;
+        p += (size_t)n_cigar * 4;
+        seq_off[n] = so;
+        for (int32_t i = 0; i < l_seq; i++) {
+            uint8_t b = p[i / 2];
+            seq_buf[so + i] = SEQ_DECODE[(i % 2 == 0) ? (b >> 4) : (b & 0xF)];
+        }
+        p += (l_seq + 1) / 2;
+        bool no_qual = l_seq > 0 && p[0] == 0xFF;
+        for (int32_t i = 0; i < l_seq; i++)
+            qual_buf[so + i] = no_qual ? 0 : (uint8_t)(p[i] + 33);
+        so += l_seq;
+        n++;
+        off += 4 + bs;
+    }
+    name_off[n] = no;
+    seq_off[n] = so;
+    cigar_off[n] = co;
+    return n;
+}
+
+// ------------------------------------------------------------ NW backtrace
+// Batched backtrace over pointer tensors [B, L+1, W] (bit layout of
+// ops/banded_nw.py).  Emits per-job op lists into out_ops [B, max_ops, 3]
+// (op, read_pos, ref_pos) in forward order; out_n[b] = op count.
+void hla_nw_backtrace_batch(const uint8_t* pointers, int64_t B, int64_t L,
+                            int64_t W, const int64_t* lens,
+                            const int32_t* end_k, const int32_t* end_state,
+                            int32_t* out_ops, int64_t max_ops,
+                            int32_t* out_n) {
+    for (int64_t b = 0; b < B; b++) {
+        const uint8_t* ptr = pointers + b * (L + 1) * W;
+        int64_t i = lens[b];
+        int64_t k = end_k[b];
+        int state = end_state[b];
+        int32_t* ops = out_ops + b * max_ops * 3;
+        int64_t n = 0;
+        // emit reversed, then flip
+        while ((i > 0 || state == 2) && n < max_ops) {
+            if (k < 0 || k >= W) break;
+            uint8_t pv = ptr[i * W + k];
+            int64_t j = i + k;
+            if (state == 0) {
+                if (i == 0) break;
+                ops[n * 3] = 0; ops[n * 3 + 1] = (int32_t)(i - 1);
+                ops[n * 3 + 2] = (int32_t)(j - 1);
+                state = pv & 3;
+                i -= 1;
+            } else if (state == 1) {
+                ops[n * 3] = 1; ops[n * 3 + 1] = (int32_t)(i - 1);
+                ops[n * 3 + 2] = (int32_t)j;
+                state = ((pv >> 2) & 1) ? 1 : 0;
+                i -= 1; k += 1;
+            } else {
+                ops[n * 3] = 2; ops[n * 3 + 1] = (int32_t)i;
+                ops[n * 3 + 2] = (int32_t)(j - 1);
+                state = ((pv >> 3) & 1) ? 2 : 0;
+                k -= 1;
+            }
+            n++;
+        }
+        // reverse in place
+        for (int64_t a = 0, z = n - 1; a < z; a++, z--) {
+            for (int c = 0; c < 3; c++) {
+                int32_t t = ops[a * 3 + c];
+                ops[a * 3 + c] = ops[z * 3 + c];
+                ops[z * 3 + c] = t;
+            }
+        }
+        out_n[b] = (int32_t)n;
+    }
+}
+
+}  // extern "C"

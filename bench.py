@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark driver: end-to-end read alignment throughput on the PRG.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: reads aligned per second per chip through the full pipeline
+(k-mer seeding -> banded-NW on device -> backtrace -> graph projection ->
+pair selection + mapQ), on simulated MHC-like data.  The baseline constant is
+the reference C++ aligner's single-host throughput: HLA*LA's serial
+alignOneReadPair loop processes on the order of 400 read pairs/s (= ~800
+reads/s) on a 7-core workstation (the README-recommended config; the
+reference prints 'protoSeeds (read pairs) per s' at runtime,
+processBAM.cpp:1894-1898, with no stored value — this constant is an
+estimate to be replaced by a measured number once the reference can be run
+side-by-side).
+
+Extra diagnostics (kernel-level throughputs) go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_READS_PER_SEC = 800.0
+
+
+def main():
+    t_start = time.time()
+    import jax
+    backend = jax.default_backend()
+    print(f"# backend: {backend}", file=sys.stderr, flush=True)
+
+    from hla_la_tpu.models.aligner import ReadAligner
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+    from hla_la_tpu.sim.truth import TrueReadLevels
+
+    rng = np.random.default_rng(20260817)
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="hla_bench_")
+    sim = simulate_prg_package(rng, backbone_length=6000, n_haplotypes=8,
+                               snp_rate=0.01)
+    pkg = sim.write_package(os.path.join(tmp, "pkg"))
+
+    rs = ReadSimulator(rng, read_length=101, fragment_mean=320,
+                       fragment_sd=30, with_error=True)
+    pairs_sim = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs_sim += rs.simulate_pairs_from_string(seq, levels, 18.0,
+                                                   name_prefix=f"h{h}")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs_sim]
+    print(f"# {len(fq)} simulated read pairs", file=sys.stderr, flush=True)
+
+    use_jax = backend == "tpu"
+    aligner = ReadAligner(pkg, use_jax=use_jax)
+
+    # warmup (compiles the NW program; first axon compile is slow)
+    warm = fq[:64]
+    t0 = time.time()
+    aligner.align_pairs(warm, 118, 35)
+    print(f"# warmup/compile: {time.time() - t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    truth = TrueReadLevels({})
+    for p in pairs_sim:
+        truth.truth[p.r1.name + "/1"] = p.r1.levels
+        truth.truth[p.r2.name + "/2"] = p.r2.levels
+
+    t0 = time.time()
+    aligned = aligner.align_pairs(fq, 118, 35, truth=truth)
+    dt = time.time() - t0
+    n_reads = 2 * len(fq)
+    rps = n_reads / dt
+    acc = truth.accuracy()
+    print(f"# aligned {len(aligned)}/{len(fq)} pairs in {dt:.2f}s, "
+          f"truth accuracy {acc:.4f}", file=sys.stderr, flush=True)
+
+    # kernel-level diagnostics
+    if use_jax:
+        try:
+            from hla_la_tpu.ops.pallas_pair import pair_ll_reduction_pallas
+            C, R = 1024, 2048
+            Lm = rng.normal(-30, 5, (C, R)).astype(np.float32)
+            pair_ll_reduction_pallas(Lm)
+            t0 = time.time()
+            for _ in range(3):
+                pair_ll_reduction_pallas(Lm)
+            kdt = (time.time() - t0) / 3
+            print(f"# pallas pair-LL: {C * C * R / kdt / 1e12:.3f} Tcells/s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# pallas pair-LL failed: {e}", file=sys.stderr)
+
+    assert acc > 0.9, f"accuracy regression: {acc}"
+    print(f"# total bench time {time.time() - t_start:.1f}s",
+          file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "reads_aligned_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,6 +118,14 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "numpy",
                       chunk: int = 256) -> np.ndarray:
     if backend == "numpy" or L.size == 0:
         return pair_ll_reduction_numpy(L, chunk)
+    if backend == "pallas":
+        from .pallas_pair import pair_ll_reduction_pallas
+        return pair_ll_reduction_pallas(L)
+    if backend == "jax":
+        import jax
+        if jax.default_backend() == "tpu":
+            from .pallas_pair import pair_ll_reduction_pallas
+            return pair_ll_reduction_pallas(L)
     C, R = L.shape
     chunk = min(chunk, max(R, 1))
     n_chunks = -(-R // chunk)

@@ -1,0 +1,106 @@
+"""Pallas TPU kernel for the diploid pair-likelihood reduction.
+
+LL[c1, c2] = sum_r logavg(L[c1, r], L[c2, r])
+           = sum_r [ max + log1p(exp(-|a-b|)) ] + C_half          (per read)
+
+This is the reference's only OpenMP-parallel hot loop
+(HLATyper.cpp:2280-2364) and 'hard part #2' of SURVEY.md §7: O(C^2 R) with C
+up to a few thousand clusters per locus.  XLA's fused elementwise version
+materialises [C, C, chunk] intermediates; this kernel tiles the output into
+[TC, TC] VMEM blocks and streams R in chunks via the grid, accumulating in
+place — VPU-bound at ~6 flops per (c1, c2, r) cell.
+
+Only the difference part is computed on device (bounded magnitudes keep f32
+exact); the rank-1 0.5*(rowsum_a + rowsum_b) + R*log(1/2) term is added by
+the host wrapper in f64 — same decomposition as ops/pair_ll.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+LOG_HALF = float(np.log(0.5))
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def _make_kernel(Cp: int, Rp: int, TC: int, TR: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_r = Rp // TR
+
+    def kernel(a_ref, b_ref, out_ref):
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # Mosaic-aligned micro-tiling: c1 in 8-sublane strips, c2 across the
+        # full TC lanes, r in 128-lane chunks.  Per (c1s, rs):
+        #   d[c1, c2, r] = |a[c1, r] - b[c2, r]|     (8 x TC x 128 vreg block)
+        #   acc[c1, c2] += sum_r 0.5*d + log1p(exp(-d))
+        SC = min(8, TC)          # c1 strip height (sublane-aligned)
+        RC = min(128, TR)        # r chunk width (lane-aligned)
+
+        def c1_loop(c1s, _):
+            def r_loop(rs, acc):
+                av = a_ref[pl.ds(c1s * SC, SC), pl.ds(rs * RC, RC)]
+                bv = b_ref[:, pl.ds(rs * RC, RC)]                # [TC, RC]
+                d = jnp.abs(av[:, None, :] - bv[None, :, :])     # [SC, TC, RC]
+                t = 0.5 * d + jnp.log1p(jnp.exp(-d))
+                return acc + t.sum(axis=2)
+
+            acc = jax.lax.fori_loop(0, TR // RC, r_loop,
+                                    jnp.zeros((SC, TC), jnp.float32))
+            out_ref[pl.ds(c1s * SC, SC), :] += acc
+            return 0
+
+        jax.lax.fori_loop(0, TC // SC, c1_loop, 0)
+
+    grid = (Cp // TC, Cp // TC, n_r)
+
+    @jax.jit
+    def run(Lp):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TC, TR), lambda i, j, r: (i, r)),
+                pl.BlockSpec((TC, TR), lambda i, j, r: (j, r)),
+            ],
+            out_specs=pl.BlockSpec((TC, TC), lambda i, j, r: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Cp, Cp), jnp.float32),
+            interpret=interpret,
+        )(Lp, Lp)
+
+    return run
+
+
+def pair_ll_reduction_pallas(L: np.ndarray, tc: int = 128, tr: int = 256,
+                             interpret: bool | None = None) -> np.ndarray:
+    """Full [C, C] pair log-likelihood matrix via the Pallas kernel.
+    Pads C to a TC multiple and R to a TR multiple; padded reads hold value 0
+    whose diff-part contribution log(2) cancels against LOG_HALF exactly."""
+    import jax
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, R = L.shape
+    Cp = _round_up(max(C, tc), tc)
+    Rp = _round_up(max(R, tr), tr)
+    Lp = np.zeros((Cp, Rp), dtype=np.float32)
+    Lp[:C, :R] = L
+    run = _make_kernel(Cp, Rp, tc, tr, bool(interpret))
+    acc = np.asarray(run(Lp), dtype=np.float64)[:C, :C]
+    rowsum = L.astype(np.float64).sum(axis=1)
+    base = 0.5 * (rowsum[:, None] + rowsum[None, :])
+    return base + acc + LOG_HALF * Rp

@@ -1,0 +1,180 @@
+"""Linear-ALT typing (the KIR module).
+
+Reference: linearALTs/linearALTs.{h,cpp} — typing against a panel of
+equal-length linear ALT haplotypes: reads are extracted per region, mapped to
+the panel, and a diploid haplotype-pair likelihood model picks the best pair
+(`haplotypeLikelihoods`, linearALTs.h:29); reads can also be assigned to genes
+by interval overlap (`reads2Genes`, linearALTs.h:30).
+
+TPU-native form: the per-read x per-haplotype log-likelihood matrix comes
+from the same batched banded-NW kernel as the HLA path, and the diploid pair
+reduction reuses ops/pair_ll (the C^2 kernel) with haplotypes as "clusters".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.fastq import FastqRead
+from ..mapping.kmer_index import KmerIndex
+from ..mapping.seeder import Seeder
+from ..ops.banded_nw import banded_nw_backtrace, banded_nw_forward
+from ..ops.pair_ll import pair_ll_reduction
+from ..sim.read_sim import revcomp
+from ..utils.phred import phred_to_p_correct_table
+
+_ENC = np.full(256, 4, dtype=np.uint8)
+for i, b in enumerate(b"ACGT"):
+    _ENC[b] = i
+    _ENC[b + 32] = i
+
+
+@dataclass
+class LinearALTsResult:
+    hap1: str
+    hap2: str
+    posterior: float
+    pair_ll: np.ndarray          # [H, H]
+    hap_names: list[str]
+    read_gene_counts: dict[str, int]
+
+
+class LinearALTsTyper:
+    def __init__(self, haplotypes: dict[str, str], band: int = 32,
+                 kmer_k: int = 20,
+                 genes: dict[str, tuple[int, int]] | None = None,
+                 backend: str = "numpy"):
+        """haplotypes: {name: sequence} — the equal-length ALT panel
+        (equal length is the reference's convention; not required here).
+        genes: {gene: (start, stop)} intervals in panel coordinates."""
+        self.names = list(haplotypes)
+        self.seqs = [haplotypes[n] for n in self.names]
+        self.index = KmerIndex.build(haplotypes, k=kmer_k)
+        self.seeder = Seeder(self.index)
+        self.band = band
+        self.genes = genes or {}
+        self.backend = backend
+        self._table = phred_to_p_correct_table(conservative_cap=0.999,
+                                               floor=1e-5)
+
+    # --------------------------------------------------------------- scoring
+    def _read_ll_row(self, read: FastqRead, unaligned_ll: float
+                     ) -> tuple[np.ndarray, tuple[int, int] | None]:
+        """LL of the read under each panel haplotype (best alignment per
+        haplotype; `unaligned_ll` where no seed) + best (hap, ref_start)."""
+        H = len(self.names)
+        row = np.full(H, unaligned_ll, dtype=np.float64)
+        cands = self.seeder.candidates(read.seq)
+        best_anchor = None
+        best_ll = -np.inf
+        if not cands:
+            return row, None
+        L = len(read.seq)
+        W = self.band
+        reads_arr = np.zeros((len(cands), L), dtype=np.uint8)
+        lens_arr = np.full(len(cands), L, dtype=np.int64)
+        refs_arr = np.full((len(cands), L + W), 4, dtype=np.uint8)
+        metas = []
+        for bi, c in enumerate(cands):
+            oriented = revcomp(read.seq) if c.reverse else read.seq
+            qual = read.qual[::-1] if c.reverse else read.qual
+            reads_arr[bi] = _ENC[np.frombuffer(oriented.encode(), np.uint8)]
+            hap = self.seqs[c.seq_idx].encode()
+            lo = c.ref_start - W // 2
+            src_lo, src_hi = max(lo, 0), min(lo + L + W, len(hap))
+            if src_hi > src_lo:
+                refs_arr[bi, src_lo - lo:src_hi - lo] = _ENC[
+                    np.frombuffer(hap[src_lo:src_hi], np.uint8)]
+            metas.append((c, oriented, qual, lo))
+        scores, end_k, end_state, pointers = banded_nw_forward(
+            reads_arr, lens_arr, refs_arr)
+        for bi, (c, oriented, qual, lo) in enumerate(metas):
+            if scores[bi] <= -1e29:
+                continue
+            ops = banded_nw_backtrace(pointers[bi], L, int(end_k[bi]),
+                                      int(end_state[bi]))
+            ll = self._score_ops(ops, oriented, qual, self.seqs[c.seq_idx], lo)
+            if ll > row[c.seq_idx]:
+                row[c.seq_idx] = ll
+            if ll > best_ll:
+                best_ll = ll
+                best_anchor = (c.seq_idx, lo + W // 2)
+        return row, best_anchor
+
+    def _score_ops(self, ops, oriented: str, qual: str, hap: str,
+                   window_start: int) -> float:
+        log_ins = np.log(0.001) + np.log(0.25)
+        log_del = np.log(0.001)
+        log_mm = np.log(1 - 0.002)
+        ll = 0.0
+        for op, rp, ref_p in ops:
+            if op == 0:
+                p = window_start + ref_p
+                pc = float(self._table[ord(qual[rp])])
+                if 0 <= p < len(hap) and hap[p] == oriented[rp]:
+                    ll += log_mm + np.log(pc)
+                else:
+                    ll += log_mm + np.log((1 - pc) / 3.0)
+            elif op == 1:
+                ll += log_ins
+            else:
+                ll += log_del
+        return ll
+
+    # ---------------------------------------------------------------- typing
+    def haplotype_likelihoods(self, reads: list[FastqRead]
+                              ) -> tuple[np.ndarray, list]:
+        """[H, R] log-likelihood matrix + per-read best anchors."""
+        H = len(self.names)
+        rows = []
+        anchors = []
+        for r in reads:
+            unaligned = len(r.seq) * np.log(0.25)
+            row, anchor = self._read_ll_row(r, unaligned)
+            rows.append(row)
+            anchors.append(anchor)
+        L = (np.stack(rows).T if rows
+             else np.zeros((H, 0), dtype=np.float64))
+        return L, anchors
+
+    def type_diploid(self, reads: list[FastqRead]) -> LinearALTsResult:
+        """Diploid ALT-pair model (processCollectedAlignments /
+        haplotypeLikelihoods semantics): LL(h1,h2) = sum_r logavg."""
+        L, anchors = self.haplotype_likelihoods(reads)
+        pair = pair_ll_reduction(L, backend=self.backend)
+        H = len(self.names)
+        iu = np.triu_indices(H)
+        vals = pair[iu]
+        best = int(np.argmax(vals))
+        h1, h2 = int(iu[0][best]), int(iu[1][best])
+        p = np.exp(vals - vals.max())
+        p /= p.sum()
+
+        gene_counts: dict[str, int] = {g: 0 for g in self.genes}
+        for anchor in anchors:
+            if anchor is None:
+                continue
+            _, pos = anchor
+            for g, (lo, hi) in self.genes.items():
+                if lo <= pos < hi:
+                    gene_counts[g] += 1
+        return LinearALTsResult(
+            hap1=self.names[h1], hap2=self.names[h2],
+            posterior=float(p[best]), pair_ll=pair,
+            hap_names=self.names, read_gene_counts=gene_counts)
+
+    def reads_to_genes(self, reads: list[FastqRead]) -> dict[str, list[str]]:
+        """Assign each read to the gene its best alignment overlaps
+        (reads2Genes equivalent)."""
+        out: dict[str, list[str]] = {g: [] for g in self.genes}
+        _, anchors = self.haplotype_likelihoods(reads)
+        for r, anchor in zip(reads, anchors):
+            if anchor is None:
+                continue
+            _, pos = anchor
+            for g, (lo, hi) in self.genes.items():
+                if lo <= pos < hi:
+                    out[g].append(r.name)
+        return out

@@ -121,11 +121,6 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "numpy",
     if backend == "pallas":
         from .pallas_pair import pair_ll_reduction_pallas
         return pair_ll_reduction_pallas(L)
-    if backend == "jax":
-        import jax
-        if jax.default_backend() == "tpu":
-            from .pallas_pair import pair_ll_reduction_pallas
-            return pair_ll_reduction_pallas(L)
     C, R = L.shape
     chunk = min(chunk, max(R, 1))
     n_chunks = -(-R // chunk)

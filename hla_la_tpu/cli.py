@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--moreReferencesDir", default=None)
     ap.add_argument("--outputDirectory", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trueHLA", help="truth table for concordance evaluation")
+    ap.add_argument("--ASMfasta", help="assembly contigs for --action ASM")
+    ap.add_argument("--ALTpanel", help="linear ALT panel FASTA for --action KIR")
+    ap.add_argument("--validationBAMs", help="sample sheet for --action validate")
+    ap.add_argument("--resolution", type=int, default=2,
+                    help="nomenclature fields compared in evaluation")
     args = ap.parse_args(argv)
 
     action = args.action
@@ -57,6 +63,12 @@ def main(argv=None):
         return action_test_prg_mapping(args)
     if action == "TestHLATyping":
         return action_test_hla_typing(args)
+    if action == "ASM":
+        return action_asm(args)
+    if action == "KIR":
+        return action_kir(args)
+    if action == "validate":
+        return action_validate(args)
     print(f"unknown action {action}", file=sys.stderr)
     return 2
 
@@ -132,6 +144,79 @@ def action_hla(args) -> int:
         a1, a2 = r.alleles_g_or_raw()
         print(f"{r.locus}\t{a1}\t{a2}\tQ1={r.q1_allele1:.4f}/"
               f"{r.q1_allele2:.4f}")
+    if args.trueHLA:
+        from .utils.nomenclature import (evaluate_types, read_truth_file)
+        truth_all = read_truth_file(args.trueHLA)
+        truth = truth_all.get(args.sampleID)
+        if truth is None:
+            log_progress(f"--trueHLA: no row for {args.sampleID}")
+        else:
+            inferred = {r.locus: (r.allele1_id, r.allele2_id)
+                        for r in res.results}
+            ev = evaluate_types(inferred, truth, args.resolution)
+            print(f"truth concordance: {ev.n_alleles_correct}/"
+                  f"{ev.n_alleles_total} alleles "
+                  f"({ev.accuracy * 100:.1f}%) over {ev.n_loci} loci")
+    return 0
+
+
+def action_asm(args) -> int:
+    """Assembly typing (HLA-ASM.pl equivalent)."""
+    from .io.fasta import read_fasta
+    from .models.asm import AssemblyTyper
+    pkg = _require_graph(args)
+    if not args.ASMfasta:
+        raise SystemExit("--ASMfasta required for --action ASM")
+    contigs = read_fasta(args.ASMfasta)
+    typer = AssemblyTyper(pkg)
+    calls = typer.type_contigs(contigs)
+    out_dir = args.outputDirectory or os.path.join(args.workingDir,
+                                                   args.sampleID + "_ASM")
+    typer.write_outputs(calls, out_dir)
+    for c in calls:
+        print(f"{c.locus}\t{c.contig}\t{c.allele}\tED={c.edit_distance}")
+    return 0
+
+
+def action_kir(args) -> int:
+    """Linear-ALT (KIR) typing (--action KIR, HLA-LA.cpp:812-905)."""
+    from .io.bam import bam_to_fastq_pairs, extract_reads
+    from .io.fasta import read_fasta
+    from .io.fastq import read_fastq
+    from .models.linear_alts import LinearALTsTyper
+    if not args.ALTpanel:
+        raise SystemExit("--ALTpanel FASTA required for --action KIR")
+    panel = read_fasta(args.ALTpanel)
+    reads = []
+    if args.BAM:
+        by_name, _ = extract_reads(args.BAM, None)
+        pairs, unpaired = bam_to_fastq_pairs(by_name)
+        reads = [r for p in pairs for r in p] + unpaired
+    elif args.FASTQU:
+        reads = list(read_fastq(args.FASTQU))
+    else:
+        raise SystemExit("--BAM or --FASTQU required for --action KIR")
+    typer = LinearALTsTyper(panel, backend=args.backend)
+    res = typer.type_diploid(reads)
+    print(f"best ALT pair: {res.hap1} / {res.hap2} "
+          f"(posterior {res.posterior:.4f})")
+    return 0
+
+
+def action_validate(args) -> int:
+    """Cohort validation (HLAtypeinference_validation.pl equivalent)."""
+    from .validation import read_sample_sheet, validate_cohort
+    pkg = _require_graph(args)
+    if not args.validationBAMs or not args.trueHLA:
+        raise SystemExit("--validationBAMs and --trueHLA required")
+    samples = read_sample_sheet(args.validationBAMs)
+    out_dir = args.outputDirectory or os.path.join(args.workingDir,
+                                                   "validation")
+    report = validate_cohort(pkg, samples, args.trueHLA, out_dir,
+                             backend=args.backend,
+                             resolution=args.resolution)
+    print(f"cohort accuracy: {report.total_accuracy * 100:.2f}% over "
+          f"{len(report.per_sample)} samples")
     return 0
 
 

@@ -119,8 +119,13 @@ class ReadAligner:
         if not jobs:
             return []
         L = max(len(j.oriented_seq) for j in jobs)
+        if self.use_jax:
+            # bucket shapes so jit compiles once per (L, W, B) bucket
+            L = max(64, 1 << (L - 1).bit_length())
         W = self.band
         B = len(jobs)
+        if self.use_jax:
+            B = max(64, 1 << (B - 1).bit_length())
         reads_arr = np.full((B, L), 4, dtype=np.uint8)
         lens_arr = np.zeros(B, dtype=np.int64)
         refs_arr = np.full((B, L + W), 4, dtype=np.uint8)
@@ -138,7 +143,7 @@ class ReadAligner:
                 refs_arr[bi, src_lo - lo:src_hi - lo] = _ENC[hap[src_lo:src_hi]]
         scores, end_k, end_state, pointers = self._run_nw(
             reads_arr, lens_arr, refs_arr)
-        self.stats.n_chain_extensions += B
+        self.stats.n_chain_extensions += len(jobs)
 
         native_bt = None
         from .. import native
@@ -307,12 +312,21 @@ class ReadAligner:
         (median, max(|median-q20|, |median-q80|))."""
         hist: dict[int, float] = {}
         used = 0
-        for r1, r2 in pairs[:max_pairs]:
-            j1 = self._make_jobs(0, 1, r1)[:1]
-            j2 = self._make_jobs(0, 2, r2)[:1]
-            if not j1 or not j2:
-                continue
-            als = self._jobs_to_alignments(j1 + j2)
+        # one batched NW over the primary candidate of every mate
+        jobs: list[_Job] = []
+        job_slots: list[tuple[int, int]] = []
+        sel = pairs[:max_pairs]
+        for pi, (r1, r2) in enumerate(sel):
+            j1 = self._make_jobs(pi, 1, r1)[:1]
+            j2 = self._make_jobs(pi, 2, r2)[:1]
+            if j1 and j2:
+                jobs += j1 + j2
+        als_all = self._jobs_to_alignments(jobs)
+        per_pair: dict[int, list] = {}
+        for j, al in zip(jobs, als_all):
+            per_pair.setdefault(j.pair_idx, []).append(al)
+        for pi in per_pair:
+            als = per_pair[pi]
             if len(als) != 2 or als[0] is None or als[1] is None:
                 continue
             a1, a2 = als

@@ -45,26 +45,34 @@ class Seeder:
                 continue
             seq_idx, ref_pos = self.index.locate(global_pos)
             diag = ref_pos - read_pos
-            # cluster by (seq, quantised diagonal)
             qdiag = diag // self.diagonal_slack
+            min_k = (self.min_chain_kmers
+                     if len(read_pos) >= self.min_chain_kmers else 1)
             for shift in (0, 1):
-                key = seq_idx.astype(np.int64) * (1 << 33) + (qdiag + shift)
-                order = np.argsort(key, kind="stable")
+                # group by (seq, quantised diagonal); sort groups internally
+                # by diagonal so the group midpoint is the median diagonal
+                key = (seq_idx.astype(np.int64) * (1 << 33)
+                       + (qdiag + shift))
+                order = np.lexsort((diag, key))
                 ks = key[order]
-                boundaries = np.nonzero(np.diff(ks))[0] + 1
-                groups = np.split(order, boundaries)
-                for g in groups:
-                    if len(g) < self.min_chain_kmers and len(read_pos) >= self.min_chain_kmers:
-                        continue
-                    rp = read_pos[g]
-                    uniq_rp = np.unique(rp)
-                    d_med = int(np.median(diag[g]))
+                starts = np.concatenate(
+                    [[0], np.nonzero(np.diff(ks))[0] + 1])
+                ends = np.concatenate([starts[1:], [len(ks)]])
+                sizes = ends - starts
+                keep = sizes >= min_k
+                rp_sorted = read_pos[order]
+                diag_sorted = diag[order]
+                for s, e in zip(starts[keep], ends[keep]):
+                    g = order[s:e]
+                    rp = rp_sorted[s:e]
+                    rp_min, rp_max = int(rp.min()), int(rp.max())
+                    n_uniq = len(np.unique(rp)) if e - s > 1 else 1
                     cands.append(Candidate(
                         seq_idx=int(seq_idx[g[0]]),
                         reverse=is_rev,
-                        ref_start=d_med,
-                        n_kmers=len(uniq_rp),
-                        span=int(uniq_rp.max() - uniq_rp.min()) + self.index.k,
+                        ref_start=int(diag_sorted[(s + e) // 2]),
+                        n_kmers=n_uniq,
+                        span=rp_max - rp_min + self.index.k,
                     ))
         # dedupe near-identical candidates (same seq/strand, close ref_start),
         # keep the best-supported; then top max_candidates by support

@@ -214,6 +214,28 @@ class ReadAligner:
                      insert_sd: float, max_pen_log: float) -> AlignedPair:
         """alignOneReadPair combination model (processBAM.cpp:3408-3540) +
         assignMappingQualities (processBAM.cpp:4062-4310)."""
+        # per-chain caches: underlying-sequence anchors and position keys are
+        # combo-independent (the reference recomputes them per combination)
+        from .alignment import _anchors as _anchors_fn
+        anchor_cache: dict[int, tuple] = {}
+
+        def anchors_of(al):
+            key = id(al)
+            if key not in anchor_cache:
+                anchor_cache[key] = (
+                    _anchors_fn(al, True, 2, self.level_to_seqpos),
+                    _anchors_fn(al, False, 2, self.level_to_seqpos))
+            return anchor_cache[key]
+
+        def distances(c1, c2):
+            if c1.first_level() < c2.first_level():
+                end1 = anchors_of(c1)[0]
+                beg2 = anchors_of(c2)[1]
+                return {beg2[s] - p - 1 for s, p in end1.items() if s in beg2}
+            end2 = anchors_of(c2)[0]
+            beg1 = anchors_of(c1)[1]
+            return {beg1[s] - p - 1 for s, p in end2.items() if s in beg1}
+
         combos = []
         lls = []
         for i1, c1 in enumerate(chains1):
@@ -221,7 +243,7 @@ class ReadAligner:
                 self.stats.considered_chain_pairs += 1
                 ll = c1.log_likelihood + c2.log_likelihood
                 if strands_valid(c1, c2):
-                    ds = pair_distances_underlying(c1, c2, self.level_to_seqpos)
+                    ds = distances(c1, c2)
                     if ds:
                         # the reference takes log(pdf) and only substitutes the
                         # 8-sigma penalty when the pdf underflows to 0
@@ -252,19 +274,23 @@ class ReadAligner:
 
         # per-position posterior: sum combination probabilities that place the
         # same (graph char, level, read index) at a column
-        # (assignMappingQualities position IDs, processBAM.cpp:4183-4209)
+        # (assignMappingQualities position IDs, processBAM.cpp:4183-4209).
+        # Equivalent O(chains x columns) form: each chain's keys receive its
+        # marginal combination weight (keys are combo-independent).
         for mate, (chains, bsel) in enumerate(((chains1, b1), (chains2, b2))):
-            conf: dict[tuple, float] = {}
+            weights = np.zeros(len(chains))
             for (i1, i2), p in zip(combos, pp):
-                ci = i1 if mate == 0 else i2
-                al = chains[ci]
-                for key in _position_keys(al):
-                    conf[key] = conf.get(key, 0.0) + float(p)
+                weights[i1 if mate == 0 else i2] += p
+            key_cache = [_position_keys(c) for c in chains]
+            all_keys = np.concatenate(key_cache)
+            all_w = np.concatenate([np.full(len(k), weights[ci])
+                                    for ci, k in enumerate(key_cache)])
+            uniq, inv = np.unique(all_keys, return_inverse=True)
+            conf = np.zeros(len(uniq))
+            np.add.at(conf, inv, all_w)
             sel = chains[bsel]
-            q = np.empty(sel.n_columns, dtype=np.float64)
-            for j, key in enumerate(_position_keys(sel)):
-                q[j] = min(conf[key], 1.0)
-            sel.mapq_per_pos = q
+            sel_idx = np.searchsorted(uniq, key_cache[bsel])
+            sel.mapq_per_pos = np.minimum(conf[sel_idx], 1.0)
         return AlignedPair(read_id, chain1, chain2, pair_mapq)
 
     # ----------------------------------------------------- unpaired (long)
@@ -366,17 +392,15 @@ def _normal_logpdf(x: float, mean: float, sd: float) -> float:
     return -0.5 * z * z - math.log(sd * math.sqrt(2 * math.pi))
 
 
-def _position_keys(al: GraphAlignment):
+def _position_keys(al: GraphAlignment) -> np.ndarray:
     """Column identity keys for per-position confidence accumulation
-    (positionID strings, processBAM.cpp:4188)."""
-    keys = []
-    i_nogap = -1
-    n_bases = int((al.seq_c != ord("_")).sum())
-    for j in range(al.n_columns):
-        if al.seq_c[j] != ord("_"):
-            i_nogap += 1
-            idx = (n_bases - i_nogap - 1) if al.reverse else i_nogap
-        else:
-            idx = -1
-        keys.append((int(al.graph_c[j]), int(al.levels[j]), al.reverse, idx))
-    return keys
+    (positionID strings, processBAM.cpp:4188), packed into int64:
+    (graph char, graph level, strand, read index)."""
+    seq_base = al.seq_c != ord("_")
+    i_nogap = np.cumsum(seq_base) - 1
+    n_bases = int(seq_base.sum())
+    idx = np.where(seq_base,
+                   (n_bases - i_nogap - 1) if al.reverse else i_nogap,
+                   -1).astype(np.int64)
+    return ((al.levels + 2) << 28) | ((idx + 2) << 10) | \
+        (al.graph_c.astype(np.int64) << 1) | int(al.reverse)

@@ -41,13 +41,20 @@ class GraphAlignment:
     def n_columns(self) -> int:
         return len(self.levels)
 
+    _first_level: int | None = None
+    _last_level: int | None = None
+
     def first_level(self) -> int:
-        m = self.levels[self.levels >= 0]
-        return int(m[0]) if len(m) else -1
+        if self._first_level is None:
+            m = self.levels[self.levels >= 0]
+            self._first_level = int(m[0]) if len(m) else -1
+            self._last_level = int(m[-1]) if len(m) else -1
+        return self._first_level
 
     def last_level(self) -> int:
-        m = self.levels[self.levels >= 0]
-        return int(m[-1]) if len(m) else -1
+        if self._last_level is None:
+            self.first_level()
+        return self._last_level
 
     def graph_str(self) -> str:
         return bytes(self.graph_c).decode()
@@ -75,61 +82,77 @@ class GraphAlignment:
         return out
 
 
-def project_linear_alignment(ops: list[tuple[int, int, int]],
-                             oriented_read: str, oriented_qual: str,
+def project_linear_alignment(ops, oriented_read: str, oriented_qual: str,
                              hap_seq: str, hap_levels: np.ndarray,
                              window_start: int, reverse: bool,
                              seq_idx: int) -> GraphAlignment | None:
-    """ops: banded-NW backtrace [(op, read_pos, window_ref_pos)];
-    absolute haplotype position = window_start + window_ref_pos."""
-    levels: list[int] = []
-    graph_c: list[int] = []
-    seq_c: list[int] = []
-    quals: list[int] = []
-    prev_hap_pos = None
-    rb = oriented_read.encode()
-    qb = oriented_qual.encode()
-    hb = hap_seq.encode()
-
-    for op, read_pos, ref_pos in ops:
-        if op == CIGAR_M or op == CIGAR_D:
-            p = window_start + ref_pos
-            if p < 0 or p >= len(hb):
-                return None
-            # intrinsic graph gaps: levels skipped between the previously
-            # emitted hap base and this one
-            if prev_hap_pos is not None:
-                lv_prev = int(hap_levels[prev_hap_pos])
-                lv_now = int(hap_levels[p])
-                for lv in range(lv_prev + 1, lv_now):
-                    levels.append(lv)
-                    graph_c.append(GAP)
-                    seq_c.append(GAP)
-                    quals.append(0)
-            levels.append(int(hap_levels[p]))
-            graph_c.append(hb[p])
-            if op == CIGAR_M:
-                seq_c.append(rb[read_pos])
-                quals.append(qb[read_pos])
-            else:
-                seq_c.append(GAP)
-                quals.append(0)
-            prev_hap_pos = p
-        else:  # insertion relative to the graph
-            levels.append(-1)
-            graph_c.append(GAP)
-            seq_c.append(rb[read_pos])
-            quals.append(qb[read_pos])
-
-    if not levels:
+    """ops: banded-NW backtrace [(op, read_pos, window_ref_pos)] (list or
+    [n, 3] int array); absolute haplotype position = window_start +
+    window_ref_pos.  Fully vectorised: intrinsic graph-gap columns ('_'/'_'
+    with real levels) are interleaved wherever the haplotype skips levels."""
+    ops_arr = np.asarray(ops, dtype=np.int64)
+    if ops_arr.size == 0:
         return None
+    op = ops_arr[:, 0]
+    read_pos = ops_arr[:, 1]
+    ref_pos = ops_arr[:, 2]
+    rb = np.frombuffer(oriented_read.encode(), dtype=np.uint8)
+    qb = np.frombuffer(oriented_qual.encode(), dtype=np.uint8)
+    hb = np.frombuffer(hap_seq.encode(), dtype=np.uint8)
+
+    is_md = op != CIGAR_I
+    p = window_start + ref_pos
+    if is_md.any():
+        pm = p[is_md]
+        if pm.min() < 0 or pm.max() >= len(hb):
+            return None
+        lv_md = hap_levels[pm]
+    else:
+        lv_md = np.zeros(0, dtype=np.int64)
+
+    # gap run before each op: for the k-th M/D op (k>0), levels skipped since
+    # the previous M/D op; insertions and the first M/D op get 0
+    gap_runs = np.zeros(len(op), dtype=np.int64)
+    md_idx = np.nonzero(is_md)[0]
+    if len(md_idx) > 1:
+        gap_runs[md_idx[1:]] = np.maximum(np.diff(lv_md) - 1, 0)
+    n_cols = int(gap_runs.sum()) + len(op)
+    offsets = np.cumsum(gap_runs + 1) - 1        # column index of each op
+
+    levels = np.full(n_cols, -1, dtype=np.int64)
+    graph_c = np.full(n_cols, GAP, dtype=np.uint8)
+    seq_c = np.full(n_cols, GAP, dtype=np.uint8)
+    quals = np.zeros(n_cols, dtype=np.uint8)
+
+    # gap columns: for op k with run g>0, columns offsets[k]-g .. offsets[k]-1
+    # carry levels lv_prev+1 .. lv_now-1 (graph '_', seq '_')
+    with_gaps = np.nonzero(gap_runs > 0)[0]
+    if len(with_gaps):
+        runs = gap_runs[with_gaps]
+        total = int(runs.sum())
+        # start level of each run = level of this op - run length
+        start_lv = hap_levels[p[with_gaps]] - runs
+        rep_start = np.repeat(start_lv, runs)
+        rep_off = np.repeat(offsets[with_gaps] - runs, runs)
+        within = np.arange(total) - np.repeat(np.cumsum(runs) - runs, runs)
+        levels[rep_off + within] = rep_start + within
+
+    # op columns
+    md_cols = offsets[is_md]
+    levels[md_cols] = lv_md
+    graph_c[md_cols] = hb[p[is_md]]
+    m_mask = op == CIGAR_M
+    m_cols = offsets[m_mask]
+    seq_c[m_cols] = rb[read_pos[m_mask]]
+    quals[m_cols] = qb[read_pos[m_mask]]
+    i_mask = op == CIGAR_I
+    i_cols = offsets[i_mask]
+    seq_c[i_cols] = rb[read_pos[i_mask]]
+    quals[i_cols] = qb[read_pos[i_mask]]
+
     return GraphAlignment(
-        levels=np.asarray(levels, dtype=np.int64),
-        graph_c=np.asarray(graph_c, dtype=np.uint8),
-        seq_c=np.asarray(seq_c, dtype=np.uint8),
-        seq_qual=np.asarray(quals, dtype=np.uint8),
-        reverse=reverse,
-        seq_idx=seq_idx,
+        levels=levels, graph_c=graph_c, seq_c=seq_c, seq_qual=quals,
+        reverse=reverse, seq_idx=seq_idx,
     )
 
 

@@ -18,11 +18,11 @@ import numpy as np
 from ..io.fastq import FastqRead
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+_COMP_TABLE = bytes.maketrans(b"ACGTacgtN", b"TGCAtgcaN")
 
 
 def revcomp(s: str) -> str:
-    return "".join(_COMPLEMENT.get(c, "N") for c in reversed(s))
+    return s.encode().translate(_COMP_TABLE)[::-1].decode()
 
 
 @dataclass

@@ -98,9 +98,10 @@ class ReadAligner:
                             jnp.asarray(refs_arr))
         return tuple(np.asarray(x) for x in out)
 
-    def _make_jobs(self, pair_idx: int, mate: int, read: FastqRead
-                   ) -> list[_Job]:
-        cands = self.seeder.candidates(read.seq)
+    def _make_jobs(self, pair_idx: int, mate: int, read: FastqRead,
+                   cands=None) -> list[_Job]:
+        if cands is None:
+            cands = self.seeder.candidates(read.seq)
         jobs = []
         for c in cands:
             if c.reverse:
@@ -158,7 +159,7 @@ class ReadAligner:
                 continue
             if native_bt is not None:
                 n_ops = int(native_bt[1][bi])
-                ops = [tuple(row) for row in native_bt[0][bi, :n_ops]]
+                ops = native_bt[0][bi, :n_ops]
             else:
                 ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
                                           int(end_k[bi]), int(end_state[bi]))
@@ -176,10 +177,12 @@ class ReadAligner:
     def align_pairs(self, pairs: list[tuple[FastqRead, FastqRead]],
                     insert_mean: float, insert_sd: float,
                     truth=None) -> list[AlignedPair]:
+        all_reads = [r for p in pairs for r in p]
+        all_cands = self.seeder.candidates_batch([r.seq for r in all_reads])
         jobs: list[_Job] = []
         for pi, (r1, r2) in enumerate(pairs):
-            jobs.extend(self._make_jobs(pi, 1, r1))
-            jobs.extend(self._make_jobs(pi, 2, r2))
+            jobs.extend(self._make_jobs(pi, 1, r1, all_cands[2 * pi]))
+            jobs.extend(self._make_jobs(pi, 2, r2, all_cands[2 * pi + 1]))
         alignments = self._jobs_to_alignments(jobs)
 
         per_pair: dict[int, tuple[list, list]] = {}
@@ -298,9 +301,10 @@ class ReadAligner:
                        ) -> list[GraphAlignment | None]:
         """alignOneLongRead equivalent: no pair model; mapQ from chain-LL
         posteriors (processBAM.cpp:3618-3839)."""
+        all_cands = self.seeder.candidates_batch([r.seq for r in reads])
         jobs: list[_Job] = []
         for pi, r in enumerate(reads):
-            jobs.extend(self._make_jobs(pi, 1, r))
+            jobs.extend(self._make_jobs(pi, 1, r, all_cands[pi]))
         alignments = self._jobs_to_alignments(jobs)
         per_read: dict[int, list[GraphAlignment]] = {}
         for j, al in zip(jobs, alignments):
@@ -342,9 +346,11 @@ class ReadAligner:
         jobs: list[_Job] = []
         job_slots: list[tuple[int, int]] = []
         sel = pairs[:max_pairs]
+        sel_reads = [r for p in sel for r in p]
+        sel_cands = self.seeder.candidates_batch([r.seq for r in sel_reads])
         for pi, (r1, r2) in enumerate(sel):
-            j1 = self._make_jobs(pi, 1, r1)[:1]
-            j2 = self._make_jobs(pi, 2, r2)[:1]
+            j1 = self._make_jobs(pi, 1, r1, sel_cands[2 * pi])[:1]
+            j2 = self._make_jobs(pi, 2, r2, sel_cands[2 * pi + 1])[:1]
             if j1 and j2:
                 jobs += j1 + j2
         als_all = self._jobs_to_alignments(jobs)

@@ -1,0 +1,219 @@
+"""Data-ops toolbox — equivalents of the reference's Perl/ scripts
+(SURVEY.md §2.2): downsampleBAM, reduceBAM2PRG, truthToVCF,
+amendSecondaryAlignmentSequences, analyseGeneCoverage, compareUtilizedReads.
+Batch-over-cohort drivers (applyToAllBAMs) live in validation.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .graph.package import GraphPackage
+from .io.bam import (BamReader, BamRecord, BamWriter, FLAG_SECONDARY,
+                     FLAG_SUPPLEMENTARY)
+
+
+def downsample_bam(in_path: str, out_path: str, fraction: float,
+                   seed: int = 0) -> tuple[int, int]:
+    """Keep each read *pair* with probability `fraction` (downsampleBAM.pl).
+    Name-hash based so both mates survive together.  Returns (kept, total)."""
+    rd = BamReader(in_path)
+    w = BamWriter(out_path, rd.references, rd.header_text)
+    rng_salt = np.uint64(seed * 2654435761 + 1)
+    kept = total = 0
+    for rec in rd:
+        total += 1
+        h = np.uint64(hash((rec.name, int(rng_salt))) & 0xFFFFFFFF)
+        if (int(h) % 10_000) / 10_000.0 < fraction:
+            w.write(rec)
+            kept += 1
+    w.close()
+    rd.close()
+    return kept, total
+
+
+def reduce_bam_to_prg(in_path: str, pkg: GraphPackage, out_path: str,
+                      more_reference_dirs: list[str] = ()) -> int:
+    """Keep only reads overlapping the PRG's known regions (+ unmapped)
+    (reduceBAM2PRG.pl).  Returns number of records written."""
+    from .io.bam import extract_reads
+    rd = BamReader(in_path)
+    contigs = rd.contigs()
+    rd.close()
+    spec = pkg.match_known_reference(contigs, list(more_reference_dirs))
+    regions = None
+    if spec is not None:
+        regions = []
+        for cid, rec in pkg.known_references(list(more_reference_dirs))[spec].items():
+            if rec.get("ExtractCompleteContig") in ("1", "yes"):
+                regions.append((cid, 0, 0))
+            elif rec.get("PartialExtraction_Start"):
+                regions.append((cid, int(rec["PartialExtraction_Start"]) - 1,
+                                int(rec["PartialExtraction_Stop"])))
+    by_name, _ = extract_reads(in_path, regions)
+    rd = BamReader(in_path)
+    w = BamWriter(out_path, rd.references, rd.header_text)
+    n = 0
+    for recs in by_name.values():
+        for r in recs:
+            w.write(r)
+            n += 1
+    w.close()
+    rd.close()
+    return n
+
+
+def amend_secondary_alignment_sequences(in_path: str, out_path: str) -> int:
+    """Fill SEQ/QUAL of secondary records from the primary record of the same
+    read (amendSecondaryAlignmentSequences.pl; bwa writes secondary records
+    with '*' sequences).  Returns number amended."""
+    rd = BamReader(in_path)
+    primaries: dict[tuple[str, bool], BamRecord] = {}
+    records = list(rd)
+    for r in records:
+        if not (r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) and r.seq:
+            primaries[(r.name, r.is_read1)] = r
+    w = BamWriter(out_path, rd.references, rd.header_text)
+    amended = 0
+    from .sim.read_sim import revcomp
+    for r in records:
+        if (r.flag & FLAG_SECONDARY) and not r.seq:
+            p = primaries.get((r.name, r.is_read1))
+            if p is not None:
+                seq, qual = p.seq, p.qual
+                if p.is_reverse != r.is_reverse:
+                    seq = revcomp(seq)
+                    qual = qual[::-1]
+                r.seq = seq
+                r.qual = qual
+                amended += 1
+        w.write(r)
+    w.close()
+    rd.close()
+    return amended
+
+
+def truth_to_vcf(reference_row: str, hap1: str, hap2: str, contig: str,
+                 out_path: str) -> int:
+    """Aligned haplotype rows (gapped MSA, '_' = gap) vs the reference row ->
+    minimal VCF of SNPs and indels (truthToVCF.pl role).  Returns number of
+    records."""
+    assert len(reference_row) == len(hap1) == len(hap2)
+    n = 0
+    with open(out_path, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write(f"##contig=<ID={contig}>\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                 "SAMPLE\n")
+        L = len(reference_row)
+        ref_before = 0   # ref bases consumed before column i
+        i = 0
+        while i < L:
+            concordant = (reference_row[i] == hap1[i] == hap2[i])
+            if concordant:
+                if reference_row[i] != "_":
+                    ref_before += 1
+                i += 1
+                continue
+            # variant run: until the next fully-concordant non-gap column
+            j = i
+            while j < L and not (reference_row[j] == hap1[j] == hap2[j]
+                                 != "_"):
+                j += 1
+            run_ref = reference_row[i:j].replace("_", "")
+            run_a1 = hap1[i:j].replace("_", "")
+            run_a2 = hap2[i:j].replace("_", "")
+            pos = ref_before + 1       # 1-based start of run in ref coords
+            if not run_ref or not run_a1 or not run_a2:
+                # indel: left-anchor with N (no access to flanking base here)
+                run_ref = "N" + run_ref
+                run_a1 = "N" + run_a1
+                run_a2 = "N" + run_a2
+            alts: list[str] = []
+            gt = []
+            for a in (run_a1, run_a2):
+                if a == run_ref:
+                    gt.append("0")
+                else:
+                    if a not in alts:
+                        alts.append(a)
+                    gt.append(str(alts.index(a) + 1))
+            fh.write(f"{contig}\t{pos}\t.\t{run_ref}\t"
+                     f"{','.join(alts) if alts else '.'}\t.\tPASS\t.\tGT\t"
+                     f"{gt[0]}|{gt[1]}\n")
+            n += 1
+            ref_before += len(reference_row[i:j].replace("_", ""))
+            i = j
+        return n
+
+
+def analyse_gene_coverage(output_dir: str) -> dict[str, dict]:
+    """Per-gene coverage summary from R1_pileup_<locus>.txt files
+    (analyseGeneCoverage.pl role)."""
+    out = {}
+    for fn in sorted(os.listdir(output_dir)):
+        if not fn.startswith("R1_pileup_") or not fn.endswith(".txt"):
+            continue
+        locus = fn[len("R1_pileup_"):-4]
+        covs = []
+        with open(os.path.join(output_dir, fn)) as fh:
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if len(f) >= 3:
+                    covs.append(int(f[2]))
+        if covs:
+            arr = np.asarray(covs)
+            out[locus] = dict(mean=float(arr.mean()),
+                              median=float(np.median(arr)),
+                              minimum=int(arr.min()),
+                              zero_columns=int((arr == 0).sum()),
+                              n_columns=len(arr))
+    return out
+
+
+def compare_utilized_reads(dir_a: str, dir_b: str) -> dict[str, dict]:
+    """Diff the R1_readIDs_<locus>.txt files of two runs
+    (compareUtilizedReads.pl role)."""
+    def load(d):
+        out = {}
+        for fn in os.listdir(d):
+            if fn.startswith("R1_readIDs_") and fn.endswith(".txt"):
+                locus = fn[len("R1_readIDs_"):-4]
+                with open(os.path.join(d, fn)) as fh:
+                    out[locus] = {l.strip() for l in fh if l.strip()}
+        return out
+
+    a = load(dir_a)
+    b = load(dir_b)
+    report = {}
+    for locus in sorted(set(a) | set(b)):
+        sa = a.get(locus, set())
+        sb = b.get(locus, set())
+        report[locus] = dict(only_a=len(sa - sb), only_b=len(sb - sa),
+                             shared=len(sa & sb))
+    return report
+
+
+def extract_kmer_counts(reads, exon_sequences: dict[str, str],
+                        k: int = 31) -> dict[str, dict[str, int]]:
+    """Per-exon k-mer counts over input reads (extractkMerCounts.pl role,
+    HLA-LA.pl:543-552): for each named exon sequence, how often each of its
+    k-mers occurs in the read set."""
+    from .models.typer import _canonical
+    read_counts: dict[str, int] = {}
+    for r in reads:
+        s = r.seq if hasattr(r, "seq") else r
+        for i in range(len(s) - k + 1):
+            mer = _canonical(s[i:i + k])
+            read_counts[mer] = read_counts.get(mer, 0) + 1
+    out: dict[str, dict[str, int]] = {}
+    for name, seq in exon_sequences.items():
+        seq = seq.replace("_", "")
+        counts = {}
+        for i in range(len(seq) - k + 1):
+            mer = seq[i:i + k]
+            counts[mer] = read_counts.get(_canonical(mer), 0)
+        out[name] = counts
+    return out

@@ -1,0 +1,102 @@
+"""Toolbox tests (Perl/ script equivalents)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.io.bam import (BamReader, BamRecord, BamWriter, FLAG_PAIRED,
+                               FLAG_READ1, FLAG_SECONDARY)
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.tools import (amend_secondary_alignment_sequences,
+                              analyse_gene_coverage, compare_utilized_reads,
+                              downsample_bam, extract_kmer_counts,
+                              reduce_bam_to_prg, truth_to_vcf)
+
+
+def _mk(name, seq, pos=0, flag=0, ref_id=0, qual=None):
+    return BamRecord(name=name, flag=flag, ref_id=ref_id, pos=pos, mapq=60,
+                     cigar=[(len(seq), 0)] if seq else [], seq=seq,
+                     qual=qual if qual is not None else "I" * len(seq))
+
+
+def test_downsample(tmp_path):
+    src = str(tmp_path / "in.bam")
+    w = BamWriter(src, [("c", 1000)])
+    for i in range(500):
+        w.write(_mk(f"r{i}", "ACGT"))
+    w.close()
+    out = str(tmp_path / "out.bam")
+    kept, total = downsample_bam(src, out, 0.5, seed=1)
+    assert total == 500
+    assert 150 < kept < 350
+    assert len(list(BamReader(out))) == kept
+
+
+def test_reduce_bam_to_prg(tmp_path, rng):
+    sim = simulate_prg_package(rng, backbone_length=600)
+    pkg = sim.write_package(str(tmp_path / "pkg"), compile_now=False)
+    with open(os.path.join(pkg.dir, "knownReferences", "k.txt"), "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write("chr6\t5000\t\t1000\t2000\n")
+        fh.write("chr7\t5000\t0\t\t\n")
+    src = str(tmp_path / "in.bam")
+    w = BamWriter(src, [("chr6", 5000), ("chr7", 5000)])
+    w.write(_mk("in_region", "ACGTACGT", pos=1500))
+    w.write(_mk("out_region", "ACGTACGT", pos=3000))
+    w.write(_mk("other_contig", "ACGTACGT", pos=1500, ref_id=1))
+    w.close()
+    out = str(tmp_path / "red.bam")
+    n = reduce_bam_to_prg(src, pkg, out)
+    names = {r.name for r in BamReader(out)}
+    assert names == {"in_region"}
+    assert n == 1
+
+
+def test_amend_secondary(tmp_path):
+    src = str(tmp_path / "s.bam")
+    w = BamWriter(src, [("c", 1000)])
+    w.write(_mk("r1", "ACGTACGT", flag=FLAG_PAIRED | FLAG_READ1))
+    w.write(_mk("r1", "", flag=FLAG_PAIRED | FLAG_READ1 | FLAG_SECONDARY,
+                qual=""))
+    w.close()
+    out = str(tmp_path / "a.bam")
+    n = amend_secondary_alignment_sequences(src, out)
+    assert n == 1
+    recs = list(BamReader(out))
+    assert recs[1].seq == "ACGTACGT"
+
+
+def test_truth_to_vcf(tmp_path):
+    ref = "ACGT_ACGTAC"
+    h1 = "ACTT_ACGTAC"   # SNP at ref pos 3
+    h2 = "ACGTTACGTAC"   # insertion after ref pos 4
+    out = str(tmp_path / "t.vcf")
+    n = truth_to_vcf(ref, h1, h2, "chr6", out)
+    lines = [l for l in open(out) if not l.startswith("#")]
+    assert n == len(lines) == 2
+    f0 = lines[0].split("\t")
+    assert f0[1] == "3" and f0[3] == "G" and "T" in f0[4]
+
+
+def test_coverage_and_read_compare(tmp_path):
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+    (d1 / "R1_pileup_A.txt").write_text("0\t0\t5\n0\t1\t7\n0\t2\t0\n")
+    (d1 / "R1_readIDs_A.txt").write_text("r1\nr2\n")
+    (d2 / "R1_readIDs_A.txt").write_text("r2\nr3\n")
+    cov = analyse_gene_coverage(str(d1))
+    assert cov["A"]["n_columns"] == 3
+    assert cov["A"]["zero_columns"] == 1
+    rep = compare_utilized_reads(str(d1), str(d2))
+    assert rep["A"] == dict(only_a=1, only_b=1, shared=1)
+
+
+def test_extract_kmer_counts():
+    exon = {"A_exon2": "ACGTACGTACGTACGTACGTACGTACGTACGTACG"}
+    reads = [exon["A_exon2"][:33], exon["A_exon2"][2:]]
+    counts = extract_kmer_counts(reads, exon, k=31)
+    assert any(v > 0 for v in counts["A_exon2"].values())

@@ -51,18 +51,25 @@ def main():
     pairs_sim = []
     for h in (1, 2):
         seq, levels = sim.linearized(h)
-        pairs_sim += rs.simulate_pairs_from_string(seq, levels, 18.0,
+        pairs_sim += rs.simulate_pairs_from_string(seq, levels, 60.0,
                                                    name_prefix=f"h{h}")
     fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs_sim]
     print(f"# {len(fq)} simulated read pairs", file=sys.stderr, flush=True)
 
     use_jax = backend == "tpu"
-    aligner = ReadAligner(pkg, use_jax=use_jax)
+    n_workers = min(os.cpu_count() or 1, 8)
+    if n_workers > 1:
+        from hla_la_tpu.models.parallel_host import ParallelAligner
+        engine = ParallelAligner(pkg.dir, n_workers)
+        print(f"# {n_workers} host worker processes", file=sys.stderr,
+              flush=True)
+    else:
+        engine = ReadAligner(pkg, use_jax=use_jax)
 
-    # warmup (compiles the NW program; first axon compile is slow)
+    # warmup (worker init / NW compile)
     warm = fq[:64]
     t0 = time.time()
-    aligner.align_pairs(warm, 118, 35)
+    engine.align_pairs(warm, 118, 35)
     print(f"# warmup/compile: {time.time() - t0:.1f}s", file=sys.stderr,
           flush=True)
 
@@ -72,7 +79,7 @@ def main():
         truth.truth[p.r2.name + "/2"] = p.r2.levels
 
     t0 = time.time()
-    aligned = aligner.align_pairs(fq, 118, 35, truth=truth)
+    aligned = engine.align_pairs(fq, 118, 35, truth=truth)
     dt = time.time() - t0
     n_reads = 2 * len(fq)
     rps = n_reads / dt
@@ -80,8 +87,9 @@ def main():
     print(f"# aligned {len(aligned)}/{len(fq)} pairs in {dt:.2f}s, "
           f"truth accuracy {acc:.4f}", file=sys.stderr, flush=True)
 
-    # kernel-level diagnostics
-    if use_jax:
+    # kernel-level diagnostics (slow first compile through the tunnel;
+    # enable with HLA_BENCH_KERNELS=1)
+    if use_jax and os.environ.get("HLA_BENCH_KERNELS"):
         try:
             from hla_la_tpu.ops.pallas_pair import pair_ll_reduction_pallas
             C, R = 1024, 2048

@@ -63,16 +63,24 @@ def run_hla_typing(pkg: GraphPackage,
         insert_mean, insert_sd = aligner.estimate_insert_size(pairs)
         log_progress(f"insert size estimate: mean {insert_mean}, sd {insert_sd}")
 
+    par = None
+    if cfg.max_threads > 1 and (len(pairs) + len(unpaired)) > 512:
+        from .parallel_host import ParallelAligner
+        log_progress(f"aligning with {cfg.max_threads} worker processes")
+        par = ParallelAligner(pkg.dir, cfg.max_threads,
+                              long_reads=cfg.long_reads)
+
     aligned_pairs: list[AlignedPair] = []
     kept_pairs: list[tuple[FastqRead, FastqRead]] = []
     aligned_unpaired = []
     kept_unpaired: list[FastqRead] = []
     bs = cfg.batch_size
     with Timer("align") as t:
+        engine = par if par is not None else aligner
         for lo in range(0, len(pairs), bs):
             batch = pairs[lo:lo + bs]
-            out = aligner.align_pairs(batch, insert_mean, insert_sd,
-                                      truth=truth)
+            out = engine.align_pairs(batch, insert_mean, insert_sd,
+                                     truth=truth)
             by_id = {p.read_id: p for p in out}
             for pr in batch:
                 ap = by_id.get(pr[0].name)
@@ -81,11 +89,13 @@ def run_hla_typing(pkg: GraphPackage,
                     kept_pairs.append(pr)
         for lo in range(0, len(unpaired), bs):
             batch = unpaired[lo:lo + bs]
-            out = aligner.align_unpaired(batch, truth=truth)
+            out = engine.align_unpaired(batch, truth=truth)
             for r, al in zip(batch, out):
                 if al is not None:
                     aligned_unpaired.append(al)
                     kept_unpaired.append(r)
+    if par is not None:
+        par.close()
     n_reads = 2 * len(pairs) + len(unpaired)
     rps = t.rate(n_reads)
     log_progress(f"aligned {len(aligned_pairs)}/{len(pairs)} pairs + "

@@ -32,6 +32,27 @@ from .compile import CompiledPRG, compile_prg
 from .prg import PRG
 
 
+class LevelIndex:
+    """Maps a graph level to its position on each underlying linearized
+    sequence (dict-like: `index.get(level)` -> {prg_id: pos} or None)."""
+
+    def __init__(self, translations: dict[int, np.ndarray]):
+        self.translations = translations
+
+    def get(self, level: int, default=None):
+        out = None
+        for sid, t in self.translations.items():
+            i = int(np.searchsorted(t, level))
+            if i < len(t) and t[i] == level:
+                if out is None:
+                    out = {}
+                out[sid] = i
+        return out if out is not None else default
+
+    def __contains__(self, level: int) -> bool:
+        return self.get(level) is not None
+
+
 @dataclass
 class SequenceInfo:
     prg_id: int
@@ -158,17 +179,17 @@ class GraphPackage:
             self._translations[prg_id] = np.loadtxt(path, dtype=np.int64, ndmin=1)
         return self._translations[prg_id]
 
-    def level_to_seqpos(self) -> dict[int, dict[int, int]]:
-        """graph level -> {prg_id: position} inverse maps, used for
-        insert-size distances in underlying-sequence coordinates
-        (graphLevel_2_underlyingSequencePositions, processBAM.cpp:3434)."""
+    def level_to_seqpos(self) -> "LevelIndex":
+        """graph level -> {prg_id: position} lookups, used for insert-size
+        distances in underlying-sequence coordinates
+        (graphLevel_2_underlyingSequencePositions, processBAM.cpp:3434).
+        Backed by per-sequence searchsorted over the (strictly increasing)
+        translation arrays — O(#sequences · log L) per query and no
+        per-level python dict (the real MHC graph has ~3.3M levels)."""
         if self._level_to_seqpos is None:
-            m: dict[int, dict[int, int]] = {}
-            for s in self.sequences():
-                t = self.translation(s.prg_id)
-                for pos, lv in enumerate(t.tolist()):
-                    m.setdefault(lv, {})[s.prg_id] = pos
-            self._level_to_seqpos = m
+            self._level_to_seqpos = LevelIndex(
+                {s.prg_id: self.translation(s.prg_id)
+                 for s in self.sequences()})
         return self._level_to_seqpos
 
     def prg_fasta(self) -> dict[str, str]:

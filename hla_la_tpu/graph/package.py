@@ -34,12 +34,30 @@ from .prg import PRG
 
 class LevelIndex:
     """Maps a graph level to its position on each underlying linearized
-    sequence (dict-like: `index.get(level)` -> {prg_id: pos} or None)."""
+    sequence (dict-like: `index.get(level)` -> {prg_id: pos} or None).
+    Small graphs are fully materialised; big graphs use per-query
+    searchsorted with an LRU cache (anchor levels repeat heavily)."""
 
-    def __init__(self, translations: dict[int, np.ndarray]):
+    def __init__(self, translations: dict[int, np.ndarray],
+                 materialize_limit: int = 5_000_000):
         self.translations = translations
+        total = sum(len(t) for t in translations.values())
+        self._dense: dict[int, dict[int, int]] | None = None
+        if total <= materialize_limit:
+            dense: dict[int, dict[int, int]] = {}
+            for sid, t in translations.items():
+                for pos, lv in enumerate(t.tolist()):
+                    dense.setdefault(int(lv), {})[sid] = pos
+            self._dense = dense
+        self._cache: dict[int, dict[int, int] | None] = {}
 
     def get(self, level: int, default=None):
+        if self._dense is not None:
+            return self._dense.get(level, default)
+        level = int(level)
+        if level in self._cache:
+            out = self._cache[level]
+            return out if out is not None else default
         out = None
         for sid, t in self.translations.items():
             i = int(np.searchsorted(t, level))
@@ -47,6 +65,9 @@ class LevelIndex:
                 if out is None:
                     out = {}
                 out[sid] = i
+        if len(self._cache) > 200_000:
+            self._cache.clear()
+        self._cache[level] = out
         return out if out is not None else default
 
     def __contains__(self, level: int) -> bool:

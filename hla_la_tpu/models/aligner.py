@@ -73,6 +73,15 @@ class ReadAligner:
                           for s in self.hap_seqs]
         self.hap_levels = [pkg.translation(s.prg_id) for s in self.seq_infos]
         self.prg_ids = [s.prg_id for s in self.seq_infos]
+        # concatenated haplotype arrays for batched projection
+        self.hap_lens = np.asarray([len(h) for h in self.hap_codes],
+                                   dtype=np.int64)
+        self.hap_offsets = np.concatenate(
+            [[0], np.cumsum(self.hap_lens)])[:-1]
+        self.hap_codes_cat = (np.concatenate(self.hap_codes)
+                              if self.hap_codes else np.zeros(0, np.uint8))
+        self.hap_levels_cat = (np.concatenate(self.hap_levels)
+                               if self.hap_levels else np.zeros(0, np.int64))
         self.index = KmerIndex.build(dict(zip(self.hap_names, self.hap_seqs)),
                                      k=kmer_k)
         self.seeder = Seeder(self.index)
@@ -128,12 +137,21 @@ class ReadAligner:
         if self.use_jax:
             B = max(64, 1 << (B - 1).bit_length())
         reads_arr = np.full((B, L), 4, dtype=np.uint8)
+        reads_ascii = np.zeros((B, L), dtype=np.uint8)
+        quals_ascii = np.zeros((B, L), dtype=np.uint8)
         lens_arr = np.zeros(B, dtype=np.int64)
         refs_arr = np.full((B, L + W), 4, dtype=np.uint8)
+        job_seq = np.zeros(B, dtype=np.int64)
+        win_start = np.zeros(B, dtype=np.int64)
+        reverse_arr = np.zeros(B, dtype=bool)
+        prg_id_arr = np.zeros(B, dtype=np.int64)
         for bi, j in enumerate(jobs):
             rl = len(j.oriented_seq)
-            reads_arr[bi, :rl] = _ENC[np.frombuffer(j.oriented_seq.encode(),
-                                                    dtype=np.uint8)]
+            rb = np.frombuffer(j.oriented_seq.encode(), dtype=np.uint8)
+            reads_arr[bi, :rl] = _ENC[rb]
+            reads_ascii[bi, :rl] = rb
+            quals_ascii[bi, :rl] = np.frombuffer(j.oriented_qual.encode(),
+                                                 dtype=np.uint8)
             lens_arr[bi] = rl
             hap = self.hap_codes[j.cand_seq]
             lo = j.window_start
@@ -142,27 +160,43 @@ class ReadAligner:
             src_hi = min(hi, len(hap))
             if src_hi > src_lo:
                 refs_arr[bi, src_lo - lo:src_hi - lo] = _ENC[hap[src_lo:src_hi]]
+            job_seq[bi] = j.cand_seq
+            win_start[bi] = j.window_start
+            reverse_arr[bi] = j.reverse
+            prg_id_arr[bi] = self.prg_ids[j.cand_seq]
         scores, end_k, end_state, pointers = self._run_nw(
             reads_arr, lens_arr, refs_arr)
         self.stats.n_chain_extensions += len(jobs)
 
-        native_bt = None
         from .. import native
+        native_bt = None
         if native.available():
             native_bt = native.nw_backtrace_batch(pointers, lens_arr,
                                                   end_k, end_state)
+        if native_bt is not None:
+            from .alignment import project_and_score_batch
+            ops_b, n_ops_b = native_bt
+            nb = len(jobs)
+            n_ops_b = n_ops_b.astype(np.int64).copy()
+            n_ops_b[scores[:B] <= -1e29] = 0
+            out = project_and_score_batch(
+                ops_b[:nb], n_ops_b[:nb], job_seq[:nb], win_start[:nb],
+                reads_ascii[:nb], quals_ascii[:nb],
+                self.hap_codes_cat, self.hap_levels_cat, self.hap_offsets,
+                self.hap_lens, reverse_arr[:nb], prg_id_arr[:nb],
+                self.long_reads)
+            for al, j in zip(out, jobs):
+                if al is not None:
+                    al.from_first_read = (j.mate == 1)
+            return out
 
         out: list[GraphAlignment | None] = []
         for bi, j in enumerate(jobs):
             if scores[bi] <= -1e29:
                 out.append(None)
                 continue
-            if native_bt is not None:
-                n_ops = int(native_bt[1][bi])
-                ops = native_bt[0][bi, :n_ops]
-            else:
-                ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
-                                          int(end_k[bi]), int(end_state[bi]))
+            ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
+                                      int(end_k[bi]), int(end_state[bi]))
             al = project_linear_alignment(
                 ops, j.oriented_seq, j.oriented_qual,
                 self.hap_seqs[j.cand_seq], self.hap_levels[j.cand_seq],

@@ -156,6 +156,147 @@ def project_linear_alignment(ops, oriented_read: str, oriented_qual: str,
     )
 
 
+def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
+                            job_seq: np.ndarray, window_start: np.ndarray,
+                            reads_ascii: np.ndarray, quals_ascii: np.ndarray,
+                            hap_codes_cat: np.ndarray,
+                            hap_levels_cat: np.ndarray,
+                            hap_offsets: np.ndarray, hap_lens: np.ndarray,
+                            reverse: np.ndarray, prg_ids: np.ndarray,
+                            long_read_mode: bool
+                            ) -> list[GraphAlignment | None]:
+    """Vectorised projection + scoring for a whole job batch.
+
+    ops: [B, max_ops, 3] backtrace (op, read_pos, window_ref_pos); n_ops [B].
+    job_seq: [B] haplotype index per job; hap_*_cat are the concatenated
+    haplotype code/level arrays with [S+1] offsets and [S] lengths.
+    Returns one GraphAlignment (viewing shared column arrays) per job, or
+    None for empty/out-of-range jobs.  Semantics identical to
+    project_linear_alignment + score_alignment per job.
+    """
+    B, max_ops, _ = ops.shape
+    valid = np.arange(max_ops)[None, :] < n_ops[:, None]
+    job_f, k_f = np.nonzero(valid)             # sorted by job, then op order
+    if len(job_f) == 0:
+        return [None] * B
+    op_f = ops[job_f, k_f, 0]
+    read_pos_f = ops[job_f, k_f, 1]
+    ref_pos_f = ops[job_f, k_f, 2]
+
+    seq_f = job_seq[job_f]
+    p_local = window_start[job_f] + ref_pos_f
+    is_md = op_f != CIGAR_I
+
+    # job validity: all M/D hap positions in range
+    md_ok = (~is_md) | ((p_local >= 0) & (p_local < hap_lens[seq_f]))
+    bad_jobs = np.zeros(B, dtype=bool)
+    np.logical_or.at(bad_jobs, job_f, ~md_ok)
+    bad_jobs |= n_ops == 0
+    keep_f = ~bad_jobs[job_f]
+    job_f, op_f, read_pos_f, ref_pos_f, seq_f, p_local, is_md = (
+        a[keep_f] for a in (job_f, op_f, read_pos_f, ref_pos_f, seq_f,
+                            p_local, is_md))
+    if len(job_f) == 0:
+        return [None] * B
+
+    p_global = hap_offsets[seq_f] + p_local
+    lv_op = np.zeros(len(job_f), dtype=np.int64)
+    lv_op[is_md] = hap_levels_cat[p_global[is_md]]
+
+    # gap run before each M/D op (reset at job boundaries)
+    gap_runs = np.zeros(len(job_f), dtype=np.int64)
+    md_pos = np.nonzero(is_md)[0]
+    if len(md_pos) > 1:
+        lv_md = lv_op[md_pos]
+        same_job = job_f[md_pos[1:]] == job_f[md_pos[:-1]]
+        g = np.maximum(np.diff(lv_md) - 1, 0)
+        gap_runs[md_pos[1:]] = np.where(same_job, g, 0)
+
+    col_counts = gap_runs + 1
+    col_offsets = np.cumsum(col_counts) - 1      # column index of each op
+    total_cols = int(col_counts.sum())
+
+    levels = np.full(total_cols, -1, dtype=np.int64)
+    graph_c = np.full(total_cols, GAP, dtype=np.uint8)
+    seq_c = np.full(total_cols, GAP, dtype=np.uint8)
+    qual_c = np.zeros(total_cols, dtype=np.uint8)
+
+    with_gaps = np.nonzero(gap_runs > 0)[0]
+    if len(with_gaps):
+        runs = gap_runs[with_gaps]
+        total = int(runs.sum())
+        start_lv = lv_op[with_gaps] - runs
+        rep_start = np.repeat(start_lv, runs)
+        rep_off = np.repeat(col_offsets[with_gaps] - runs, runs)
+        within = np.arange(total) - np.repeat(np.cumsum(runs) - runs, runs)
+        levels[rep_off + within] = rep_start + within
+
+    md_cols = col_offsets[is_md]
+    levels[md_cols] = lv_op[is_md]
+    graph_c[md_cols] = hap_codes_cat[p_global[is_md]]
+    consumes_read = op_f != CIGAR_D
+    cr_cols = col_offsets[consumes_read]
+    seq_c[cr_cols] = reads_ascii[job_f[consumes_read],
+                                 read_pos_f[consumes_read]]
+    qual_c[cr_cols] = quals_ascii[job_f[consumes_read],
+                                  read_pos_f[consumes_read]]
+
+    # ---- scoring (scoreOneAlignment, vectorised over all columns)
+    p_err = 0.075 if long_read_mode else 0.001
+    log_ins = np.log(p_err) + np.log(0.25)
+    log_del = np.log(p_err)
+    log_mm = np.log(1.0 - 2 * p_err)
+    table = phred_to_p_correct_table(conservative_cap=0.999, floor=1e-5)
+    p_corr = table[qual_c]
+    sgap = seq_c == GAP
+    ggap = graph_c == GAP
+    ll_col = np.zeros(total_cols)
+    ins_m = (~sgap) & ggap
+    ll_col[ins_m] = log_ins
+    both = (~sgap) & (~ggap)
+    mt = both & (seq_c == graph_c)
+    mm = both & (seq_c != graph_c)
+    ll_col[mt] = log_mm + np.log(p_corr[mt])
+    ll_col[mm] = log_mm + np.log((1.0 - p_corr[mm]) / 3.0)
+    ll_col[sgap & (~ggap)] = log_del
+
+    job_of_col = np.repeat(job_f, col_counts)
+    ll_per_job = np.bincount(job_of_col, weights=ll_col, minlength=B)
+    cols_per_job = np.bincount(job_of_col, minlength=B)
+    job_col_start = np.concatenate([[0], np.cumsum(cols_per_job)])[:-1]
+
+    # first/last level per job from M/D levels (nondecreasing within job)
+    first_lv = np.full(B, -1, dtype=np.int64)
+    last_lv = np.full(B, -1, dtype=np.int64)
+    md_jobs = job_f[is_md]
+    if len(md_jobs):
+        lv_md_all = lv_op[is_md]
+        # first occurrence per job (md order is job-sorted)
+        firsts = np.concatenate([[0], np.nonzero(np.diff(md_jobs))[0] + 1])
+        first_lv[md_jobs[firsts]] = lv_md_all[firsts]
+        lasts = np.concatenate([np.nonzero(np.diff(md_jobs))[0],
+                                [len(md_jobs) - 1]])
+        last_lv[md_jobs[lasts]] = lv_md_all[lasts]
+
+    out: list[GraphAlignment | None] = []
+    for b in range(B):
+        if bad_jobs[b] or cols_per_job[b] == 0:
+            out.append(None)
+            continue
+        s = int(job_col_start[b])
+        e = s + int(cols_per_job[b])
+        al = GraphAlignment(
+            levels=levels[s:e], graph_c=graph_c[s:e], seq_c=seq_c[s:e],
+            seq_qual=qual_c[s:e], reverse=bool(reverse[b]),
+            seq_idx=int(prg_ids[b]),
+        )
+        al._first_level = int(first_lv[b])
+        al._last_level = int(last_lv[b])
+        al.log_likelihood = float(ll_per_job[b])
+        out.append(al)
+    return out
+
+
 def score_alignment(al: GraphAlignment, long_read_mode: bool = False) -> float:
     """Per-column alignment log-likelihood — faithful vectorised port of
     extensionAligner::scoreOneAlignment (extensionAligner.cpp:52-185):

@@ -225,6 +225,17 @@ class ReadAligner:
                 continue
             slot = per_pair.setdefault(j.pair_idx, ([], []))
             slot[0 if j.mate == 1 else 1].append(al)
+        # dedup chains that project to the same PRG span, keeping the best
+        # likelihood (skipIdenticalCoordinates, processBAM.cpp:3233-3246)
+        for slot in per_pair.values():
+            for m in (0, 1):
+                best: dict[tuple, GraphAlignment] = {}
+                for al in slot[m]:
+                    key = (al.first_level(), al.last_level(), al.reverse)
+                    cur = best.get(key)
+                    if cur is None or al.log_likelihood > cur.log_likelihood:
+                        best[key] = al
+                slot[m][:] = list(best.values())
 
         out: list[AlignedPair] = []
         insert_sd = max(insert_sd, 1e-6)

@@ -41,6 +41,11 @@ def _find_lib():
             lib.hla_nw_backtrace_batch.restype = None
             lib.hla_nw_backtrace_batch.argtypes = [
                 vp, i64, i64, i64, vp, vp, vp, vp, i64, vp]
+            f32 = ctypes.c_float
+            lib.hla_nw_forward.restype = None
+            lib.hla_nw_forward.argtypes = [
+                vp, vp, vp, i64, i64, i64, f32, f32, f32, f32,
+                vp, vp, vp, vp, ctypes.c_int]
             lib.hla_free.restype = None
             lib.hla_free.argtypes = [vp]
             _LIB = lib
@@ -106,6 +111,31 @@ def bam_parse_packed(record_stream: bytes):
         c(arrs["cigar_off"]), c(arrs["cigar_buf"]))
     arrs["n"] = int(got)
     return arrs
+
+
+def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
+               match: float, mismatch: float, gap_open: float,
+               gap_extend: float, n_threads: int = 1):
+    """C++ banded NW forward (exact port of banded_nw_forward).  Returns
+    (scores, end_k, end_state, pointers) or None if the lib is missing."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    B, L = reads.shape
+    W = refs.shape[1] - L
+    reads_c = np.ascontiguousarray(reads, dtype=np.uint8)
+    refs_c = np.ascontiguousarray(refs, dtype=np.uint8)
+    lens_c = np.ascontiguousarray(lens, dtype=np.int64)
+    scores = np.empty(B, dtype=np.float32)
+    end_k = np.empty(B, dtype=np.int32)
+    end_state = np.empty(B, dtype=np.int32)
+    pointers = np.empty((B, L + 1, W), dtype=np.uint8)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_nw_forward(c(reads_c), c(lens_c), c(refs_c), B, L, W,
+                       match, mismatch, gap_open, gap_extend,
+                       c(scores), c(end_k), c(end_state), c(pointers),
+                       n_threads)
+    return scores, end_k, end_state, pointers
 
 
 def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,

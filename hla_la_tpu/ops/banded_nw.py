@@ -57,7 +57,8 @@ def _substitution(read_col: np.ndarray, ref_col: np.ndarray,
 
 
 def banded_nw_forward(reads: np.ndarray, read_lens: np.ndarray,
-                      refs: np.ndarray, sc: NWScoring = NWScoring()
+                      refs: np.ndarray, sc: NWScoring = NWScoring(),
+                      use_native: bool = True
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Forward DP.
 
@@ -66,7 +67,15 @@ def banded_nw_forward(reads: np.ndarray, read_lens: np.ndarray,
     refs: [B, L + W] uint8 window codes (>=4 pad); W inferred as refs.shape[1]-L
     Returns (final_scores [B], final_k [B], final_state [B],
              pointers [B, L+1, W] uint8).
+    Dispatches to the C++ kernel (native/hla_native.cpp) when built.
     """
+    if use_native:
+        from .. import native
+        out = native.nw_forward(reads, read_lens, refs, sc.match,
+                                sc.mismatch, sc.gap_open, sc.gap_extend) \
+            if native.available() else None
+        if out is not None:
+            return out
     B, L = reads.shape
     W = refs.shape[1] - L
     assert W >= 2

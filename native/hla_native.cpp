@@ -234,3 +234,82 @@ void hla_nw_backtrace_batch(const uint8_t* pointers, int64_t B, int64_t L,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- NW forward
+// Banded glocal affine NW forward pass — exact port of
+// ops/banded_nw.py::banded_nw_forward (same scores, pointers, tie-breaks).
+// reads: [B, L] codes 0-3 (>=4 pad); refs: [B, L+W]; outputs:
+// scores/end_k/end_state [B], pointers [B, L+1, W].
+extern "C" void hla_nw_forward(
+    const uint8_t* reads, const int64_t* lens, const uint8_t* refs,
+    int64_t B, int64_t L, int64_t W,
+    float s_match, float s_mismatch, float s_open, float s_ext,
+    float* out_scores, int32_t* out_k, int32_t* out_state,
+    uint8_t* out_ptr, int n_threads) {
+    const float NEGF = -1e30f;
+    int nt = n_threads > 0 ? n_threads : 1;
+    std::vector<std::thread> threads;
+    auto work = [&](int t) {
+        std::vector<float> D(W), IY(W), IX(W), nD(W), nIY(W), nIX(W);
+        for (int64_t b = t; b < B; b += nt) {
+            const uint8_t* rd = reads + b * L;
+            const uint8_t* rf = refs + b * (L + W);
+            uint8_t* ptr = out_ptr + b * (L + 1) * W;
+            int64_t len = lens[b];
+            for (int64_t k = 0; k < W; k++) {
+                D[k] = 0.0f; IY[k] = NEGF; IX[k] = NEGF;
+            }
+            std::memset(ptr, 0, (size_t)(L + 1) * W);
+            float best = NEGF; int32_t best_k = 0, best_state = 0;
+            auto harvest = [&](std::vector<float>& d, std::vector<float>& iy,
+                               std::vector<float>& ix) {
+                // argmax over flat [D..., IY..., IX...], first max wins
+                best = NEGF; best_k = 0; best_state = 0;
+                const std::vector<float>* mats[3] = {&d, &iy, &ix};
+                for (int s = 0; s < 3; s++)
+                    for (int64_t k = 0; k < W; k++) {
+                        float v = (*mats[s])[k];
+                        if (v > best) { best = v; best_state = s; best_k = (int32_t)k; }
+                    }
+            };
+            if (len == 0) harvest(D, IY, IX);
+            for (int64_t i = 1; i <= L; i++) {
+                uint8_t rc = rd[i - 1];
+                uint8_t* prow = ptr + i * W;
+                for (int64_t k = 0; k < W; k++) {
+                    uint8_t xc = rf[i - 1 + k];
+                    float sub = (xc >= 4) ? NEGF
+                                : ((rc == xc && rc < 4) ? s_match : s_mismatch);
+                    float iy = IY[k], ix = IX[k], d = D[k];
+                    float pb = d >= iy ? (d >= ix ? d : ix) : (iy >= ix ? iy : ix);
+                    uint8_t m_src = (d >= (iy > ix ? iy : ix)) ? 0
+                                    : (iy >= ix ? 1 : 2);
+                    nD[k] = pb + sub;
+                    float D_sh = (k + 1 < W) ? D[k + 1] : NEGF;
+                    float IY_sh = (k + 1 < W) ? IY[k + 1] : NEGF;
+                    float oc = D_sh + s_open;
+                    float ec = IY_sh + s_ext;
+                    nIY[k] = oc > ec ? oc : ec;
+                    uint8_t iy_src = (ec > oc) ? 1 : 0;
+                    prow[k] = (uint8_t)(m_src | (iy_src << 2));
+                }
+                nIX[0] = NEGF;
+                for (int64_t k = 1; k < W; k++) {
+                    uint8_t xc = rf[i - 1 + k];
+                    float oc = nD[k - 1] + s_open;
+                    float ec = nIX[k - 1] + s_ext;
+                    float v = oc > ec ? oc : ec;
+                    nIX[k] = (xc < 4) ? v : NEGF;
+                    if (ec > oc) prow[k] |= (uint8_t)(1 << 3);
+                }
+                std::swap(D, nD); std::swap(IY, nIY); std::swap(IX, nIX);
+                if (i == len) harvest(D, IY, IX);
+            }
+            out_scores[b] = best;
+            out_k[b] = best_k;
+            out_state[b] = best_state;
+        }
+    };
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+}

@@ -72,13 +72,11 @@ class GraphAlignment:
         """Graph level for each base of the read in *sequencing* orientation
         (-1 where unaligned / inserted) — the TrueReadLevels contract."""
         out = np.full(read_length, -1, dtype=np.int64)
-        i = 0
-        for c in range(self.n_columns):
-            if self.seq_c[c] != GAP:
-                if i < read_length:
-                    idx = read_length - 1 - i if self.reverse else i
-                    out[idx] = self.levels[c]
-                i += 1
+        base_cols = np.nonzero(self.seq_c != GAP)[0]
+        i = np.arange(len(base_cols))
+        keep = i < read_length
+        idx = (read_length - 1 - i) if self.reverse else i
+        out[idx[keep]] = self.levels[base_cols[keep]]
         return out
 
 

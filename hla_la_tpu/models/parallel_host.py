@@ -30,11 +30,69 @@ def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str):
 
 def _align_chunk(args):
     pairs, insert_mean, insert_sd = args
-    return _WORKER_ALIGNER.align_pairs(pairs, insert_mean, insert_sd)
+    return pack_aligned_pairs(
+        _WORKER_ALIGNER.align_pairs(pairs, insert_mean, insert_sd))
 
 
 def _align_unpaired_chunk(reads):
     return _WORKER_ALIGNER.align_unpaired(reads)
+
+
+def pack_aligned_pairs(aps):
+    """Serialise a list of AlignedPair into a handful of large arrays —
+    pickling thousands of small per-chain arrays dominates IPC otherwise."""
+    import numpy as np
+    chains = [c for ap in aps for c in (ap.chain1, ap.chain2)]
+    n_cols = np.asarray([c.n_columns for c in chains], dtype=np.int64)
+    return dict(
+        read_ids="\n".join(ap.read_id for ap in aps),
+        pair_mapq=np.asarray([ap.mapq for ap in aps]),
+        n_cols=n_cols,
+        levels=(np.concatenate([c.levels for c in chains])
+                if chains else np.zeros(0, np.int64)),
+        graph_c=(np.concatenate([c.graph_c for c in chains])
+                 if chains else np.zeros(0, np.uint8)),
+        seq_c=(np.concatenate([c.seq_c for c in chains])
+               if chains else np.zeros(0, np.uint8)),
+        seq_qual=(np.concatenate([c.seq_qual for c in chains])
+                  if chains else np.zeros(0, np.uint8)),
+        mapq_pp=(np.concatenate(
+            [c.mapq_per_pos if c.mapq_per_pos is not None
+             else np.ones(c.n_columns) for c in chains])
+            if chains else np.zeros(0)),
+        reverse=np.asarray([c.reverse for c in chains], dtype=bool),
+        seq_idx=np.asarray([c.seq_idx for c in chains], dtype=np.int64),
+        mapq=np.asarray([c.mapq for c in chains]),
+        ll=np.asarray([c.log_likelihood for c in chains]),
+        ffr=np.asarray([c.from_first_read for c in chains], dtype=bool),
+        first_lv=np.asarray([c.first_level() for c in chains],
+                            dtype=np.int64),
+        last_lv=np.asarray([c.last_level() for c in chains], dtype=np.int64),
+    )
+
+
+def unpack_aligned_pairs(d):
+    import numpy as np
+    from .aligner import AlignedPair
+    from .alignment import GraphAlignment
+    ids = d["read_ids"].split("\n") if d["read_ids"] else []
+    offs = np.concatenate([[0], np.cumsum(d["n_cols"])])
+    chains = []
+    for i in range(len(d["n_cols"])):
+        s, e = int(offs[i]), int(offs[i + 1])
+        al = GraphAlignment(
+            levels=d["levels"][s:e], graph_c=d["graph_c"][s:e],
+            seq_c=d["seq_c"][s:e], seq_qual=d["seq_qual"][s:e],
+            reverse=bool(d["reverse"][i]), seq_idx=int(d["seq_idx"][i]),
+            mapq=float(d["mapq"][i]), mapq_per_pos=d["mapq_pp"][s:e],
+            from_first_read=bool(d["ffr"][i]),
+            log_likelihood=float(d["ll"][i]))
+        al._first_level = int(d["first_lv"][i])
+        al._last_level = int(d["last_lv"][i])
+        chains.append(al)
+    return [AlignedPair(ids[i], chains[2 * i], chains[2 * i + 1],
+                        float(d["pair_mapq"][i]))
+            for i in range(len(ids))]
 
 
 class ParallelAligner:
@@ -50,11 +108,11 @@ class ParallelAligner:
     def align_pairs(self, pairs, insert_mean, insert_sd, truth=None):
         if not pairs:
             return []
-        chunk = max(64, -(-len(pairs) // (self.n_workers * 2)))
+        chunk = max(64, -(-len(pairs) // (self.n_workers * 4)))
         chunks = [pairs[i:i + chunk] for i in range(0, len(pairs), chunk)]
         results = self.pool.map(
             _align_chunk, [(c, insert_mean, insert_sd) for c in chunks])
-        out = [ap for res in results for ap in res]
+        out = [ap for res in results for ap in unpack_aligned_pairs(res)]
         if truth is not None:
             by_id = {ap.read_id: ap for ap in out}
             for r1, r2 in pairs:
@@ -72,7 +130,7 @@ class ParallelAligner:
     def align_unpaired(self, reads, truth=None):
         if not reads:
             return []
-        chunk = max(64, -(-len(reads) // (self.n_workers * 2)))
+        chunk = max(64, -(-len(reads) // (self.n_workers * 4)))
         chunks = [reads[i:i + chunk] for i in range(0, len(reads), chunk)]
         results = self.pool.map(_align_unpaired_chunk, chunks)
         out = [al for res in results for al in res]

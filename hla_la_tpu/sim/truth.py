@@ -34,17 +34,13 @@ class TrueReadLevels:
         t = self.truth.get(read_name)
         if t is None:
             return
-        got = aligned_levels_per_base
+        got = np.asarray(aligned_levels_per_base)
         if len(got) != len(t):
             return
-        tot = 0
-        corr = 0
-        for i in range(len(t)):
-            if t[i] < 0:
-                continue
-            tot += 1
-            if got[i] >= 0 and abs(int(got[i]) - int(t[i])) <= self.tolerance:
-                corr += 1
+        mask = t >= 0
+        tot = int(mask.sum())
+        corr = int(((got >= 0) & (np.abs(got - t) <= self.tolerance)
+                    & mask).sum())
         self.total += tot
         self.correct += corr
         self.per_read[read_name] = (tot, corr)

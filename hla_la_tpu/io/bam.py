@@ -139,6 +139,12 @@ class BamReader:
     def __init__(self, path: str, use_native: bool = True):
         self.path = path
         self.fh = open(path, "rb")
+        head = self.fh.read(4)
+        if head == b"CRAM":
+            raise ValueError(
+                f"{path}: CRAM input is not supported by the native codec — "
+                "convert to BAM first (samtools view -b -o out.bam in.cram)")
+        self.fh.seek(0)
         self._buf = b""
         self._pos = 0
         self._blocks = None
@@ -154,6 +160,10 @@ class BamReader:
             self._blocks = _iter_bgzf_blocks(self.fh)
         magic = self._read(4)
         if magic != b"BAM\x01":
+            if magic[:4] == b"CRAM":
+                raise ValueError(
+                    f"{path}: CRAM input is not supported by the native "
+                    "codec — convert to BAM first (samtools view -b)")
             raise ValueError(f"{path}: not a BAM file")
         l_text = struct.unpack("<i", self._read(4))[0]
         self.header_text = self._read(l_text).decode(errors="replace")

@@ -1,0 +1,49 @@
+"""NA12878 golden-output conformance (reference README.md:119-130: all
+G-group calls must agree with NA12878_example_output_G.txt, Q1 == 1).
+
+This is the reference's strongest end-to-end test.  It needs the real
+PRG_MHC_GRCh38_withIMGT graph package (~2.3 GB) and the NA12878 mini BAM —
+neither ships with the repo.  Point the env vars at local copies to run:
+
+    HLA_LA_GRAPH_DIR=/path/to/PRG_MHC_GRCh38_withIMGT \
+    HLA_LA_NA12878_BAM=/path/to/NA12878.mini.bam \
+    HLA_LA_GOLDEN=/path/to/NA12878_example_output_G.txt \
+    python -m pytest tests/test_golden_na12878.py -v
+
+(CRAM input must be converted to BAM first; the native codec does not decode
+CRAM.)
+"""
+
+import os
+
+import pytest
+
+GRAPH = os.environ.get("HLA_LA_GRAPH_DIR")
+BAM = os.environ.get("HLA_LA_NA12878_BAM")
+GOLDEN = os.environ.get("HLA_LA_GOLDEN")
+
+pytestmark = pytest.mark.skipif(
+    not (GRAPH and BAM and GOLDEN and os.path.isdir(GRAPH)
+         and os.path.exists(BAM) and os.path.exists(GOLDEN)),
+    reason="real NA12878 data not available (set HLA_LA_GRAPH_DIR, "
+           "HLA_LA_NA12878_BAM, HLA_LA_GOLDEN)")
+
+
+def test_na12878_g_group_concordance(tmp_path):
+    from hla_la_tpu.cli import main
+    from hla_la_tpu.utils.nomenclature import read_inferred_bestguess
+
+    out_dir = str(tmp_path / "NA12878")
+    rc = main(["--action", "HLA", "--BAM", BAM, "--graph", GRAPH,
+               "--sampleID", "NA12878", "--workingDir", str(tmp_path),
+               "--outputDirectory", out_dir, "--maxThreads", "4"])
+    assert rc == 0
+
+    golden = read_inferred_bestguess(GOLDEN)
+    got = read_inferred_bestguess(os.path.join(out_dir, "R1_bestguess_G.txt"))
+    mismatches = []
+    for locus, (g1, g2) in golden.items():
+        o1, o2 = got.get(locus, ("", ""))
+        if {g1, g2} != {o1, o2}:
+            mismatches.append((locus, (g1, g2), (o1, o2)))
+    assert not mismatches, f"G-group call mismatches: {mismatches}"

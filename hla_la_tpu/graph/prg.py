@@ -393,11 +393,13 @@ def prg_from_haplotypes(haplotypes: list[str], locus_names: list[str] | None = N
                         merge: bool = True) -> PRG:
     """Build a PRG from equal-length aligned haplotype strings ('_' = gap).
 
-    Column i becomes edge level i; identical (prefix-state, emission) edges are
-    merged when `merge` (mirrors Graph::buildFromHaplotypes, Graph.cpp:567 —
-    the reference merges via node identity of haplotype groups; here nodes at
-    level l+1 are identified by the *set of haplotypes* passing through them,
-    which yields the same graph for panel input).
+    Column i becomes edge level i.  Construction is PRG-style (the role of
+    Graph::buildFromHaplotypes, Graph.cpp:567, fed by the graphFromMFA
+    toolchain): haplotypes sharing a character path through a polymorphic run
+    share nodes, and ALL paths re-merge into a single node at every
+    monomorphic column — variant bubbles open and close, so recombinant
+    mosaics of the panel are valid graph paths (the defining property of a
+    population reference graph).
     """
     assert haplotypes, "need at least one haplotype"
     L = len(haplotypes[0])
@@ -406,35 +408,42 @@ def prg_from_haplotypes(haplotypes: list[str], locus_names: list[str] | None = N
         locus_names = [f"L{i}" for i in range(L)]
     assert len(locus_names) == L
 
-    # state = frozenset of haplotype indices sharing the node
-    node_level = []
-    node_ids: dict[tuple[int, frozenset], int] = {}
+    node_level: list[int] = []
 
-    def get_node(level: int, grp: frozenset) -> int:
-        key = (level, grp)
-        if key not in node_ids:
-            node_ids[key] = len(node_level)
-            node_level.append(level)
-        return node_ids[key]
+    def new_node(level: int) -> int:
+        node_level.append(level)
+        return len(node_level) - 1
 
-    all_h = frozenset(range(len(haplotypes)))
+    n_h = len(haplotypes)
+    all_h = frozenset(range(n_h))
     e_from, e_to, e_em, e_loc = [], [], [], []
-    frontier = {all_h: get_node(0, all_h)}
+    # frontier: group (frozenset of haplotypes) -> node id
+    frontier: dict[frozenset, int] = {all_h: new_node(0)}
     for lv in range(L):
+        chars = [haplotypes[h][lv] for h in range(n_h)]
+        monomorphic = merge and len(set(chars)) == 1
         nxt: dict[frozenset, int] = {}
-        for grp, node in frontier.items():
-            by_char: dict[str, list[int]] = {}
-            for h in grp:
-                by_char.setdefault(haplotypes[h][lv], []).append(h)
-            for ch, hs in by_char.items():
-                tgt_grp = frozenset(hs) if (merge and lv < L - 1) else frozenset(hs)
-                # merge groups with same member set at next level
-                if tgt_grp not in nxt:
-                    nxt[tgt_grp] = get_node(lv + 1, tgt_grp)
+        if monomorphic:
+            tgt = new_node(lv + 1)
+            nxt[all_h] = tgt
+            for grp, node in frontier.items():
                 e_from.append(node)
-                e_to.append(nxt[tgt_grp])
-                e_em.append(ord(ch))
+                e_to.append(tgt)
+                e_em.append(ord(chars[0]))
                 e_loc.append(lv)
+        else:
+            for grp, node in frontier.items():
+                by_char: dict[str, list[int]] = {}
+                for h in grp:
+                    by_char.setdefault(chars[h], []).append(h)
+                for ch, hs in by_char.items():
+                    tgt_grp = frozenset(hs)
+                    if tgt_grp not in nxt:
+                        nxt[tgt_grp] = new_node(lv + 1)
+                    e_from.append(node)
+                    e_to.append(nxt[tgt_grp])
+                    e_em.append(ord(ch))
+                    e_loc.append(lv)
         frontier = nxt
 
     node_level_arr = np.asarray(node_level, dtype=np.int32)

@@ -61,7 +61,8 @@ class _Job:
 
 class ReadAligner:
     def __init__(self, pkg: GraphPackage, cfg: RunConfig | None = None,
-                 band: int = 32, kmer_k: int = 20, use_jax: bool = False):
+                 band: int = 32, kmer_k: int = 20, use_jax: bool = False,
+                 graph_fallback: bool = True):
         self.pkg = pkg
         self.cfg = cfg or RunConfig()
         self.band = band
@@ -91,6 +92,8 @@ class ReadAligner:
         self._jax_fwd = None
         self._jax_shapes = None
         self.use_jax = use_jax
+        self.graph_fallback = graph_fallback
+        self._realigner = None
 
     # ------------------------------------------------------------- NW batch
     def _run_nw(self, reads_arr, lens_arr, refs_arr):
@@ -207,6 +210,24 @@ class ReadAligner:
             out.append(al)
         return out
 
+    def _graph_realign(self, chain: GraphAlignment, read: FastqRead
+                       ) -> GraphAlignment | None:
+        if self._realigner is None:
+            from .graph_fallback import GraphRealigner
+            self._realigner = GraphRealigner(self.pkg.compiled(),
+                                             self.hap_seqs, self.hap_levels)
+        hap_idx = self.prg_ids.index(chain.seq_idx) \
+            if chain.seq_idx in self.prg_ids else -1
+        if hap_idx < 0:
+            return None
+        oriented = revcomp(read.seq) if chain.reverse else read.seq
+        qual = read.qual[::-1] if chain.reverse else read.qual
+        try:
+            return self._realigner.realign(chain, hap_idx, oriented, qual,
+                                           self.long_reads)
+        except Exception:  # noqa: BLE001 — fallback must never break typing
+            return None
+
     # ------------------------------------------------------ paired pipeline
     def align_pairs(self, pairs: list[tuple[FastqRead, FastqRead]],
                     insert_mean: float, insert_sd: float,
@@ -236,6 +257,23 @@ class ReadAligner:
                     if cur is None or al.log_likelihood > cur.log_likelihood:
                         best[key] = al
                 slot[m][:] = list(best.values())
+
+        # graph-space fallback for reads that align poorly against every
+        # single haplotype (recombinant reads; docs/DESIGN.md §2)
+        if self.graph_fallback:
+            for pi, slot in per_pair.items():
+                r1, r2 = pairs[pi]
+                for m, read in ((0, r1), (1, r2)):
+                    if not slot[m]:
+                        continue
+                    best_al = max(slot[m], key=lambda a: a.log_likelihood)
+                    n_bases = max(int((best_al.seq_c != ord("_")).sum()), 1)
+                    if best_al.log_likelihood / n_bases >= -0.25:
+                        continue
+                    re_al = self._graph_realign(best_al, read)
+                    if re_al is not None:
+                        slot[m].append(re_al)
+                        self.stats.bump("graph_fallback_improved")
 
         out: list[AlignedPair] = []
         insert_sd = max(insert_sd, 1e-6)

@@ -343,22 +343,23 @@ def alignment_fraction_ok(al: GraphAlignment) -> float:
 def alignment_weighted_ok_fraction(al: GraphAlignment) -> float:
     """HLATyper::alignmentWeightedOKFraction: 1 - weightedMismatches /
     consideredPositions, where a graph-gap opposite a base counts 1, a
-    mismatch counts pCorrect (HLATyper.cpp:3001-3080)."""
+    mismatch counts pCorrect (HLATyper.cpp:3001-3080).  Cached per object."""
+    cached = getattr(al, "_wok", None)
+    if cached is not None:
+        return cached
     table = phred_to_p_correct_table(conservative_cap=None, floor=None)
     seq_base = al.seq_c != GAP
     graph_gap = al.graph_c == GAP
-    weighted = 0.0
-    considered = 0
-    p_corr = table[al.seq_qual]
-    for c in np.nonzero(seq_base)[0]:
-        considered += 1
-        if graph_gap[c]:
-            weighted += 1.0
-        elif al.seq_c[c] != al.graph_c[c]:
-            weighted += max(float(p_corr[c]), 0.0)
+    considered = int(seq_base.sum())
     if considered == 0:
         return 0.0
-    return 1.0 - weighted / considered
+    p_corr = table[al.seq_qual]
+    ins = seq_base & graph_gap
+    mism = seq_base & (~graph_gap) & (al.seq_c != al.graph_c)
+    weighted = float(ins.sum()) + float(np.maximum(p_corr[mism], 0.0).sum())
+    out = 1.0 - weighted / considered
+    al._wok = out
+    return out
 
 
 def strands_valid(a1: GraphAlignment, a2: GraphAlignment) -> bool:

@@ -264,19 +264,93 @@ class HLATyper:
             allele_to_cluster[allele] = ci
         return cluster_seqs, clusters, allele_to_cluster
 
+    def _chain_records(self, al: GraphAlignment) -> dict:
+        """Per-chain record arrays, computed ONCE (vectorised) and cached on
+        the chain: one record per level-bearing column, with trailing
+        insertion columns folded into the record (genotype string, qualities),
+        running-novel-gap lengths and per-record mapQ.  The per-locus pileup
+        extraction then just slices the level range (the reference recomputes
+        the full column walk per locus, HLATyper.cpp:3192-3566)."""
+        cached = getattr(al, "_records", None)
+        if cached is not None:
+            return cached
+        seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
+        n_cols = al.n_columns
+        cols_nongap = int(((seq_c != GAP) | (graph_c != GAP)).sum())
+
+        # running novel gap lengths, both directions (HLATyper.cpp:3237-3290)
+        reset = (seq_c != GAP) & (graph_c != GAP)
+        novel = (~reset) & ~((seq_c == GAP) & (graph_c == GAP))
+        inc = novel.astype(np.int64)
+
+        def run_dir(inc_, reset_):
+            cs = np.cumsum(inc_)
+            base = np.maximum.accumulate(np.where(reset_, cs, 0))
+            return cs - base
+        fwd = run_dir(inc, reset)
+        bwd = run_dir(inc[::-1], reset[::-1])[::-1]
+        run_novel = np.maximum(fwd, bwd)
+
+        mq = al.mapq_per_pos if al.mapq_per_pos is not None \
+            else np.ones(n_cols)
+
+        rec_cols = np.nonzero(levels_arr >= 0)[0]
+        n_rec = len(rec_cols)
+        # trailing insertion count per record = -1 columns until next record
+        nxt = np.concatenate([rec_cols[1:], [n_cols]])
+        n_ins = (nxt - rec_cols - 1).astype(np.int64)
+        seq_at = seq_c[rec_cols]
+        is_del = seq_at == GAP
+
+        genotype: list[str] = []
+        qualities: list[bytes] = []
+        worst_q = np.zeros(n_rec, dtype=np.uint8)
+        simple = (n_ins == 0)
+        for i in range(n_rec):
+            c = rec_cols[i]
+            if simple[i]:
+                if is_del[i]:
+                    genotype.append("_")
+                    qualities.append(b"")
+                else:
+                    genotype.append(chr(seq_at[i]))
+                    qualities.append(bytes([al.seq_qual[c]]))
+                    worst_q[i] = al.seq_qual[c]
+            else:
+                ins_cols = np.arange(c + 1, c + 1 + n_ins[i])
+                g = bytes(seq_c[ins_cols]).decode()
+                q = bytes(al.seq_qual[ins_cols])
+                if is_del[i]:
+                    # leading '_' absorbed by the insertion (reference
+                    # removes it, HLATyper.cpp:3345-3357)
+                    genotype.append(g)
+                    qualities.append(q)
+                else:
+                    genotype.append(chr(seq_at[i]) + g)
+                    qualities.append(bytes([al.seq_qual[c]]) + q)
+                worst_q[i] = min(qualities[-1]) if qualities[-1] else 0
+        rec = dict(
+            levels=levels_arr[rec_cols],
+            genotype=genotype,
+            qualities=qualities,
+            worst_q=worst_q,
+            mapq_pos=np.asarray(mq)[rec_cols],
+            run_novel=run_novel[rec_cols],
+            cols_nongap=cols_nongap,
+        )
+        al._records = rec
+        return rec
+
     def _alignment_to_obs(self, al: GraphAlignment, read: FastqRead,
                           paired_al: GraphAlignment | None,
                           paired_read: FastqRead | None,
                           lv_min: int, lv_max: int,
                           level_to_pos: dict[int, int]) -> list[ExonObs]:
         """oneReadAlignment_2_exonPositions_{paired,unpaired}
-        (HLATyper.cpp:3192-3566): walk alignment columns, build genotype
-        strings (insertions appended to the previous record), then keep the
-        contiguous exon-position run."""
+        (HLATyper.cpp:3192-3566), built from the cached per-chain records."""
         first, last = al.first_level(), al.last_level()
         if first == -1 or not (first <= lv_max and last >= lv_min):
             return []
-        this_ok = alignment_fraction_ok(al)
         this_wok = alignment_weighted_ok_fraction(al)
         if paired_al is not None:
             paired_wok = alignment_weighted_ok_fraction(paired_al)
@@ -285,69 +359,26 @@ class HLATyper:
             paired_wok = this_wok
             strands_distance = 0.0
 
-        seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
-        n_cols = al.n_columns
-        cols_nongap = int(((seq_c != GAP) | (graph_c != GAP)).sum())
-        # running novel gap lengths, both directions (HLATyper.cpp:3237-3290)
-        run_novel = np.zeros(n_cols, dtype=np.int64)
-        rg = 0
-        for c in range(n_cols):
-            if seq_c[c] != GAP and graph_c[c] != GAP:
-                rg = 0
-            elif not (seq_c[c] == GAP and graph_c[c] == GAP):
-                rg += 1
-            run_novel[c] = max(run_novel[c], rg)
-        rg = 0
-        for c in range(n_cols - 1, -1, -1):
-            if seq_c[c] != GAP and graph_c[c] != GAP:
-                rg = 0
-            elif not (seq_c[c] == GAP and graph_c[c] == GAP):
-                rg += 1
-            if rg > run_novel[c]:
-                run_novel[c] = rg
-        mq = al.mapq_per_pos if al.mapq_per_pos is not None \
-            else np.ones(n_cols)
-
-        recs: list[ExonObs] = []
-
-        def new_rec(c: int, genotype: str, quals: bytes):
-            recs.append(ExonObs(
-                graph_level=int(levels_arr[c]), position_in_exon=-1,
-                genotype=genotype, qualities=quals,
-                mapq=al.mapq, mapq_position=float(mq[c]),
-                read_id=read.name,
-                paired_read_id=paired_read.name if paired_read else read.name,
+        rec = self._chain_records(al)
+        lv = rec["levels"]
+        lo = int(np.searchsorted(lv, lv_min))
+        hi = int(np.searchsorted(lv, lv_max, side="right"))
+        out: list[ExonObs] = []
+        paired_name = paired_read.name if paired_read else read.name
+        for i in range(lo, hi):
+            pos = level_to_pos.get(int(lv[i]))
+            if pos is None:
+                continue
+            out.append(ExonObs(
+                graph_level=int(lv[i]), position_in_exon=pos,
+                genotype=rec["genotype"][i], qualities=rec["qualities"][i],
+                mapq=al.mapq, mapq_position=float(rec["mapq_pos"][i]),
+                read_id=read.name, paired_read_id=paired_name,
                 this_weighted_ok=this_wok, paired_weighted_ok=paired_wok,
                 pairs_strands_distance=strands_distance,
-                alignment_cols_nongap=cols_nongap,
-                running_novel_gap=int(run_novel[c]),
+                alignment_cols_nongap=rec["cols_nongap"],
+                running_novel_gap=int(rec["run_novel"][i]),
                 reverse=al.reverse, from_first_read=al.from_first_read))
-
-        for c in range(n_cols):
-            lv = int(levels_arr[c])
-            if lv == -1:
-                # insertion: extend the previous record's genotype
-                if recs:
-                    prev = recs[-1]
-                    prev.genotype += chr(seq_c[c])
-                    prev.qualities += bytes([al.seq_qual[c]])
-                    if len(prev.genotype) == len(prev.qualities) + 1:
-                        # leading '_' record absorbed an insertion
-                        assert prev.genotype[0] == "_"
-                        prev.genotype = prev.genotype[1:]
-                continue
-            if seq_c[c] != GAP:
-                new_rec(c, chr(seq_c[c]), bytes([al.seq_qual[c]]))
-            else:
-                new_rec(c, "_", b"")
-
-        # keep the contiguous exon run (HLATyper.cpp:3501-3563)
-        out: list[ExonObs] = []
-        for r in recs:
-            pos = level_to_pos.get(r.graph_level)
-            if pos is not None:
-                r.position_in_exon = pos
-                out.append(r)
         return out
 
     @staticmethod

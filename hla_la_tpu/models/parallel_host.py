@@ -95,11 +95,24 @@ def unpack_aligned_pairs(d):
             for i in range(len(ids))]
 
 
+def spawn_safe() -> bool:
+    """Spawned children re-execute the __main__ module; with an interactive /
+    stdin main module that crash-loops.  Only parallelise when safe."""
+    import sys
+    main = sys.modules.get("__main__")
+    f = getattr(main, "__file__", None)
+    return bool(f) and os.path.exists(f)
+
+
 class ParallelAligner:
     """Drop-in align_pairs/align_unpaired over a process pool."""
 
     def __init__(self, graph_dir: str, n_workers: int, band: int = 32,
                  kmer_k: int = 20, long_reads: str = ""):
+        if not spawn_safe():
+            raise RuntimeError(
+                "ParallelAligner needs a file-backed __main__ module "
+                "(multiprocessing spawn); use the serial ReadAligner")
         ctx = mp.get_context("spawn")
         self.n_workers = max(1, n_workers)
         self.pool = ctx.Pool(self.n_workers, initializer=_init_worker,

@@ -65,10 +65,14 @@ def run_hla_typing(pkg: GraphPackage,
 
     par = None
     if cfg.max_threads > 1 and (len(pairs) + len(unpaired)) > 512:
-        from .parallel_host import ParallelAligner
-        log_progress(f"aligning with {cfg.max_threads} worker processes")
-        par = ParallelAligner(pkg.dir, cfg.max_threads,
-                              long_reads=cfg.long_reads)
+        from .parallel_host import ParallelAligner, spawn_safe
+        if spawn_safe():
+            log_progress(f"aligning with {cfg.max_threads} worker processes")
+            par = ParallelAligner(pkg.dir, cfg.max_threads,
+                                  long_reads=cfg.long_reads)
+        else:
+            log_progress("worker processes unavailable (no file-backed "
+                         "__main__); aligning serially")
 
     aligned_pairs: list[AlignedPair] = []
     kept_pairs: list[tuple[FastqRead, FastqRead]] = []

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Multi-device scaling harness for the sharded typing step.
+
+Measures the full sharded compute step (banded-NW scoring + cluster-LL
+matmul + psum'd C^2 pair reduction; parallel/mesh.py::full_step) at 1, 2, 4,
+8 devices and reports scaling efficiency.  On this machine the devices are
+virtual CPU devices (xla_force_host_platform_device_count) — the harness
+validates the sharding/collective mechanics and measures the collective
+overhead; on a real pod slice the same code runs over ICI.
+
+Usage: python bench_scaling.py  (prints one JSON line per device count)
+"""
+
+import json
+import os
+import sys
+import time
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# default to the virtual CPU mesh; set HLA_SCALING_TPU=1 on a real pod slice
+if not os.environ.get("HLA_SCALING_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from hla_la_tpu.parallel.mesh import full_step, make_mesh
+
+
+def main():
+    devices = jax.devices()
+    print(f"# {len(devices)} devices ({devices[0].platform})",
+          file=sys.stderr, flush=True)
+    rng = np.random.default_rng(0)
+    # per-device workload held constant (weak scaling)
+    B0, L, W = 512, 128, 32
+    C, K = 256, 768
+    base_rate = None
+    for nd in (1, 2, 4, 8):
+        if nd > len(devices):
+            break
+        n_model = 2 if nd >= 4 else 1
+        n_data = nd // n_model
+        B = B0 * n_data
+        R = B
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        step = full_step(mesh, L, W)
+        reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+        lens = np.full(B, L, dtype=np.int64)
+        refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+        onehot = (rng.random((C, K)) < 0.17).astype(np.float32)
+        contrib = rng.normal(-1, 0.5, (R, K)).astype(np.float32)
+        out = step(reads, lens, refs, onehot, contrib)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        iters = 5
+        for _ in range(iters):
+            out = step(reads, lens, refs, onehot, contrib)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / iters
+        rate = B / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * nd)
+        print(json.dumps({
+            "devices": nd, "mesh": f"{n_data}x{n_model}",
+            "platform": devices[0].platform,
+            "reads_per_sec": round(rate, 1),
+            "scaling_efficiency": round(eff, 3),
+        }))
+    if devices[0].platform == "cpu":
+        print("# NOTE: virtual CPU devices share physical cores — weak-"
+              "scaling efficiency here reflects core oversubscription, not "
+              "collective overhead; run with HLA_SCALING_TPU=1 on a pod "
+              "slice for real numbers", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

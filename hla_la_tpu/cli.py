@@ -63,6 +63,8 @@ def main(argv=None):
         return action_test_prg_mapping(args)
     if action == "TestHLATyping":
         return action_test_hla_typing(args)
+    if action == "checkSequencePresence":
+        return action_check_presence(args)
     if action == "ASM":
         return action_asm(args)
     if action == "KIR":
@@ -158,6 +160,36 @@ def action_hla(args) -> int:
                   f"{ev.n_alleles_total} alleles "
                   f"({ev.accuracy * 100:.1f}%) over {ev.n_loci} loci")
     return 0
+
+
+def action_check_presence(args) -> int:
+    """Check that sequences are emittable paths of the graph
+    (testCheckPresence / checkSeq actions, HLA-LA.cpp:152, 1106-1148).
+    Sequences come from --FASTQU (FASTA also accepted via --ASMfasta)."""
+    pkg = _require_graph(args)
+    prg = pkg.prg()
+    seqs: dict[str, str] = {}
+    if args.ASMfasta:
+        from .io.fasta import read_fasta
+        seqs.update(read_fasta(args.ASMfasta))
+    if args.FASTQU:
+        from .io.fastq import read_fastq
+        seqs.update({r.name: r.seq for r in read_fastq(args.FASTQU)})
+    if not seqs:
+        # default self-test: simulated haplotypes must be graph paths
+        import numpy as np
+        rng = np.random.default_rng(args.seed or 1)
+        ok = True
+        for s, _, _ in prg.simulate_random_paths(10, rng):
+            ok &= prg.path_emits(s)
+        print("simulated-path presence check:", "OK" if ok else "FAILED")
+        return 0 if ok else 1
+    rc = 0
+    for name, s in seqs.items():
+        present = prg.path_emits(s)
+        print(f"{name}\t{'present' if present else 'ABSENT'}")
+        rc |= 0 if present else 1
+    return rc
 
 
 def action_asm(args) -> int:

@@ -85,8 +85,63 @@ def _make_kernel(Cp: int, Rp: int, TC: int, TR: int, interpret: bool):
     return run
 
 
+@functools.lru_cache(maxsize=16)
+def _make_kernel_v2(Cp: int, Rp: int, TC: int, TR: int, interpret: bool):
+    """Deferred-accumulation variant: per (i, j) output tile, a VMEM scratch
+    acc3[strip][8, TC, TR] accumulates the elementwise part across read
+    chunks with NO per-chunk lane reduction; the reduction over the read
+    lanes happens once at the last chunk.  ~7 vector passes per
+    [8, TC, TR] micro-block."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_r = Rp // TR
+    SC = min(8, TC)
+    n_s = TC // SC
+
+    def kernel(a_ref, b_ref, out_ref, acc3):
+        r = pl.program_id(2)
+
+        @pl.when(r == 0)
+        def _():
+            acc3[:] = jnp.zeros_like(acc3)
+
+        for s in range(n_s):
+            a8 = a_ref[pl.ds(s * SC, SC), :]                 # [SC, TR]
+            b = b_ref[:]                                     # [TC, TR]
+            d = jnp.abs(a8[:, None, :] - b[None, :, :])      # [SC, TC, TR]
+            acc3[s] += 0.5 * d + jnp.log1p(jnp.exp(-d))
+
+        @pl.when(r == n_r - 1)
+        def _():
+            for s in range(n_s):
+                out_ref[pl.ds(s * SC, SC), :] = acc3[s].sum(axis=2)
+
+    grid = (Cp // TC, Cp // TC, n_r)
+
+    @jax.jit
+    def run(Lp):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((TC, TR), lambda i, j, r: (i, r)),
+                pl.BlockSpec((TC, TR), lambda i, j, r: (j, r)),
+            ],
+            out_specs=pl.BlockSpec((TC, TC), lambda i, j, r: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Cp, Cp), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((n_s, SC, TC, TR), jnp.float32)],
+            interpret=interpret,
+        )(Lp, Lp)
+
+    return run
+
+
 def pair_ll_reduction_pallas(L: np.ndarray, tc: int = 128, tr: int = 256,
-                             interpret: bool | None = None) -> np.ndarray:
+                             interpret: bool | None = None,
+                             version: int = 2) -> np.ndarray:
     """Full [C, C] pair log-likelihood matrix via the Pallas kernel.
     Pads C to a TC multiple and R to a TR multiple; padded reads hold value 0
     whose diff-part contribution log(2) cancels against LOG_HALF exactly."""
@@ -94,12 +149,15 @@ def pair_ll_reduction_pallas(L: np.ndarray, tc: int = 128, tr: int = 256,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if version == 2:
+        tr = 128
     C, R = L.shape
     Cp = _round_up(max(C, tc), tc)
     Rp = _round_up(max(R, tr), tr)
     Lp = np.zeros((Cp, Rp), dtype=np.float32)
     Lp[:C, :R] = L
-    run = _make_kernel(Cp, Rp, tc, tr, bool(interpret))
+    mk = _make_kernel_v2 if version == 2 else _make_kernel
+    run = mk(Cp, Rp, tc, tr, bool(interpret))
     acc = np.asarray(run(Lp), dtype=np.float64)[:C, :C]
     rowsum = L.astype(np.float64).sum(axis=1)
     base = 0.5 * (rowsum[:, None] + rowsum[None, :])

@@ -174,6 +174,41 @@ class ReadSimulator:
         j = self.rng.choice(len(p.quality_chars), p=p.quality_probs[pos])
         return int(p.quality_chars[j])
 
+    # ------------------------------------------------------ vectorised reads
+    def _sequence_reads_vectorized(self, source: str,
+                                   source_levels: np.ndarray,
+                                   starts: np.ndarray):
+        """Error model applied to a batch of no-indel reads at `starts`
+        (vectorised); returns (seqs [N, L] bytes, quals [N, L] bytes,
+        levels [N, L]).  Indel-carrying reads are handled by the slow path."""
+        L = self.read_length
+        N = len(starts)
+        src = np.frombuffer(source.encode(), dtype=np.uint8)
+        idx = starts[:, None] + np.arange(L)[None, :]
+        bases = src[idx]                                # [N, L]
+        levels = np.asarray(source_levels)[idx]
+        p = self.profile
+        # qualities: inverse-CDF sample per position
+        quals = np.empty((N, L), dtype=np.uint8)
+        u = self.rng.random((N, L))
+        cum = np.cumsum(p.quality_probs, axis=1)        # [Lp, Q]
+        for l in range(L):
+            pos = min(l, p.read_length - 1)
+            qi = np.searchsorted(cum[pos], u[:, l])
+            qi = np.minimum(qi, len(p.quality_chars) - 1)
+            quals[:, l] = p.quality_chars[qi]
+        if self.with_error:
+            pc = np.asarray([p.p_correct.get(int(q), 0.99)
+                             for q in range(256)])
+            err = self.rng.random((N, L)) > pc[quals]
+            if err.any():
+                base_idx = np.searchsorted(BASES, bases)
+                shift = self.rng.integers(1, 4, size=int(err.sum()))
+                new_idx = (base_idx[err] + shift) % 4
+                bases = bases.copy()
+                bases[err] = BASES[new_idx]
+        return bases, quals, levels
+
     # ---------------------------------------------------------------- pairs
     def simulate_pairs_from_string(self, source: str, source_levels: np.ndarray,
                                    haploid_coverage: float,
@@ -181,7 +216,70 @@ class ReadSimulator:
                                    ) -> list[SimulatedPair]:
         """Poisson read starts along `source` (gap-free string with per-base
         graph levels); fragment ~ Normal; R1 plus-strand / R2 minus-strand
-        with random swap (like real libraries)."""
+        with random swap (like real libraries).  Reads without indels go
+        through the vectorised error model; indel-carrying reads (rare) use
+        the per-base path."""
+        L = self.read_length
+        n_pairs_exp = haploid_coverage * len(source) / (2.0 * L)
+        n_pairs = int(self.rng.poisson(n_pairs_exp))
+        if n_pairs == 0:
+            return []
+        frags = np.maximum(
+            self.rng.normal(self.fragment_mean, self.fragment_sd,
+                            n_pairs).astype(np.int64), L + 2)
+        starts = self.rng.integers(
+            0, np.maximum(1, len(source) - frags))
+        rev_starts = starts + frags - L
+        ok = rev_starts + L <= len(source)
+        starts, rev_starts = starts[ok], rev_starts[ok]
+        n = len(starts)
+        p_indel_read = 1.0 - (1.0 - self.insertion_rate
+                              - self.deletion_rate) ** L \
+            if self.with_error else 0.0
+        has_indel = (self.rng.random((n, 2)) < p_indel_read)
+
+        fwd_b, fwd_q, fwd_l = self._sequence_reads_vectorized(
+            source, source_levels, starts)
+        rev_b, rev_q, rev_l = self._sequence_reads_vectorized(
+            source, source_levels, rev_starts)
+        swap = self.rng.random(n) < 0.5
+
+        out: list[SimulatedPair] = []
+        for i in range(n):
+            name = f"{name_prefix}{self.name_sep}{i}"
+            if has_indel[i, 0]:
+                r = self._sequence_read(source, source_levels, int(starts[i]))
+                if r is None:
+                    continue
+                f_seq, f_qual, f_lv = r
+            else:
+                f_seq = bytes(fwd_b[i]).decode()
+                f_qual = bytes(fwd_q[i]).decode()
+                f_lv = fwd_l[i]
+            if has_indel[i, 1]:
+                r = self._sequence_read(source, source_levels,
+                                        int(rev_starts[i]))
+                if r is None:
+                    continue
+                rv_seq, rv_qual, rv_lv = r
+            else:
+                rv_seq = bytes(rev_b[i]).decode()
+                rv_qual = bytes(rev_q[i]).decode()
+                rv_lv = rev_l[i]
+            r1 = SimulatedRead(name, f_seq, f_qual,
+                               np.asarray(f_lv, dtype=np.int64), False,
+                               int(starts[i]))
+            r2 = SimulatedRead(name, revcomp(rv_seq), rv_qual[::-1],
+                               np.asarray(rv_lv, dtype=np.int64)[::-1], True,
+                               int(rev_starts[i]))
+            pair = SimulatedPair(r2, r1) if swap[i] else SimulatedPair(r1, r2)
+            out.append(pair)
+        return out
+
+    def _simulate_pairs_slow(self, source: str, source_levels: np.ndarray,
+                             haploid_coverage: float,
+                             name_prefix: str = "sim"
+                             ) -> list[SimulatedPair]:
         n_pairs_exp = haploid_coverage * len(source) / (2.0 * self.read_length)
         n_pairs = int(self.rng.poisson(n_pairs_exp))
         out: list[SimulatedPair] = []

@@ -13,6 +13,12 @@ place — VPU-bound at ~6 flops per (c1, c2, r) cell.
 Only the difference part is computed on device (bounded magnitudes keep f32
 exact); the rank-1 0.5*(rowsum_a + rowsum_b) + R*log(1/2) term is added by
 the host wrapper in f64 — same decomposition as ops/pair_ll.py.
+
+Measured on TPU v5e (C=2048, R=4096): XLA scan 11.5 Gcells/s, kernel v1
+(per-chunk lane reduction) 10.8, kernel v2 (deferred 3D accumulator) 4.3 —
+the 3D broadcast relayouts and VMEM accumulator traffic dominate, so the XLA
+path stays the default (ops/pair_ll.pair_ll_reduction) and these kernels are
+kept as optimisation baselines.
 """
 
 from __future__ import annotations

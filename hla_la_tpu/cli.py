@@ -71,6 +71,10 @@ def main(argv=None):
         return action_kir(args)
     if action == "validate":
         return action_validate(args)
+    if action == "extractkMerCounts":
+        return action_extract_kmer_counts(args)
+    if action == "KIRsimulation":
+        return action_kir_simulation(args)
     print(f"unknown action {action}", file=sys.stderr)
     return 2
 
@@ -373,6 +377,76 @@ def action_test_hla_typing(args) -> int:
     assert n_ok == len(res.results), "typing mismatch"
     print("OK")
     return 0
+
+
+def action_extract_kmer_counts(args) -> int:
+    """Per-exon k-mer counts over input reads (extractkMerCounts.pl,
+    HLA-LA.pl:543-552)."""
+    from .io.fastq import read_fastq
+    from .models.typer import HLATyper
+    from .tools import extract_kmer_counts
+    pkg = _require_graph(args)
+    reads = []
+    for p in (args.FASTQ1, args.FASTQ2, args.FASTQU):
+        if p:
+            reads += list(read_fastq(p))
+    if not reads:
+        raise SystemExit("need --FASTQ1/--FASTQ2/--FASTQU")
+    typer = HLATyper(pkg)
+    exon_seqs: dict[str, str] = {}
+    for locus, exon_map in typer.graph_genes.items():
+        for exon_id, fn in exon_map.items():
+            _, rows = pkg.read_segment(fn)
+            for allele, vals in rows.items():
+                if ":" in allele:
+                    exon_seqs[f"{locus}_{exon_id}"] = "".join(vals)
+                    break
+    counts = extract_kmer_counts(reads, exon_seqs)
+    out_dir = args.outputDirectory or args.workingDir
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "kMerCounts.txt")
+    with open(path, "w") as fh:
+        fh.write("Exon\tkMer\tCount\n")
+        for name, kmers in sorted(counts.items()):
+            for mer, n in kmers.items():
+                fh.write(f"{name}\t{mer}\t{n}\n")
+    print(f"wrote {path} ({sum(len(v) for v in counts.values())} k-mers over "
+          f"{len(counts)} exons)")
+    return 0
+
+
+def action_kir_simulation(args) -> int:
+    """KIR haplotype/gene simulation self-test (KIRhaplotypesSimulation /
+    KIRgeneSimulation actions, HLA-LA.cpp:907, 1186): simulate a diploid ALT
+    pair, generate reads, re-type, compare."""
+    from .io.fastq import FastqRead
+    from .models.linear_alts import LinearALTsTyper
+    from .sim.read_sim import ReadSimulator
+    rng = np.random.default_rng(args.seed or 11)
+    L = 2000
+    base = "".join("ACGT"[i] for i in rng.integers(0, 4, L))
+    panel = {}
+    for hi in range(6):
+        s = list(base)
+        for _ in range(30):
+            p = int(rng.integers(0, L))
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        panel[f"KIR_ALT{hi}"] = "".join(s)
+    h1, h2 = "KIR_ALT1", "KIR_ALT4"
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                       fragment_sd=30)
+    reads = []
+    for h in (h1, h2):
+        seq = panel[h]
+        for p in rs.simulate_pairs_from_string(seq, np.arange(len(seq)), 10.0,
+                                               name_prefix=h):
+            reads += [p.r1.to_fastq(), p.r2.to_fastq()]
+    typer = LinearALTsTyper(panel, backend=args.backend)
+    res = typer.type_diploid(reads)
+    ok = {res.hap1, res.hap2} == {h1, h2}
+    print(f"simulated {h1}/{h2}; called {res.hap1}/{res.hap2} "
+          f"({'OK' if ok else 'MISMATCH'}, posterior {res.posterior:.4f})")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -82,22 +82,31 @@ class Seeder:
                 ends = np.concatenate([starts[1:], [len(ks)]])
                 rp_sorted = read_pos[order]
                 diag_sorted = diag[order]
-                for s0, e0 in zip(starts, ends):
-                    ri = int(read_of[order[s0]])
-                    min_k = (self.min_chain_kmers
-                             if n_kmers_per_read[ri] >= self.min_chain_kmers
-                             else 1)
-                    if e0 - s0 < min_k:
-                        continue
-                    rp = rp_sorted[s0:e0]
-                    rp_min, rp_max = int(rp.min()), int(rp.max())
-                    n_uniq = len(np.unique(rp)) if e0 - s0 > 1 else 1
-                    per_read[ri].append(Candidate(
-                        seq_idx=int(seq_idx[order[s0]]),
+                # per-group stats fully vectorised (no per-group np calls):
+                # distinct read-kmer count via a second sort by (key, rp)
+                order2 = np.lexsort((read_pos, key))
+                rp2 = read_pos[order2]
+                new_grp = np.concatenate([[True],
+                                          np.diff(key[order2]) != 0])
+                distinct = (new_grp | np.concatenate(
+                    [[True], np.diff(rp2) != 0])).astype(np.int64)
+                n_uniq_g = np.add.reduceat(distinct, starts)
+                rp_min_g = np.minimum.reduceat(rp_sorted, starts)
+                rp_max_g = np.maximum.reduceat(rp_sorted, starts)
+                mid_diag_g = diag_sorted[(starts + ends) // 2]
+                first_read = read_of[order[starts]]
+                first_seq = seq_idx[order[starts]]
+                sizes = ends - starts
+                req = np.where(n_kmers_per_read[first_read]
+                               >= self.min_chain_kmers,
+                               self.min_chain_kmers, 1)
+                for gi in np.nonzero(sizes >= req)[0]:
+                    per_read[int(first_read[gi])].append(Candidate(
+                        seq_idx=int(first_seq[gi]),
                         reverse=is_rev,
-                        ref_start=int(diag_sorted[(s0 + e0) // 2]),
-                        n_kmers=n_uniq,
-                        span=rp_max - rp_min + k,
+                        ref_start=int(mid_diag_g[gi]),
+                        n_kmers=int(n_uniq_g[gi]),
+                        span=int(rp_max_g[gi] - rp_min_g[gi]) + k,
                     ))
         return [self._select(c) for c in per_read]
 

@@ -240,74 +240,107 @@ void hla_nw_backtrace_batch(const uint8_t* pointers, int64_t B, int64_t L,
 // ops/banded_nw.py::banded_nw_forward (same scores, pointers, tie-breaks).
 // reads: [B, L] codes 0-3 (>=4 pad); refs: [B, L+W]; outputs:
 // scores/end_k/end_state [B], pointers [B, L+1, W].
+
+template <int WT>
+static void nw_one(const uint8_t* __restrict rd, const uint8_t* __restrict rf,
+                   int64_t L, int64_t W_rt, int64_t len,
+                   float s_match, float s_mismatch, float s_open, float s_ext,
+                   float* __restrict D, float* __restrict nD,
+                   float* __restrict IY, float* __restrict nIY,
+                   float* __restrict IX, float* __restrict nIX,
+                   float* __restrict sub, uint8_t* __restrict ok,
+                   float* out_score, int32_t* out_k, int32_t* out_state,
+                   uint8_t* __restrict ptr) {
+    // WT > 0: compile-time band width (fully unrolled/vectorised);
+    // WT == 0: generic runtime width
+    const int64_t W = WT > 0 ? WT : W_rt;
+    const float NEGF = -1e30f;
+    for (int64_t k = 0; k < W; k++) { D[k] = 0.0f; IY[k] = NEGF; IX[k] = NEGF; }
+    std::memset(ptr, 0, (size_t)(L + 1) * W);
+    float best = NEGF; int32_t best_k = 0, best_state = 0;
+    auto harvest = [&](const float* d, const float* iy, const float* ix) {
+        best = NEGF; best_k = 0; best_state = 0;
+        const float* mats[3] = {d, iy, ix};
+        for (int s2 = 0; s2 < 3; s2++)
+            for (int64_t k = 0; k < W; k++) {
+                float v = mats[s2][k];
+                if (v > best) { best = v; best_state = s2; best_k = (int32_t)k; }
+            }
+    };
+    if (len == 0) harvest(D, IY, IX);
+    for (int64_t i = 1; i <= L; i++) {
+        const uint8_t rc = rd[i - 1];
+        const uint8_t* __restrict xrow = rf + (i - 1);
+        uint8_t* __restrict prow = ptr + i * W;
+        for (int64_t k = 0; k < W; k++) {
+            uint8_t xc = xrow[k];
+            ok[k] = xc < 4;
+            float m = (xc == rc && rc < 4) ? s_match : s_mismatch;
+            sub[k] = ok[k] ? m : NEGF;
+        }
+        for (int64_t k = 0; k < W; k++) {
+            float d = D[k], iy = IY[k], ix = IX[k];
+            float m12 = iy > ix ? iy : ix;
+            float pb = d >= m12 ? d : m12;
+            uint8_t m_src = d >= m12 ? 0 : (iy >= ix ? 1 : 2);
+            nD[k] = pb + sub[k];
+            prow[k] = m_src;
+        }
+        for (int64_t k = 0; k < W - 1; k++) {
+            float oc = D[k + 1] + s_open;
+            float ec = IY[k + 1] + s_ext;
+            nIY[k] = oc > ec ? oc : ec;
+            prow[k] |= (uint8_t)((ec > oc) << 2);
+        }
+        nIY[W - 1] = NEGF;
+        nIX[0] = NEGF;
+        float run = NEGF;
+        for (int64_t k = 1; k < W; k++) {
+            float oc = nD[k - 1] + s_open;
+            float ec = run + s_ext;
+            float v = oc > ec ? oc : ec;
+            run = ok[k] ? v : NEGF;
+            nIX[k] = run;
+            prow[k] |= (uint8_t)((ec > oc) << 3);
+        }
+        std::swap(D, nD); std::swap(IY, nIY); std::swap(IX, nIX);
+        if (i == len) harvest(D, IY, IX);
+    }
+    *out_score = best;
+    *out_k = best_k;
+    *out_state = best_state;
+}
+
 extern "C" void hla_nw_forward(
     const uint8_t* reads, const int64_t* lens, const uint8_t* refs,
     int64_t B, int64_t L, int64_t W,
     float s_match, float s_mismatch, float s_open, float s_ext,
     float* out_scores, int32_t* out_k, int32_t* out_state,
     uint8_t* out_ptr, int n_threads) {
-    const float NEGF = -1e30f;
     int nt = n_threads > 0 ? n_threads : 1;
     std::vector<std::thread> threads;
-    auto work = [&](int t) {
-        std::vector<float> D(W), IY(W), IX(W), nD(W), nIY(W), nIX(W);
-        for (int64_t b = t; b < B; b += nt) {
-            const uint8_t* rd = reads + b * L;
-            const uint8_t* rf = refs + b * (L + W);
-            uint8_t* ptr = out_ptr + b * (L + 1) * W;
-            int64_t len = lens[b];
-            for (int64_t k = 0; k < W; k++) {
-                D[k] = 0.0f; IY[k] = NEGF; IX[k] = NEGF;
+    auto work = [=](int t) {
+        std::vector<float> buf(6 * W), subv(W);
+        std::vector<uint8_t> okv(W);
+        auto run_all = [&](auto fn) {
+            for (int64_t b = t; b < B; b += nt) {
+                fn(reads + b * L, refs + b * (L + W), L, W, lens[b],
+                   s_match, s_mismatch, s_open, s_ext,
+                   buf.data(), buf.data() + W,
+                   buf.data() + 2 * W, buf.data() + 3 * W,
+                   buf.data() + 4 * W, buf.data() + 5 * W,
+                   subv.data(), okv.data(),
+                   out_scores + b, out_k + b, out_state + b,
+                   out_ptr + b * (L + 1) * W);
             }
-            std::memset(ptr, 0, (size_t)(L + 1) * W);
-            float best = NEGF; int32_t best_k = 0, best_state = 0;
-            auto harvest = [&](std::vector<float>& d, std::vector<float>& iy,
-                               std::vector<float>& ix) {
-                // argmax over flat [D..., IY..., IX...], first max wins
-                best = NEGF; best_k = 0; best_state = 0;
-                const std::vector<float>* mats[3] = {&d, &iy, &ix};
-                for (int s = 0; s < 3; s++)
-                    for (int64_t k = 0; k < W; k++) {
-                        float v = (*mats[s])[k];
-                        if (v > best) { best = v; best_state = s; best_k = (int32_t)k; }
-                    }
-            };
-            if (len == 0) harvest(D, IY, IX);
-            for (int64_t i = 1; i <= L; i++) {
-                uint8_t rc = rd[i - 1];
-                uint8_t* prow = ptr + i * W;
-                for (int64_t k = 0; k < W; k++) {
-                    uint8_t xc = rf[i - 1 + k];
-                    float sub = (xc >= 4) ? NEGF
-                                : ((rc == xc && rc < 4) ? s_match : s_mismatch);
-                    float iy = IY[k], ix = IX[k], d = D[k];
-                    float pb = d >= iy ? (d >= ix ? d : ix) : (iy >= ix ? iy : ix);
-                    uint8_t m_src = (d >= (iy > ix ? iy : ix)) ? 0
-                                    : (iy >= ix ? 1 : 2);
-                    nD[k] = pb + sub;
-                    float D_sh = (k + 1 < W) ? D[k + 1] : NEGF;
-                    float IY_sh = (k + 1 < W) ? IY[k + 1] : NEGF;
-                    float oc = D_sh + s_open;
-                    float ec = IY_sh + s_ext;
-                    nIY[k] = oc > ec ? oc : ec;
-                    uint8_t iy_src = (ec > oc) ? 1 : 0;
-                    prow[k] = (uint8_t)(m_src | (iy_src << 2));
-                }
-                nIX[0] = NEGF;
-                for (int64_t k = 1; k < W; k++) {
-                    uint8_t xc = rf[i - 1 + k];
-                    float oc = nD[k - 1] + s_open;
-                    float ec = nIX[k - 1] + s_ext;
-                    float v = oc > ec ? oc : ec;
-                    nIX[k] = (xc < 4) ? v : NEGF;
-                    if (ec > oc) prow[k] |= (uint8_t)(1 << 3);
-                }
-                std::swap(D, nD); std::swap(IY, nIY); std::swap(IX, nIX);
-                if (i == len) harvest(D, IY, IX);
-            }
-            out_scores[b] = best;
-            out_k[b] = best_k;
-            out_state[b] = best_state;
+        };
+        switch (W) {
+            case 16: run_all(nw_one<16>); break;
+            case 32: run_all(nw_one<32>); break;
+            case 48: run_all(nw_one<48>); break;
+            case 64: run_all(nw_one<64>); break;
+            case 128: run_all(nw_one<128>); break;
+            default: run_all(nw_one<0>); break;
         }
     };
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);

@@ -46,27 +46,40 @@ class Seeder:
         per_read: list[list[Candidate]] = [[] for _ in seqs]
         if not seqs:
             return per_read
-        # concatenate reads (per strand) with 1-byte separators
+        # concatenate reads with 1-byte separators; the reverse strand is the
+        # revcomp of the whole concatenation (read i lands mirrored at
+        # total - off_i - len_i, and its k-mer positions are positions within
+        # revcomp(read_i) — exactly what the window math expects)
+        lens_arr = np.asarray([len(s) for s in seqs], dtype=np.int64)
+        fwd_offsets = np.concatenate(
+            [[0], np.cumsum(lens_arr + 1)]).astype(np.int64)
+        total = int(fwd_offsets[-1])
+        cat_fwd = np.frombuffer(("\x00".join(seqs) + "\x00").encode(),
+                                dtype=np.uint8)
+        assert len(cat_fwd) == total
+        cat_rev_full = revcomp_bytes(cat_fwd)
         for is_rev in (False, True):
-            chunks = []
-            offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
-            cursor = 0
-            for i, s in enumerate(seqs):
-                b = np.frombuffer(s.encode(), dtype=np.uint8)
-                if is_rev:
-                    b = revcomp_bytes(b)
-                chunks.append(b)
-                chunks.append(np.array([0], dtype=np.uint8))  # separator
-                offsets[i] = cursor
-                cursor += len(b) + 1
-            offsets[len(seqs)] = cursor
-            cat = np.concatenate(chunks)
+            if not is_rev:
+                cat = cat_fwd
+                offsets = fwd_offsets
+                read_index_of_slot = None
+            else:
+                # rev start of read i = total - off_i - len_i (its slice of
+                # the reversed concat IS revcomp(read_i))
+                cat = cat_rev_full
+                rev_starts = total - fwd_offsets[:-1] - lens_arr
+                order_slots = np.argsort(rev_starts)
+                offsets = np.concatenate(
+                    [rev_starts[order_slots], [total]]).astype(np.int64)
+                read_index_of_slot = order_slots
             codes, valid = encode_kmers(cat, k)
             qi, gp = self.index.query_codes(codes, valid)
             if len(qi) == 0:
                 continue
-            read_of = (np.searchsorted(offsets, qi, side="right") - 1)
-            read_pos = qi - offsets[read_of]
+            slot = (np.searchsorted(offsets, qi, side="right") - 1)
+            read_pos = qi - offsets[slot]
+            read_of = (slot if read_index_of_slot is None
+                       else read_index_of_slot[slot])
             seq_idx, ref_pos = self.index.locate(gp)
             diag = ref_pos - read_pos
             qdiag = diag // self.diagonal_slack

@@ -61,6 +61,10 @@ def main(argv=None):
         return action_simulate(args)
     if action == "testPRGMapping":
         return action_test_prg_mapping(args)
+    if action == "testPRGMappingUnpaired":
+        return action_test_prg_mapping_unpaired(args)
+    if action == "simulateFromNormalGenome":
+        return action_simulate_from_genome(args)
     if action == "TestHLATyping":
         return action_test_hla_typing(args)
     if action == "checkSequencePresence":
@@ -340,6 +344,63 @@ def action_test_prg_mapping(args) -> int:
           f"per-base truth accuracy {acc:.4f}, {rate:.1f} reads/s")
     assert acc > 0.9, "accuracy regression"
     print("OK")
+    return 0
+
+
+def action_test_prg_mapping_unpaired(args) -> int:
+    """Unpaired simulation round-trip (testPRGMappingUnpaired,
+    HLA-LA.cpp:1386-1532)."""
+    from .models.aligner import ReadAligner
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator
+    from .sim.truth import TrueReadLevels
+
+    rng = np.random.default_rng(args.seed or 13)
+    sim = simulate_prg_package(rng)
+    pkg = sim.write_package(os.path.join(args.workingDir,
+                                         "testPRGunpaired_graph"))
+    rs = ReadSimulator(rng)
+    seq, levels = sim.linearized(2)
+    reads = rs.simulate_unpaired_from_string(seq, levels, 6.0,
+                                             read_length=150)
+    truth = TrueReadLevels({r.name: r.levels for r in reads})
+    aligner = ReadAligner(pkg, use_jax=(args.backend == "jax"))
+    # unpaired mapping test: no min-length gate here (HLA typing applies it)
+    out = aligner.align_unpaired([r.to_fastq() for r in reads], truth=truth)
+    n_ok = sum(1 for a in out if a is not None)
+    acc = truth.accuracy()
+    print(f"testPRGMappingUnpaired: {n_ok}/{len(reads)} aligned, "
+          f"per-base truth accuracy {acc:.4f}")
+    assert acc > 0.9
+    print("OK")
+    return 0
+
+
+def action_simulate_from_genome(args) -> int:
+    """Simulate paired reads from a plain FASTA (simulateFromNormalGenome,
+    HLA-LA.cpp:1893)."""
+    from .io.fasta import read_fasta
+    from .io.fastq import write_fastq
+    from .sim.read_sim import ReadSimulator, write_levels_file
+
+    if not args.ASMfasta:
+        raise SystemExit("--ASMfasta <genome.fa> required")
+    rng = np.random.default_rng(args.seed or 5)
+    genome = read_fasta(args.ASMfasta)
+    rs = ReadSimulator(rng)
+    pairs = []
+    for name, seq in genome.items():
+        pairs += rs.simulate_pairs_from_string(
+            seq, np.arange(len(seq)), 2.0, name_prefix=name)
+    out = args.outputDirectory or args.workingDir
+    os.makedirs(out, exist_ok=True)
+    write_fastq(os.path.join(out, "R_1.fq"), [p.r1.to_fastq() for p in pairs])
+    write_fastq(os.path.join(out, "R_2.fq"), [p.r2.to_fastq() for p in pairs])
+    write_levels_file(os.path.join(out, "R_1.fq.levels"),
+                      [p.r1 for p in pairs])
+    write_levels_file(os.path.join(out, "R_2.fq.levels"),
+                      [p.r2 for p in pairs])
+    print(f"simulated {len(pairs)} pairs from {len(genome)} contigs -> {out}")
     return 0
 
 

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .prg import PRG, GAP
+from .prg import PRG
 
 
 @dataclass

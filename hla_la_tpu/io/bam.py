@@ -10,7 +10,6 @@ always-available fallback and the format reference).
 
 from __future__ import annotations
 
-import os
 import struct
 import zlib
 from dataclasses import dataclass

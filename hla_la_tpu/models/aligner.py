@@ -17,7 +17,7 @@ This is the L3/L5 workhorse replacing processBAM (mapper/processBAM.cpp):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -25,14 +25,13 @@ from ..graph.package import GraphPackage
 from ..io.fastq import FastqRead
 from ..mapping.kmer_index import KmerIndex
 from ..mapping.seeder import Seeder
-from ..ops.banded_nw import NWScoring, banded_nw_backtrace, banded_nw_forward
+from ..ops.banded_nw import banded_nw_backtrace, banded_nw_forward
 from ..sim.read_sim import revcomp
 from ..utils.config import RunConfig
-from ..utils.phred import p_correct_to_phred_char
-from ..utils.timing import Stats, log_progress
-from .alignment import (GraphAlignment, pair_distance_graph_levels,
-                        pair_distances_underlying, project_linear_alignment,
-                        score_alignment, strands_valid)
+from ..utils.timing import Stats
+from .alignment import (GraphAlignment, pair_distances_underlying,
+                        project_linear_alignment, score_alignment,
+                        strands_valid)
 
 _ENC = np.full(256, 4, dtype=np.uint8)
 for i, b in enumerate(b"ACGT"):

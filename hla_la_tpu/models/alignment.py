@@ -14,7 +14,7 @@ become intrinsic graph gap columns ('_'/'_' with real levels, zero cost).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

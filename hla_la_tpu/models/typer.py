@@ -22,14 +22,14 @@ from __future__ import annotations
 
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..graph.package import GraphPackage
 from ..io.fastq import FastqRead
 from ..ops.pair_ll import (cluster_onehot, cluster_read_ll, pair_ll_reduction,
-                           pair_min_mismatch_row, CH_A, CH_GAP, CH_OTHER)
+                           pair_min_mismatch_row, CH_GAP, CH_OTHER)
 from ..sim.read_sim import revcomp
 from ..utils.config import LOCI_2_EXONS, LOCI_FOR_TYPING, TyperConfig
 from ..utils.phred import phred_to_p_correct_table

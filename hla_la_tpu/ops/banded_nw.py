@@ -27,7 +27,6 @@ IX (deletion: consumes ref, read gap).  IX has a within-row scan over k.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import numpy as np
 

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import numpy as np
-
 from ..graph.compile import CompiledPRG
 from ..utils.config import DPScoring
 

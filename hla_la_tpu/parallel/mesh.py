@@ -42,7 +42,7 @@ def sharded_typing_step(mesh):
     "data"; psum over "data" completes the pair reduction."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     n_model = mesh.shape["model"]

@@ -10,7 +10,6 @@ simulated data with known truth.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np

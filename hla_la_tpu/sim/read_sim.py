@@ -11,7 +11,7 @@ indel rates inject novel gaps.  Truth output: graph level per emitted base
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -37,7 +37,8 @@ def main(argv=None):
     ap.add_argument("--longReads", default="",
                     choices=["", "ont2d", "pacbio"])
     ap.add_argument("--maxThreads", type=int, default=1)
-    ap.add_argument("--backend", default="numpy", choices=["numpy", "jax"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "numpy", "jax"])
     ap.add_argument("--moreReferencesDir", default=None)
     ap.add_argument("--outputDirectory", default=None)
     ap.add_argument("--seed", type=int, default=0)

@@ -97,8 +97,12 @@ def unpack_aligned_pairs(d):
 
 def spawn_safe() -> bool:
     """Spawned children re-execute the __main__ module; with an interactive /
-    stdin main module that crash-loops.  Only parallelise when safe."""
+    stdin main module that crash-loops.  Only parallelise when safe, and
+    never from inside a worker (a child re-running unguarded __main__ code
+    must not spawn grandchildren)."""
     import sys
+    if os.environ.get("HLA_LA_IN_WORKER"):
+        return False
     main = sys.modules.get("__main__")
     f = getattr(main, "__file__", None)
     return bool(f) and os.path.exists(f)
@@ -115,8 +119,13 @@ class ParallelAligner:
                 "(multiprocessing spawn); use the serial ReadAligner")
         ctx = mp.get_context("spawn")
         self.n_workers = max(1, n_workers)
-        self.pool = ctx.Pool(self.n_workers, initializer=_init_worker,
-                             initargs=(graph_dir, band, kmer_k, long_reads))
+        os.environ["HLA_LA_IN_WORKER"] = "1"   # inherited by children
+        try:
+            self.pool = ctx.Pool(self.n_workers, initializer=_init_worker,
+                                 initargs=(graph_dir, band, kmer_k,
+                                           long_reads))
+        finally:
+            del os.environ["HLA_LA_IN_WORKER"]
 
     def align_pairs(self, pairs, insert_mean, insert_sd, truth=None):
         if not pairs:

@@ -47,7 +47,7 @@ def run_hla_typing(pkg: GraphPackage,
                    unpaired: list[FastqRead] | None = None,
                    output_dir: str = ".",
                    cfg: RunConfig | None = None,
-                   backend: str = "numpy",
+                   backend: str = "auto",
                    truth=None) -> PipelineResult:
     cfg = cfg or RunConfig()
     pairs = pairs or []

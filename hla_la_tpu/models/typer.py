@@ -93,7 +93,7 @@ class LocusResult:
 class HLATyper:
     def __init__(self, pkg: GraphPackage, cfg: TyperConfig | None = None,
                  g_nomenclature_path: str | None = None,
-                 backend: str = "numpy"):
+                 backend: str = "auto"):
         self.pkg = pkg
         self.cfg = cfg or TyperConfig()
         self.backend = backend

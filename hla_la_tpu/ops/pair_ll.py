@@ -114,8 +114,12 @@ def make_pair_ll_jax(C: int, R: int, chunk: int = 512):
     return run
 
 
-def pair_ll_reduction(L: np.ndarray, backend: str = "numpy",
+def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
                       chunk: int = 256) -> np.ndarray:
+    if backend == "auto":
+        # XLA (multithreaded on CPU, device on TPU) pays off past ~1e8 cells
+        C, R = L.shape if L.ndim == 2 else (0, 0)
+        backend = "jax" if C * C * R > 1e8 else "numpy"
     if backend == "numpy" or L.size == 0:
         return pair_ll_reduction_numpy(L, chunk)
     if backend == "pallas":

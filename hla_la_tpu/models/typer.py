@@ -774,13 +774,11 @@ class HLATyper:
                 by_exon.setdefault(int(exon_idx[j]), []).append(ch)
             for chars in by_exon.values():
                 s = "".join(c for c in chars if c != "_")
-                for i in range(len(s) - k + 1):
-                    mer = s[i:i + k]
-                    total += 1
-                    if "*" in mer:
-                        continue
-                    if kmer_counts.get(_canonical(mer), 0) > 0:
-                        present += 1
+                n = max(len(s) - k + 1, 0)
+                total += n
+                if n:
+                    cnt, valid = kmer_counts.counts_for(s)
+                    present += int(((cnt > 0) & valid).sum())
             return present / total if total else -1.0
 
         return dict(decile=decile, min_cov=min_cov, avg_err=avg_err,
@@ -885,23 +883,18 @@ class HLATyper:
             fh.write(f"\t - Total number (unpaired) alignments:                 {len(aligned_unpaired)}\n")
 
     # --------------------------------------------------------------- k-mers
-    def _read_kmer_index(self, raw_pairs, raw_unpaired, cfg) -> dict[str, int]:
+    def _read_kmer_index(self, raw_pairs, raw_unpaired, cfg):
         """Canonical 31-mer counts over all input reads
-        (HLATyper.cpp:999-1028)."""
+        (HLATyper.cpp:999-1028) — vectorised 2-bit encoding with a
+        bit-twiddled reverse complement; sorted-array storage."""
         k = cfg.k_for_kmer_index
-        counts: dict[str, int] = {}
-
-        def add(s: str):
-            for i in range(len(s) - k + 1):
-                mer = _canonical(s[i:i + k])
-                counts[mer] = counts.get(mer, 0) + 1
-
+        seqs = []
         for r1, r2 in raw_pairs:
-            add(r1.seq)
-            add(r2.seq)
+            seqs.append(r1.seq)
+            seqs.append(r2.seq)
         for r in raw_unpaired:
-            add(r.seq)
-        return counts
+            seqs.append(r.seq)
+        return KmerCountIndex.build(seqs, k)
 
 
 def _canonical(kmer: str) -> str:
@@ -909,6 +902,57 @@ def _canonical(kmer: str) -> str:
     (kMer_canonical_representation, HLATyper.cpp:4211-4256)."""
     rc = revcomp(kmer)
     return kmer if kmer <= rc else rc
+
+
+def _revcomp_codes(codes: np.ndarray, k: int) -> np.ndarray:
+    """Reverse complement of 2-bit-packed k-mer codes (uint64), vectorised."""
+    x = (~codes).astype(np.uint64)          # complement: A<->T, C<->G
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    m8 = np.uint64(0x00FF00FF00FF00FF)
+    m16 = np.uint64(0x0000FFFF0000FFFF)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = ((x & m8) << np.uint64(8)) | ((x >> np.uint64(8)) & m8)
+    x = ((x & m16) << np.uint64(16)) | ((x >> np.uint64(16)) & m16)
+    x = (x << np.uint64(32)) | (x >> np.uint64(32))
+    return x >> np.uint64(64 - 2 * k)
+
+
+class KmerCountIndex:
+    """Canonical k-mer -> count, stored as sorted uint64 code arrays."""
+
+    def __init__(self, codes_sorted: np.ndarray, counts: np.ndarray, k: int):
+        self.codes = codes_sorted
+        self.counts = counts
+        self.k = k
+
+    @classmethod
+    def build(cls, seqs: list[str], k: int) -> "KmerCountIndex":
+        from ..mapping.kmer_index import encode_kmers
+        if not seqs:
+            return cls(np.zeros(0, np.uint64), np.zeros(0, np.int64), k)
+        cat = np.frombuffer(("\x00".join(seqs)).encode(), dtype=np.uint8)
+        codes, valid = encode_kmers(cat, k)
+        canon = np.minimum(codes, _revcomp_codes(codes, k))[valid]
+        uniq, counts = np.unique(canon, return_counts=True)
+        return cls(uniq, counts.astype(np.int64), k)
+
+    def counts_for(self, seq: str) -> tuple[np.ndarray, np.ndarray]:
+        """(count, valid) per k-mer of `seq` (invalid = non-ACGT k-mers)."""
+        from ..mapping.kmer_index import encode_kmers
+        codes, valid = encode_kmers(
+            np.frombuffer(seq.encode(), dtype=np.uint8), self.k)
+        canon = np.minimum(codes, _revcomp_codes(codes, self.k))
+        idx = np.searchsorted(self.codes, canon)
+        idx = np.minimum(idx, max(len(self.codes) - 1, 0))
+        hit = (len(self.codes) > 0) & (self.codes[idx] == canon) & valid
+        out = np.where(hit, self.counts[idx] if len(self.codes) else 0, 0)
+        return out, valid
+
+    def get(self, kmer: str, default: int = 0) -> int:
+        c, v = self.counts_for(kmer)
+        return int(c[0]) if len(c) and v[0] else default
 
 
 def _chi2_p1(observed: list[float], expected: list[float]) -> float:

@@ -509,14 +509,14 @@ class HLATyper:
         np.add.at(marg, iu[1][sec], P[sec])
         best1 = int(np.argmax(marg))
 
-        # conditional second allele (2519-2538)
-        pair_index = {}
-        for idx, (a, b) in enumerate(zip(iu[0], iu[1])):
-            pair_index[(int(a), int(b))] = idx
-        cand_P = np.empty(C)
-        for c2 in range(C):
-            key = (min(best1, c2), max(best1, c2))
-            cand_P[c2] = P[pair_index[key]]
+        # conditional second allele (2519-2538); triangular index of the
+        # (a<=b) pair in row-major upper-triangle order
+        def tri_idx(a, b):
+            return a * C - (a * (a - 1)) // 2 + (b - a)
+        c2s = np.arange(C)
+        a_arr = np.minimum(best1, c2s)
+        b_arr = np.maximum(best1, c2s)
+        cand_P = P[tri_idx(a_arr, b_arr)]
         best2_p = float(cand_P.max())
         mm_min_row = pair_min_mismatch_row(MMmat, best1)
         tie = np.nonzero(cand_P == best2_p)[0]
@@ -528,19 +528,19 @@ class HLATyper:
         # ---- outputs: pair posterior dump --------------------------------
         order = np.argsort(
             np.rec.fromarrays([pair_vals, -mism_avg]), order=("f0", "f1"))[::-1]
+        cluster_ids = [";".join(sorted(c)) for c in clusters]
         with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
                   "w") as fh:
             fh.write("ClusterID\tP\tLL\tMismatches_avg\n")
+            iu0, iu1 = iu
             for idx in order:
-                c1, c2 = int(iu[0][idx]), int(iu[1][idx])
-                cid = (";".join(sorted(clusters[c1])) + "/"
-                       + ";".join(sorted(clusters[c2])))
+                cid = cluster_ids[iu0[idx]] + "/" + cluster_ids[iu1[idx]]
                 fh.write(f"{cid}\t{P[idx]}\t{pair_vals[idx]}\t"
                          f"{mism_avg[idx]}\n")
 
         # ---- QC ----------------------------------------------------------
-        allele1_id = ";".join(sorted(clusters[best1]))
-        allele2_id = ";".join(sorted(clusters[best2]))
+        allele1_id = cluster_ids[best1]
+        allele2_id = cluster_ids[best2]
         allele1_one = sorted(clusters[best1])[0]
         allele2_one = sorted(clusters[best2])[0]
         qc = self._column_qc(locus, cluster_seqs[best1], cluster_seqs[best2],

@@ -126,7 +126,8 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
         from .pallas_pair import pair_ll_reduction_pallas
         return pair_ll_reduction_pallas(L)
     C, R = L.shape
-    chunk = min(chunk, max(R, 1))
+    # bound the [C, C, chunk] intermediate to ~1.3e8 f32 (0.5 GB)
+    chunk = min(chunk, max(R, 1), max(1, int(1.3e8 // max(C * C, 1))))
     n_chunks = -(-R // chunk)
     Rpad = n_chunks * chunk
     run = make_pair_ll_jax(C, R, chunk)

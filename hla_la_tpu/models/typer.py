@@ -796,17 +796,31 @@ class HLATyper:
                 fields = [str(int(exon_idx[j])), str(int(exon_pos[j])),
                           str(len(items))]
                 if items:
-                    summary = []
+                    # per-read entries (reference pileup detail,
+                    # HLATyper.cpp:1940-2010): genotype (qualities)
+                    # [pairsDistance | alignmentLength | mapQ_position |
+                    #  mapQ mapQ | weightedOK weightedOK | readIDs]
+                    entries = []
                     by_allele: dict[str, list[int]] = {}
                     for o in items:
+                        quals = ", ".join(str(q) for q in o.qualities)
+                        entries.append(
+                            f"{o.genotype} ({quals}) ["
+                            f"pairsDistance {o.pairs_strands_distance} | "
+                            f"alignmentLength {o.alignment_cols_nongap} | "
+                            f"{o.mapq_position} | {o.mapq} {o.mapq} | "
+                            f"{o.this_weighted_ok} {o.paired_weighted_ok} | "
+                            f"{o.read_id} {o.paired_read_id}]")
                         by_allele.setdefault(o.genotype, []).append(
                             o.alignment_cols_nongap)
+                    fields.append(", ".join(entries))
+                    summary = []
                     for g, lens in sorted(by_allele.items()):
                         sf = strand_freqs.get(j, {}).get(g, 0.0)
                         r1f = read1_freqs.get(j, {}).get(g, 0.0)
                         summary.append(
                             f"{g}x{len(lens)}[{np.mean(lens):.1f};{sf};{r1f}]")
-                    fields.append(",".join(summary))
+                    fields.append("".join(summary))
                 fh.write("\t".join(fields) + "\n")
 
     def _write_bestguess(self, results: list[LocusResult], output_dir,

@@ -1,0 +1,184 @@
+"""Pallas TPU kernel for the batched banded glocal affine NW forward pass.
+
+Same contract as ops/banded_nw.banded_nw_forward / make_jax_banded_nw
+(scores, end_k, end_state, pointers — identical scores and pointer bits).
+
+Layout: reads are the LANE dimension (TB = 128 reads per grid block), the
+band is the SUBLANE dimension (W rows) — every vector op runs at full lane
+width, unlike the [B, W] XLA layout where W=32 uses a quarter of each vreg.
+The row loop is a fori_loop inside the kernel; the within-row affine
+deletion recurrence uses the closed-form running max (Hillis-Steele over
+log2(W) static sublane shifts — docs/DESIGN.md §2).
+
+Inputs are pre-transposed by the jitted wrapper: readsT [L, B],
+refsT [L+W, B]; pointer output comes back as [B, L+1, W] after an XLA
+transpose of the kernel's [L+1, W, TB] blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+NEG = np.float32(-1e30)
+
+
+@functools.lru_cache(maxsize=8)
+def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
+                          mismatch: float = -5.0, gap_open: float = -6.0,
+                          gap_extend: float = -2.0,
+                          interpret: bool | None = None, tb: int = 128):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    neg = float(NEG)          # plain python floats: jnp scalars created at
+    open_ = float(gap_open)   # closure scope would be captured consts
+    ext = float(gap_extend)
+    TB = tb
+
+    n_shifts = max(int(np.ceil(np.log2(max(W, 2)))), 1)
+
+    def kernel(readsT_ref, refsT_ref, lens_ref,
+               score_ref, endk_ref, endstate_ref, ptr_ref,
+               D_s, IY_s, IX_s, best_s):
+        # D_s/IY_s/IX_s: [W, TB] scratch; best_s: [8, TB] rows
+        # (0=score, 1=k, 2=state; padded to a full sublane tile)
+        D_s[:] = jnp.zeros((W, TB), jnp.float32)
+        IY_s[:] = jnp.full((W, TB), neg)
+        IX_s[:] = jnp.full((W, TB), neg)
+        best_s[:] = jnp.zeros((8, TB), jnp.float32)
+        best_s[0:1, :] = jnp.full((1, TB), neg)
+        lens_row = lens_ref[0:1, :][0]                       # [TB] int32
+        ptr_ref[0:1] = jnp.zeros((1, W, TB), jnp.uint8)
+
+        k_iota = jax.lax.broadcasted_iota(jnp.float32, (W, TB), 0)
+
+        def harvest(i):
+            D, IY, IX = D_s[:], IY_s[:], IX_s[:]
+            at_end = (lens_row == i)[None, :]           # [1, TB]
+            # max + first-argmax over state-major [D, IY, IX] x k
+            def red(mat):
+                m = jnp.max(mat, axis=0, keepdims=True)       # [1, TB]
+                kk = jnp.min(jnp.where(mat == m, k_iota, jnp.float32(W)),
+                             axis=0, keepdims=True)
+                return m, kk
+            mD, kD = red(D)
+            mIY, kIY = red(IY)
+            mIX, kIX = red(IX)
+            best = jnp.maximum(jnp.maximum(mD, mIY), mIX)
+            state = jnp.where(mD >= best, 0.0,
+                              jnp.where(mIY >= best, 1.0, 2.0))
+            kbest = jnp.where(mD >= best, kD,
+                              jnp.where(mIY >= best, kIY, kIX))
+            upd = at_end & (lens_row >= 0)[None, :]
+            best_s[0:1, :] = jnp.where(upd, best, best_s[0:1, :])
+            best_s[1:2, :] = jnp.where(upd, kbest, best_s[1:2, :])
+            best_s[2:3, :] = jnp.where(upd, state, best_s[2:3, :])
+
+        harvest(0)
+
+        def row(i, _):
+            read_row = readsT_ref[pl.ds(i - 1, 1), :]        # [1, TB]
+            ref_rows = refsT_ref[pl.ds(i - 1, W), :]         # [W, TB]
+            ok = ref_rows < 4
+            is_m = (ref_rows == read_row) & (read_row < 4)
+            sub = jnp.where(ok,
+                            jnp.where(is_m, jnp.float32(match),
+                                      jnp.float32(mismatch)), neg)
+            D, IY, IX = D_s[:], IY_s[:], IX_s[:]
+            m12 = jnp.maximum(IY, IX)
+            pb = jnp.maximum(D, m12)
+            m_src = jnp.where(D >= m12, 0,
+                              jnp.where(IY >= IX, 1, 2)).astype(jnp.uint8)
+            nD = pb + sub
+            D_sh = jnp.concatenate([D[1:], jnp.full((1, TB), neg)], axis=0)
+            IY_sh = jnp.concatenate([IY[1:], jnp.full((1, TB), neg)], axis=0)
+            oc = D_sh + open_
+            ec = IY_sh + ext
+            nIY = jnp.maximum(oc, ec)
+            iy_src = (ec > oc).astype(jnp.uint8)
+
+            # IX closed form: IX[k] = open + (k-1)ext + cummax(g)[k-1],
+            # g[k] = nD[k] - k*ext (masked at ref pads); cummax via
+            # Hillis-Steele with static sublane shifts
+            g = jnp.where(ok, nD - k_iota * ext, neg)
+            cm = g
+            sh = 1
+            for _s in range(n_shifts):
+                rolled = jnp.concatenate(
+                    [jnp.full((min(sh, W), TB), neg), cm[:max(W - sh, 0)]],
+                    axis=0)
+                cm = jnp.maximum(cm, rolled)
+                sh *= 2
+            cm_shift = jnp.concatenate([jnp.full((1, TB), neg), cm[:-1]],
+                                       axis=0)
+            nIX = open_ + (k_iota - 1.0) * ext + cm_shift
+            nIX = jnp.where(ok, nIX, neg)
+            nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
+            ocx = jnp.concatenate([jnp.full((1, TB), neg),
+                                   nD[:-1] + open_], axis=0)
+            ix_src = (nIX > ocx).astype(jnp.uint8)
+
+            ptr_ref[pl.ds(i, 1)] = (m_src | (iy_src << 2)
+                                    | (ix_src << 3))[None]
+            D_s[:] = nD
+            IY_s[:] = nIY
+            IX_s[:] = nIX
+            harvest(i)
+            return 0
+
+        jax.lax.fori_loop(1, L + 1, row, 0, unroll=False)
+        score_ref[0:1, :] = best_s[0:1, :]
+        endk_ref[0:1, :] = best_s[1:2, :].astype(jnp.int32)
+        endstate_ref[0:1, :] = best_s[2:3, :].astype(jnp.int32)
+
+    @jax.jit
+    def forward(reads, read_lens, refs):
+        B = reads.shape[0]
+        n_b = -(-B // TB)
+        Bp = n_b * TB
+        reads_p = jnp.pad(reads, ((0, Bp - B), (0, 0)), constant_values=4)
+        refs_p = jnp.pad(refs, ((0, Bp - B), (0, 0)), constant_values=4)
+        lens_p = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B),
+                         constant_values=-1)
+        readsT = reads_p.T                      # [L, Bp]
+        refsT = refs_p.T                        # [L+W, Bp]
+        lens2 = lens_p.reshape(1, Bp)
+
+        scores, endk, endstate, ptrs = pl.pallas_call(
+            kernel,
+            grid=(n_b,),
+            in_specs=[
+                pl.BlockSpec((L, TB), lambda b: (0, b)),
+                pl.BlockSpec((L + W, TB), lambda b: (0, b)),
+                pl.BlockSpec((1, TB), lambda b: (0, b)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, TB), lambda b: (0, b)),
+                pl.BlockSpec((1, TB), lambda b: (0, b)),
+                pl.BlockSpec((1, TB), lambda b: (0, b)),
+                pl.BlockSpec((L + 1, W, TB), lambda b: (0, 0, b)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((L + 1, W, Bp), jnp.uint8),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((8, TB), jnp.float32),
+            ],
+            interpret=interpret,
+        )(readsT, refsT, lens2)
+        pointers = ptrs.transpose(2, 0, 1)[:B]          # [B, L+1, W]
+        return scores[0, :B], endk[0, :B], endstate[0, :B], pointers
+
+    return forward

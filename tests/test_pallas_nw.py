@@ -1,0 +1,49 @@
+"""Pallas NW kernel vs the numpy reference: identical scores/ends, and
+identical backtraces for alignable reads (pointer bits may differ only in
+unreachable NEG cells — mid-window ref pads never occur in real windows)."""
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.ops.banded_nw import banded_nw_backtrace, banded_nw_forward
+from hla_la_tpu.ops.pallas_nw import make_pallas_banded_nw
+
+
+def _world(rng, B=40, L=24, W=16):
+    reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    for b in range(0, B, 3):   # realistic suffix-only ref pads
+        cut = int(rng.integers(L // 2, L + W))
+        refs[b, cut:] = 4
+    lens = rng.integers(4, L + 1, B).astype(np.int64)
+    return reads, refs, lens
+
+
+def test_pallas_nw_matches_numpy(rng):
+    B, L, W = 40, 24, 16
+    reads, refs, lens = _world(rng, B, L, W)
+    want = banded_nw_forward(reads, lens, refs, use_native=False)
+    fwd = make_pallas_banded_nw(L, W, interpret=True, tb=8)
+    got = tuple(np.asarray(x) for x in fwd(reads, lens, refs))
+    ok = want[0] > -1e29
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6)
+    np.testing.assert_array_equal(got[1][ok], want[1][ok])
+    np.testing.assert_array_equal(got[2][ok], want[2][ok])
+    # backtraces must agree wherever an alignment exists
+    for b in np.nonzero(ok)[0]:
+        ops_a = banded_nw_backtrace(got[3][b], int(lens[b]), int(got[1][b]),
+                                    int(got[2][b]))
+        ops_b = banded_nw_backtrace(want[3][b], int(lens[b]), int(want[1][b]),
+                                    int(want[2][b]))
+        assert ops_a == ops_b, b
+
+
+def test_pallas_nw_uneven_batch(rng):
+    # batch not a multiple of the lane tile
+    B, L, W = 13, 16, 8
+    reads, refs, lens = _world(rng, B, L, W)
+    want = banded_nw_forward(reads, lens, refs, use_native=False)
+    fwd = make_pallas_banded_nw(L, W, interpret=True, tb=8)
+    got = tuple(np.asarray(x) for x in fwd(reads, lens, refs))
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6)
+    assert got[3].shape == want[3].shape

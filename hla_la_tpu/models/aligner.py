@@ -98,12 +98,19 @@ class ReadAligner:
     def _run_nw(self, reads_arr, lens_arr, refs_arr):
         if not self.use_jax:
             return banded_nw_forward(reads_arr, lens_arr, refs_arr)
+        import jax
         import jax.numpy as jnp
-        from ..ops.banded_nw import make_jax_banded_nw
         L = reads_arr.shape[1]
         W = refs_arr.shape[1] - L
         if self._jax_shapes != (L, W):
-            self._jax_fwd = make_jax_banded_nw(L, W)
+            if jax.default_backend() == "tpu":
+                # the Pallas kernel: 37 Gcells/s on v5e vs 0.73 for the XLA
+                # scan, and ~1s compile vs minutes (see ops/pallas_nw.py)
+                from ..ops.pallas_nw import make_pallas_banded_nw
+                self._jax_fwd = make_pallas_banded_nw(L, W)
+            else:
+                from ..ops.banded_nw import make_jax_banded_nw
+                self._jax_fwd = make_jax_banded_nw(L, W)
             self._jax_shapes = (L, W)
         out = self._jax_fwd(jnp.asarray(reads_arr), jnp.asarray(lens_arr),
                             jnp.asarray(refs_arr))

@@ -108,6 +108,10 @@ def run_hla_typing(pkg: GraphPackage,
 
     _write_reads_per_level(aligned_pairs, aligned_unpaired,
                            pkg, output_dir)
+    # end-of-alignment statistics (reference prints aligner::statistics,
+    # processBAM.cpp:1860)
+    aligner.stats.n_align_calls += len(aligned_pairs)
+    log_progress(aligner.stats.report())
 
     typer = HLATyper(pkg, cfg.typer, backend=backend)
     results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,

@@ -54,9 +54,10 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
         best_s[:] = jnp.zeros((8, TB), jnp.float32)
         best_s[0:1, :] = jnp.full((1, TB), neg)
         lens_row = lens_ref[0:1, :][0]                       # [TB] int32
-        ptr_ref[0:1] = jnp.zeros((1, W, TB), jnp.uint8)
+        ptr_ref[0:1] = jnp.zeros((1, W, TB), jnp.int32)
 
-        k_iota = jax.lax.broadcasted_iota(jnp.float32, (W, TB), 0)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0
+                                          ).astype(jnp.float32)
 
         def harvest(i):
             D, IY, IX = D_s[:], IY_s[:], IX_s[:]
@@ -64,7 +65,8 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             # max + first-argmax over state-major [D, IY, IX] x k
             def red(mat):
                 m = jnp.max(mat, axis=0, keepdims=True)       # [1, TB]
-                kk = jnp.min(jnp.where(mat == m, k_iota, jnp.float32(W)),
+                mb = jnp.broadcast_to(m, (W, TB))
+                kk = jnp.min(jnp.where(mat >= mb, k_iota, jnp.float32(W)),
                              axis=0, keepdims=True)
                 return m, kk
             mD, kD = red(D)
@@ -82,26 +84,26 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
 
         harvest(0)
 
-        def row(i, _):
-            read_row = readsT_ref[pl.ds(i - 1, 1), :]        # [1, TB]
-            ref_rows = refsT_ref[pl.ds(i - 1, W), :]         # [W, TB]
-            ok = ref_rows < 4
-            is_m = (ref_rows == read_row) & (read_row < 4)
-            sub = jnp.where(ok,
-                            jnp.where(is_m, jnp.float32(match),
-                                      jnp.float32(mismatch)), neg)
+        def row_body(i, read_row, ref_rows):
+            # keep comparisons in f32: mixed-layout i1 vectors trip Mosaic
+            # relayout ("replicated in destination but not in source")
+            rr = jnp.broadcast_to(read_row, (W, TB))
+            rf = ref_rows
+            ok = rf < 4
+            m_f = (jnp.where(rf == rr, 1.0, 0.0)
+                   * jnp.where(rr < 4, 1.0, 0.0))
+            sub = jnp.where(ok, mismatch + (match - mismatch) * m_f, neg)
             D, IY, IX = D_s[:], IY_s[:], IX_s[:]
             m12 = jnp.maximum(IY, IX)
             pb = jnp.maximum(D, m12)
-            m_src = jnp.where(D >= m12, 0,
-                              jnp.where(IY >= IX, 1, 2)).astype(jnp.uint8)
+            m_src = jnp.where(D >= m12, 0, jnp.where(IY >= IX, 1, 2))
             nD = pb + sub
             D_sh = jnp.concatenate([D[1:], jnp.full((1, TB), neg)], axis=0)
             IY_sh = jnp.concatenate([IY[1:], jnp.full((1, TB), neg)], axis=0)
             oc = D_sh + open_
             ec = IY_sh + ext
             nIY = jnp.maximum(oc, ec)
-            iy_src = (ec > oc).astype(jnp.uint8)
+            iy_src = jnp.where(ec > oc, 4, 0)
 
             # IX closed form: IX[k] = open + (k-1)ext + cummax(g)[k-1],
             # g[k] = nD[k] - k*ext (masked at ref pads); cummax via
@@ -122,40 +124,59 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
             ocx = jnp.concatenate([jnp.full((1, TB), neg),
                                    nD[:-1] + open_], axis=0)
-            ix_src = (nIX > ocx).astype(jnp.uint8)
+            ix_src = jnp.where(nIX > ocx, 8, 0)
 
-            ptr_ref[pl.ds(i, 1)] = (m_src | (iy_src << 2)
-                                    | (ix_src << 3))[None]
+            # bit packing via adds (arith.shli is not legal in Mosaic)
+            ptr_ref[pl.ds(i, 1)] = (m_src + iy_src + ix_src)[None]
             D_s[:] = nD
             IY_s[:] = nIY
             IX_s[:] = nIX
             harvest(i)
+
+        # dynamic sublane slices must be 8-aligned on TPU: walk rows in
+        # blocks of 8 with static offsets inside (L is padded to 8 | L by
+        # the wrapper)
+        def outer(io, _):
+            base = pl.multiple_of(io * 8, 8)
+            read_blk = readsT_ref[pl.ds(base, 8), :]         # [8, TB]
+            ref_blk = refsT_ref[pl.ds(base, W + 8), :]       # [W+8, TB]
+            for r8 in range(8):
+                i = base + r8 + 1
+
+                @pl.when(i <= L)
+                def _():
+                    row_body(i, read_blk[r8:r8 + 1, :],
+                             ref_blk[r8:r8 + W, :])
             return 0
 
-        jax.lax.fori_loop(1, L + 1, row, 0, unroll=False)
+        jax.lax.fori_loop(0, (L + 7) // 8, outer, 0, unroll=False)
         score_ref[0:1, :] = best_s[0:1, :]
         endk_ref[0:1, :] = best_s[1:2, :].astype(jnp.int32)
         endstate_ref[0:1, :] = best_s[2:3, :].astype(jnp.int32)
+
+    Lpad = -(-L // 8) * 8                       # row blocks of 8
 
     @jax.jit
     def forward(reads, read_lens, refs):
         B = reads.shape[0]
         n_b = -(-B // TB)
         Bp = n_b * TB
-        reads_p = jnp.pad(reads, ((0, Bp - B), (0, 0)), constant_values=4)
-        refs_p = jnp.pad(refs, ((0, Bp - B), (0, 0)), constant_values=4)
+        reads_p = jnp.pad(reads, ((0, Bp - B), (0, Lpad - L)),
+                          constant_values=4)
+        refs_p = jnp.pad(refs, ((0, Bp - B), (0, Lpad - L)),
+                         constant_values=4)
         lens_p = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B),
                          constant_values=-1)
-        readsT = reads_p.T                      # [L, Bp]
-        refsT = refs_p.T                        # [L+W, Bp]
+        readsT = reads_p.T.astype(jnp.int32)    # [Lpad, Bp]
+        refsT = refs_p.T.astype(jnp.int32)      # [Lpad+W, Bp]
         lens2 = lens_p.reshape(1, Bp)
 
         scores, endk, endstate, ptrs = pl.pallas_call(
             kernel,
             grid=(n_b,),
             in_specs=[
-                pl.BlockSpec((L, TB), lambda b: (0, b)),
-                pl.BlockSpec((L + W, TB), lambda b: (0, b)),
+                pl.BlockSpec((Lpad, TB), lambda b: (0, b)),
+                pl.BlockSpec((Lpad + W, TB), lambda b: (0, b)),
                 pl.BlockSpec((1, TB), lambda b: (0, b)),
             ],
             out_specs=(
@@ -168,7 +189,7 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
                 jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((L + 1, W, Bp), jnp.uint8),
+                jax.ShapeDtypeStruct((L + 1, W, Bp), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((W, TB), jnp.float32),
@@ -178,7 +199,7 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             ],
             interpret=interpret,
         )(readsT, refsT, lens2)
-        pointers = ptrs.transpose(2, 0, 1)[:B]          # [B, L+1, W]
+        pointers = ptrs.transpose(2, 0, 1)[:B].astype(jnp.uint8)
         return scores[0, :B], endk[0, :B], endstate[0, :B], pointers
 
     return forward

@@ -95,8 +95,28 @@ def main():
     print(f"# aligned {len(aligned)}/{len(fq)} pairs in {dt:.2f}s (best of "
           f"3), truth accuracy {acc:.4f}", file=sys.stderr, flush=True)
 
-    # kernel-level diagnostics (slow first compile through the tunnel;
-    # enable with HLA_BENCH_KERNELS=1)
+    # kernel-level diagnostics
+    if use_jax:
+        try:
+            from hla_la_tpu.ops.pallas_nw import make_pallas_banded_nw
+            Lk, Wk, Bk = 128, 32, 4096
+            kreads = rng.integers(0, 4, (Bk, Lk)).astype(np.uint8)
+            krefs = rng.integers(0, 4, (Bk, Lk + Wk)).astype(np.uint8)
+            klens = np.full(Bk, Lk, dtype=np.int64)
+            import jax as _jax
+            nw = make_pallas_banded_nw(Lk, Wk)
+            out = nw(kreads, klens, krefs)
+            _jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(10):
+                out = nw(kreads, klens, krefs)
+            _jax.block_until_ready(out)
+            kdt = (time.time() - t0) / 10
+            print(f"# pallas NW kernel: {Bk / kdt / 1e6:.2f} M reads/s, "
+                  f"{Bk * Lk * Wk / kdt / 1e9:.1f} Gcells/s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# pallas NW failed: {e}", file=sys.stderr)
     if use_jax and os.environ.get("HLA_BENCH_KERNELS"):
         try:
             from hla_la_tpu.ops.pallas_pair import pair_ll_reduction_pallas

@@ -150,7 +150,7 @@ def action_hla(args) -> int:
     res = run_hla_typing(pkg, pairs=pairs, unpaired=unpaired,
                          output_dir=out_dir, cfg=cfg, backend=args.backend)
     log_progress(f"typing complete: {len(res.results)} loci -> "
-                 f"{out_dir}/R1_bestguess.txt")
+                 f"{out_dir}/hla/R1_bestguess.txt")
     for r in res.results:
         a1, a2 = r.alleles_g_or_raw()
         print(f"{r.locus}\t{a1}\t{a2}\tQ1={r.q1_allele1:.4f}/"

@@ -113,10 +113,14 @@ def run_hla_typing(pkg: GraphPackage,
     aligner.stats.n_align_calls += len(aligned_pairs)
     log_progress(aligner.stats.report())
 
+    # typing outputs go into <outputDirectory>/hla/ like the reference
+    # (outputDirectory_for_HLA, processBAM.cpp:1805); the coverage track and
+    # alignment-level files stay at the top level
+    hla_dir = os.path.join(output_dir, "hla")
     typer = HLATyper(pkg, cfg.typer, backend=backend)
     results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
                              aligned_unpaired, insert_mean, insert_sd,
-                             output_dir, long_reads_mode=long_mode)
+                             hla_dir, long_reads_mode=long_mode)
     return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
                           insert_mean, insert_sd)
 

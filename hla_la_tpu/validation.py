@@ -70,12 +70,12 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
         sample_out = os.path.join(out_dir, sample_id)
         run_hla_typing(pkg, pairs=pairs, unpaired=[],
                        output_dir=sample_out, backend=backend)
-        bg = os.path.join(sample_out,
+        bg = os.path.join(sample_out, "hla",
                           "R1_bestguess_G.txt" if use_g
                           else "R1_bestguess.txt")
         if use_g and (not os.path.exists(bg)
                       or len(open(bg).read().splitlines()) <= 1):
-            bg = os.path.join(sample_out, "R1_bestguess.txt")
+            bg = os.path.join(sample_out, "hla", "R1_bestguess.txt")
         inferred = read_inferred_bestguess(bg)
         report.per_sample[sample_id] = evaluate_types(
             inferred, truth_all[sample_id], resolution)

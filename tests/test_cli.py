@@ -66,8 +66,8 @@ def test_hla_action_from_bam(tmp_path, rng):
                "--sampleID", "S1", "--workingDir", str(tmp_path),
                "--outputDirectory", out_dir])
     assert rc == 0
-    assert os.path.exists(os.path.join(out_dir, "R1_bestguess.txt"))
-    with open(os.path.join(out_dir, "R1_bestguess.txt")) as fh:
+    assert os.path.exists(os.path.join(out_dir, "hla", "R1_bestguess.txt"))
+    with open(os.path.join(out_dir, "hla", "R1_bestguess.txt")) as fh:
         lines = fh.read().splitlines()[1:]
     assert lines
     called = {l.split("\t")[2].split(";")[0].split("*")[1].split(":")[0]

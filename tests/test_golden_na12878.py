@@ -40,7 +40,8 @@ def test_na12878_g_group_concordance(tmp_path):
     assert rc == 0
 
     golden = read_inferred_bestguess(GOLDEN)
-    got = read_inferred_bestguess(os.path.join(out_dir, "R1_bestguess_G.txt"))
+    got = read_inferred_bestguess(
+        os.path.join(out_dir, "hla", "R1_bestguess_G.txt"))
     mismatches = []
     for locus, (g1, g2) in golden.items():
         o1, o2 = got.get(locus, ("", ""))

@@ -54,16 +54,17 @@ def test_typing_recovers_truth(typed_world):
 
 def test_output_files_exist(typed_world):
     sim, pkg, res, out_dir, _ = typed_world
+    hla_dir = os.path.join(out_dir, "hla")
     for fn in ["R1_bestguess.txt", "summaryStatistics.txt",
-               "histogram_matchesPerRead.txt", "R1_parameters.txt",
-               "reads_per_level.txt"]:
-        assert os.path.exists(os.path.join(out_dir, fn)), fn
+               "histogram_matchesPerRead.txt", "R1_parameters.txt"]:
+        assert os.path.exists(os.path.join(hla_dir, fn)), fn
+    assert os.path.exists(os.path.join(out_dir, "reads_per_level.txt"))
     for locus in ("A", "B"):
         for fn in [f"R1_PP_{locus}_pairs.txt",
                    f"R1_columnIncompatibilities_{locus}.txt",
                    f"R1_pileup_{locus}.txt", f"R1_readIDs_{locus}.txt"]:
-            assert os.path.exists(os.path.join(out_dir, fn)), fn
-    with open(os.path.join(out_dir, "R1_bestguess.txt")) as fh:
+            assert os.path.exists(os.path.join(hla_dir, fn)), fn
+    with open(os.path.join(hla_dir, "R1_bestguess.txt")) as fh:
         lines = fh.read().splitlines()
     assert lines[0].startswith("Locus\tChromosome\tAllele\tQ1\tQ2")
     assert len(lines) == 1 + 2 * len(res.results)

@@ -89,5 +89,5 @@ def test_cohort_validation_end_to_end(tmp_path):
     assert report.total_accuracy == 1.0
     assert os.path.exists(tmp_path / "valout" / "validation_report.txt")
     inferred = read_inferred_bestguess(
-        str(tmp_path / "valout" / "S1" / "R1_bestguess.txt"))
+        str(tmp_path / "valout" / "S1" / "hla" / "R1_bestguess.txt"))
     assert "A" in inferred

@@ -121,13 +121,14 @@ class ReadAligner:
         if cands is None:
             cands = self.seeder.candidates(read.seq)
         jobs = []
+        rc = None
         for c in cands:
             if c.reverse:
-                oriented = revcomp(read.seq)
-                qual = read.qual[::-1]
+                if rc is None:
+                    rc = (revcomp(read.seq), read.qual[::-1])
+                oriented, qual = rc
             else:
-                oriented = read.seq
-                qual = read.qual
+                oriented, qual = read.seq, read.qual
             jobs.append(_Job(pair_idx, mate, c.seq_idx, c.reverse,
                              c.ref_start - self.band // 2, oriented, qual))
         self.stats.considered_chains += len(jobs)

@@ -957,12 +957,13 @@ class KmerCountIndex:
         from ..mapping.kmer_index import encode_kmers
         codes, valid = encode_kmers(
             np.frombuffer(seq.encode(), dtype=np.uint8), self.k)
+        if len(self.codes) == 0:
+            return np.zeros(len(codes), dtype=np.int64), valid
         canon = np.minimum(codes, _revcomp_codes(codes, self.k))
-        idx = np.searchsorted(self.codes, canon)
-        idx = np.minimum(idx, max(len(self.codes) - 1, 0))
-        hit = (len(self.codes) > 0) & (self.codes[idx] == canon) & valid
-        out = np.where(hit, self.counts[idx] if len(self.codes) else 0, 0)
-        return out, valid
+        idx = np.minimum(np.searchsorted(self.codes, canon),
+                         len(self.codes) - 1)
+        hit = (self.codes[idx] == canon) & valid
+        return np.where(hit, self.counts[idx], 0), valid
 
     def get(self, kmer: str, default: int = 0) -> int:
         c, v = self.counts_for(kmer)

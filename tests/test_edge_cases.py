@@ -1,0 +1,75 @@
+"""Edge cases: empty inputs, unseedable reads, zero-coverage loci,
+determinism."""
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.io.fastq import FastqRead
+from hla_la_tpu.models.aligner import ReadAligner
+from hla_la_tpu.models.pipeline import run_hla_typing
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(202)
+    sim = simulate_prg_package(rng, backbone_length=1200, n_haplotypes=4)
+    pkg = sim.write_package(str(tmp_path_factory.mktemp("edge") / "pkg"))
+    return rng, sim, pkg
+
+
+def test_empty_input(world, tmp_path):
+    rng, sim, pkg = world
+    res = run_hla_typing(pkg, pairs=[], unpaired=[],
+                         output_dir=str(tmp_path / "empty"))
+    # no reads: loci get typed with zero coverage or skipped; no crash
+    assert res.n_pairs_aligned == 0
+
+
+def test_unseedable_reads(world):
+    rng, sim, pkg = world
+    aligner = ReadAligner(pkg)
+    junk = FastqRead("junk", "N" * 80, "I" * 80)
+    junk2 = FastqRead("junk", "N" * 80, "I" * 80)
+    out = aligner.align_pairs([(junk, junk2)], 150, 30)
+    assert out == []
+    out_u = aligner.align_unpaired([junk])
+    assert out_u == [None]
+
+
+def test_one_pair_only(world, tmp_path):
+    rng, sim, pkg = world
+    seq, levels = sim.linearized(1)
+    rs = ReadSimulator(rng, read_length=80, fragment_mean=220,
+                       fragment_sd=20, with_error=False)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 0.3)
+    if not pairs:
+        pytest.skip("no pairs simulated")
+    fq = [(pairs[0].r1.to_fastq(), pairs[0].r2.to_fastq())]
+    res = run_hla_typing(pkg, pairs=fq, output_dir=str(tmp_path / "one"))
+    assert res.n_pairs_aligned <= 1
+
+
+def test_determinism(world, tmp_path):
+    rng, sim, pkg = world
+    seq, levels = sim.linearized(2)
+    rs = ReadSimulator(np.random.default_rng(9), read_length=90,
+                       fragment_mean=250, fragment_sd=25)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 8.0)
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    out = []
+    for rep in range(2):
+        res = run_hla_typing(pkg, pairs=fq,
+                             output_dir=str(tmp_path / f"det{rep}"))
+        out.append([(r.locus, r.allele1_id, r.allele2_id,
+                     round(r.q1_allele1, 12)) for r in res.results])
+    assert out[0] == out[1]
+
+
+def test_reads_shorter_than_kmer(world):
+    rng, sim, pkg = world
+    aligner = ReadAligner(pkg)
+    tiny = FastqRead("tiny", "ACGT", "IIII")
+    out = aligner.align_unpaired([tiny])
+    assert out == [None]

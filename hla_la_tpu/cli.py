@@ -118,7 +118,8 @@ def action_hla(args) -> int:
     if args.BAM:
         log_progress(f"extracting reads from {args.BAM}")
         from .io.bam import BamReader
-        contigs = BamReader(args.BAM).contigs()
+        # header only: stream (the native path would inflate the whole file)
+        contigs = BamReader(args.BAM, use_native=False).contigs()
         more = [args.moreReferencesDir] if args.moreReferencesDir else []
         spec_path = pkg.match_known_reference(contigs, more)
         regions = None

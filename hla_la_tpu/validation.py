@@ -65,7 +65,7 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
             log_progress(f"{sample_id}: no truth, skipping")
             continue
         log_progress(f"validating {sample_id} <- {bam}")
-        by_name, contigs = extract_reads(bam, None)
+        by_name, _contigs = extract_reads(bam, None)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         sample_out = os.path.join(out_dir, sample_id)
         run_hla_typing(pkg, pairs=pairs, unpaired=[],

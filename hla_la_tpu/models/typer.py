@@ -894,7 +894,18 @@ class HLATyper:
             fh.write(f"\t\t - Alignment pairs, average fraction alignment OK:   {avg_frac}\n")
             fh.write(f"\t\t - Alignment pairs, at least one alignment perfect:   {n_one_perfect}\n")
             fh.write(f"\t\t - Single alignments, perfect (total):   {n_perfect} ({n_pairs * 2})\n")
-            fh.write(f"\t - Total number (unpaired) alignments:                 {len(aligned_unpaired)}\n")
+            n_unp = len(aligned_unpaired)
+            unp_frac = [alignment_fraction_ok(a) for a in aligned_unpaired
+                        if a is not None]
+            n_unp_perfect = sum(1 for f in unp_frac if f == 1)
+            avg_unp = (sum(unp_frac) / len(unp_frac)) if unp_frac else 0.0
+            n_long_enough = sum(
+                1 for a in aligned_unpaired
+                if a is not None and a.n_columns >= cfg.min_alignment_length_unpaired)
+            fh.write(f"\t - Total number (unpaired) alignments:                 {n_unp}\n")
+            fh.write(f"\t\t - Alignment pairs, average fraction alignment OK:   {avg_unp}\n")
+            fh.write(f"\t\t - Single alignments, perfect (total):   {n_unp_perfect} ({n_unp * 2})\n")
+            fh.write(f"\t\t - Alignments with length >= {cfg.min_alignment_length_unpaired}:   {n_long_enough}\n")
 
     # --------------------------------------------------------------- k-mers
     def _read_kmer_index(self, raw_pairs, raw_unpaired, cfg):

@@ -155,13 +155,20 @@ class ReadAligner:
         win_start = np.zeros(B, dtype=np.int64)
         reverse_arr = np.zeros(B, dtype=bool)
         prg_id_arr = np.zeros(B, dtype=np.int64)
+        enc_cache: dict[int, tuple] = {}
         for bi, j in enumerate(jobs):
             rl = len(j.oriented_seq)
-            rb = np.frombuffer(j.oriented_seq.encode(), dtype=np.uint8)
-            reads_arr[bi, :rl] = _ENC[rb]
-            reads_ascii[bi, :rl] = rb
-            quals_ascii[bi, :rl] = np.frombuffer(j.oriented_qual.encode(),
-                                                 dtype=np.uint8)
+            key = id(j.oriented_seq)     # jobs of one read share the string
+            cached = enc_cache.get(key)
+            if cached is None:
+                rb = np.frombuffer(j.oriented_seq.encode(), dtype=np.uint8)
+                cached = (_ENC[rb], rb,
+                          np.frombuffer(j.oriented_qual.encode(),
+                                        dtype=np.uint8))
+                enc_cache[key] = cached
+            reads_arr[bi, :rl] = cached[0]
+            reads_ascii[bi, :rl] = cached[1]
+            quals_ascii[bi, :rl] = cached[2]
             lens_arr[bi] = rl
             hap = self.hap_codes[j.cand_seq]
             lo = j.window_start

@@ -14,6 +14,7 @@ become intrinsic graph gap columns ('_'/'_' with real levels, zero cost).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -173,6 +174,39 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
     project_linear_alignment + score_alignment per job.
     """
     B, max_ops, _ = ops.shape
+
+    from .. import native
+    if native.available():
+        p_err = 0.075 if long_read_mode else 0.001
+        log_mm = math.log(1.0 - 2 * p_err)
+        table = phred_to_p_correct_table(conservative_cap=0.999, floor=1e-5)
+        tab64 = table.astype(np.float64)
+        res = native.project_score_batch(
+            ops, n_ops, job_seq, window_start, reads_ascii, quals_ascii,
+            hap_codes_cat, hap_levels_cat, hap_offsets, hap_lens,
+            log_mm + np.log(tab64), log_mm + np.log((1.0 - tab64) / 3.0),
+            math.log(p_err) + math.log(0.25), math.log(p_err))
+        if res is not None:
+            (levels, graph_c, seq_c, qual_c, col_counts, col_starts,
+             ll, first_lv, last_lv, bad) = res
+            out: list[GraphAlignment | None] = []
+            for b in range(B):
+                if bad[b] or col_counts[b] == 0:
+                    out.append(None)
+                    continue
+                s = int(col_starts[b])
+                e = s + int(col_counts[b])
+                al = GraphAlignment(
+                    levels=levels[s:e], graph_c=graph_c[s:e],
+                    seq_c=seq_c[s:e], seq_qual=qual_c[s:e],
+                    reverse=bool(reverse[b]), seq_idx=int(prg_ids[b]),
+                )
+                al._first_level = int(first_lv[b])
+                al._last_level = int(last_lv[b])
+                al.log_likelihood = float(ll[b])
+                out.append(al)
+            return out
+
     valid = np.arange(max_ops)[None, :] < n_ops[:, None]
     job_f, k_f = np.nonzero(valid)             # sorted by job, then op order
     if len(job_f) == 0:

@@ -48,6 +48,13 @@ def _find_lib():
                 vp, vp, vp, vp, ctypes.c_int]
             lib.hla_free.restype = None
             lib.hla_free.argtypes = [vp]
+            f64 = ctypes.c_double
+            lib.hla_project_count.restype = i64
+            lib.hla_project_count.argtypes = [vp] * 7 + [i64, i64, vp, vp]
+            lib.hla_project_fill.restype = None
+            lib.hla_project_fill.argtypes = (
+                [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 4
+                + [f64, f64] + [vp] * 7 + [ctypes.c_int])
             _LIB = lib
             break
     return _LIB
@@ -136,6 +143,61 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
                        c(scores), c(end_k), c(end_state), c(pointers),
                        n_threads)
     return scores, end_k, end_state, pointers
+
+
+def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
+                        job_seq: np.ndarray, window_start: np.ndarray,
+                        reads_ascii: np.ndarray, quals_ascii: np.ndarray,
+                        hap_codes_cat: np.ndarray, hap_levels_cat: np.ndarray,
+                        hap_offsets: np.ndarray, hap_lens: np.ndarray,
+                        log_match_tab: np.ndarray, log_mismatch_tab: np.ndarray,
+                        log_ins: float, log_del: float, n_threads: int = 1):
+    """Two-pass C++ projection+scoring (see hla_project_count/fill in
+    native/hla_native.cpp; semantics of alignment.py:project_and_score_batch).
+
+    Returns (levels, graph_c, seq_c, qual_c, col_counts, col_starts, ll,
+    first_lv, last_lv, bad) or None when the lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    B, max_ops, _ = ops.shape
+    Lr = reads_ascii.shape[1]
+    ops_c = np.ascontiguousarray(ops, dtype=np.int32)
+    n_ops_c = np.ascontiguousarray(n_ops, dtype=np.int64)
+    seq_c_ = np.ascontiguousarray(job_seq, dtype=np.int64)
+    ws_c = np.ascontiguousarray(window_start, dtype=np.int64)
+    reads_c = np.ascontiguousarray(reads_ascii, dtype=np.uint8)
+    quals_c = np.ascontiguousarray(quals_ascii, dtype=np.uint8)
+    hc_c = np.ascontiguousarray(hap_codes_cat, dtype=np.uint8)
+    hl_c = np.ascontiguousarray(hap_levels_cat, dtype=np.int64)
+    ho_c = np.ascontiguousarray(hap_offsets, dtype=np.int64)
+    hn_c = np.ascontiguousarray(hap_lens, dtype=np.int64)
+    lmt = np.ascontiguousarray(log_match_tab, dtype=np.float64)
+    lmm = np.ascontiguousarray(log_mismatch_tab, dtype=np.float64)
+    col_counts = np.empty(B, dtype=np.int64)
+    bad = np.empty(B, dtype=np.uint8)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    total = lib.hla_project_count(c(ops_c), c(n_ops_c), c(seq_c_), c(ws_c),
+                                  c(hl_c), c(ho_c), c(hn_c), B, max_ops,
+                                  c(col_counts), c(bad))
+    col_starts = np.concatenate([[0], np.cumsum(col_counts)])[:-1]
+    col_starts = np.ascontiguousarray(col_starts, dtype=np.int64)
+    levels = np.empty(int(total), dtype=np.int64)
+    graph_c = np.empty(int(total), dtype=np.uint8)
+    seq_col = np.empty(int(total), dtype=np.uint8)
+    qual_col = np.empty(int(total), dtype=np.uint8)
+    ll = np.empty(B, dtype=np.float64)
+    first_lv = np.empty(B, dtype=np.int64)
+    last_lv = np.empty(B, dtype=np.int64)
+    lib.hla_project_fill(c(ops_c), c(n_ops_c), c(seq_c_), c(ws_c),
+                         c(reads_c), c(quals_c), Lr,
+                         c(hc_c), c(hl_c), c(ho_c), B, max_ops,
+                         c(col_starts), c(bad), c(lmt), c(lmm),
+                         float(log_ins), float(log_del),
+                         c(levels), c(graph_c), c(seq_col), c(qual_col),
+                         c(ll), c(first_lv), c(last_lv), n_threads)
+    return (levels, graph_c, seq_col, qual_col, col_counts, col_starts,
+            ll, first_lv, last_lv, bad)
 
 
 def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,

@@ -346,3 +346,124 @@ extern "C" void hla_nw_forward(
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// Batched projection into graph coordinates + per-column scoring.
+// Native equivalent of models/alignment.py:project_and_score_batch (itself the
+// vectorised port of processBAM.cpp scoreOneAlignment + the seed-chain
+// projection).  Two passes: count columns per job, then fill column arrays.
+// Column semantics per op (op,read_pos,window_ref_pos):
+//   M/D ops first emit `gap` all-gap columns for skipped graph levels
+//   (level jump within the same job), then the op column; I ops emit one
+//   column with level -1.  Scoring per column: both-gap 0, read-only
+//   log_ins, graph-only log_del, match log_match_tab[q], mismatch
+//   log_mismatch_tab[q].
+// ---------------------------------------------------------------------------
+static const uint8_t PRJ_GAP = '_';
+
+extern "C" int64_t hla_project_count(
+    const int32_t* ops, const int64_t* n_ops,
+    const int64_t* job_seq, const int64_t* window_start,
+    const int64_t* hap_levels_cat, const int64_t* hap_offsets,
+    const int64_t* hap_lens,
+    int64_t B, int64_t max_ops,
+    int64_t* col_counts, uint8_t* bad) {
+    int64_t total = 0;
+    for (int64_t b = 0; b < B; b++) {
+        const int32_t* jo = ops + b * max_ops * 3;
+        int64_t n = n_ops[b];
+        int64_t seq = job_seq[b], ws = window_start[b];
+        int64_t off = hap_offsets[seq], hl = hap_lens[seq];
+        int64_t cnt = 0, prev_lv = -1;
+        bool have_prev = false, is_bad = (n == 0);
+        for (int64_t k = 0; k < n && !is_bad; k++) {
+            int32_t o = jo[3 * k];
+            if (o != 1) {  // M or D consume the haplotype
+                int64_t p = ws + (int64_t)jo[3 * k + 2];
+                if (p < 0 || p >= hl) { is_bad = true; break; }
+                int64_t lv = hap_levels_cat[off + p];
+                if (have_prev && lv - prev_lv > 1) cnt += lv - prev_lv - 1;
+                prev_lv = lv; have_prev = true;
+            }
+            cnt++;
+        }
+        bad[b] = is_bad ? 1 : 0;
+        col_counts[b] = is_bad ? 0 : cnt;
+        total += col_counts[b];
+    }
+    return total;
+}
+
+extern "C" void hla_project_fill(
+    const int32_t* ops, const int64_t* n_ops,
+    const int64_t* job_seq, const int64_t* window_start,
+    const uint8_t* reads_ascii, const uint8_t* quals_ascii, int64_t Lr,
+    const uint8_t* hap_codes_cat, const int64_t* hap_levels_cat,
+    const int64_t* hap_offsets,
+    int64_t B, int64_t max_ops,
+    const int64_t* col_starts, const uint8_t* bad,
+    const double* log_match_tab, const double* log_mismatch_tab,
+    double log_ins, double log_del,
+    int64_t* levels, uint8_t* graph_c, uint8_t* seq_c, uint8_t* qual_c,
+    double* ll, int64_t* first_lv, int64_t* last_lv, int n_threads) {
+    int nt = n_threads > 0 ? n_threads : 1;
+    std::vector<std::thread> threads;
+    auto work = [=](int t) {
+        for (int64_t b = t; b < B; b += nt) {
+            ll[b] = 0.0; first_lv[b] = -1; last_lv[b] = -1;
+            if (bad[b]) continue;
+            const int32_t* jo = ops + b * max_ops * 3;
+            const uint8_t* rd = reads_ascii + b * Lr;
+            const uint8_t* qd = quals_ascii + b * Lr;
+            int64_t n = n_ops[b];
+            int64_t off = hap_offsets[job_seq[b]], ws = window_start[b];
+            int64_t pos = col_starts[b], prev_lv = -1;
+            bool have_prev = false;
+            double acc = 0.0;
+            for (int64_t k = 0; k < n; k++) {
+                int32_t o = jo[3 * k];
+                int64_t rp = jo[3 * k + 1];
+                if (o == 1) {  // insertion: read char vs graph gap
+                    levels[pos] = -1;
+                    graph_c[pos] = PRJ_GAP;
+                    seq_c[pos] = rd[rp];
+                    qual_c[pos] = qd[rp];
+                    acc += log_ins;
+                    pos++;
+                    continue;
+                }
+                int64_t g = off + ws + (int64_t)jo[3 * k + 2];
+                int64_t lv = hap_levels_cat[g];
+                if (have_prev && lv - prev_lv > 1) {
+                    for (int64_t lvg = prev_lv + 1; lvg < lv; lvg++) {
+                        levels[pos] = lvg;
+                        graph_c[pos] = PRJ_GAP; seq_c[pos] = PRJ_GAP;
+                        qual_c[pos] = 0;
+                        pos++;
+                    }
+                }
+                prev_lv = lv; have_prev = true;
+                if (first_lv[b] < 0) first_lv[b] = lv;
+                last_lv[b] = lv;
+                uint8_t gc = hap_codes_cat[g];
+                levels[pos] = lv;
+                graph_c[pos] = gc;
+                if (o == 0) {  // M
+                    uint8_t sc = rd[rp], q = qd[rp];
+                    seq_c[pos] = sc; qual_c[pos] = q;
+                    if (gc == PRJ_GAP) acc += (sc == PRJ_GAP) ? 0.0 : log_ins;
+                    else if (sc == PRJ_GAP) acc += log_del;
+                    else acc += (sc == gc) ? log_match_tab[q]
+                                           : log_mismatch_tab[q];
+                } else {       // D: graph char vs read gap
+                    seq_c[pos] = PRJ_GAP; qual_c[pos] = 0;
+                    if (gc != PRJ_GAP) acc += log_del;
+                }
+                pos++;
+            }
+            ll[b] = acc;
+        }
+    };
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+}

@@ -50,6 +50,7 @@ class Seeder:
         # revcomp of the whole concatenation (read i lands mirrored at
         # total - off_i - len_i, and its k-mer positions are positions within
         # revcomp(read_i) — exactly what the window math expects)
+        g_read, g_seq, g_rev, g_start, g_nk, g_span = ([], [], [], [], [], [])
         lens_arr = np.asarray([len(s) for s in seqs], dtype=np.int64)
         fwd_offsets = np.concatenate(
             [[0], np.cumsum(lens_arr + 1)]).astype(np.int64)
@@ -84,43 +85,73 @@ class Seeder:
             diag = ref_pos - read_pos
             qdiag = diag // self.diagonal_slack
             n_kmers_per_read = np.bincount(read_of, minlength=len(seqs))
-            for shift in (0, 1):
-                key = (read_of.astype(np.int64) * (1 << 50)
-                       + seq_idx.astype(np.int64) * (1 << 33)
-                       + (qdiag + shift))
-                order = np.lexsort((diag, key))
-                ks = key[order]
-                starts = np.concatenate([[0],
-                                         np.nonzero(np.diff(ks))[0] + 1])
-                ends = np.concatenate([starts[1:], [len(ks)]])
-                rp_sorted = read_pos[order]
-                diag_sorted = diag[order]
-                # per-group stats fully vectorised (no per-group np calls):
-                # distinct read-kmer count via a second sort by (key, rp)
-                order2 = np.lexsort((read_pos, key))
-                rp2 = read_pos[order2]
-                new_grp = np.concatenate([[True],
-                                          np.diff(key[order2]) != 0])
-                distinct = (new_grp | np.concatenate(
-                    [[True], np.diff(rp2) != 0])).astype(np.int64)
-                n_uniq_g = np.add.reduceat(distinct, starts)
-                rp_min_g = np.minimum.reduceat(rp_sorted, starts)
-                rp_max_g = np.maximum.reduceat(rp_sorted, starts)
-                mid_diag_g = diag_sorted[(starts + ends) // 2]
-                first_read = read_of[order[starts]]
-                first_seq = seq_idx[order[starts]]
-                sizes = ends - starts
-                req = np.where(n_kmers_per_read[first_read]
-                               >= self.min_chain_kmers,
-                               self.min_chain_kmers, 1)
-                for gi in np.nonzero(sizes >= req)[0]:
-                    per_read[int(first_read[gi])].append(Candidate(
-                        seq_idx=int(first_seq[gi]),
-                        reverse=is_rev,
-                        ref_start=int(mid_diag_g[gi]),
-                        n_kmers=int(n_uniq_g[gi]),
-                        span=int(rp_max_g[gi] - rp_min_g[gi]) + k,
-                    ))
+            # NOTE a second `qdiag+1` pass would regroup identically
+            # (constant key offset) — one pass suffices
+            key = (read_of.astype(np.int64) * (1 << 50)
+                   + seq_idx.astype(np.int64) * (1 << 33)
+                   + qdiag)
+            order = np.lexsort((diag, key))
+            ks = key[order]
+            starts = np.concatenate([[0],
+                                     np.nonzero(np.diff(ks))[0] + 1])
+            ends = np.concatenate([starts[1:], [len(ks)]])
+            rp_sorted = read_pos[order]
+            diag_sorted = diag[order]
+            # per-group stats fully vectorised (no per-group np calls):
+            # distinct read-kmer count via a second sort by (key, rp)
+            order2 = np.lexsort((read_pos, key))
+            rp2 = read_pos[order2]
+            new_grp = np.concatenate([[True],
+                                      np.diff(key[order2]) != 0])
+            distinct = (new_grp | np.concatenate(
+                [[True], np.diff(rp2) != 0])).astype(np.int64)
+            n_uniq_g = np.add.reduceat(distinct, starts)
+            rp_min_g = np.minimum.reduceat(rp_sorted, starts)
+            rp_max_g = np.maximum.reduceat(rp_sorted, starts)
+            mid_diag_g = diag_sorted[(starts + ends) // 2]
+            first_read = read_of[order[starts]]
+            first_seq = seq_idx[order[starts]]
+            sizes = ends - starts
+            req = np.where(n_kmers_per_read[first_read]
+                           >= self.min_chain_kmers,
+                           self.min_chain_kmers, 1)
+            m = sizes >= req
+            g_read.append(first_read[m])
+            g_seq.append(first_seq[m])
+            g_rev.append(np.full(int(m.sum()), is_rev, dtype=bool))
+            g_start.append(mid_diag_g[m])
+            g_nk.append(n_uniq_g[m])
+            g_span.append(rp_max_g[m] - rp_min_g[m] + k)
+        if not g_read:
+            return per_read
+        read_a = np.concatenate(g_read)
+        seq_a = np.concatenate(g_seq)
+        rev_a = np.concatenate(g_rev)
+        start_a = np.concatenate(g_start)
+        nk_a = np.concatenate(g_nk)
+        span_a = np.concatenate(g_span)
+
+        from .. import native
+        sel = (native.seed_select(read_a, seq_a, rev_a, start_a, nk_a,
+                                  span_a, len(seqs), self.max_candidates,
+                                  self.diagonal_slack * 2)
+               if native.available() else None)
+        if sel is not None:
+            out_idx, out_counts = sel
+            for r in np.nonzero(out_counts)[0]:
+                lst = per_read[int(r)]
+                for g in out_idx[r, :out_counts[r]]:
+                    lst.append(Candidate(
+                        seq_idx=int(seq_a[g]), reverse=bool(rev_a[g]),
+                        ref_start=int(start_a[g]), n_kmers=int(nk_a[g]),
+                        span=int(span_a[g])))
+            return per_read
+
+        for gi in range(len(read_a)):
+            per_read[int(read_a[gi])].append(Candidate(
+                seq_idx=int(seq_a[gi]), reverse=bool(rev_a[gi]),
+                ref_start=int(start_a[gi]), n_kmers=int(nk_a[gi]),
+                span=int(span_a[gi])))
         return [self._select(c) for c in per_read]
 
     def _select(self, cands: list[Candidate]) -> list[Candidate]:

@@ -49,6 +49,9 @@ def _find_lib():
             lib.hla_free.restype = None
             lib.hla_free.argtypes = [vp]
             f64 = ctypes.c_double
+            lib.hla_seed_select.restype = None
+            lib.hla_seed_select.argtypes = (
+                [vp] * 6 + [i64] * 4 + [vp] * 2)
             lib.hla_project_count.restype = i64
             lib.hla_project_count.argtypes = [vp] * 7 + [i64, i64, vp, vp]
             lib.hla_project_fill.restype = None
@@ -143,6 +146,29 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
                        c(scores), c(end_k), c(end_state), c(pointers),
                        n_threads)
     return scores, end_k, end_state, pointers
+
+
+def seed_select(read_of: np.ndarray, seq_idx: np.ndarray,
+                reverse: np.ndarray, ref_start: np.ndarray,
+                n_kmers: np.ndarray, span: np.ndarray, n_reads: int,
+                max_cands: int, slack2: int):
+    """C++ greedy top-candidate selection (seeder.py:_select semantics).
+    Returns (out_idx [n_reads, max_cands] group indices, out_counts) or
+    None when the lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n = len(read_of)
+    a64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    rv = np.ascontiguousarray(reverse, dtype=np.uint8)
+    out_idx = np.zeros((n_reads, max_cands), dtype=np.int64)
+    out_counts = np.zeros(n_reads, dtype=np.int64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    args = [a64(read_of), a64(seq_idx), rv, a64(ref_start), a64(n_kmers),
+            a64(span)]
+    lib.hla_seed_select(*(c(a) for a in args), n, n_reads, max_cands,
+                        slack2, c(out_idx), c(out_counts))
+    return out_idx, out_counts
 
 
 def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,

@@ -467,3 +467,51 @@ extern "C" void hla_project_fill(
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// Seed-candidate selection (mapping/seeder.py:_select, the protoSeeds
+// top-candidate rule of processBAM.cpp:521-701): stable-sort all chain groups
+// by (read, -n_kmers, -span, insertion order), then per read greedily keep up
+// to max_cands, skipping groups within `slack2` of an already-kept group on
+// the same (haplotype, strand).  Outputs selected group indices per read.
+// ---------------------------------------------------------------------------
+#include <algorithm>
+
+extern "C" void hla_seed_select(
+    const int64_t* read_of, const int64_t* seq_idx, const uint8_t* reverse,
+    const int64_t* ref_start, const int64_t* n_kmers, const int64_t* span,
+    int64_t n_groups, int64_t n_reads, int64_t max_cands, int64_t slack2,
+    int64_t* out_idx,      // [n_reads * max_cands] selected group indices
+    int64_t* out_counts) { // [n_reads]
+    std::vector<int64_t> order(n_groups);
+    for (int64_t i = 0; i < n_groups; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int64_t a, int64_t b) {
+        if (read_of[a] != read_of[b]) return read_of[a] < read_of[b];
+        if (n_kmers[a] != n_kmers[b]) return n_kmers[a] > n_kmers[b];
+        return span[a] > span[b];
+    });
+    for (int64_t r = 0; r < n_reads; r++) out_counts[r] = 0;
+    int64_t i = 0;
+    while (i < n_groups) {
+        int64_t r = read_of[order[i]];
+        int64_t j = i;
+        while (j < n_groups && read_of[order[j]] == r) j++;
+        int64_t* kept = out_idx + r * max_cands;
+        int64_t nk = 0;
+        for (int64_t t = i; t < j && nk < max_cands; t++) {
+            int64_t g = order[t];
+            bool dup = false;
+            for (int64_t u = 0; u < nk; u++) {
+                int64_t kg = kept[u];
+                if (seq_idx[kg] == seq_idx[g] && reverse[kg] == reverse[g]
+                    && std::llabs(ref_start[kg] - ref_start[g]) <= slack2) {
+                    dup = true; break;
+                }
+            }
+            if (!dup) kept[nk++] = g;
+        }
+        out_counts[r] = nk;
+        i = j;
+    }
+}

@@ -59,6 +59,8 @@ class Seeder:
                                 dtype=np.uint8)
         assert len(cat_fwd) == total
         cat_rev_full = revcomp_bytes(cat_fwd)
+        from .. import native
+        use_native = native.available()
         for is_rev in (False, True):
             if not is_rev:
                 cat = cat_fwd
@@ -73,6 +75,22 @@ class Seeder:
                 offsets = np.concatenate(
                     [rev_starts[order_slots], [total]]).astype(np.int64)
                 read_index_of_slot = order_slots
+            if use_native:
+                res = native.seed_chain(
+                    cat, self.index.sorted_codes,
+                    self.index.sorted_pos, self.index.max_occurrences,
+                    self.index.seq_offsets, offsets,
+                    read_index_of_slot, len(seqs), self.diagonal_slack,
+                    self.min_chain_kmers, k)
+                if res is not None:
+                    r_a, s_a, st_a, nk_a2, sp_a = res
+                    g_read.append(r_a)
+                    g_seq.append(s_a)
+                    g_rev.append(np.full(len(r_a), is_rev, dtype=bool))
+                    g_start.append(st_a)
+                    g_nk.append(nk_a2)
+                    g_span.append(sp_a)
+                    continue
             codes, valid = encode_kmers(cat, k)
             qi, gp = self.index.query_codes(codes, valid)
             if len(qi) == 0:

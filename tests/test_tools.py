@@ -100,3 +100,47 @@ def test_extract_kmer_counts():
     reads = [exon["A_exon2"][:33], exon["A_exon2"][2:]]
     counts = extract_kmer_counts(reads, exon, k=31)
     assert any(v > 0 for v in counts["A_exon2"].values())
+
+
+def test_graph_from_mfa_and_check(tmp_path):
+    from hla_la_tpu.cli import main
+    from hla_la_tpu.tools import graph_from_mfa
+
+    mfa = tmp_path / "panel.mfa"
+    mfa.write_text(">h1\nACGTAACGTACGTACGTACGTACGT\n"
+                   ">h2\nACGTTACGTACG-ACGTACGTACGT\n"
+                   ">h3\nACGTAACGTACGGACG-ACGTACGT\n")
+    out = str(tmp_path / "g")
+    pkg = graph_from_mfa(str(mfa), out)
+    prg = pkg.prg()
+    prg.check_structure()
+    # every row must be an emittable path of the graph
+    fasta = pkg.prg_fasta()
+    for name in ("h1", "h2", "h3"):
+        assert name in fasta
+    assert main(["--action", "checkKIRgraph", "--graph", out]) == 0
+
+
+def test_find_gene_reads_in_bam(tmp_path):
+    import numpy as np
+    from hla_la_tpu.io.bam import BamRecord, BamWriter
+    from hla_la_tpu.tools import find_gene_reads_in_bam
+
+    rng = np.random.default_rng(11)
+    gene_a = "".join(rng.choice(list("ACGT"), 200))
+    gene_b = "".join(rng.choice(list("ACGT"), 200))
+    panel = tmp_path / "panel.fa"
+    panel.write_text(f">geneA\n{gene_a}\n>geneB\n{gene_b}\n")
+    bam = str(tmp_path / "in.bam")
+    w = BamWriter(bam, [("chr1", 10000)])
+    for i in range(5):
+        w.write(BamRecord(name=f"a{i}", flag=0, ref_id=0, pos=i * 10,
+                          mapq=60, cigar=[(80, 0)], seq=gene_a[i:i + 80],
+                          qual="I" * 80))
+    noise = "".join(rng.choice(list("ACGT"), 80))
+    w.write(BamRecord(name="junk", flag=0, ref_id=0, pos=0, mapq=60,
+                      cigar=[(80, 0)], seq=noise, qual="I" * 80))
+    w.close()
+    hits = find_gene_reads_in_bam(bam, str(panel), k=31)
+    assert hits["geneA"] == 5
+    assert hits["geneB"] == 0

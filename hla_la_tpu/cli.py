@@ -241,17 +241,28 @@ def action_kir(args) -> int:
     if not args.ALTpanel:
         raise SystemExit("--ALTpanel FASTA required for --action KIR")
     panel = read_fasta(args.ALTpanel)
+    pairs: list = []
     reads = []
     if args.BAM:
         by_name, _ = extract_reads(args.BAM, None)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         reads = [r for p in pairs for r in p] + unpaired
+    elif args.FASTQ1 and args.FASTQ2:
+        pairs = list(zip(read_fastq(args.FASTQ1), read_fastq(args.FASTQ2)))
+        reads = [r for p in pairs for r in p]
     elif args.FASTQU:
         reads = list(read_fastq(args.FASTQU))
     else:
-        raise SystemExit("--BAM or --FASTQU required for --action KIR")
+        raise SystemExit("--BAM, --FASTQ1/2 or --FASTQU required for "
+                         "--action KIR")
     typer = LinearALTsTyper(panel, backend=args.backend)
-    res = typer.type_diploid(reads)
+    if pairs:
+        # paired model incl. the insert-size term
+        # (processCollectedAlignments, linearALTs.h:69)
+        mean, sd = typer.estimate_insert(pairs)
+        res = typer.type_diploid_paired(pairs, mean, sd)
+    else:
+        res = typer.type_diploid(reads)
     print(f"best ALT pair: {res.hap1} / {res.hap2} "
           f"(posterior {res.posterior:.4f})")
     return 0

@@ -61,16 +61,19 @@ class LinearALTsTyper:
 
     # --------------------------------------------------------------- scoring
     def _read_ll_row(self, read: FastqRead, unaligned_ll: float
-                     ) -> tuple[np.ndarray, tuple[int, int] | None]:
+                     ) -> tuple[np.ndarray, tuple[int, int] | None,
+                                np.ndarray]:
         """LL of the read under each panel haplotype (best alignment per
-        haplotype; `unaligned_ll` where no seed) + best (hap, ref_start)."""
+        haplotype; `unaligned_ll` where no seed) + best (hap, ref_start) +
+        per-haplotype best anchor position ([H] int64, -1 = unseeded)."""
         H = len(self.names)
         row = np.full(H, unaligned_ll, dtype=np.float64)
+        pos_row = np.full(H, -1, dtype=np.int64)
         cands = self.seeder.candidates(read.seq)
         best_anchor = None
         best_ll = -np.inf
         if not cands:
-            return row, None
+            return row, None, pos_row
         L = len(read.seq)
         W = self.band
         reads_arr = np.zeros((len(cands), L), dtype=np.uint8)
@@ -98,10 +101,11 @@ class LinearALTsTyper:
             ll = self._score_ops(ops, oriented, qual, self.seqs[c.seq_idx], lo)
             if ll > row[c.seq_idx]:
                 row[c.seq_idx] = ll
+                pos_row[c.seq_idx] = lo + W // 2
             if ll > best_ll:
                 best_ll = ll
                 best_anchor = (c.seq_idx, lo + W // 2)
-        return row, best_anchor
+        return row, best_anchor, pos_row
 
     def _score_ops(self, ops, oriented: str, qual: str, hap: str,
                    window_start: int) -> float:
@@ -132,7 +136,7 @@ class LinearALTsTyper:
         anchors = []
         for r in reads:
             unaligned = len(r.seq) * np.log(0.25)
-            row, anchor = self._read_ll_row(r, unaligned)
+            row, anchor, _pos = self._read_ll_row(r, unaligned)
             rows.append(row)
             anchors.append(anchor)
         L = (np.stack(rows).T if rows
@@ -152,6 +156,75 @@ class LinearALTsTyper:
         p = np.exp(vals - vals.max())
         p /= p.sum()
 
+        gene_counts: dict[str, int] = {g: 0 for g in self.genes}
+        for anchor in anchors:
+            if anchor is None:
+                continue
+            _, pos = anchor
+            for g, (lo, hi) in self.genes.items():
+                if lo <= pos < hi:
+                    gene_counts[g] += 1
+        return LinearALTsResult(
+            hap1=self.names[h1], hap2=self.names[h2],
+            posterior=float(p[best]), pair_ll=pair,
+            hap_names=self.names, read_gene_counts=gene_counts)
+
+    def estimate_insert(self, pairs: list[tuple[FastqRead, FastqRead]],
+                        max_pairs: int = 500) -> tuple[float, float]:
+        """Insert-size estimate from mate anchor distances on the panel
+        (estimateInsertSize_noGraph role, processBAM.cpp:866-989): weighted
+        median for the mean, (q80-q20)/2 for the spread."""
+        dists = []
+        for r1, r2 in pairs[:max_pairs]:
+            _, a1, p1 = self._read_ll_row(r1, len(r1.seq) * np.log(0.25))
+            _, a2, p2 = self._read_ll_row(r2, len(r2.seq) * np.log(0.25))
+            both = (p1 >= 0) & (p2 >= 0)
+            if both.any():
+                d = np.abs(p2 - p1)[both]
+                dists.append(float(np.median(d)))
+        if not dists:
+            return 300.0, 75.0
+        arr = np.asarray(dists)
+        mean = float(np.median(arr))
+        q20, q80 = np.quantile(arr, [0.2, 0.8])
+        sd = max(float((q80 - q20) / 2.0), 1.0)
+        return mean, sd
+
+    def type_diploid_paired(self, pairs: list[tuple[FastqRead, FastqRead]],
+                            insert_mean: float, insert_sd: float
+                            ) -> LinearALTsResult:
+        """Paired-end ALT-pair model with the insert-size term
+        (processCollectedAlignments, linearALTs.h:69: per-haplotype pair
+        likelihood = both mates' alignment LLs + Normal(insert) LL of their
+        distance on that haplotype).  Pairs whose mates do not both anchor
+        on a haplotype get the 4-sigma tail penalty instead."""
+        H = len(self.names)
+        sd = max(float(insert_sd), 1e-6)
+        norm = -0.5 * np.log(2 * np.pi) - np.log(sd)
+
+        def logpdf(d):
+            return norm - 0.5 * ((d - insert_mean) / sd) ** 2
+
+        tail = float(logpdf(insert_mean + 4.0 * sd))
+        cols = []
+        anchors = []
+        for r1, r2 in pairs:
+            row1, a1, p1 = self._read_ll_row(r1, len(r1.seq) * np.log(0.25))
+            row2, a2, p2 = self._read_ll_row(r2, len(r2.seq) * np.log(0.25))
+            both = (p1 >= 0) & (p2 >= 0)
+            dist = np.abs(p2 - p1).astype(np.float64)
+            ins = np.where(both, np.maximum(logpdf(dist), tail), tail)
+            cols.append(row1 + row2 + ins)
+            anchors.append(a1 if a1 is not None else a2)
+        L = (np.stack(cols).T if cols
+             else np.zeros((H, 0), dtype=np.float64))
+        pair = pair_ll_reduction(L, backend=self.backend)
+        iu = np.triu_indices(H)
+        vals = pair[iu]
+        best = int(np.argmax(vals))
+        h1, h2 = int(iu[0][best]), int(iu[1][best])
+        p = np.exp(vals - vals.max())
+        p /= p.sum()
         gene_counts: dict[str, int] = {g: 0 for g in self.genes}
         for anchor in anchors:
             if anchor is None:

@@ -64,3 +64,35 @@ def test_reads_to_genes(alt_world):
     assert total >= 0.8 * len(reads)
     assert len(assignment["KIR2DL1"]) > 0
     assert len(assignment["KIR3DL2"]) > 0
+
+
+def test_type_diploid_paired_insert_term(rng):
+    """The insert-size term must discriminate haplotypes that score equally
+    per-mate: an ALT with an insertion between the mates stretches the
+    apparent fragment and should lose to the true pair."""
+    import numpy as np
+    from hla_la_tpu.io.fastq import FastqRead
+    from hla_la_tpu.models.linear_alts import LinearALTsTyper
+
+    base = "".join(rng.choice(list("ACGT"), 900))
+    # hapB: same sequence with 240bp inserted in the middle
+    ins = "".join(rng.choice(list("ACGT"), 240))
+    hapA = base
+    hapB = base[:450] + ins + base[450:]
+    typer = LinearALTsTyper({"A": hapA, "B": hapB})
+    pairs = []
+    frag, rl = 300, 80
+    for i, s in enumerate(range(0, 900 - frag - 1, 37)):
+        r1 = hapA[s:s + rl]
+        r2s = hapA[s + frag - rl:s + frag]
+        # mate 2 given reverse-complemented like a real fragment
+        rc = r2s.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        pairs.append((FastqRead(f"p{i}/1", r1, "I" * rl),
+                      FastqRead(f"p{i}/2", rc, "I" * rl)))
+    res = typer.type_diploid_paired(pairs, insert_mean=frag, insert_sd=25)
+    assert {res.hap1, res.hap2} == {"A"}
+    # sanity: without the insert term the mid-spanning haplotype pair is
+    # closer; with it, A/A must beat A/B decisively
+    names = res.hap_names
+    ia, ib = names.index("A"), names.index("B")
+    assert res.pair_ll[ia, ia] > res.pair_ll[min(ia, ib), max(ia, ib)]

@@ -57,7 +57,10 @@ def cluster_read_ll(onehot: np.ndarray, contrib: np.ndarray,
     A = onehot.reshape(C, J * 6)
     Bc = contrib.reshape(R, J * 6).T
     Bm = mismatch.reshape(R, J * 6).T
-    if backend == "numpy":
+    if backend != "jax":
+        # "auto" -> BLAS: the [C, J6] x [J6, R] matmuls are small relative
+        # to host->device transfer of the contribution tensors; the device
+        # path only pays off when explicitly requested on real batches
         return A @ Bc, A @ Bm
     import jax.numpy as jnp
     ll = jnp.dot(jnp.asarray(A), jnp.asarray(Bc),

@@ -43,7 +43,7 @@ GAP = ord("_")
 _BASE_CH = {"A": 0, "C": 1, "G": 2, "T": 3}
 
 
-@dataclass
+@dataclass(slots=True)
 class ExonObs:
     """oneExonPosition equivalent (hla/oneExonPosition.h:15-46)."""
     graph_level: int
@@ -190,6 +190,19 @@ class HLATyper:
                                        aligned_unpaired, insert_mean,
                                        insert_sd, output_dir, cfg)
 
+        # per-chain level ranges, computed once: loci only visit overlapping
+        # pairs (the IntervalTree pre-filter role, HLATyper.cpp:259-267)
+        def _rng(al):
+            return ((al.first_level(), al.last_level())
+                    if al is not None else (-1, -1))
+        pr_f1 = np.asarray([_rng(ap.chain1)[0] for ap in aligned_pairs])
+        pr_l1 = np.asarray([_rng(ap.chain1)[1] for ap in aligned_pairs])
+        pr_f2 = np.asarray([_rng(ap.chain2)[0] for ap in aligned_pairs])
+        pr_l2 = np.asarray([_rng(ap.chain2)[1] for ap in aligned_pairs])
+        un_f = np.asarray([_rng(al)[0] for al in aligned_unpaired])
+        un_l = np.asarray([_rng(al)[1] for al in aligned_unpaired])
+        self._pair_ranges = (pr_f1, pr_l1, pr_f2, pr_l2, un_f, un_l)
+
         results: list[LocusResult] = []
         hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
         with open(hist_path, "w") as hist_fh:
@@ -203,6 +216,7 @@ class HLATyper:
                 if r is not None:
                     results.append(r)
 
+        self._pair_ranges = None     # only valid for this read set
         self._write_bestguess(results, output_dir, cfg)
         with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
             fh.write(f"Loci = {','.join(self.loci)}\n")
@@ -415,7 +429,16 @@ class HLATyper:
 
         # ---- pileups per read (pair mates merged; reference 1386-1500)
         reads_obs: list[list[ExonObs]] = []
-        for (r1, r2), ap in zip(raw_pairs, aligned_pairs):
+        if getattr(self, "_pair_ranges", None) is not None and raw_pairs:
+            f1, l1, f2, l2, _, _ = self._pair_ranges
+            n = len(aligned_pairs)
+            ov = (((f1[:n] <= lv_max) & (l1[:n] >= lv_min) & (f1[:n] >= 0))
+                  | ((f2[:n] <= lv_max) & (l2[:n] >= lv_min) & (f2[:n] >= 0)))
+            pair_iter = [(raw_pairs[i], aligned_pairs[i])
+                         for i in np.nonzero(ov)[0]]
+        else:
+            pair_iter = list(zip(raw_pairs, aligned_pairs))
+        for (r1, r2), ap in pair_iter:
             o1 = self._alignment_to_obs(ap.chain1, r1, ap.chain2, r2,
                                         lv_min, lv_max, level_to_pos)
             o2 = self._alignment_to_obs(ap.chain2, r2, ap.chain1, r1,
@@ -436,7 +459,15 @@ class HLATyper:
                     w2 = alignment_weighted_ok_fraction(ap.chain2)
                     hist_fh.write(f"{locus}\tread{w1}\n{locus}\tread{w2}\n")
                     hist_fh.write(f"{locus}\treadPair{(w1 + w2) / 2}\n")
-        for r, al in zip(raw_unpaired, aligned_unpaired):
+        if getattr(self, "_pair_ranges", None) is not None and raw_unpaired:
+            _, _, _, _, uf, ul = self._pair_ranges
+            n = len(aligned_unpaired)
+            ovu = (uf[:n] <= lv_max) & (ul[:n] >= lv_min) & (uf[:n] >= 0)
+            unpaired_iter = [(raw_unpaired[i], aligned_unpaired[i])
+                             for i in np.nonzero(ovu)[0]]
+        else:
+            unpaired_iter = list(zip(raw_unpaired, aligned_unpaired))
+        for r, al in unpaired_iter:
             if al is None:
                 continue
             if (al.mapq >= cfg.minimum_mapping_quality
@@ -791,10 +822,11 @@ class HLATyper:
         path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
         with open(path, "w") as fh:
             J = len(exon_idx)
+            ei = np.asarray(exon_idx).tolist()
+            ep = np.asarray(exon_pos).tolist()
             for j in range(J):
                 items = pileup.get(j, [])
-                fields = [str(int(exon_idx[j])), str(int(exon_pos[j])),
-                          str(len(items))]
+                fields = [str(ei[j]), str(ep[j]), str(len(items))]
                 if items:
                     # per-read entries (reference pileup detail,
                     # HLATyper.cpp:1940-2010): genotype (qualities)
@@ -819,7 +851,8 @@ class HLATyper:
                         sf = strand_freqs.get(j, {}).get(g, 0.0)
                         r1f = read1_freqs.get(j, {}).get(g, 0.0)
                         summary.append(
-                            f"{g}x{len(lens)}[{np.mean(lens):.1f};{sf};{r1f}]")
+                            f"{g}x{len(lens)}"
+                            f"[{sum(lens) / len(lens):.1f};{sf};{r1f}]")
                     fields.append("".join(summary))
                 fh.write("\t".join(fields) + "\n")
 

@@ -621,45 +621,42 @@ class HLATyper:
         R = len(kept_reads)
         contrib = np.zeros((R, J, 6), dtype=np.float32)
         mismatch = np.zeros((R, J, 6), dtype=np.float32)
-        used = 0
-        for r, kept in enumerate(kept_reads):
-            for o in kept:
-                j = o.position_in_exon
-                geno = o.genotype
-                used += 1
-                l_diff = len(geno) - 1
-                # channel GAP: cluster column is '_'
-                if geno != "_":
-                    contrib[r, j, CH_GAP] += (1 + l_diff) * log_ins_act
-                # channels A/C/G/T/other: cluster column is a base (or
-                # unknown char, which never matches)
-                if geno == "_":
-                    v_first_match = log_del
-                    v_first_mismatch = log_del
-                else:
-                    first = geno[0]
-                    if first == "_":
-                        # (cannot happen: leading '_' absorbed)
-                        v_first_match = v_first_mismatch = log_del
-                    else:
-                        q = o.qualities[0]
-                        p_c = float(table[q])
-                        if p_c <= 0:
-                            p_c = 0.001
-                        v_first_match = log_mm + math.log(p_c)
-                        v_first_mismatch = log_mm + math.log((1 - p_c) / 3.0)
-                tail = l_diff * log_ins_act
-                for base, ch in _BASE_CH.items():
-                    if geno != "_" and geno[0] == base:
-                        contrib[r, j, ch] += v_first_match + tail
-                    else:
-                        contrib[r, j, ch] += v_first_mismatch + tail
-                    if geno != "_" and geno != base:
-                        mismatch[r, j, ch] += 1
-                contrib[r, j, CH_OTHER] += v_first_mismatch + tail
-                if geno != "_":
-                    mismatch[r, j, CH_OTHER] += 1
-                    mismatch[r, j, CH_GAP] += 1
+        # flatten: (r, j) is unique per obs (one obs per level after
+        # removeDoublePositions), so scatter is plain fancy indexing
+        r_idx = np.asarray([r for r, kept in enumerate(kept_reads)
+                            for _ in kept], dtype=np.int64)
+        used = len(r_idx)
+        if used == 0:
+            return contrib, mismatch, used
+        flat = [o for kept in kept_reads for o in kept]
+        j_idx = np.asarray([o.position_in_exon for o in flat], dtype=np.int64)
+        genos = [o.genotype for o in flat]
+        is_gap = np.asarray([g == "_" for g in genos])
+        first = np.asarray([0 if g == "_" else ord(g[0]) for g in genos],
+                           dtype=np.int64)
+        l_diff = np.asarray([len(g) - 1 for g in genos], dtype=np.float64)
+        q0 = np.asarray([o.qualities[0] if o.qualities else 0 for o in flat],
+                        dtype=np.int64)
+        p_c = table[q0].astype(np.float64)
+        p_c = np.where(p_c <= 0, 0.001, p_c)
+        v_match = np.where(is_gap, log_del, log_mm + np.log(p_c))
+        v_mismatch = np.where(is_gap, log_del,
+                              log_mm + np.log((1.0 - p_c) / 3.0))
+        tail = l_diff * log_ins_act
+        contrib[r_idx, j_idx, CH_GAP] += np.where(
+            is_gap, 0.0, (1.0 + l_diff) * log_ins_act).astype(np.float32)
+        single = (l_diff == 0) & ~is_gap
+        for base, ch in _BASE_CH.items():
+            m = (~is_gap) & (first == ord(base))
+            contrib[r_idx, j_idx, ch] += (
+                np.where(m, v_match, v_mismatch) + tail).astype(np.float32)
+            mismatch[r_idx, j_idx, ch] += (
+                (~is_gap) & ~(single & (first == ord(base)))
+            ).astype(np.float32)
+        contrib[r_idx, j_idx, CH_OTHER] += (v_mismatch
+                                            + tail).astype(np.float32)
+        mismatch[r_idx, j_idx, CH_OTHER] += (~is_gap).astype(np.float32)
+        mismatch[r_idx, j_idx, CH_GAP] += (~is_gap).astype(np.float32)
         return contrib, mismatch, used
 
     # -------------------------------------------------------------- filters

@@ -76,6 +76,23 @@ class KmerIndex:
                    sorted_codes=codes_cat[order], sorted_pos=pos_cat[order],
                    max_occurrences=max_occurrences)
 
+    def save(self, path: str) -> None:
+        """Persist to npz (the `ref_is_indexed` on-disk index cache role,
+        BWAmapper.cpp:53-65)."""
+        np.savez(path, k=self.k, names="\x00".join(self.seq_names),
+                 seq_offsets=self.seq_offsets,
+                 sorted_codes=self.sorted_codes, sorted_pos=self.sorted_pos,
+                 max_occurrences=self.max_occurrences)
+
+    @classmethod
+    def load(cls, path: str) -> "KmerIndex":
+        with np.load(path) as z:
+            return cls(k=int(z["k"]), seq_names=str(z["names"]).split("\x00"),
+                       seq_offsets=z["seq_offsets"],
+                       sorted_codes=z["sorted_codes"],
+                       sorted_pos=z["sorted_pos"],
+                       max_occurrences=int(z["max_occurrences"]))
+
     def locate(self, global_pos: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Global position -> (seq index, position within sequence)."""
         si = np.searchsorted(self.seq_offsets, global_pos, side="right") - 1

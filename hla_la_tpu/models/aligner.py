@@ -82,8 +82,7 @@ class ReadAligner:
                               if self.hap_codes else np.zeros(0, np.uint8))
         self.hap_levels_cat = (np.concatenate(self.hap_levels)
                                if self.hap_levels else np.zeros(0, np.int64))
-        self.index = KmerIndex.build(dict(zip(self.hap_names, self.hap_seqs)),
-                                     k=kmer_k)
+        self.index = self._load_or_build_index(kmer_k)
         self.seeder = Seeder(self.index)
         self.level_to_seqpos = pkg.level_to_seqpos()
         self.long_reads = bool(self.cfg.long_reads)
@@ -93,6 +92,30 @@ class ReadAligner:
         self.use_jax = use_jax
         self.graph_fallback = graph_fallback
         self._realigner = None
+
+    def _load_or_build_index(self, kmer_k: int) -> KmerIndex:
+        """Disk-cached k-mer index in the package dir (freshness rule as for
+        serializedGRAPH; the bwa `ref_is_indexed` analogue)."""
+        import os
+        cache = os.path.join(self.pkg.dir, "mapping_PRGonly",
+                             f"kmerIndex_k{kmer_k}.npz")
+        src = os.path.join(self.pkg.dir, "sequences.txt")
+        try:
+            if (os.path.exists(cache) and os.path.exists(src)
+                    and os.path.getmtime(cache) >= os.path.getmtime(src)):
+                idx = KmerIndex.load(cache)
+                if idx.seq_names == self.hap_names and idx.k == kmer_k:
+                    return idx
+        except Exception:  # noqa: BLE001 — fall back to a fresh build
+            pass
+        idx = KmerIndex.build(dict(zip(self.hap_names, self.hap_seqs)),
+                              k=kmer_k)
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            idx.save(cache)
+        except OSError:
+            pass
+        return idx
 
     # ------------------------------------------------------------- NW batch
     def _run_nw(self, reads_arr, lens_arr, refs_arr):

@@ -273,3 +273,24 @@ def find_gene_reads_in_bam(bam_path: str, panel_fasta: str, k: int = 31,
                 if int(((c > 0) & valid).sum()) >= min_kmers:
                     hits[name] += 1
     return hits
+
+
+def rename_bam_contigs(in_path: str, out_path: str,
+                       mapping: dict[str, str]) -> int:
+    """Rewrite a BAM with renamed reference contigs
+    (Perl/convertBAM_1000G_to_Primary.pl role: 1000G-style names ->
+    primary-assembly names).  Contigs absent from `mapping` keep their
+    name.  Returns the number of records written."""
+    from .io.bam import BamReader, BamWriter
+
+    rd = BamReader(in_path)
+    refs = [(mapping.get(name, name), length)
+            for name, length in rd.references]
+    w = BamWriter(out_path, refs)
+    n = 0
+    for rec in rd:
+        w.write(rec)
+        n += 1
+    w.close()
+    rd.close()
+    return n

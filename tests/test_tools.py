@@ -144,3 +144,22 @@ def test_find_gene_reads_in_bam(tmp_path):
     hits = find_gene_reads_in_bam(bam, str(panel), k=31)
     assert hits["geneA"] == 5
     assert hits["geneB"] == 0
+
+
+def test_rename_bam_contigs(tmp_path):
+    from hla_la_tpu.io.bam import BamReader, BamRecord, BamWriter
+    from hla_la_tpu.tools import rename_bam_contigs
+
+    src = str(tmp_path / "a.bam")
+    w = BamWriter(src, [("6", 1000), ("7", 1000)])
+    w.write(BamRecord(name="r1", flag=0, ref_id=0, pos=10, mapq=60,
+                      cigar=[(4, 0)], seq="ACGT", qual="IIII"))
+    w.write(BamRecord(name="r2", flag=0, ref_id=1, pos=20, mapq=60,
+                      cigar=[(4, 0)], seq="GGTT", qual="IIII"))
+    w.close()
+    dst = str(tmp_path / "b.bam")
+    n = rename_bam_contigs(src, dst, {"6": "chr6"})
+    assert n == 2
+    rd = BamReader(dst)
+    assert rd.references == [("chr6", 1000), ("7", 1000)]
+    assert [r.name for r in rd] == ["r1", "r2"]

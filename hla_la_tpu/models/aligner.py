@@ -522,6 +522,8 @@ def _position_keys(al: GraphAlignment) -> np.ndarray:
     """Column identity keys for per-position confidence accumulation
     (positionID strings, processBAM.cpp:4188), packed into int64:
     (graph char, graph level, strand, read index)."""
+    if al._pos_keys is not None:
+        return al._pos_keys
     seq_base = al.seq_c != ord("_")
     i_nogap = np.cumsum(seq_base) - 1
     n_bases = int(seq_base.sum())

@@ -44,6 +44,7 @@ class GraphAlignment:
 
     _first_level: int | None = None
     _last_level: int | None = None
+    _pos_keys: np.ndarray | None = None   # cached _position_keys (aligner)
 
     def first_level(self) -> int:
         if self._first_level is None:
@@ -189,6 +190,28 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
         if res is not None:
             (levels, graph_c, seq_c, qual_c, col_counts, col_starts,
              ll, first_lv, last_lv, bad) = res
+            # batched position-identity keys (aligner._position_keys formula,
+            # positionID strings of processBAM.cpp:4188)
+            seq_base = seq_c != GAP
+            cs = np.cumsum(seq_base)
+            n_cols_tot = len(seq_base)
+            pos_keys = np.zeros(n_cols_tot, dtype=np.int64)
+            if n_cols_tot:
+                base_before = cs[col_starts] - seq_base[col_starts]
+                ends = col_starts + col_counts
+                nz = col_counts > 0
+                n_bases_job = np.zeros(B, dtype=np.int64)
+                n_bases_job[nz] = cs[ends[nz] - 1] - base_before[nz]
+                rep_before = np.repeat(base_before, col_counts)
+                rep_nbases = np.repeat(n_bases_job, col_counts)
+                rep_rev = np.repeat(reverse.astype(np.int64), col_counts)
+                i_nogap = cs - 1 - rep_before
+                idx = np.where(seq_base,
+                               np.where(rep_rev == 1,
+                                        rep_nbases - i_nogap - 1, i_nogap),
+                               -1)
+                pos_keys = (((levels + 2) << 28) | ((idx + 2) << 10)
+                            | (graph_c.astype(np.int64) << 1) | rep_rev)
             out: list[GraphAlignment | None] = []
             for b in range(B):
                 if bad[b] or col_counts[b] == 0:
@@ -203,6 +226,7 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                 )
                 al._first_level = int(first_lv[b])
                 al._last_level = int(last_lv[b])
+                al._pos_keys = pos_keys[s:e]
                 al.log_likelihood = float(ll[b])
                 out.append(al)
             return out

@@ -19,6 +19,16 @@ Measured on TPU v5e (C=2048, R=4096): XLA scan 11.5 Gcells/s, kernel v1
 the 3D broadcast relayouts and VMEM accumulator traffic dominate, so the XLA
 path stays the default (ops/pair_ll.pair_ll_reduction) and these kernels are
 kept as optimisation baselines.
+
+Roofline note (why XLA is kept): each cell costs two f32 transcendentals
+(exp + log1p), which execute on the VPU's special-function path at roughly
+one lane-vector per cycle — about 30 G transcendentals/s on one v5e core,
+i.e. a ~15 Gcells/s ceiling for this op.  XLA's 11.5 G is ~75% of that
+bound, so the remaining headroom is <1.3x and not reachable by relayout
+tricks alone; a meaningful speedup would need fewer/cheaper transcendentals
+(e.g. a piecewise-polynomial log1p(exp(-d)) for the d>~17 cutoff region),
+which changes numerics and is deliberately not done — the reduction must
+match the numpy reference path bit-for-bit at f32.
 """
 
 from __future__ import annotations

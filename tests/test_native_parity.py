@@ -1,0 +1,71 @@
+"""Native C++ fast paths must match the pure-Python fallbacks exactly
+(seed chaining, candidate selection, projection+scoring).  These run the
+same batch through both paths by toggling native.available()."""
+
+import numpy as np
+import pytest
+
+import hla_la_tpu.native as native
+from hla_la_tpu.models.aligner import ReadAligner
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    sim = simulate_prg_package(rng, backbone_length=3000, n_haplotypes=6)
+    pkg = sim.write_package(str(tmp_path_factory.mktemp("np") / "pkg"))
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=260,
+                       fragment_sd=25)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 6.0,
+                                               name_prefix=f"h{h}")
+    reads = [r.seq for p in pairs for r in (p.r1, p.r2)]
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    return pkg, reads, fq
+
+
+def _with_native_disabled(fn):
+    avail = native.available
+    native.available = lambda: False
+    try:
+        return fn()
+    finally:
+        native.available = avail
+
+
+def test_seed_candidates_parity(world):
+    pkg, reads, _ = world
+    seeder = ReadAligner(pkg).seeder
+    got = seeder.candidates_batch(reads)
+    want = _with_native_disabled(lambda: seeder.candidates_batch(reads))
+    for a, b in zip(got, want):
+        ka = [(c.seq_idx, c.reverse, c.ref_start, c.n_kmers, c.span)
+              for c in a]
+        kb = [(c.seq_idx, c.reverse, c.ref_start, c.n_kmers, c.span)
+              for c in b]
+        assert ka == kb
+
+
+def test_alignment_parity(world):
+    pkg, _, fq = world
+    al = ReadAligner(pkg, graph_fallback=False)
+    got = al.align_pairs(fq, 260, 25)
+    al2 = ReadAligner(pkg, graph_fallback=False)
+    want = _with_native_disabled(lambda: al2.align_pairs(fq, 260, 25))
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        for ca, cb in ((a.chain1, b.chain1), (a.chain2, b.chain2)):
+            assert np.array_equal(ca.levels, cb.levels)
+            assert np.array_equal(ca.graph_c, cb.graph_c)
+            assert np.array_equal(ca.seq_c, cb.seq_c)
+            assert ca.reverse == cb.reverse
+            assert abs(ca.log_likelihood - cb.log_likelihood) <= \
+                1e-5 * max(1.0, abs(cb.log_likelihood))
+        assert abs(a.mapq - b.mapq) < 1e-6

@@ -316,33 +316,29 @@ class HLATyper:
         seq_at = seq_c[rec_cols]
         is_del = seq_at == GAP
 
-        genotype: list[str] = []
-        qualities: list[bytes] = []
-        worst_q = np.zeros(n_rec, dtype=np.uint8)
-        simple = (n_ins == 0)
-        for i in range(n_rec):
+        worst_q = np.where(is_del, 0, al.seq_qual[rec_cols]
+                           ).astype(np.uint8)
+        # fast path: no trailing insertions (the overwhelming majority)
+        chars = bytes(seq_at).decode()
+        qual_all = bytes(al.seq_qual[rec_cols])
+        genotype = ["_" if d else chars[i]
+                    for i, d in enumerate(is_del.tolist())]
+        qualities = [b"" if d else qual_all[i:i + 1]
+                     for i, d in enumerate(is_del.tolist())]
+        for i in np.nonzero(n_ins > 0)[0]:
             c = rec_cols[i]
-            if simple[i]:
-                if is_del[i]:
-                    genotype.append("_")
-                    qualities.append(b"")
-                else:
-                    genotype.append(chr(seq_at[i]))
-                    qualities.append(bytes([al.seq_qual[c]]))
-                    worst_q[i] = al.seq_qual[c]
+            ins_cols = np.arange(c + 1, c + 1 + n_ins[i])
+            g = bytes(seq_c[ins_cols]).decode()
+            q = bytes(al.seq_qual[ins_cols])
+            if is_del[i]:
+                # leading '_' absorbed by the insertion (reference
+                # removes it, HLATyper.cpp:3345-3357)
+                genotype[i] = g
+                qualities[i] = q
             else:
-                ins_cols = np.arange(c + 1, c + 1 + n_ins[i])
-                g = bytes(seq_c[ins_cols]).decode()
-                q = bytes(al.seq_qual[ins_cols])
-                if is_del[i]:
-                    # leading '_' absorbed by the insertion (reference
-                    # removes it, HLATyper.cpp:3345-3357)
-                    genotype.append(g)
-                    qualities.append(q)
-                else:
-                    genotype.append(chr(seq_at[i]) + g)
-                    qualities.append(bytes([al.seq_qual[c]]) + q)
-                worst_q[i] = min(qualities[-1]) if qualities[-1] else 0
+                genotype[i] = chars[i] + g
+                qualities[i] = qual_all[i:i + 1] + q
+            worst_q[i] = min(qualities[i]) if qualities[i] else 0
         rec = dict(
             levels=levels_arr[rec_cols],
             genotype=genotype,
@@ -379,20 +375,22 @@ class HLATyper:
         hi = int(np.searchsorted(lv, lv_max, side="right"))
         out: list[ExonObs] = []
         paired_name = paired_read.name if paired_read else read.name
-        for i in range(lo, hi):
-            pos = level_to_pos.get(int(lv[i]))
+        lv_l = lv[lo:hi].tolist()
+        mqp_l = rec["mapq_pos"][lo:hi].tolist()
+        rn_l = rec["run_novel"][lo:hi].tolist()
+        geno, quals = rec["genotype"], rec["qualities"]
+        mapq, name, cols_ng = al.mapq, read.name, rec["cols_nongap"]
+        rev, ffr = al.reverse, al.from_first_read
+        get_pos = level_to_pos.get
+        append = out.append
+        for k, l in enumerate(lv_l):
+            pos = get_pos(l)
             if pos is None:
                 continue
-            out.append(ExonObs(
-                graph_level=int(lv[i]), position_in_exon=pos,
-                genotype=rec["genotype"][i], qualities=rec["qualities"][i],
-                mapq=al.mapq, mapq_position=float(rec["mapq_pos"][i]),
-                read_id=read.name, paired_read_id=paired_name,
-                this_weighted_ok=this_wok, paired_weighted_ok=paired_wok,
-                pairs_strands_distance=strands_distance,
-                alignment_cols_nongap=rec["cols_nongap"],
-                running_novel_gap=int(rec["run_novel"][i]),
-                reverse=al.reverse, from_first_read=al.from_first_read))
+            i = lo + k
+            append(ExonObs(l, pos, geno[i], quals[i], mapq, mqp_l[k],
+                           name, paired_name, this_wok, paired_wok,
+                           strands_distance, cols_ng, rn_l[k], rev, ffr))
         return out
 
     @staticmethod

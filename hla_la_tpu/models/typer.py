@@ -697,25 +697,34 @@ class HLATyper:
                         cfg: TyperConfig, long_reads: bool):
         """Low-frequency and strand-bias allele filters
         (HLATyper.cpp:1721-1880)."""
-        counts: dict[int, dict[str, int]] = {}
-        by_strand: dict[int, dict[str, list[int]]] = {}
-        read1_counts: dict[int, dict[str, int]] = {}
+        # [count, fwd, rev, read1] per (position, genotype) — one dict hop
+        # per obs instead of five
+        per_pos: dict[int, dict[str, list[int]]] = {}
+        minq = cfg.minimum_per_position_mapping_quality
+        ig_get = ignore_alleles.get
         for obs in reads_obs:
             for o in obs:
                 if o.read_id in ignore_read_ids:
                     continue
-                if o.mapq_position < cfg.minimum_per_position_mapping_quality:
+                if o.mapq_position < minq:
                     continue
-                if o.genotype in ignore_alleles.get(o.position_in_exon, ()):
+                ig = ig_get(o.position_in_exon)
+                if ig and o.genotype in ig:
                     continue
-                c = counts.setdefault(o.position_in_exon, {})
-                c[o.genotype] = c.get(o.genotype, 0) + 1
-                st = by_strand.setdefault(o.position_in_exon, {}).setdefault(
-                    o.genotype, [0, 0])
-                st[1 if o.reverse else 0] += 1
-                r1 = read1_counts.setdefault(o.position_in_exon, {})
+                d = per_pos.setdefault(o.position_in_exon, {})
+                e = d.get(o.genotype)
+                if e is None:
+                    e = d[o.genotype] = [0, 0, 0, 0]
+                e[0] += 1
+                e[2 if o.reverse else 1] += 1
                 if o.from_first_read:
-                    r1[o.genotype] = r1.get(o.genotype, 0) + 1
+                    e[3] += 1
+        counts = {pos: {g: e[0] for g, e in d.items()}
+                  for pos, d in per_pos.items()}
+        by_strand = {pos: {g: [e[1], e[2]] for g, e in d.items()}
+                     for pos, d in per_pos.items()}
+        read1_counts = {pos: {g: e[3] for g, e in d.items()}
+                        for pos, d in per_pos.items()}
 
         counts_post: dict[int, dict[str, int]] = {}
         strand_freqs: dict[int, dict[str, float]] = {}

@@ -120,7 +120,8 @@ def run_hla_typing(pkg: GraphPackage,
     typer = HLATyper(pkg, cfg.typer, backend=backend)
     results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
                              aligned_unpaired, insert_mean, insert_sd,
-                             hla_dir, long_reads_mode=long_mode)
+                             hla_dir, long_reads_mode=long_mode,
+                             n_workers=cfg.max_threads)
     return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
                           insert_mean, insert_sd)
 

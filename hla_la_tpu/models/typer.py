@@ -179,8 +179,8 @@ class HLATyper:
                  raw_unpaired: list[FastqRead],
                  aligned_unpaired: list[GraphAlignment],
                  insert_mean: float, insert_sd: float,
-                 output_dir: str, long_reads_mode: str = ""
-                 ) -> list[LocusResult]:
+                 output_dir: str, long_reads_mode: str = "",
+                 n_workers: int = 1) -> list[LocusResult]:
         os.makedirs(output_dir, exist_ok=True)
         cfg = self.cfg.for_long_reads() if long_reads_mode else self.cfg
         long_reads = bool(long_reads_mode)
@@ -190,8 +190,42 @@ class HLATyper:
                                        aligned_unpaired, insert_mean,
                                        insert_sd, output_dir, cfg)
 
-        # per-chain level ranges, computed once: loci only visit overlapping
-        # pairs (the IntervalTree pre-filter role, HLATyper.cpp:259-267)
+        self._setup_pair_ranges(aligned_pairs, aligned_unpaired)
+
+        results: list[LocusResult] = []
+        hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
+        per_locus = None
+        if n_workers > 1 and len(self.loci) > 1:
+            per_locus = self._type_loci_parallel(
+                raw_pairs, aligned_pairs, raw_unpaired, aligned_unpaired,
+                insert_mean, insert_sd, output_dir, cfg, long_reads,
+                kmer_counts, n_workers)
+        with open(hist_path, "w") as hist_fh:
+            hist_fh.write("Locus\tLevelValue\n")
+            for locus in self.loci:
+                if per_locus is not None:
+                    r, hist_text = per_locus[locus]
+                    hist_fh.write(hist_text)
+                else:
+                    log_progress(f"HLATypeInference: locus {locus}")
+                    r = self._type_locus(locus, raw_pairs, aligned_pairs,
+                                         raw_unpaired, aligned_unpaired,
+                                         insert_mean, insert_sd, output_dir,
+                                         cfg, long_reads, kmer_counts,
+                                         hist_fh)
+                if r is not None:
+                    results.append(r)
+
+        self._pair_ranges = None     # only valid for this read set
+        self._write_bestguess(results, output_dir, cfg)
+        with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
+            fh.write(f"Loci = {','.join(self.loci)}\n")
+            fh.write("veryConservativeReadLikelihoods = 1\n")
+        return results
+
+    def _setup_pair_ranges(self, aligned_pairs, aligned_unpaired):
+        """Per-chain level ranges, computed once: loci only visit overlapping
+        pairs (the IntervalTree pre-filter role, HLATyper.cpp:259-267)."""
         def _rng(al):
             return ((al.first_level(), al.last_level())
                     if al is not None else (-1, -1))
@@ -203,25 +237,42 @@ class HLATyper:
         un_l = np.asarray([_rng(al)[1] for al in aligned_unpaired])
         self._pair_ranges = (pr_f1, pr_l1, pr_f2, pr_l2, un_f, un_l)
 
-        results: list[LocusResult] = []
-        hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
-        with open(hist_path, "w") as hist_fh:
-            hist_fh.write("Locus\tLevelValue\n")
-            for locus in self.loci:
-                log_progress(f"HLATypeInference: locus {locus}")
-                r = self._type_locus(locus, raw_pairs, aligned_pairs,
-                                     raw_unpaired, aligned_unpaired,
-                                     insert_mean, insert_sd, output_dir,
-                                     cfg, long_reads, kmer_counts, hist_fh)
-                if r is not None:
-                    results.append(r)
-
-        self._pair_ranges = None     # only valid for this read set
-        self._write_bestguess(results, output_dir, cfg)
-        with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
-            fh.write(f"Loci = {','.join(self.loci)}\n")
-            fh.write("veryConservativeReadLikelihoods = 1\n")
-        return results
+    def _type_loci_parallel(self, raw_pairs, aligned_pairs, raw_unpaired,
+                            aligned_unpaired, insert_mean, insert_sd,
+                            output_dir, cfg, long_reads, kmer_counts,
+                            n_workers):
+        """Per-locus typing fan-out over spawned worker processes (the
+        reference types loci serially; loci are independent given the
+        alignments).  Returns {locus: (LocusResult|None, hist_text)} or None
+        when spawning is unsafe (caller then falls back to serial)."""
+        from .parallel_host import pack_aligned_pairs, spawn_safe
+        if not spawn_safe():
+            return None
+        import multiprocessing as mp
+        packed = pack_aligned_pairs(aligned_pairs)
+        raw1 = [(r1.name, r1.seq, r1.qual) for r1, _ in raw_pairs]
+        raw2 = [(r2.name, r2.seq, r2.qual) for _, r2 in raw_pairs]
+        rawu = [(r.name, r.seq, r.qual) for r in raw_unpaired]
+        unal = aligned_unpaired      # pickled directly (small in practice)
+        n = min(n_workers, len(self.loci))
+        chunks = [self.loci[i::n] for i in range(n)]
+        args = [(self.pkg.dir, self.backend, self.cfg, self.g_path, chunk,
+                 packed, raw1, raw2, rawu, unal, insert_mean, insert_sd,
+                 output_dir, cfg, long_reads, kmer_counts)
+                for chunk in chunks]
+        ctx = mp.get_context("spawn")
+        try:
+            with ctx.Pool(n, initializer=_typing_worker_init) as pool:
+                chunk_results = pool.map(_typing_worker, args)
+        except Exception:  # noqa: BLE001 — fall back to serial typing
+            return None
+        out = {}
+        for res in chunk_results:
+            for locus, r, hist_text in res:
+                out[locus] = (r, hist_text)
+        if set(out) != set(self.loci):
+            return None
+        return out
 
     # ------------------------------------------------------------- per locus
     def _combined_exon_matrix(self, locus: str):
@@ -1028,3 +1079,34 @@ def _chi2_p1(observed: list[float], expected: list[float]) -> float:
         stat += (o - e) ** 2 / e
     # survival function of chi2(1): erfc(sqrt(x/2))
     return math.erfc(math.sqrt(stat / 2.0))
+
+
+def _typing_worker_init():
+    os.environ["HLA_LA_IN_WORKER"] = "1"
+
+
+def _typing_worker(args):
+    (pkg_dir, backend, base_cfg, g_path, loci, packed, raw1, raw2, rawu,
+     aligned_unpaired, insert_mean, insert_sd, output_dir, cfg, long_reads,
+     kmer_counts) = args
+    import io
+
+    from ..graph.package import GraphPackage
+    from ..io.fastq import FastqRead
+    from .parallel_host import unpack_aligned_pairs
+
+    typer = HLATyper(GraphPackage(pkg_dir), base_cfg,
+                     g_nomenclature_path=g_path, backend=backend)
+    aligned_pairs = unpack_aligned_pairs(packed)
+    raw_pairs = [(FastqRead(*a), FastqRead(*b)) for a, b in zip(raw1, raw2)]
+    raw_unpaired = [FastqRead(*a) for a in rawu]
+    typer._setup_pair_ranges(aligned_pairs, aligned_unpaired)
+    out = []
+    for locus in loci:
+        log_progress(f"HLATypeInference: locus {locus}")
+        fh = io.StringIO()
+        r = typer._type_locus(locus, raw_pairs, aligned_pairs, raw_unpaired,
+                              aligned_unpaired, insert_mean, insert_sd,
+                              output_dir, cfg, long_reads, kmer_counts, fh)
+        out.append((locus, r, fh.getvalue()))
+    return out

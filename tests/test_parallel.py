@@ -44,3 +44,43 @@ def test_full_step_compiles_and_runs(rng):
     assert np.asarray(scores).shape == (B,)
     assert np.asarray(pair).shape == (C, C)
     assert np.isfinite(np.asarray(pair)).all()
+
+
+def test_parallel_typing_matches_serial(tmp_path):
+    import filecmp
+    import os
+
+    import numpy as np
+
+    from hla_la_tpu.models.aligner import ReadAligner
+    from hla_la_tpu.models.parallel_host import spawn_safe
+    from hla_la_tpu.models.typer import HLATyper
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+
+    if not spawn_safe():
+        import pytest
+        pytest.skip("spawn unsafe in this environment")
+    rng = np.random.default_rng(31)
+    sim = simulate_prg_package(rng, backbone_length=2500, n_haplotypes=6)
+    pkg = sim.write_package(str(tmp_path / "pkg"))
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=260, fragment_sd=25)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 8.0,
+                                               name_prefix=f"h{h}")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    al = ReadAligner(pkg)
+    aligned = al.align_pairs(fq, 260, 25)
+    for n_workers, d in ((1, "serial"), (2, "par")):
+        typer = HLATyper(pkg)
+        typer.type_all(fq, aligned, [], [], 260.0, 25.0,
+                       str(tmp_path / d), n_workers=n_workers)
+    serial_dir, par_dir = str(tmp_path / "serial"), str(tmp_path / "par")
+    files = [f for f in os.listdir(serial_dir)
+             if f.startswith("R1_") or f.startswith("histogram")]
+    assert files
+    for f in files:
+        assert filecmp.cmp(os.path.join(serial_dir, f),
+                           os.path.join(par_dir, f), shallow=False), f

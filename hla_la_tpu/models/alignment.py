@@ -184,34 +184,12 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
         tab64 = table.astype(np.float64)
         res = native.project_score_batch(
             ops, n_ops, job_seq, window_start, reads_ascii, quals_ascii,
-            hap_codes_cat, hap_levels_cat, hap_offsets, hap_lens,
+            hap_codes_cat, hap_levels_cat, hap_offsets, hap_lens, reverse,
             log_mm + np.log(tab64), log_mm + np.log((1.0 - tab64) / 3.0),
             math.log(p_err) + math.log(0.25), math.log(p_err))
         if res is not None:
-            (levels, graph_c, seq_c, qual_c, col_counts, col_starts,
-             ll, first_lv, last_lv, bad) = res
-            # batched position-identity keys (aligner._position_keys formula,
-            # positionID strings of processBAM.cpp:4188)
-            seq_base = seq_c != GAP
-            cs = np.cumsum(seq_base)
-            n_cols_tot = len(seq_base)
-            pos_keys = np.zeros(n_cols_tot, dtype=np.int64)
-            if n_cols_tot:
-                base_before = cs[col_starts] - seq_base[col_starts]
-                ends = col_starts + col_counts
-                nz = col_counts > 0
-                n_bases_job = np.zeros(B, dtype=np.int64)
-                n_bases_job[nz] = cs[ends[nz] - 1] - base_before[nz]
-                rep_before = np.repeat(base_before, col_counts)
-                rep_nbases = np.repeat(n_bases_job, col_counts)
-                rep_rev = np.repeat(reverse.astype(np.int64), col_counts)
-                i_nogap = cs - 1 - rep_before
-                idx = np.where(seq_base,
-                               np.where(rep_rev == 1,
-                                        rep_nbases - i_nogap - 1, i_nogap),
-                               -1)
-                pos_keys = (((levels + 2) << 28) | ((idx + 2) << 10)
-                            | (graph_c.astype(np.int64) << 1) | rep_rev)
+            (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
+             col_starts, ll, first_lv, last_lv, bad) = res
             out: list[GraphAlignment | None] = []
             for b in range(B):
                 if bad[b] or col_counts[b] == 0:

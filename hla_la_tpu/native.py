@@ -61,8 +61,8 @@ def _find_lib():
             lib.hla_project_count.argtypes = [vp] * 7 + [i64, i64, vp, vp]
             lib.hla_project_fill.restype = None
             lib.hla_project_fill.argtypes = (
-                [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 4
-                + [f64, f64] + [vp] * 7 + [ctypes.c_int])
+                [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 5
+                + [f64, f64] + [vp] * 8 + [ctypes.c_int])
             _LIB = lib
             break
     return _LIB
@@ -219,13 +219,15 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                         reads_ascii: np.ndarray, quals_ascii: np.ndarray,
                         hap_codes_cat: np.ndarray, hap_levels_cat: np.ndarray,
                         hap_offsets: np.ndarray, hap_lens: np.ndarray,
+                        reverse: np.ndarray,
                         log_match_tab: np.ndarray, log_mismatch_tab: np.ndarray,
                         log_ins: float, log_del: float, n_threads: int = 1):
     """Two-pass C++ projection+scoring (see hla_project_count/fill in
     native/hla_native.cpp; semantics of alignment.py:project_and_score_batch).
 
-    Returns (levels, graph_c, seq_c, qual_c, col_counts, col_starts, ll,
-    first_lv, last_lv, bad) or None when the lib is unavailable."""
+    Returns (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
+    col_starts, ll, first_lv, last_lv, bad) or None when the lib is
+    unavailable."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -251,22 +253,25 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                                   c(col_counts), c(bad))
     col_starts = np.concatenate([[0], np.cumsum(col_counts)])[:-1]
     col_starts = np.ascontiguousarray(col_starts, dtype=np.int64)
+    rv_c = np.ascontiguousarray(reverse, dtype=np.uint8)
     levels = np.empty(int(total), dtype=np.int64)
     graph_c = np.empty(int(total), dtype=np.uint8)
     seq_col = np.empty(int(total), dtype=np.uint8)
     qual_col = np.empty(int(total), dtype=np.uint8)
+    pos_keys = np.empty(int(total), dtype=np.int64)
     ll = np.empty(B, dtype=np.float64)
     first_lv = np.empty(B, dtype=np.int64)
     last_lv = np.empty(B, dtype=np.int64)
     lib.hla_project_fill(c(ops_c), c(n_ops_c), c(seq_c_), c(ws_c),
                          c(reads_c), c(quals_c), Lr,
                          c(hc_c), c(hl_c), c(ho_c), B, max_ops,
-                         c(col_starts), c(bad), c(lmt), c(lmm),
+                         c(col_starts), c(bad), c(rv_c), c(lmt), c(lmm),
                          float(log_ins), float(log_del),
                          c(levels), c(graph_c), c(seq_col), c(qual_col),
-                         c(ll), c(first_lv), c(last_lv), n_threads)
-    return (levels, graph_c, seq_col, qual_col, col_counts, col_starts,
-            ll, first_lv, last_lv, bad)
+                         c(pos_keys), c(ll), c(first_lv), c(last_lv),
+                         n_threads)
+    return (levels, graph_c, seq_col, qual_col, pos_keys, col_counts,
+            col_starts, ll, first_lv, last_lv, bad)
 
 
 def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,

@@ -401,11 +401,12 @@ extern "C" void hla_project_fill(
     const uint8_t* hap_codes_cat, const int64_t* hap_levels_cat,
     const int64_t* hap_offsets,
     int64_t B, int64_t max_ops,
-    const int64_t* col_starts, const uint8_t* bad,
+    const int64_t* col_starts, const uint8_t* bad, const uint8_t* rev,
     const double* log_match_tab, const double* log_mismatch_tab,
     double log_ins, double log_del,
     int64_t* levels, uint8_t* graph_c, uint8_t* seq_c, uint8_t* qual_c,
-    double* ll, int64_t* first_lv, int64_t* last_lv, int n_threads) {
+    int64_t* pos_keys, double* ll, int64_t* first_lv, int64_t* last_lv,
+    int n_threads) {
     int nt = n_threads > 0 ? n_threads : 1;
     std::vector<std::thread> threads;
     auto work = [=](int t) {
@@ -462,6 +463,24 @@ extern "C" void hla_project_fill(
                 pos++;
             }
             ll[b] = acc;
+            // position-identity keys (aligner._position_keys formula:
+            // ((level+2)<<28)|((read_idx+2)<<10)|(graph_char<<1)|reverse)
+            int64_t start = col_starts[b];
+            int64_t rv = rev[b] ? 1 : 0;
+            int64_t n_b = 0;
+            for (int64_t cix = start; cix < pos; cix++)
+                if (seq_c[cix] != PRJ_GAP) n_b++;
+            int64_t running = 0;
+            for (int64_t cix = start; cix < pos; cix++) {
+                int64_t idx = -1;
+                if (seq_c[cix] != PRJ_GAP) {
+                    idx = rv ? (n_b - running - 1) : running;
+                    running++;
+                }
+                pos_keys[cix] = ((levels[cix] + 2) << 28)
+                                | ((idx + 2) << 10)
+                                | ((int64_t)graph_c[cix] << 1) | rv;
+            }
         }
     };
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);

@@ -186,32 +186,48 @@ class ReadAligner:
         win_start = np.zeros(B, dtype=np.int64)
         reverse_arr = np.zeros(B, dtype=bool)
         prg_id_arr = np.zeros(B, dtype=np.int64)
-        enc_cache: dict[int, tuple] = {}
+        nb = len(jobs)
+        # unique oriented reads (jobs of one read share the string object) ->
+        # one padded stack + a single fancy-index per array
+        row_of: dict[int, int] = {}
+        uniq: list[tuple] = []
+        job_row = np.empty(nb, dtype=np.int64)
         for bi, j in enumerate(jobs):
-            rl = len(j.oriented_seq)
-            key = id(j.oriented_seq)     # jobs of one read share the string
-            cached = enc_cache.get(key)
-            if cached is None:
-                rb = np.frombuffer(j.oriented_seq.encode(), dtype=np.uint8)
-                cached = (_ENC[rb], rb,
-                          np.frombuffer(j.oriented_qual.encode(),
-                                        dtype=np.uint8))
-                enc_cache[key] = cached
-            reads_arr[bi, :rl] = cached[0]
-            reads_ascii[bi, :rl] = cached[1]
-            quals_ascii[bi, :rl] = cached[2]
-            lens_arr[bi] = rl
-            hap = self.hap_codes[j.cand_seq]
-            lo = j.window_start
-            hi = lo + L + W
-            src_lo = max(lo, 0)
-            src_hi = min(hi, len(hap))
-            if src_hi > src_lo:
-                refs_arr[bi, src_lo - lo:src_hi - lo] = _ENC[hap[src_lo:src_hi]]
-            job_seq[bi] = j.cand_seq
-            win_start[bi] = j.window_start
-            reverse_arr[bi] = j.reverse
-            prg_id_arr[bi] = self.prg_ids[j.cand_seq]
+            key = id(j.oriented_seq)
+            row = row_of.get(key)
+            if row is None:
+                row = row_of[key] = len(uniq)
+                uniq.append((j.oriented_seq, j.oriented_qual))
+            job_row[bi] = row
+        Rn = len(uniq)
+        reads_u = np.full((Rn, L), 4, dtype=np.uint8)
+        ascii_u = np.zeros((Rn, L), dtype=np.uint8)
+        qual_u = np.zeros((Rn, L), dtype=np.uint8)
+        lens_u = np.empty(Rn, dtype=np.int64)
+        for r, (seq, qual) in enumerate(uniq):
+            rl = len(seq)
+            rb = np.frombuffer(seq.encode(), dtype=np.uint8)
+            reads_u[r, :rl] = _ENC[rb]
+            ascii_u[r, :rl] = rb
+            qual_u[r, :rl] = np.frombuffer(qual.encode(), dtype=np.uint8)
+            lens_u[r] = rl
+        reads_arr[:nb] = reads_u[job_row]
+        reads_ascii[:nb] = ascii_u[job_row]
+        quals_ascii[:nb] = qual_u[job_row]
+        lens_arr[:nb] = lens_u[job_row]
+        job_seq[:nb] = [j.cand_seq for j in jobs]
+        win_start[:nb] = [j.window_start for j in jobs]
+        reverse_arr[:nb] = [j.reverse for j in jobs]
+        prg_id_arr[:nb] = np.asarray(self.prg_ids)[job_seq[:nb]]
+        # reference windows: one global gather over the concatenated
+        # haplotypes (out-of-range columns stay the padding code 4)
+        pos = win_start[:nb, None] + np.arange(L + W)
+        in_range = (pos >= 0) & (pos < self.hap_lens[job_seq[:nb], None])
+        gp = self.hap_offsets[job_seq[:nb], None] + np.clip(pos, 0, None)
+        np.clip(gp, 0, max(len(self.hap_codes_cat) - 1, 0), out=gp)
+        if len(self.hap_codes_cat):
+            vals = _ENC[self.hap_codes_cat[gp]]
+            refs_arr[:nb] = np.where(in_range, vals, 4)
         scores, end_k, end_state, pointers = self._run_nw(
             reads_arr, lens_arr, refs_arr)
         self.stats.n_chain_extensions += len(jobs)

@@ -72,6 +72,14 @@ def available() -> bool:
     return _find_lib() is not None
 
 
+def default_threads(cap: int = 8) -> int:
+    """Worker processes must stay single-threaded (the process pool already
+    saturates the cores); serial runs use the machine."""
+    if os.environ.get("HLA_LA_IN_WORKER"):
+        return 1
+    return max(1, min(os.cpu_count() or 1, cap))
+
+
 def bgzf_inflate_all(data: bytes, n_threads: int = 4) -> bytes | None:
     lib = _find_lib()
     if lib is None:
@@ -130,7 +138,7 @@ def bam_parse_packed(record_stream: bytes):
 
 def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
                match: float, mismatch: float, gap_open: float,
-               gap_extend: float, n_threads: int = 1):
+               gap_extend: float, n_threads: int | None = None):
     """C++ banded NW forward (exact port of banded_nw_forward).  Returns
     (scores, end_k, end_state, pointers) or None if the lib is missing."""
     lib = _find_lib()
@@ -149,7 +157,7 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
     lib.hla_nw_forward(c(reads_c), c(lens_c), c(refs_c), B, L, W,
                        match, mismatch, gap_open, gap_extend,
                        c(scores), c(end_k), c(end_state), c(pointers),
-                       n_threads)
+                       default_threads() if n_threads is None else n_threads)
     return scores, end_k, end_state, pointers
 
 
@@ -221,7 +229,8 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                         hap_offsets: np.ndarray, hap_lens: np.ndarray,
                         reverse: np.ndarray,
                         log_match_tab: np.ndarray, log_mismatch_tab: np.ndarray,
-                        log_ins: float, log_del: float, n_threads: int = 1):
+                        log_ins: float, log_del: float,
+                        n_threads: int | None = None):
     """Two-pass C++ projection+scoring (see hla_project_count/fill in
     native/hla_native.cpp; semantics of alignment.py:project_and_score_batch).
 
@@ -269,7 +278,7 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                          float(log_ins), float(log_del),
                          c(levels), c(graph_c), c(seq_col), c(qual_col),
                          c(pos_keys), c(ll), c(first_lv), c(last_lv),
-                         n_threads)
+                         default_threads() if n_threads is None else n_threads)
     return (levels, graph_c, seq_col, qual_col, pos_keys, col_counts,
             col_starts, ll, first_lv, last_lv, bad)
 

@@ -111,6 +111,12 @@ int64_t hla_bam_count(const uint8_t* data, int64_t len,
         std::memcpy(&n_cigar, r + 12, 2);
         int32_t l_seq;
         std::memcpy(&l_seq, r + 16, 4);
+        // corrupted-stream guard: all variable fields must fit inside the
+        // record's own block (mirrored in hla_bam_parse — keep in sync so
+        // the caller's allocations match)
+        if (l_name < 1 || l_seq < 0
+            || 32 + (int64_t)l_name + 4 * (int64_t)n_cigar
+               + (int64_t)(l_seq + 1) / 2 + (int64_t)l_seq > bs) break;
         names += l_name - 1;
         seqs += l_seq;
         cigs += n_cigar;
@@ -141,15 +147,20 @@ int64_t hla_bam_parse(const uint8_t* data, int64_t len,
         std::memcpy(&bs, data + off, 4);
         if (off + 4 + bs > len || bs < 32) break;
         const uint8_t* r = data + off + 4;
-        std::memcpy(&ref_id[n], r, 4);
-        std::memcpy(&pos[n], r + 4, 4);
         uint8_t l_name = r[8];
-        mapq[n] = r[9];
         uint16_t n_cigar;
         std::memcpy(&n_cigar, r + 12, 2);
-        std::memcpy(&flag[n], r + 14, 2);
         int32_t l_seq;
         std::memcpy(&l_seq, r + 16, 4);
+        // guard BEFORE any output write: n may already equal the counted
+        // total when the stream's tail is corrupt
+        if (l_name < 1 || l_seq < 0
+            || 32 + (int64_t)l_name + 4 * (int64_t)n_cigar
+               + (int64_t)(l_seq + 1) / 2 + (int64_t)l_seq > bs) break;
+        std::memcpy(&ref_id[n], r, 4);
+        std::memcpy(&pos[n], r + 4, 4);
+        mapq[n] = r[9];
+        std::memcpy(&flag[n], r + 14, 2);
         std::memcpy(&mate_ref_id[n], r + 20, 4);
         std::memcpy(&mate_pos[n], r + 24, 4);
         std::memcpy(&tlen[n], r + 28, 4);

@@ -84,3 +84,33 @@ def test_record_to_fastq_orientation():
     fq = record_to_fastq(r)
     assert fq.seq == "AACCGGTT"[::-1].translate(str.maketrans("ACGT", "TGCA"))
     assert fq.qual == "HGFEDCBA"
+
+
+def test_corrupted_bam_streams_do_not_crash(tmp_path, rng):
+    """Native BAM parse must reject corrupted records instead of reading
+    past buffers (fuzz-derived regression)."""
+    import numpy as np
+
+    import hla_la_tpu.native as native
+    from hla_la_tpu.io.bam import BamRecord, BamWriter
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    path = str(tmp_path / "f.bam")
+    w = BamWriter(path, [("c", 1000)])
+    for i in range(30):
+        w.write(BamRecord(name=f"r{i}", flag=0, ref_id=0, pos=i, mapq=60,
+                          cigar=[(30, 0)], seq="ACGT" * 8, qual="I" * 32))
+    w.close()
+    raw = open(path, "rb").read()
+    good = native.bgzf_inflate_all(raw)
+    for i in range(500):
+        junk = rng.integers(0, 256, int(rng.integers(0, 1500))
+                            ).astype(np.uint8).tobytes()
+        native.bam_parse_packed(junk)
+        native.bam_parse_packed(good[int(rng.integers(0, len(good))):])
+        b = bytearray(good)
+        for _ in range(12):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        native.bam_parse_packed(bytes(b))

@@ -55,8 +55,11 @@ class Seeder:
         fwd_offsets = np.concatenate(
             [[0], np.cumsum(lens_arr + 1)]).astype(np.int64)
         total = int(fwd_offsets[-1])
-        cat_fwd = np.frombuffer(("\x00".join(seqs) + "\x00").encode(),
-                                dtype=np.uint8)
+        # latin-1 keeps 1 char = 1 byte for arbitrary input (non-ACGT
+        # bytes are invalid in k-mers anyway); unencodable chars -> '?'
+        cat_fwd = np.frombuffer(
+            ("\x00".join(seqs) + "\x00").encode("latin-1", "replace"),
+            dtype=np.uint8)
         assert len(cat_fwd) == total
         cat_rev_full = revcomp_bytes(cat_fwd)
         from .. import native

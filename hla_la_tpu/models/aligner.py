@@ -206,10 +206,12 @@ class ReadAligner:
         lens_u = np.empty(Rn, dtype=np.int64)
         for r, (seq, qual) in enumerate(uniq):
             rl = len(seq)
-            rb = np.frombuffer(seq.encode(), dtype=np.uint8)
+            rb = np.frombuffer(seq.encode("latin-1", "replace"),
+                               dtype=np.uint8)
             reads_u[r, :rl] = _ENC[rb]
             ascii_u[r, :rl] = rb
-            qual_u[r, :rl] = np.frombuffer(qual.encode(), dtype=np.uint8)
+            qual_u[r, :rl] = np.frombuffer(
+                qual.encode("latin-1", "replace"), dtype=np.uint8)
             lens_u[r] = rl
         reads_arr[:nb] = reads_u[job_row]
         reads_ascii[:nb] = ascii_u[job_row]

@@ -73,3 +73,27 @@ def test_hla_action_from_bam(tmp_path, rng):
     called = {l.split("\t")[2].split(";")[0].split("*")[1].split(":")[0]
               for l in lines if l.startswith("A\t")}
     assert called == {"02", "03"}
+
+
+def test_kir_action_paired_fastq(tmp_path, rng):
+    """--action KIR with --FASTQ1/2 exercises the paired insert-size model."""
+    from hla_la_tpu.io.fastq import write_fastq, FastqRead
+
+    base = "".join(rng.choice(list("ACGT"), 800))
+    alt = base[:400] + "".join(rng.choice(list("ACGT"), 3)) + base[403:]
+    panel = tmp_path / "panel.fa"
+    panel.write_text(f">h1\n{base}\n>h2\n{alt}\n")
+    r1s, r2s = [], []
+    frag, rl = 280, 80
+    for i, s in enumerate(range(0, 800 - frag - 1, 23)):
+        r1 = base[s:s + rl]
+        r2 = base[s + frag - rl:s + frag]
+        rc = r2.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+        r1s.append(FastqRead(f"p{i}/1", r1, "I" * rl))
+        r2s.append(FastqRead(f"p{i}/2", rc, "I" * rl))
+    write_fastq(str(tmp_path / "R1.fq"), r1s)
+    write_fastq(str(tmp_path / "R2.fq"), r2s)
+    rc_code = main(["--action", "KIR", "--ALTpanel", str(panel),
+                    "--FASTQ1", str(tmp_path / "R1.fq"),
+                    "--FASTQ2", str(tmp_path / "R2.fq")])
+    assert rc_code == 0

@@ -305,11 +305,20 @@ def record_to_fastq(r: BamRecord):
 
 def extract_reads(bam_path: str,
                   regions: list[tuple[str, int, int]] | None,
-                  include_unmapped: bool = True):
+                  include_unmapped: bool = True, with_tags: bool = False):
     """Extract primary records overlapping `regions` (contig, start0, stop0;
     stop=0 means whole contig) plus unmapped reads — the HLA-LA.pl
     extraction step (HLA-LA.pl:393-465) without samtools.  Returns
-    ({name: [records]}, contigs)."""
+    ({name: [records]}, contigs).
+
+    The default path filters on the native packed arrays (vectorised over
+    all records) and materialises BamRecord objects only for the selected
+    reads; pass with_tags=True to force the record-by-record path, which
+    preserves optional tag bytes (the packed parser drops them)."""
+    if not with_tags:
+        res = _extract_reads_packed(bam_path, regions, include_unmapped)
+        if res is not None:
+            return res
     rd = BamReader(bam_path)
     name_to_id = {n: i for i, (n, _) in enumerate(rd.references)}
     wanted: dict[int, list[tuple[int, int]]] = {}
@@ -335,6 +344,81 @@ def extract_reads(bam_path: str,
             by_name.setdefault(rec.name, []).append(rec)
     contigs = rd.contigs()
     rd.close()
+    return by_name, contigs
+
+
+def _extract_reads_packed(bam_path, regions, include_unmapped):
+    import numpy as np
+
+    from .. import native
+    if not native.available():
+        return None
+    rd = BamReader(bam_path)
+    contigs = rd.contigs()
+    if not rd._buf:
+        rd.close()
+        return None
+    stream = rd._buf[rd._pos:]
+    rd.close()
+    arrs = native.bam_parse_packed(stream)
+    if arrs is None:
+        return None
+    n = arrs["n"]
+    flag = arrs["flag"][:n].astype(np.int64)
+    keep = (flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)) == 0
+    unmapped = (flag & FLAG_UNMAPPED) != 0
+    if regions is None:
+        sel = keep & (~unmapped | bool(include_unmapped))
+    else:
+        # reference-consumed length per record (for overlap tests):
+        # prefix sums over the cigar buffer, diffed at record boundaries
+        cig = arrs["cigar_buf"]
+        lens = (cig >> np.uint32(4)).astype(np.int64)
+        opc = cig & np.uint32(0xF)
+        consume = ((opc == 0) | (opc == 2) | (opc == 3)
+                   | (opc == 7) | (opc == 8))
+        cs = np.concatenate([[0], np.cumsum(lens * consume)])
+        co = arrs["cigar_off"]
+        ref_len = cs[co[1:n + 1]] - cs[co[:n]]
+        pos = arrs["pos"][:n].astype(np.int64)
+        rid = arrs["ref_id"][:n]
+        name_to_id = {c: i for i, c in enumerate(contigs)}
+        sel_mapped = np.zeros(n, dtype=bool)
+        for contig, start, stop in regions:
+            cid = name_to_id.get(contig)
+            if cid is None:
+                continue
+            m = rid == cid
+            if stop != 0:
+                m = m & (pos < stop) & (pos + ref_len > start)
+            sel_mapped |= m
+        sel = keep & np.where(unmapped, bool(include_unmapped), sel_mapped)
+    idx = np.nonzero(sel)[0]
+    name_buf = arrs["name_buf"].tobytes()
+    seq_buf = arrs["seq_buf"].tobytes()
+    qual_buf = arrs["qual_buf"].tobytes()
+    no_ = arrs["name_off"]
+    so_ = arrs["seq_off"]
+    co_ = arrs["cigar_off"]
+    cig = arrs["cigar_buf"]
+    by_name: dict[str, list[BamRecord]] = {}
+    for i in idx:
+        i = int(i)
+        s0, s1 = int(so_[i]), int(so_[i + 1])
+        q = qual_buf[s0:s1]
+        if q and q[0] == 0:
+            q = b""
+        c0, c1 = int(co_[i]), int(co_[i + 1])
+        rec = BamRecord(
+            name=name_buf[no_[i]:no_[i + 1]].decode(),
+            flag=int(flag[i]), ref_id=int(arrs["ref_id"][i]),
+            pos=int(arrs["pos"][i]), mapq=int(arrs["mapq"][i]),
+            cigar=[(int(v) >> 4, int(v) & 0xF) for v in cig[c0:c1]],
+            seq=seq_buf[s0:s1].decode(),
+            qual=q.decode("latin-1"),
+            mate_ref_id=int(arrs["mate_ref_id"][i]),
+            mate_pos=int(arrs["mate_pos"][i]), tlen=int(arrs["tlen"][i]))
+        by_name.setdefault(rec.name, []).append(rec)
     return by_name, contigs
 
 

@@ -52,7 +52,7 @@ def reduce_bam_to_prg(in_path: str, pkg: GraphPackage, out_path: str,
             elif rec.get("PartialExtraction_Start"):
                 regions.append((cid, int(rec["PartialExtraction_Start"]) - 1,
                                 int(rec["PartialExtraction_Stop"])))
-    by_name, _ = extract_reads(in_path, regions)
+    by_name, _ = extract_reads(in_path, regions, with_tags=True)
     rd = BamReader(in_path)
     w = BamWriter(out_path, rd.references, rd.header_text)
     n = 0

@@ -114,3 +114,44 @@ def test_corrupted_bam_streams_do_not_crash(tmp_path, rng):
         for _ in range(12):
             b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
         native.bam_parse_packed(bytes(b))
+
+
+def test_extract_reads_packed_matches_python(tmp_path, rng):
+    """The vectorised packed extraction must match the record-by-record
+    path for every region/unmapped combination."""
+    from hla_la_tpu.io.bam import (BamRecord, BamWriter, extract_reads,
+                                   FLAG_PAIRED, FLAG_READ1, FLAG_READ2,
+                                   FLAG_REVERSE, FLAG_SECONDARY,
+                                   FLAG_UNMAPPED)
+
+    path = str(tmp_path / "e.bam")
+    w = BamWriter(path, [("c1", 5000), ("c2", 8000)])
+    for i in range(200):
+        rid = int(rng.integers(0, 2))
+        flag = FLAG_PAIRED | (FLAG_READ1 if i % 2 else FLAG_READ2)
+        if i % 13 == 0:
+            flag |= FLAG_UNMAPPED
+        if i % 17 == 0:
+            flag |= FLAG_SECONDARY
+        if i % 3 == 0:
+            flag |= FLAG_REVERSE
+        n = int(rng.integers(20, 90))
+        seq = "".join(rng.choice(list("ACGT"), n))
+        cig = [(n // 2, 0), (3, 1), (n - n // 2, 0)] if i % 5 else [(n, 0)]
+        w.write(BamRecord(name=f"r{i // 2}", flag=flag, ref_id=rid,
+                          pos=int(rng.integers(0, 7000)),
+                          mapq=int(rng.integers(0, 60)), cigar=cig, seq=seq,
+                          qual="I" * n))
+    w.close()
+    for regions in (None, [("c1", 100, 3000)],
+                    [("c1", 0, 0), ("c2", 500, 600)]):
+        for inc in (True, False):
+            a, ca = extract_reads(path, regions, include_unmapped=inc)
+            b, cb = extract_reads(path, regions, include_unmapped=inc,
+                                  with_tags=True)
+            assert ca == cb and set(a) == set(b)
+            for name in a:
+                for x, y in zip(a[name], b[name]):
+                    assert (x.flag, x.ref_id, x.pos, x.cigar, x.seq,
+                            x.qual) == (y.flag, y.ref_id, y.pos, y.cigar,
+                                        y.seq, y.qual)

@@ -225,9 +225,10 @@ class ReadAligner:
         # haplotypes (out-of-range columns stay the padding code 4)
         pos = win_start[:nb, None] + np.arange(L + W)
         in_range = (pos >= 0) & (pos < self.hap_lens[job_seq[:nb], None])
-        gp = self.hap_offsets[job_seq[:nb], None] + np.clip(pos, 0, None)
-        np.clip(gp, 0, max(len(self.hap_codes_cat) - 1, 0), out=gp)
         if len(self.hap_codes_cat):
+            # out-of-range cells read index 0 and are masked to pad below
+            gp = self.hap_offsets[job_seq[:nb], None] + np.where(in_range,
+                                                                 pos, 0)
             vals = _ENC[self.hap_codes_cat[gp]]
             refs_arr[:nb] = np.where(in_range, vals, 4)
         scores, end_k, end_state, pointers = self._run_nw(

@@ -45,6 +45,7 @@ class GraphAlignment:
     _first_level: int | None = None
     _last_level: int | None = None
     _pos_keys: np.ndarray | None = None   # cached _position_keys (aligner)
+    _lv2: np.ndarray | None = None        # [4] first/second/penult/last level
 
     def first_level(self) -> int:
         if self._first_level is None:
@@ -189,7 +190,7 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
             math.log(p_err) + math.log(0.25), math.log(p_err))
         if res is not None:
             (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
-             col_starts, ll, first_lv, last_lv, bad) = res
+             col_starts, ll, first_lv, last_lv, lv2, bad) = res
             out: list[GraphAlignment | None] = []
             for b in range(B):
                 if bad[b] or col_counts[b] == 0:
@@ -204,6 +205,7 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                 )
                 al._first_level = int(first_lv[b])
                 al._last_level = int(last_lv[b])
+                al._lv2 = lv2[b]
                 al._pos_keys = pos_keys[s:e]
                 al.log_likelihood = float(ll[b])
                 out.append(al)
@@ -419,12 +421,17 @@ def pair_distance_graph_levels(a1: GraphAlignment, a2: GraphAlignment) -> int:
 
 def _anchors(al: GraphAlignment, from_end: bool, scan: int,
              level_to_seqpos: dict[int, dict[int, int]]) -> dict[int, int]:
-    lv = al.levels[al.levels >= 0]
-    if len(lv) == 0:
-        return {}
-    take = lv[-scan:] if from_end else lv[:scan]
+    if scan == 2 and al._lv2 is not None:
+        f1, f2, l2, l1 = al._lv2.tolist()
+        order = [x for x in ((l1, l2) if from_end else (f1, f2)) if x >= 0]
+    else:
+        lv = al.levels[al.levels >= 0]
+        if len(lv) == 0:
+            return {}
+        take = lv[-scan:] if from_end else lv[:scan]
+        order = (reversed(take.tolist()) if from_end
+                 else iter(take.tolist()))
     out: dict[int, int] = {}
-    order = reversed(take.tolist()) if from_end else iter(take.tolist())
     for l in order:
         m = level_to_seqpos.get(int(l))
         if m:

@@ -62,7 +62,7 @@ def _find_lib():
             lib.hla_project_fill.restype = None
             lib.hla_project_fill.argtypes = (
                 [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 5
-                + [f64, f64] + [vp] * 8 + [ctypes.c_int])
+                + [f64, f64] + [vp] * 9 + [ctypes.c_int])
             _LIB = lib
             break
     return _LIB
@@ -235,8 +235,8 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
     native/hla_native.cpp; semantics of alignment.py:project_and_score_batch).
 
     Returns (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
-    col_starts, ll, first_lv, last_lv, bad) or None when the lib is
-    unavailable."""
+    col_starts, ll, first_lv, last_lv, lv2 [B,4], bad) or None when the
+    lib is unavailable."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -271,6 +271,7 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
     ll = np.empty(B, dtype=np.float64)
     first_lv = np.empty(B, dtype=np.int64)
     last_lv = np.empty(B, dtype=np.int64)
+    lv2 = np.empty((B, 4), dtype=np.int64)
     lib.hla_project_fill(c(ops_c), c(n_ops_c), c(seq_c_), c(ws_c),
                          c(reads_c), c(quals_c), Lr,
                          c(hc_c), c(hl_c), c(ho_c), B, max_ops,
@@ -278,9 +279,10 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                          float(log_ins), float(log_del),
                          c(levels), c(graph_c), c(seq_col), c(qual_col),
                          c(pos_keys), c(ll), c(first_lv), c(last_lv),
+                         c(lv2),
                          default_threads() if n_threads is None else n_threads)
     return (levels, graph_c, seq_col, qual_col, pos_keys, col_counts,
-            col_starts, ll, first_lv, last_lv, bad)
+            col_starts, ll, first_lv, last_lv, lv2, bad)
 
 
 def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,

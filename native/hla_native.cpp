@@ -417,6 +417,7 @@ extern "C" void hla_project_fill(
     double log_ins, double log_del,
     int64_t* levels, uint8_t* graph_c, uint8_t* seq_c, uint8_t* qual_c,
     int64_t* pos_keys, double* ll, int64_t* first_lv, int64_t* last_lv,
+    int64_t* lv2,    // [B*4]: first, second, penultimate, last valid level
     int n_threads) {
     int nt = n_threads > 0 ? n_threads : 1;
     std::vector<std::thread> threads;
@@ -482,16 +483,24 @@ extern "C" void hla_project_fill(
             for (int64_t cix = start; cix < pos; cix++)
                 if (seq_c[cix] != PRJ_GAP) n_b++;
             int64_t running = 0;
+            int64_t f1 = -1, f2 = -1, l1 = -1, l2x = -1;
             for (int64_t cix = start; cix < pos; cix++) {
+                int64_t lvv = levels[cix];
+                if (lvv >= 0) {
+                    if (f1 < 0) f1 = lvv; else if (f2 < 0) f2 = lvv;
+                    l2x = l1; l1 = lvv;
+                }
                 int64_t idx = -1;
                 if (seq_c[cix] != PRJ_GAP) {
                     idx = rv ? (n_b - running - 1) : running;
                     running++;
                 }
-                pos_keys[cix] = ((levels[cix] + 2) << 28)
+                pos_keys[cix] = ((lvv + 2) << 28)
                                 | ((idx + 2) << 10)
                                 | ((int64_t)graph_c[cix] << 1) | rv;
             }
+            lv2[4 * b] = f1; lv2[4 * b + 1] = f2;
+            lv2[4 * b + 2] = l2x; lv2[4 * b + 3] = l1;
         }
     };
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);

@@ -483,7 +483,7 @@ class ReadAligner:
 
     # ------------------------------------------------------- insert size
     def estimate_insert_size(self, pairs: list[tuple[FastqRead, FastqRead]],
-                             max_pairs: int = 1000) -> tuple[float, float]:
+                             max_pairs: int = 4000) -> tuple[float, float]:
         """estimateInsertSize (processBAM.cpp:1071-1182): primary alignment of
         each mate, underlying-sequence distances, weighted histogram ->
         (median, max(|median-q20|, |median-q80|))."""

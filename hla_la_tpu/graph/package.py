@@ -119,6 +119,12 @@ class GraphPackage:
                 self._compiled = CompiledPRG.load(sp)
             else:
                 self._compiled = compile_prg(self.prg())
+                try:
+                    # persist so later processes skip the graph.txt parse
+                    # (the serializedGRAPH role, HLA-LA.cpp:1355-1384)
+                    self._compiled.save(sp)
+                except OSError:
+                    pass
         return self._compiled
 
     def prepare(self) -> CompiledPRG:

@@ -34,6 +34,10 @@ def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray
     row = np.full(n_levels - 1, GAP, dtype=np.uint8)
     row[hap_levels] = np.frombuffer(hap_seq.encode(), dtype=np.uint8)
 
+    from .. import native
+    if native.available():
+        return native.walk_haplotype(cprg, row)
+
     frontier = {int(n): None for n in range(cprg.level_offsets[0],
                                             cprg.level_offsets[1])}
     parents: list[dict[int, int | None]] = [dict(frontier)]

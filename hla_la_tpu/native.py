@@ -54,6 +54,9 @@ def _find_lib():
             lib.hla_seed_chain.argtypes = (
                 [vp, i64, vp, vp, i64, i64, vp, i64, vp, i64, vp]
                 + [i64] * 4 + [i64pp] * 5)
+            lib.hla_walk_haplotype.restype = ctypes.c_int
+            lib.hla_walk_haplotype.argtypes = (
+                [vp, i64] + [vp] * 8 + [i64, vp])
             lib.hla_seed_select.restype = None
             lib.hla_seed_select.argtypes = (
                 [vp] * 6 + [i64] * 4 + [vp] * 2)
@@ -197,6 +200,30 @@ def seed_chain(cat: np.ndarray,
         if o:
             lib.hla_free(ctypes.cast(o, ctypes.c_void_p))
     return res
+
+
+def walk_haplotype(cprg, row: np.ndarray):
+    """C++ haplotype walk (hla_walk_haplotype; graph_fallback.walk_haplotype
+    semantics).  row: [n_levels-1] uint8 wanted emissions.  Returns the
+    [n_levels] node path or None (no path / lib unavailable)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    lo = np.ascontiguousarray(cprg.level_offsets, dtype=np.int64)
+    oo = np.ascontiguousarray(cprg.out_offsets, dtype=np.int64)
+    oe = np.ascontiguousarray(cprg.out_edges, dtype=np.int32)
+    io_ = np.ascontiguousarray(cprg.in_offsets, dtype=np.int64)
+    ie = np.ascontiguousarray(cprg.in_edges, dtype=np.int32)
+    ef = np.ascontiguousarray(cprg.edge_from, dtype=np.int32)
+    et = np.ascontiguousarray(cprg.edge_to, dtype=np.int32)
+    em = np.ascontiguousarray(cprg.edge_emission, dtype=np.uint8)
+    rw = np.ascontiguousarray(row, dtype=np.uint8)
+    path = np.empty(cprg.n_levels, dtype=np.int64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    ok = lib.hla_walk_haplotype(c(lo), cprg.n_levels, c(oo), c(oe),
+                                c(io_), c(ie), c(ef), c(et), c(em), c(rw),
+                                len(cprg.node_level), c(path))
+    return path if ok else None
 
 
 def seed_select(read_of: np.ndarray, seq_idx: np.ndarray,

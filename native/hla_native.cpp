@@ -694,3 +694,58 @@ extern "C" int64_t hla_seed_chain(
     *out_nk = g_nk; *out_span = g_span;
     return ng;
 }
+
+// ---------------------------------------------------------------------------
+// Haplotype walk: node entered at each level for the path emitting the
+// haplotype (models/graph_fallback.py:walk_haplotype semantics; the
+// Graph::trace role behind extendSeedChain's haplotype anchoring).
+// Forward reachability pass over the level DAG, then one backward pick.
+// Returns 1 on success (out_path [n_levels] filled), 0 if not a graph path.
+// ---------------------------------------------------------------------------
+extern "C" int hla_walk_haplotype(
+    const int64_t* level_offsets, int64_t n_levels,    // [n_levels+1]
+    const int64_t* out_offsets, const int32_t* out_edges,
+    const int64_t* in_offsets, const int32_t* in_edges,
+    const int32_t* edge_from, const int32_t* edge_to,
+    const uint8_t* edge_emission,
+    const uint8_t* row,                                // [n_levels-1] wanted
+    int64_t n_nodes,
+    int64_t* out_path) {                               // [n_levels]
+    std::vector<uint8_t> reach(n_nodes, 0);
+    for (int64_t n = level_offsets[0]; n < level_offsets[1]; n++) reach[n] = 1;
+    for (int64_t lv = 0; lv + 1 < n_levels; lv++) {
+        uint8_t want = row[lv];
+        bool any = false;
+        for (int64_t n = level_offsets[lv]; n < level_offsets[lv + 1]; n++) {
+            if (!reach[n]) continue;
+            for (int64_t k = out_offsets[n]; k < out_offsets[n + 1]; k++) {
+                int32_t e = out_edges[k];
+                if (edge_emission[e] == want) {
+                    reach[edge_to[e]] = 1;
+                    any = true;
+                }
+            }
+        }
+        if (!any) return 0;
+    }
+    int64_t node = -1;
+    for (int64_t n = level_offsets[n_levels - 1];
+         n < level_offsets[n_levels]; n++)
+        if (reach[n]) { node = n; break; }
+    if (node < 0) return 0;
+    out_path[n_levels - 1] = node;
+    for (int64_t lv = n_levels - 2; lv >= 0; lv--) {
+        int64_t prev = -1;
+        for (int64_t k = in_offsets[node]; k < in_offsets[node + 1]; k++) {
+            int32_t e = in_edges[k];
+            if (edge_emission[e] == row[lv] && reach[edge_from[e]]) {
+                prev = edge_from[e];
+                break;
+            }
+        }
+        if (prev < 0) return 0;
+        out_path[lv] = prev;
+        node = prev;
+    }
+    return 1;
+}

@@ -70,6 +70,30 @@ class LevelIndex:
         self._cache[level] = out
         return out if out is not None else default
 
+    def warm(self, levels) -> None:
+        """Batch-resolve many levels at once: one searchsorted per
+        translation for the whole query set (S x log instead of S x log per
+        level).  No-op for materialised small graphs."""
+        if self._dense is not None:
+            return
+        want = sorted({int(l) for l in levels
+                       if int(l) >= 0 and int(l) not in self._cache})
+        if not want:
+            return
+        arr = np.asarray(want, dtype=np.int64)
+        found: dict[int, dict[int, int]] = {}
+        for sid, t in self.translations.items():
+            i = np.searchsorted(t, arr)
+            ok = (i < len(t))
+            hit = np.zeros(len(arr), dtype=bool)
+            hit[ok] = t[i[ok]] == arr[ok]
+            for j in np.nonzero(hit)[0]:
+                found.setdefault(want[int(j)], {})[sid] = int(i[j])
+        if len(self._cache) > 200_000:
+            self._cache.clear()
+        for l in want:
+            self._cache[l] = found.get(l)
+
     def __contains__(self, level: int) -> bool:
         return self.get(level) is not None
 

@@ -367,6 +367,13 @@ class ReadAligner:
         # per-chain caches: underlying-sequence anchors and position keys are
         # combo-independent (the reference recomputes them per combination)
         from .alignment import _anchors as _anchors_fn
+        warm = getattr(self.level_to_seqpos, "warm", None)
+        if warm is not None:
+            lv_all = []
+            for c in chains1 + chains2:
+                if c._lv2 is not None:
+                    lv_all.extend(c._lv2.tolist())
+            warm(lv_all)
         anchor_cache: dict[int, tuple] = {}
 
         def anchors_of(al):

@@ -76,6 +76,31 @@ class KmerIndex:
                    sorted_codes=codes_cat[order], sorted_pos=pos_cat[order],
                    max_occurrences=max_occurrences)
 
+    _prefix_starts: np.ndarray | None = None
+    _prefix_bits: int = 0
+
+    def prefix_table(self, pbits: int | None = None
+                     ) -> tuple[np.ndarray, int]:
+        """Cached bucket-start table over the top `pbits` of each code —
+        queries then binary-search only within one bucket (hla_seed_chain).
+        Sized so buckets average <=8 entries (min 16 bits, max 24)."""
+        if pbits is None:
+            pbits = 16
+            while (pbits < 24 and pbits < 2 * self.k
+                   and (len(self.sorted_codes) >> pbits) > 8):
+                pbits += 2
+            pbits = min(pbits, 2 * self.k)
+        if self._prefix_starts is None or self._prefix_bits != pbits:
+            shift = 2 * self.k - pbits
+            bounds = np.arange((1 << pbits) + 1, dtype=np.uint64) << np.uint64(shift)
+            # boundary (1<<pbits)<<shift may overflow the code width; clamp
+            bounds[-1] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            starts = np.searchsorted(self.sorted_codes, bounds, side="left")
+            starts[-1] = len(self.sorted_codes)
+            self._prefix_starts = starts.astype(np.int64)
+            self._prefix_bits = pbits
+        return self._prefix_starts, self._prefix_bits
+
     def save(self, path: str) -> None:
         """Persist to npz (the `ref_is_indexed` on-disk index cache role,
         BWAmapper.cpp:53-65)."""

@@ -79,12 +79,15 @@ class Seeder:
                     [rev_starts[order_slots], [total]]).astype(np.int64)
                 read_index_of_slot = order_slots
             if use_native:
+                pstarts, pbits = self.index.prefix_table()
                 res = native.seed_chain(
                     cat, self.index.sorted_codes,
                     self.index.sorted_pos, self.index.max_occurrences,
-                    self.index.seq_offsets, offsets,
-                    read_index_of_slot, len(seqs), self.diagonal_slack,
-                    self.min_chain_kmers, k)
+                    self.index.seq_offsets, pstarts, pbits,
+                    slot_offsets=offsets,
+                    slot_to_read=read_index_of_slot,
+                    n_reads=len(seqs), slack=self.diagonal_slack,
+                    min_chain=self.min_chain_kmers, k=k)
                 if res is not None:
                     r_a, s_a, st_a, nk_a2, sp_a = res
                     g_read.append(r_a)

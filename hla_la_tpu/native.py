@@ -52,7 +52,7 @@ def _find_lib():
             i64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
             lib.hla_seed_chain.restype = i64
             lib.hla_seed_chain.argtypes = (
-                [vp, i64, vp, vp, i64, i64, vp, i64, vp, i64, vp]
+                [vp, i64, vp, vp, i64, vp, i64, i64, vp, i64, vp, i64, vp]
                 + [i64] * 4 + [i64pp] * 5)
             lib.hla_walk_haplotype.restype = ctypes.c_int
             lib.hla_walk_haplotype.argtypes = (
@@ -167,6 +167,8 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
 def seed_chain(cat: np.ndarray,
                sorted_codes: np.ndarray, sorted_pos: np.ndarray,
                max_occ: int, seq_offsets: np.ndarray,
+               prefix_starts: np.ndarray | None = None,
+               prefix_bits: int = 0, *,
                slot_offsets: np.ndarray, slot_to_read: np.ndarray | None,
                n_reads: int, slack: int, min_chain: int, k: int):
     """C++ k-mer encode + index query + diagonal chaining (hla_seed_chain;
@@ -184,8 +186,12 @@ def seed_chain(cat: np.ndarray,
            if slot_to_read is not None else None)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     outs = [ctypes.POINTER(ctypes.c_int64)() for _ in range(5)]
+    ps = (np.ascontiguousarray(prefix_starts, dtype=np.int64)
+          if prefix_starts is not None else None)
     ng = lib.hla_seed_chain(
-        c(cd), len(cd), c(sc), c(sp), len(sc), max_occ,
+        c(cd), len(cd), c(sc), c(sp), len(sc),
+        c(ps) if ps is not None else None,
+        prefix_bits if ps is not None else 0, max_occ,
         c(so), len(so) - 1, c(sl), len(sl) - 1,
         c(s2r) if s2r is not None else None,
         n_reads, slack, min_chain, k,

@@ -573,6 +573,7 @@ struct SeedHit { int32_t read, seq, diag, rp, qdiag; };
 extern "C" int64_t hla_seed_chain(
     const uint8_t* seq, int64_t total,   // concatenated reads, '\0' separated
     const uint64_t* sorted_codes, const int64_t* sorted_pos, int64_t M,
+    const int64_t* bstart_ext, int64_t pbits_ext,  // cached prefix table or 0
     int64_t max_occ,
     const int64_t* seq_offsets, int64_t S,
     const int64_t* slot_offsets, int64_t R,      // concat offsets, [R+1]
@@ -587,19 +588,28 @@ extern "C" int64_t hla_seed_chain(
         int64_t q = a / b; if ((a % b != 0) && ((a < 0) != (b < 0))) q--;
         return q;
     };
-    // prefix-bucket table over the top <=16 bits of the 2k-bit codes:
-    // narrows every query to a handful of index entries
-    int pbits = (2 * (int)k < 16) ? 2 * (int)k : 16;
-    int pshift = 2 * (int)k - pbits;
-    int64_t nb = (int64_t)1 << pbits;
-    std::vector<int64_t> bstart(nb + 1);
-    {
+    // prefix-bucket table over the top bits of the 2k-bit codes: narrows
+    // every query to a handful of index entries.  Callers pass a cached
+    // table (bstart_ext/pbits_ext); otherwise a 16-bit one is built here.
+    int pbits;
+    const int64_t* bstart;
+    std::vector<int64_t> bstart_own;
+    if (bstart_ext != nullptr) {
+        pbits = (int)pbits_ext;
+        bstart = bstart_ext;
+    } else {
+        pbits = (2 * (int)k < 16) ? 2 * (int)k : 16;
+        int64_t nb0 = (int64_t)1 << pbits;
+        bstart_own.resize(nb0 + 1);
         int64_t m = 0;
-        for (int64_t p = 0; p <= nb; p++) {
-            while (m < M && (int64_t)(sorted_codes[m] >> pshift) < p) m++;
-            bstart[p] = m;
+        int psh = 2 * (int)k - pbits;
+        for (int64_t p = 0; p <= nb0; p++) {
+            while (m < M && (int64_t)(sorted_codes[m] >> psh) < p) m++;
+            bstart_own[p] = m;
         }
+        bstart = bstart_own.data();
     }
+    int pshift = 2 * (int)k - pbits;
     // rolling 2-bit encode over the concatenated reads (kmer_index.py
     // encode_kmers semantics: a k-mer is valid iff all bases are ACGT)
     uint8_t b2[256];

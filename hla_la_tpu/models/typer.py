@@ -564,13 +564,29 @@ class HLATyper:
 
         # ---- likelihood tensors ------------------------------------------
         p_ins = 0.075 if long_reads else 0.001
-        contrib, mismatch, used_count = self._build_read_tensors(
-            reads_obs, J, cfg, ignore_read_ids, ignore_alleles, long_reads,
-            p_ins)
-        R = contrib.shape[0]
         onehot = cluster_onehot(cluster_seqs)
-        LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
-                                       backend=self.backend)
+        R = len(reads_obs)
+        # chunk reads so the [Rc, J, 6] contribution tensors stay bounded
+        # (~200 MB) even for very wide typed segments
+        chunk = max(16, int(2e8 / max(J * 24, 1)))
+        if R <= chunk:
+            contrib, mismatch, used_count = self._build_read_tensors(
+                reads_obs, J, cfg, ignore_read_ids, ignore_alleles,
+                long_reads, p_ins)
+            LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
+                                           backend=self.backend)
+        else:
+            LLmat = np.empty((C, R), dtype=np.float32)
+            MMmat = np.empty((C, R), dtype=np.float32)
+            used_count = 0
+            for lo in range(0, R, chunk):
+                part = reads_obs[lo:lo + chunk]
+                contrib, mismatch, used_c = self._build_read_tensors(
+                    part, J, cfg, ignore_read_ids, ignore_alleles,
+                    long_reads, p_ins)
+                used_count += used_c
+                LLmat[:, lo:lo + len(part)], MMmat[:, lo:lo + len(part)] =                     cluster_read_ll(onehot, contrib, mismatch,
+                                    backend=self.backend)
         log_progress(f"  {locus}: {C} clusters x {R} reads")
 
         # ---- pair reduction ----------------------------------------------

@@ -106,3 +106,22 @@ def test_simulate_random_paths(rng):
         for i, e in enumerate(edges):
             assert g.edge_from[e] == nodes[i]
             assert g.edge_to[e] == nodes[i + 1]
+
+
+def test_level_index_sparse_matches_dense(rng):
+    """The big-graph searchsorted path (+ batch warm) must agree with the
+    materialised dict path."""
+    import numpy as np
+
+    from hla_la_tpu.graph.package import LevelIndex
+
+    translations = {}
+    for sid in range(5):
+        lv = np.sort(rng.choice(np.arange(500), size=200, replace=False))
+        translations[sid] = lv.astype(np.int64)
+    dense = LevelIndex(translations)
+    sparse = LevelIndex(translations, materialize_limit=0)
+    queries = list(rng.integers(-5, 510, 300))
+    sparse.warm(queries[:150])     # half via warm, half via get misses
+    for q in queries:
+        assert dense.get(int(q)) == sparse.get(int(q)), q

@@ -294,3 +294,37 @@ def rename_bam_contigs(in_path: str, out_path: str,
     w.close()
     rd.close()
     return n
+
+
+def sample_reference_genomes(pkg: GraphPackage, n_samples: int = 8,
+                             seed: int = 0) -> list[str]:
+    """Write sampled reference-genome subsets into the package
+    (sampleReferenceGenome.pl role, lines 59-86: sample 1 keeps every
+    PRG-related sequence; samples 2..n keep each sequence with probability
+    2/(n-1)).  Writes sampledReferenceGenomes/<i>.fa plus the
+    sampledReferenceGenomes.txt list; returns the FASTA paths."""
+    import numpy as np
+
+    from .io.fasta import write_fasta
+
+    rng = np.random.default_rng(seed)
+    fasta = pkg.prg_fasta()
+    seqs = {info.chrom or info.fasta_id: fasta[info.fasta_id]
+            for info in pkg.sequences()}
+    out_dir = os.path.join(pkg.dir, "sampledReferenceGenomes")
+    os.makedirs(out_dir, exist_ok=True)
+    prop = 2.0 / max(n_samples - 1, 1)
+    paths = []
+    with open(os.path.join(pkg.dir, "sampledReferenceGenomes.txt"),
+              "w") as lst:
+        for i in range(1, n_samples + 1):
+            if i == 1:
+                chosen = dict(seqs)
+            else:
+                chosen = {k: v for k, v in seqs.items()
+                          if rng.random() <= prop}
+            path = os.path.join(out_dir, f"{i}.fa")
+            write_fasta(path, chosen)
+            lst.write(path + "\n")
+            paths.append(path)
+    return paths

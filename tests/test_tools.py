@@ -163,3 +163,20 @@ def test_rename_bam_contigs(tmp_path):
     rd = BamReader(dst)
     assert rd.references == [("chr6", 1000), ("7", 1000)]
     assert [r.name for r in rd] == ["r1", "r2"]
+
+
+def test_sample_reference_genomes(tmp_path, rng):
+    import os
+
+    from hla_la_tpu.io.fasta import read_fasta
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.tools import sample_reference_genomes
+
+    sim = simulate_prg_package(rng, backbone_length=800, n_haplotypes=5)
+    pkg = sim.write_package(str(tmp_path / "pkg"))
+    paths = sample_reference_genomes(pkg, n_samples=4)
+    assert len(paths) == 4 and all(os.path.exists(p) for p in paths)
+    # sample 1 keeps every sequence (sampleReferenceGenome.pl:69-72)
+    assert len(read_fasta(paths[0])) == len(pkg.sequences())
+    lst = os.path.join(pkg.dir, "sampledReferenceGenomes.txt")
+    assert open(lst).read().strip().splitlines() == paths

@@ -343,12 +343,17 @@ class ReadAligner:
         insert_sd = max(insert_sd, 1e-6)
         max_pen_log = _normal_logpdf(insert_mean + 8 * insert_sd,
                                      insert_mean, insert_sd)
+        native_sel = self._select_pairs_native(pairs, per_pair, insert_mean,
+                                               insert_sd, max_pen_log)
         for pi, (r1, r2) in enumerate(pairs):
             chains = per_pair.get(pi)
             if not chains or not chains[0] or not chains[1]:
                 continue
-            ap = self._select_pair(r1.name, chains[0], chains[1],
-                                   insert_mean, insert_sd, max_pen_log)
+            if native_sel is not None:
+                ap = native_sel.get(pi)
+            else:
+                ap = self._select_pair(r1.name, chains[0], chains[1],
+                                       insert_mean, insert_sd, max_pen_log)
             self.stats.n_align_calls += 1
             if truth is not None:
                 for mate_i, (chain, read) in enumerate(
@@ -357,6 +362,75 @@ class ReadAligner:
                                    chain.aligned_levels_per_base(len(read.seq)),
                                    chain.reverse)
             out.append(ap)
+        return out
+
+    def _select_pairs_native(self, pairs, per_pair, insert_mean, insert_sd,
+                             max_pen_log):
+        """Batched C++ combination selection (hla_select_pairs; identical
+        semantics to _select_pair).  Returns {pair_idx: AlignedPair} or
+        None when the native library is unavailable."""
+        from .. import native
+        if not native.available():
+            return None
+        sel_idx = [pi for pi in range(len(pairs))
+                   if per_pair.get(pi) and per_pair[pi][0]
+                   and per_pair[pi][1]]
+        if not sel_idx:
+            return {}
+        chains_flat: list[GraphAlignment] = []
+        n1l, n2l = [], []
+        for pi in sel_idx:
+            c1, c2 = per_pair[pi]
+            n1l.append(len(c1))
+            n2l.append(len(c2))
+            chains_flat.extend(c1)
+            chains_flat.extend(c2)
+        nch = len(chains_flat)
+        ll = np.asarray([c.log_likelihood for c in chains_flat])
+        f_lv = np.asarray([c.first_level() for c in chains_flat])
+        l_lv = np.asarray([c.last_level() for c in chains_flat])
+        rev = np.asarray([c.reverse for c in chains_flat], dtype=np.uint8)
+        lv2 = np.empty((nch, 4), dtype=np.int64)
+        keys_list = []
+        key_off = np.zeros(nch + 1, dtype=np.int64)
+        for ci, c in enumerate(chains_flat):
+            if c._lv2 is not None:
+                lv2[ci] = c._lv2
+            else:
+                v = c.levels[c.levels >= 0]
+                lv2[ci] = ((v[0], v[1] if len(v) > 1 else -1,
+                            v[-2] if len(v) > 1 else -1, v[-1])
+                           if len(v) else (-1, -1, -1, -1))
+            k = _position_keys(c)
+            keys_list.append(k)
+            key_off[ci + 1] = key_off[ci] + len(k)
+        keys = (np.concatenate(keys_list) if keys_list
+                else np.zeros(0, np.int64))
+        tr_off = np.concatenate([self.hap_offsets,
+                                 [len(self.hap_levels_cat)]])
+        res = native.select_pairs(
+            np.asarray(n1l), np.asarray(n2l), ll, f_lv, l_lv, lv2, rev,
+            key_off, keys, self.hap_levels_cat, tr_off,
+            insert_mean, insert_sd, max_pen_log)
+        if res is None:
+            return None
+        b1, b2, pm, m1, m2, conf = res
+        out: dict[int, AlignedPair] = {}
+        base = 0
+        for k_i, pi in enumerate(sel_idx):
+            c1, c2 = per_pair[pi]
+            ch1 = c1[int(b1[k_i])]
+            ch2 = c2[int(b2[k_i])]
+            ch1.mapq = float(m1[k_i])
+            ch2.mapq = float(m2[k_i])
+            g1 = base + int(b1[k_i])
+            g2 = base + len(c1) + int(b2[k_i])
+            ch1.mapq_per_pos = conf[key_off[g1]:key_off[g1 + 1]]
+            ch2.mapq_per_pos = conf[key_off[g2]:key_off[g2 + 1]]
+            self.stats.considered_chain_pairs += len(c1) * len(c2)
+            out[pi] = AlignedPair(pairs[pi][0].name, ch1, ch2,
+                                  float(pm[k_i]))
+            base += len(c1) + len(c2)
         return out
 
     def _select_pair(self, read_id: str, chains1: list[GraphAlignment],

@@ -54,6 +54,9 @@ def _find_lib():
             lib.hla_seed_chain.argtypes = (
                 [vp, i64, vp, vp, i64, vp, i64, i64, vp, i64, vp, i64, vp]
                 + [i64] * 4 + [i64pp] * 5)
+            lib.hla_select_pairs.restype = None
+            lib.hla_select_pairs.argtypes = (
+                [i64] + [vp] * 11 + [i64] + [f64, f64, f64] + [vp] * 6)
             lib.hla_walk_haplotype.restype = ctypes.c_int
             lib.hla_walk_haplotype.argtypes = (
                 [vp, i64] + [vp] * 8 + [i64, vp])
@@ -206,6 +209,41 @@ def seed_chain(cat: np.ndarray,
         if o:
             lib.hla_free(ctypes.cast(o, ctypes.c_void_p))
     return res
+
+
+def select_pairs(n1: np.ndarray, n2: np.ndarray, ll: np.ndarray,
+                 f_lv: np.ndarray, l_lv: np.ndarray, lv2: np.ndarray,
+                 rev: np.ndarray, key_off: np.ndarray, keys: np.ndarray,
+                 tr_cat: np.ndarray, tr_off: np.ndarray,
+                 insert_mean: float, insert_sd: float, max_pen_log: float):
+    """C++ pair-combination selection (hla_select_pairs; semantics of
+    aligner._select_pair).  Returns (b1, b2, pair_mapq, mapq1, mapq2,
+    conf-flat) or None when the lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    P = len(n1)
+    a64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    af = lambda a: np.ascontiguousarray(a, dtype=np.float64)
+    n1c, n2c = a64(n1), a64(n2)
+    llc, flc, llc2 = af(ll), a64(f_lv), a64(l_lv)
+    lv2c = a64(lv2)
+    revc = np.ascontiguousarray(rev, dtype=np.uint8)
+    koc, kc = a64(key_off), a64(keys)
+    tcc, toc = a64(tr_cat), a64(tr_off)
+    b1 = np.empty(P, dtype=np.int64)
+    b2 = np.empty(P, dtype=np.int64)
+    pm = np.empty(P, dtype=np.float64)
+    m1 = np.empty(P, dtype=np.float64)
+    m2 = np.empty(P, dtype=np.float64)
+    conf = np.zeros(len(kc), dtype=np.float64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_select_pairs(P, c(n1c), c(n2c), c(llc), c(flc), c(llc2),
+                         c(lv2c), c(revc), c(koc), c(kc), c(tcc), c(toc),
+                         len(toc) - 1, float(insert_mean), float(insert_sd),
+                         float(max_pen_log),
+                         c(b1), c(b2), c(pm), c(m1), c(m2), c(conf))
+    return b1, b2, pm, m1, m2, conf
 
 
 def walk_haplotype(cprg, row: np.ndarray):

@@ -759,3 +759,174 @@ extern "C" int hla_walk_haplotype(
     }
     return 1;
 }
+
+// ---------------------------------------------------------------------------
+// Pair combination selection + mapping qualities.  Native port of
+// models/aligner.py:_select_pair (alignOneReadPair, processBAM.cpp:3408-3540
+// + assignMappingQualities, processBAM.cpp:4062-4310):
+//   combos (i1, i2): LL = ll1 + ll2 + insert term; insert term = max over
+//   shared-underlying-sequence distances of Normal logpdf (8-sigma penalty
+//   when the pdf underflows below exp(-700) or no distance/invalid strands);
+//   softmax over combos -> pair mapq, per-chain marginal mapqs, and
+//   per-position confidences aggregated over identical position keys.
+// Chains are globally indexed (pair i: n1[i] mate-1 chains then n2[i]
+// mate-2); per-chain conf outputs share the key layout and are written for
+// the selected chains only.
+// ---------------------------------------------------------------------------
+#include <cmath>
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
+
+static inline double nlogpdf(double x, double mean, double sd) {
+    double z = (x - mean) / sd;
+    return -0.5 * z * z - std::log(sd * std::sqrt(2.0 * M_PI));
+}
+
+extern "C" void hla_select_pairs(
+    int64_t n_pairs, const int64_t* n1, const int64_t* n2,
+    const double* ll, const int64_t* f_lv, const int64_t* l_lv,
+    const int64_t* lv2,            // [n_chains*4] f1,f2,penult,last
+    const uint8_t* rev,
+    const int64_t* key_off, const int64_t* keys,   // [n_chains+1], flat
+    const int64_t* tr_cat, const int64_t* tr_off, int64_t S,  // [S+1] offs
+    double insert_mean, double insert_sd, double max_pen_log,
+    int64_t* out_b1, int64_t* out_b2,              // selected local indices
+    double* out_pair_mapq, double* out_mapq1, double* out_mapq2,
+    double* out_conf) {                            // flat, keys layout
+    std::vector<std::vector<std::pair<int32_t, int32_t>>> anch_end, anch_beg;
+    std::vector<double> lls;
+    std::vector<std::pair<int64_t, double>> kw;
+    int64_t base = 0;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        int64_t c1n = n1[p], c2n = n2[p];
+        int64_t nch = c1n + c2n;
+        // anchors per chain: for each sequence, position of the last (resp.
+        // first) anchor level present in its translation; first priority
+        // level wins (alignment.py:_anchors with scan=2)
+        anch_end.assign(nch, {});
+        anch_beg.assign(nch, {});
+        auto build = [&](int64_t ci, bool from_end) {
+            auto& out = from_end ? anch_end[ci] : anch_beg[ci];
+            const int64_t* q = lv2 + (base + ci) * 4;
+            int64_t pri[2];
+            if (from_end) { pri[0] = q[3]; pri[1] = q[2]; }
+            else { pri[0] = q[0]; pri[1] = q[1]; }
+            for (int32_t s = 0; s < (int32_t)S; s++) {
+                const int64_t* t0 = tr_cat + tr_off[s];
+                const int64_t* t1 = tr_cat + tr_off[s + 1];
+                for (int pr = 0; pr < 2; pr++) {
+                    if (pri[pr] < 0) continue;
+                    const int64_t* it = std::lower_bound(t0, t1, pri[pr]);
+                    if (it != t1 && *it == pri[pr]) {
+                        out.push_back({s, (int32_t)(it - t0)});
+                        break;
+                    }
+                }
+            }
+        };
+        for (int64_t ci = 0; ci < nch; ci++) { build(ci, true); build(ci, false); }
+        lls.assign(c1n * c2n, 0.0);
+        for (int64_t i1 = 0; i1 < c1n; i1++) {
+            int64_t g1 = base + i1;
+            for (int64_t i2 = 0; i2 < c2n; i2++) {
+                int64_t g2 = base + c1n + i2;
+                double v = ll[g1] + ll[g2];
+                // strands_valid (alignerBase.cpp:213-244)
+                bool sv = (f_lv[g1] != -1 && f_lv[g2] != -1
+                           && rev[g1] != rev[g2]
+                           && (!rev[g1] ? f_lv[g1] < f_lv[g2]
+                                        : l_lv[g1] > l_lv[g2]));
+                double ll_is = max_pen_log;
+                if (sv) {
+                    const auto* endv = &anch_end[i1];
+                    const auto* begv = &anch_beg[c1n + i2];
+                    if (!(f_lv[g1] < f_lv[g2])) {
+                        endv = &anch_end[c1n + i2];
+                        begv = &anch_beg[i1];
+                    }
+                    bool any = false;
+                    double best = -1e300;
+                    size_t a = 0, b = 0;
+                    while (a < endv->size() && b < begv->size()) {
+                        int32_t sa = (*endv)[a].first, sb = (*begv)[b].first;
+                        if (sa < sb) a++;
+                        else if (sb < sa) b++;
+                        else {
+                            double d = (double)((*begv)[b].second
+                                                - (*endv)[a].second - 1);
+                            double lp = nlogpdf(d, insert_mean, insert_sd);
+                            double val = (lp < -700.0) ? max_pen_log : lp;
+                            if (!any || val > best) best = val;
+                            any = true;
+                            a++; b++;
+                        }
+                    }
+                    if (any) ll_is = best;
+                }
+                lls[i1 * c2n + i2] = v + ll_is;
+            }
+        }
+        int64_t bestc = 0;
+        for (int64_t t = 1; t < (int64_t)lls.size(); t++)
+            if (lls[t] > lls[bestc]) bestc = t;
+        double mx = lls[bestc], sum = 0.0;
+        std::vector<double> pp(lls.size());
+        for (size_t t = 0; t < lls.size(); t++) {
+            pp[t] = std::exp(lls[t] - mx);
+            sum += pp[t];
+        }
+        for (auto& x : pp) x /= sum;
+        int64_t b1 = bestc / c2n, b2 = bestc % c2n;
+        out_b1[p] = b1; out_b2[p] = b2;
+        out_pair_mapq[p] = pp[bestc];
+        double m1 = 0.0, m2 = 0.0;
+        for (int64_t i1 = 0; i1 < c1n; i1++)
+            for (int64_t i2 = 0; i2 < c2n; i2++) {
+                if (i1 == b1) m1 += pp[i1 * c2n + i2];
+                if (i2 == b2) m2 += pp[i1 * c2n + i2];
+            }
+        out_mapq1[p] = std::min(m1, 1.0);
+        out_mapq2[p] = std::min(m2, 1.0);
+        // per-position confidences per mate (assignMappingQualities,
+        // processBAM.cpp:4183-4209): each chain's keys get its marginal
+        // combination weight; identical keys accumulate
+        for (int mate = 0; mate < 2; mate++) {
+            int64_t cn = mate == 0 ? c1n : c2n;
+            int64_t coff = mate == 0 ? 0 : c1n;
+            int64_t bsel = mate == 0 ? b1 : b2;
+            kw.clear();
+            for (int64_t ci = 0; ci < cn; ci++) {
+                double w = 0.0;
+                for (int64_t o = 0; o < (mate == 0 ? c2n : c1n); o++)
+                    w += pp[mate == 0 ? ci * c2n + o : o * c2n + ci];
+                int64_t g = base + coff + ci;
+                for (int64_t t = key_off[g]; t < key_off[g + 1]; t++)
+                    kw.push_back({keys[t], w});
+            }
+            // stable: equal keys keep occurrence order, so the per-key sum
+            // matches numpy's np.add.at accumulation bit-for-bit
+            std::stable_sort(kw.begin(), kw.end(),
+                             [](const std::pair<int64_t, double>& x,
+                                const std::pair<int64_t, double>& y) {
+                                 return x.first < y.first;
+                             });
+            // sum runs of equal keys in place
+            std::vector<std::pair<int64_t, double>> uniq;
+            uniq.reserve(kw.size());
+            for (size_t t = 0; t < kw.size(); t++) {
+                if (!uniq.empty() && uniq.back().first == kw[t].first)
+                    uniq.back().second += kw[t].second;
+                else uniq.push_back(kw[t]);
+            }
+            int64_t g = base + coff + bsel;
+            for (int64_t t = key_off[g]; t < key_off[g + 1]; t++) {
+                auto it = std::lower_bound(
+                    uniq.begin(), uniq.end(),
+                    std::make_pair(keys[t], -1e300));
+                out_conf[t] = std::min(it->second, 1.0);
+            }
+        }
+        base += nch;
+    }
+}

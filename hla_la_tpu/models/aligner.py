@@ -550,12 +550,15 @@ class ReadAligner:
             pp /= pp.sum()
             sel = chains[best]
             sel.mapq = float(pp[best])
-            conf: dict[tuple, float] = {}
-            for c, p in zip(chains, pp):
-                for key in _position_keys(c):
-                    conf[key] = conf.get(key, 0.0) + float(p)
-            sel.mapq_per_pos = np.asarray(
-                [min(conf[k], 1.0) for k in _position_keys(sel)])
+            key_cache = [_position_keys(c) for c in chains]
+            all_keys = np.concatenate(key_cache)
+            all_w = np.concatenate([np.full(len(k), pp[ci])
+                                    for ci, k in enumerate(key_cache)])
+            uniq, inv = np.unique(all_keys, return_inverse=True)
+            conf = np.zeros(len(uniq))
+            np.add.at(conf, inv, all_w)
+            sel_idx = np.searchsorted(uniq, key_cache[best])
+            sel.mapq_per_pos = np.minimum(conf[sel_idx], 1.0)
             if truth is not None:
                 truth.evaluate(r.name, sel.aligned_levels_per_base(len(r.seq)),
                                sel.reverse)

@@ -902,18 +902,31 @@ class HLATyper:
                     # per-read entries (reference pileup detail,
                     # HLATyper.cpp:1940-2010): genotype (qualities)
                     # [pairsDistance | alignmentLength | mapQ_position |
-                    #  mapQ mapQ | weightedOK weightedOK | readIDs]
+                    #  mapQ mapQ | weightedOK weightedOK | readIDs] —
+                    # everything except genotype/qualities/mapQ_position is
+                    # chain-constant, so those fragments are cached
                     entries = []
                     by_allele: dict[str, list[int]] = {}
+                    frag_cache: dict[tuple, tuple[str, str]] = {}
                     for o in items:
-                        quals = ", ".join(str(q) for q in o.qualities)
-                        entries.append(
-                            f"{o.genotype} ({quals}) ["
-                            f"pairsDistance {o.pairs_strands_distance} | "
-                            f"alignmentLength {o.alignment_cols_nongap} | "
-                            f"{o.mapq_position} | {o.mapq} {o.mapq} | "
-                            f"{o.this_weighted_ok} {o.paired_weighted_ok} | "
-                            f"{o.read_id} {o.paired_read_id}]")
+                        fk = (o.read_id, o.paired_read_id, o.mapq,
+                              o.this_weighted_ok, o.pairs_strands_distance,
+                              o.alignment_cols_nongap)
+                        frag = frag_cache.get(fk)
+                        if frag is None:
+                            frag = (
+                                f") [pairsDistance "
+                                f"{o.pairs_strands_distance} | "
+                                f"alignmentLength "
+                                f"{o.alignment_cols_nongap} | ",
+                                f" | {o.mapq} {o.mapq} | "
+                                f"{o.this_weighted_ok} "
+                                f"{o.paired_weighted_ok} | "
+                                f"{o.read_id} {o.paired_read_id}]")
+                            frag_cache[fk] = frag
+                        quals = ", ".join(map(str, o.qualities))
+                        entries.append(o.genotype + " (" + quals + frag[0]
+                                       + str(o.mapq_position) + frag[1])
                         by_allele.setdefault(o.genotype, []).append(
                             o.alignment_cols_nongap)
                     fields.append(", ".join(entries))

@@ -128,6 +128,9 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
     if backend == "pallas":
         from .pallas_pair import pair_ll_reduction_pallas
         return pair_ll_reduction_pallas(L)
+    if backend == "sharded":
+        from ..parallel.mesh import pair_ll_reduction_sharded
+        return pair_ll_reduction_sharded(L)
     C, R = L.shape
     # bound the [C, C, chunk] intermediate to ~1.3e8 f32 (0.5 GB)
     chunk = min(chunk, max(R, 1), max(1, int(1.3e8 // max(C * C, 1))))

@@ -127,3 +127,46 @@ def full_step(mesh, L: int, W: int):
         return scores, pair
 
     return jax.jit(step)
+
+
+def pair_ll_reduction_sharded(L: np.ndarray, mesh=None) -> np.ndarray:
+    """Multi-device C^2 pair reduction: clusters shard over "model", reads
+    over "data"; each device owns a [C/m, C] pair tile of its read shard and
+    psum over "data" completes the sum (the distributed replacement for the
+    reference's OpenMP loop, HLATyper.cpp:2293-2364).
+
+    Numerics identical to ops/pair_ll.pair_ll_reduction(backend="jax"):
+    the rank-1 0.5*(rowsum+rowsum) term is added host-side in f64; the
+    device computes sum_r 0.5*|a-b| + log1p(exp(-|a-b|)) in f32; zero-padded
+    reads contribute log(2) each, cancelled by LOG_HALF per padded read."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    if mesh is None:
+        n = len(jax.devices())
+        n_model = 2 if n % 2 == 0 and n > 2 else 1
+        mesh = make_mesh(n // n_model, n_model)
+    d = mesh.shape["data"]
+    m = mesh.shape["model"]
+    C, R = L.shape
+    Cp = -(-C // m) * m
+    Rp = -(-R // d) * d
+    Lp = np.zeros((Cp, Rp), dtype=np.float32)
+    Lp[:C, :R] = L
+
+    @partial(shard_map, mesh=mesh, check_vma=False,
+             in_specs=(P("model", "data"),), out_specs=P("model", None))
+    def step(L_l):                                     # [C/m, R/d]
+        L_f = jax.lax.all_gather(L_l, "model", axis=0, tiled=True)  # [C,R/d]
+        a = L_l[:, None, :]
+        b = L_f[None, :, :]
+        diff = jnp.abs(a - b)
+        part = (0.5 * diff + jnp.log1p(jnp.exp(-diff))).sum(axis=2)
+        return jax.lax.psum(part, "data")              # [C/m, C]
+
+    acc = np.asarray(jax.jit(step)(Lp), dtype=np.float64)[:C, :C]
+    rowsum = L.astype(np.float64).sum(axis=1)
+    base = 0.5 * (rowsum[:, None] + rowsum[None, :])
+    return base + acc + LOG_HALF * Rp

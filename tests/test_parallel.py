@@ -84,3 +84,18 @@ def test_parallel_typing_matches_serial(tmp_path):
     for f in files:
         assert filecmp.cmp(os.path.join(serial_dir, f),
                            os.path.join(par_dir, f), shallow=False), f
+
+
+def test_sharded_pair_reduction_matches_numpy():
+    """The mesh-sharded C^2 reduction must match the numpy reference on an
+    8-device virtual mesh (model x data shardings + psum)."""
+    import numpy as np
+
+    from hla_la_tpu.ops.pair_ll import pair_ll_reduction, \
+        pair_ll_reduction_numpy
+
+    rng = np.random.default_rng(5)
+    L = rng.normal(-30, 6, (13, 101)).astype(np.float64)   # odd sizes -> pad
+    want = pair_ll_reduction_numpy(L)
+    got = pair_ll_reduction(L, backend="sharded")
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-4)

@@ -38,7 +38,7 @@ def main(argv=None):
                     choices=["", "ont2d", "pacbio"])
     ap.add_argument("--maxThreads", type=int, default=1)
     ap.add_argument("--backend", default="auto",
-                    choices=["auto", "numpy", "jax"])
+                    choices=["auto", "numpy", "jax", "sharded"])
     ap.add_argument("--moreReferencesDir", default=None)
     ap.add_argument("--outputDirectory", default=None)
     ap.add_argument("--seed", type=int, default=0)

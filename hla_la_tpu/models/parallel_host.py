@@ -130,7 +130,7 @@ class ParallelAligner:
     def align_pairs(self, pairs, insert_mean, insert_sd, truth=None):
         if not pairs:
             return []
-        chunk = max(64, -(-len(pairs) // (self.n_workers * 4)))
+        chunk = max(256, -(-len(pairs) // (self.n_workers * 2)))
         chunks = [pairs[i:i + chunk] for i in range(0, len(pairs), chunk)]
         results = self.pool.map(
             _align_chunk, [(c, insert_mean, insert_sd) for c in chunks])
@@ -152,7 +152,7 @@ class ParallelAligner:
     def align_unpaired(self, reads, truth=None):
         if not reads:
             return []
-        chunk = max(64, -(-len(reads) // (self.n_workers * 4)))
+        chunk = max(256, -(-len(reads) // (self.n_workers * 2)))
         chunks = [reads[i:i + chunk] for i in range(0, len(reads), chunk)]
         results = self.pool.map(_align_unpaired_chunk, chunks)
         out = [al for res in results for al in res]

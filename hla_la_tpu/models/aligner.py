@@ -161,6 +161,14 @@ class ReadAligner:
                             ) -> list[GraphAlignment | None]:
         if not jobs:
             return []
+        # bound the NW pointer tensor (~[B, L+1, W] uint8) to a few hundred
+        # MB: very large inputs process in slices
+        MAX_B = 65536
+        if len(jobs) > MAX_B:
+            out: list[GraphAlignment | None] = []
+            for lo in range(0, len(jobs), MAX_B):
+                out.extend(self._jobs_to_alignments(jobs[lo:lo + MAX_B]))
+            return out
         L = max(len(j.oriented_seq) for j in jobs)
         if self.use_jax:
             # bucket shapes so jit compiles once per (L, W, B) bucket

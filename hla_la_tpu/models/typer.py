@@ -908,6 +908,8 @@ class HLATyper:
                     entries = []
                     by_allele: dict[str, list[int]] = {}
                     frag_cache: dict[tuple, tuple[str, str]] = {}
+                    mqp_cache: dict[float, str] = {}
+                    q1_cache = [str(i) for i in range(256)]
                     for o in items:
                         fk = (o.read_id, o.paired_read_id, o.mapq,
                               o.this_weighted_ok, o.pairs_strands_distance,
@@ -924,9 +926,14 @@ class HLATyper:
                                 f"{o.paired_weighted_ok} | "
                                 f"{o.read_id} {o.paired_read_id}]")
                             frag_cache[fk] = frag
-                        quals = ", ".join(map(str, o.qualities))
+                        q = o.qualities
+                        quals = (q1_cache[q[0]] if len(q) == 1
+                                 else ", ".join(map(str, q)))
+                        mqs = mqp_cache.get(o.mapq_position)
+                        if mqs is None:
+                            mqs = mqp_cache[o.mapq_position] =                                 str(o.mapq_position)
                         entries.append(o.genotype + " (" + quals + frag[0]
-                                       + str(o.mapq_position) + frag[1])
+                                       + mqs + frag[1])
                         by_allele.setdefault(o.genotype, []).append(
                             o.alignment_cols_nongap)
                     fields.append(", ".join(entries))

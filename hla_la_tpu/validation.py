@@ -46,7 +46,8 @@ def read_sample_sheet(path: str) -> list[tuple[str, str]]:
             if not line or line.startswith("#"):
                 continue
             f = line.split()
-            if len(f) >= 2:
+            if len(f) >= 2 and f[0].lower() not in ("sampleid",
+                                                    "individualid"):
                 out.append((f[0], f[1]))
     return out
 

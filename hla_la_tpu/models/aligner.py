@@ -162,8 +162,17 @@ class ReadAligner:
         if not jobs:
             return []
         # bound the NW pointer tensor (~[B, L+1, W] uint8) to a few hundred
-        # MB: very large inputs process in slices
+        # MB: very large inputs process in slices.  On TPU the Pallas kernel
+        # peaks at exactly B=4096 (46 Gcells/s on v5e; 2x slower at 16k+),
+        # so slice to the sweet spot there.
         MAX_B = 65536
+        if self.use_jax:
+            try:
+                import jax
+                if jax.default_backend() == "tpu":
+                    MAX_B = 4096
+            except Exception:  # noqa: BLE001
+                pass
         if len(jobs) > MAX_B:
             out: list[GraphAlignment | None] = []
             for lo in range(0, len(jobs), MAX_B):

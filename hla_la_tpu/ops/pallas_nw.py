@@ -13,6 +13,10 @@ log2(W) static sublane shifts — docs/DESIGN.md §2).
 Inputs are pre-transposed by the jitted wrapper: readsT [L, B],
 refsT [L+W, B]; pointer output comes back as [B, L+1, W] after an XLA
 transpose of the kernel's [L+1, W, TB] blocks.
+
+Batch-size note: peak throughput is at B=4096 (46 Gcells/s on
+v5e); 16k+ batches drop to ~22 G (HBM-write bound on the pointer
+tensor) — callers slice accordingly (aligner._jobs_to_alignments).
 """
 
 from __future__ import annotations

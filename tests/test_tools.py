@@ -180,3 +180,15 @@ def test_sample_reference_genomes(tmp_path, rng):
     assert len(read_fasta(paths[0])) == len(pkg.sequences())
     lst = os.path.join(pkg.dir, "sampledReferenceGenomes.txt")
     assert open(lst).read().strip().splitlines() == paths
+
+
+def test_graph_from_mfa_gap_and_case_normalisation(tmp_path):
+    from hla_la_tpu.tools import graph_from_mfa
+
+    mfa = tmp_path / "p.mfa"
+    mfa.write_text(">h1\nacgtAACGTACGTACGTACGTACGT\n"
+                   ">h2\nACGT.ACGTACG-ACGTACGTacgt\n")
+    pkg = graph_from_mfa(str(mfa), str(tmp_path / "g"))
+    fasta = pkg.prg_fasta()
+    assert fasta["h1"].isupper() and "-" not in fasta["h2"]
+    assert len(fasta["h2"]) == 23     # two gap columns removed

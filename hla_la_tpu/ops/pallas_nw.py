@@ -110,8 +110,20 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             iy_src = jnp.where(ec > oc, 4, 0)
 
             # IX closed form: IX[k] = open + (k-1)ext + cummax(g)[k-1],
-            # g[k] = nD[k] - k*ext (masked at ref pads); cummax via
-            # Hillis-Steele with static sublane shifts
+            # g[k] = nD[k] - k*ext; the cummax must NOT propagate across
+            # masked ref positions (N/pad = unalignable wall, matching the
+            # sequential C++/numpy recurrence), so it is a SEGMENTED
+            # Hillis-Steele: segment id = running count of masked rows, and
+            # a shifted candidate is only taken when its segment matches
+            ok_f = jnp.where(ok, 0.0, 1.0)          # 1 at masked rows
+            seg = ok_f
+            sh = 1
+            for _s in range(n_shifts):
+                rolled_seg = jnp.concatenate(
+                    [jnp.zeros((min(sh, W), TB), jnp.float32),
+                     seg[:max(W - sh, 0)]], axis=0)
+                seg = seg + rolled_seg
+                sh *= 2
             g = jnp.where(ok, nD - k_iota * ext, neg)
             cm = g
             sh = 1
@@ -119,7 +131,11 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
                 rolled = jnp.concatenate(
                     [jnp.full((min(sh, W), TB), neg), cm[:max(W - sh, 0)]],
                     axis=0)
-                cm = jnp.maximum(cm, rolled)
+                rolled_seg = jnp.concatenate(
+                    [jnp.full((min(sh, W), TB), -1.0),
+                     seg[:max(W - sh, 0)]], axis=0)
+                same = jnp.where(rolled_seg == seg, 1.0, 0.0)
+                cm = jnp.maximum(cm, jnp.where(same > 0.0, rolled, neg))
                 sh *= 2
             cm_shift = jnp.concatenate([jnp.full((1, TB), neg), cm[:-1]],
                                        axis=0)
@@ -128,7 +144,12 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
             ocx = jnp.concatenate([jnp.full((1, TB), neg),
                                    nD[:-1] + open_], axis=0)
-            ix_src = jnp.where(nIX > ocx, 8, 0)
+            # extend-bit exactly as the sequential recurrence sets it:
+            # ec = IX[k-1] + ext vs oc = D[k-1] + open (computed even at
+            # masked cells, matching ops/banded_nw.py:131-136)
+            ecx = jnp.concatenate([jnp.full((1, TB), neg),
+                                   nIX[:-1] + ext], axis=0)
+            ix_src = jnp.where(ecx > ocx, 8, 0)
 
             # bit packing via adds (arith.shli is not legal in Mosaic)
             ptr_ref[pl.ds(i, 1)] = (m_src + iy_src + ix_src)[None]

@@ -47,3 +47,26 @@ def test_pallas_nw_uneven_batch(rng):
     got = tuple(np.asarray(x) for x in fwd(reads, lens, refs))
     np.testing.assert_allclose(got[0], want[0], rtol=1e-6)
     assert got[3].shape == want[3].shape
+
+
+def test_pallas_nw_n_bases_parity(rng):
+    """Reads/refs containing N (code 4) mid-sequence: the segmented cummax
+    must not let deletion chains cross masked reference positions
+    (regression: the unsegmented closed form diverged from the sequential
+    recurrence on N-containing references)."""
+    import numpy as np
+
+    from hla_la_tpu.ops.banded_nw import banded_nw_forward
+    from hla_la_tpu.ops.pallas_nw import make_pallas_banded_nw
+
+    Bk, Lk, Wk = 96, 64, 16
+    reads = rng.integers(0, 5, (Bk, Lk)).astype(np.uint8)
+    refs = rng.integers(0, 5, (Bk, Lk + Wk)).astype(np.uint8)
+    lens = rng.integers(20, Lk + 1, Bk).astype(np.int64)
+    nw = make_pallas_banded_nw(Lk, Wk, interpret=True)
+    s_j, k_j, st_j, p_j = (np.asarray(x) for x in nw(reads, lens, refs))
+    s_p, k_p, st_p, p_p = banded_nw_forward(reads, lens, refs,
+                                            use_native=False)
+    assert np.allclose(s_j, s_p, atol=1e-4)
+    assert (k_j == k_p).all() and (st_j == st_p).all()
+    assert (p_j == p_p).all()

@@ -231,21 +231,37 @@ def make_jax_banded_nw(L: int, W: int, sc: NWScoring = NWScoring()):
             ref_ok = ref_col < 4
             # IX closed form (no inner scan): IX[k] = max_{m>=1} nD[k-m] +
             # open + (m-1)*ext.  With g[j] = nD[j] - j*ext this is
-            # IX[k] = open + (k-1)*ext + cummax(g)[k-1] — an associative
-            # running max (ref pads only occur at window edges, so masked
-            # cells never sit inside a live deletion run).
+            # IX[k] = open + (k-1)*ext + seg_cummax(g)[k-1] where the
+            # running max is SEGMENTED at masked reference positions (N or
+            # pad = unalignable wall; a deletion run cannot cross it —
+            # exact match of the sequential recurrence at lines 127-136)
             karange = jnp.arange(W, dtype=nD.dtype)
             g = jnp.where(ref_ok, nD - karange[None, :] * ext, neg)
-            gmax = jax.lax.cummax(g, axis=1)                  # inclusive
+            seg = jnp.cumsum((~ref_ok).astype(nD.dtype), axis=1)
+            gmax = g
+            sh = 1
+            while sh < W:
+                rolled = jnp.concatenate(
+                    [jnp.full((B, min(sh, W)), neg), gmax[:, :W - sh]],
+                    axis=1)
+                rolled_seg = jnp.concatenate(
+                    [jnp.full((B, min(sh, W)), -1.0, dtype=nD.dtype),
+                     seg[:, :W - sh]], axis=1)
+                gmax = jnp.maximum(
+                    gmax, jnp.where(rolled_seg == seg, rolled, neg))
+                sh *= 2
             nIX = jnp.concatenate(
                 [jnp.full((B, 1), neg),
                  open_ + karange[1:][None, :] * ext - ext + gmax[:, :-1]],
                 axis=1)
             nIX = jnp.where(ref_ok, nIX, neg)
-            # backtrace bit: came from extend iff IX[k] beats the fresh open
+            # backtrace bit exactly as the sequential recurrence sets it:
+            # ec = IX[k-1] + ext vs oc = D[k-1] + open
             oc = jnp.concatenate(
                 [jnp.full((B, 1), neg), nD[:, :-1] + open_], axis=1)
-            ix_src = (nIX > oc).astype(jnp.uint8)
+            ec2 = jnp.concatenate(
+                [jnp.full((B, 1), neg), nIX[:, :-1] + ext], axis=1)
+            ix_src = (ec2 > oc).astype(jnp.uint8)
 
             ptr = m_src | (iy_src << 2) | (ix_src << 3)
             best = harvest(i, nD, nIY, nIX, best)

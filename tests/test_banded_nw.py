@@ -135,3 +135,25 @@ def test_native_matches_numpy(rng):
     np.testing.assert_array_equal(a[1][ok], b[1][ok])
     np.testing.assert_array_equal(a[2][ok], b[2][ok])
     np.testing.assert_array_equal(a[3], b[3])
+
+
+def test_jax_scan_nw_n_bases_parity(rng):
+    """XLA-scan variant: segmented cummax must match the sequential
+    recurrence on N-containing sequences (same regression class as the
+    Pallas kernel)."""
+    import numpy as np
+
+    from hla_la_tpu.ops.banded_nw import banded_nw_forward, \
+        make_jax_banded_nw
+
+    Bk, Lk, Wk = 64, 48, 16
+    reads = rng.integers(0, 5, (Bk, Lk)).astype(np.uint8)
+    refs = rng.integers(0, 5, (Bk, Lk + Wk)).astype(np.uint8)
+    lens = rng.integers(16, Lk + 1, Bk).astype(np.int64)
+    fwd = make_jax_banded_nw(Lk, Wk)
+    out_j = tuple(np.asarray(x) for x in fwd(reads, lens, refs))
+    out_p = banded_nw_forward(reads, lens, refs, use_native=False)
+    assert np.allclose(out_j[0], out_p[0], atol=1e-4)
+    for i in (1, 2, 3):
+        assert (out_j[i].astype(np.int64)
+                == np.asarray(out_p[i]).astype(np.int64)).all()

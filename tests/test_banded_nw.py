@@ -154,6 +154,7 @@ def test_jax_scan_nw_n_bases_parity(rng):
     out_j = tuple(np.asarray(x) for x in fwd(reads, lens, refs))
     out_p = banded_nw_forward(reads, lens, refs, use_native=False)
     assert np.allclose(out_j[0], out_p[0], atol=1e-4)
+    live = np.asarray(out_p[0]) > -1e29     # see test_pallas_nw note
     for i in (1, 2, 3):
         assert (out_j[i].astype(np.int64)
-                == np.asarray(out_p[i]).astype(np.int64)).all()
+                == np.asarray(out_p[i]).astype(np.int64))[live].all()

@@ -68,5 +68,9 @@ def test_pallas_nw_n_bases_parity(rng):
     s_p, k_p, st_p, p_p = banded_nw_forward(reads, lens, refs,
                                             use_native=False)
     assert np.allclose(s_j, s_p, atol=1e-4)
-    assert (k_j == k_p).all() and (st_j == st_p).all()
-    assert (p_j == p_p).all()
+    # fully-unalignable rows (score ~ NEG) have arbitrary tie-broken
+    # end cells across implementations; production discards them
+    # (aligner: scores <= -1e29 -> None)
+    live = s_p > -1e29
+    assert (k_j == k_p)[live].all() and (st_j == st_p)[live].all()
+    assert (p_j == p_p)[live].all()

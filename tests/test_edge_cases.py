@@ -73,3 +73,27 @@ def test_reads_shorter_than_kmer(world):
     tiny = FastqRead("tiny", "ACGT", "IIII")
     out = aligner.align_unpaired([tiny])
     assert out == [None]
+
+
+def test_n_run_reference_alignment(tmp_path, rng):
+    """Haplotypes with N runs (real MHC assemblies have them): reads around
+    and across the run must still align; N is an unalignable wall inside
+    the NW band (segmented-cummax semantics)."""
+    from hla_la_tpu.io.fastq import FastqRead
+    from hla_la_tpu.models.aligner import ReadAligner
+    from hla_la_tpu.tools import graph_from_mfa
+
+    base = "".join(rng.choice(list("ACGT"), 1200))
+    h1 = base[:500] + "N" * 30 + base[530:]
+    h2 = (base[:200] + "T" + base[201:500] + "N" * 30 + base[530:900]
+          + "G" + base[901:])
+    mfa = tmp_path / "p.mfa"
+    mfa.write_text(f">h1\n{h1}\n>h2\n{h2}\n")
+    pkg = graph_from_mfa(str(mfa), str(tmp_path / "g"))
+    al = ReadAligner(pkg)
+    rl = 90
+    reads = [FastqRead(f"r{s}", h1[s:s + rl], "I" * rl)
+             for s in range(0, len(h1) - rl, 17)]
+    out = al.align_unpaired(reads)
+    n_ok = sum(1 for o in out if o is not None)
+    assert n_ok > len(reads) * 0.8

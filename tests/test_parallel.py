@@ -99,3 +99,37 @@ def test_sharded_pair_reduction_matches_numpy():
     want = pair_ll_reduction_numpy(L)
     got = pair_ll_reduction(L, backend="sharded")
     assert np.allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_mesh_steps_compile_and_run():
+    """sharded_align_step and sharded_typing_step must compile and produce
+    correct shapes/values on the virtual device mesh."""
+    import numpy as np
+
+    from hla_la_tpu.parallel.mesh import (make_mesh, sharded_align_step,
+                                          sharded_typing_step)
+    from hla_la_tpu.ops.banded_nw import banded_nw_forward
+
+    mesh = make_mesh(4, 2)
+    L, W, B = 32, 8, 8
+    rng = np.random.default_rng(2)
+    reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    lens = np.full(B, L, dtype=np.int64)
+    step = sharded_align_step(mesh, L, W)
+    scores = np.asarray(step(reads, lens, refs))
+    want, _, _, _ = banded_nw_forward(reads, lens, refs, use_native=False)
+    assert np.allclose(scores, want, atol=1e-4)
+
+    C, R, K = 4, 8, 12
+    onehot = rng.random((C, K)).astype(np.float32)
+    contrib = rng.random((R, K)).astype(np.float32)
+    tstep = sharded_typing_step(mesh)
+    pair, marg = tstep(onehot, contrib)
+    assert np.asarray(pair).shape == (C, C)
+    assert np.asarray(marg).shape == (C,)
+    ll = onehot @ contrib.T
+    d = np.abs(ll[:, None, :] - ll[None, :, :])
+    want_pair = (np.maximum(ll[:, None, :], ll[None, :, :])
+                 + np.log1p(np.exp(-d)) + np.log(0.5)).sum(axis=2)
+    assert np.allclose(np.asarray(pair), want_pair, rtol=1e-4, atol=1e-4)

@@ -535,10 +535,6 @@ def action_kir_simulation(args) -> int:
     return 0 if ok else 1
 
 
-if __name__ == "__main__":
-    sys.exit(main())
-
-
 def action_graph_from_mfa(args) -> int:
     """Build a graph package from a multiple-FASTA alignment
     (Perl/graphFromMFA.pl equivalent).  --ASMfasta = input MFA,
@@ -652,3 +648,5 @@ def action_test_chain_extension(args) -> int:
             n_ext += 1
     print(f"testChainExtension: {n_ext} chains re-extended via graph DP — OK")
     return 0
+if __name__ == "__main__":
+    sys.exit(main())

@@ -600,8 +600,10 @@ def action_test_alignments2chains(args) -> int:
     fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
     out = aligner.align_pairs(fq, 280, 25)
     n_checked = 0
+    by_name = {r1.name: (r1, r2) for (r1, r2) in fq}
     for ap in out:
-        for chain, read in ((ap.chain1, fq[0][0]), (ap.chain2, fq[0][1])):
+        r1, r2 = by_name[ap.read_id]
+        for chain, read in ((ap.chain1, r1), (ap.chain2, r2)):
             lv = chain.levels[chain.levels >= 0]
             assert (np.diff(lv) >= 0).all(), "levels must be nondecreasing"
             n_checked += 1

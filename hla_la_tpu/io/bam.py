@@ -45,6 +45,8 @@ def _iter_bgzf_blocks(fh) -> Iterator[bytes]:
         if bsize is None:
             raise ValueError("missing BGZF BC subfield")
         cdata_len = bsize - xlen - 19
+        if cdata_len < 0:
+            raise ValueError("corrupt BGZF block (BSIZE smaller than header)")
         cdata = fh.read(cdata_len)
         fh.read(8)  # crc32 + isize
         if cdata_len == 2 and cdata == b"\x03\x00":
@@ -355,7 +357,10 @@ def _extract_reads_packed(bam_path, regions, include_unmapped):
         return None
     rd = BamReader(bam_path)
     contigs = rd.contigs()
-    if not rd._buf:
+    if rd._blocks is not None or not rd._buf:
+        # native inflate failed or unavailable: rd._buf holds at most the
+        # lazily-loaded first block, NOT the whole stream — treating it as
+        # such silently truncates the file (verified r2 regression)
         rd.close()
         return None
     stream = rd._buf[rd._pos:]

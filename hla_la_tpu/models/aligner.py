@@ -99,7 +99,13 @@ class ReadAligner:
         import os
         cache = os.path.join(self.pkg.dir, "mapping_PRGonly",
                              f"kmerIndex_k{kmer_k}.npz")
-        src = os.path.join(self.pkg.dir, "sequences.txt")
+        # freshness source = the actual sequence content input: the PRG-only
+        # FASTA when present, else sequences.txt (ADVICE r1: sequences.txt
+        # mtime misses FASTA regeneration)
+        src = os.path.join(self.pkg.dir, "mapping_PRGonly",
+                           "referenceGenome.fa")
+        if not os.path.exists(src):
+            src = os.path.join(self.pkg.dir, "sequences.txt")
         try:
             if (os.path.exists(cache) and os.path.exists(src)
                     and os.path.getmtime(cache) >= os.path.getmtime(src)):
@@ -620,6 +626,13 @@ class ReadAligner:
                 hist[d] = hist.get(d, 0.0) + w
             used += 1
         if not hist:
+            # the reference dies here (estimateInsertSize asserts a non-empty
+            # histogram, processBAM.cpp:1071-1182); we fall back but loudly
+            import sys
+            print("WARNING: insert-size estimation found no usable proper "
+                  "pairs — falling back to (mean=300, sd=100); pair selection "
+                  "and the typer's insert gate may be miscalibrated",
+                  file=sys.stderr, flush=True)
             return 300.0, 100.0
         return insert_size_from_histogram(hist)
 

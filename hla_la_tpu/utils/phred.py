@@ -45,7 +45,7 @@ def p_correct_to_phred_char(p_correct: float) -> int:
     return int(round(phred + 33))
 
 
-_TABLE_CACHE: dict[tuple[bool, float], np.ndarray] = {}
+_TABLE_CACHE: dict[tuple[float, float], np.ndarray] = {}
 
 
 def phred_to_p_correct_table(conservative_cap: float | None = 0.999,
@@ -58,7 +58,8 @@ def phred_to_p_correct_table(conservative_cap: float | None = 0.999,
     value rather than the reference's -1 sentinel (batched code masks those
     positions out before scoring).
     """
-    key = (conservative_cap is not None, floor if floor is not None else -1.0)
+    key = (conservative_cap if conservative_cap is not None else -1.0,
+           floor if floor is not None else -1.0)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

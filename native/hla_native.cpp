@@ -52,6 +52,7 @@ int hla_bgzf_inflate_all(const uint8_t* data, int64_t len,
         if (bsize < 0) return -3;
         int64_t cdata_off = extra_off + xlen;
         int64_t cdata_len = bsize - 12 - xlen - 8;
+        if (cdata_len < 0) return -4;  // corrupt BSIZE: would wrap uInt cast below
         if (cdata_off + cdata_len + 8 > len) return -4;
         uint32_t isize;
         std::memcpy(&isize, data + cdata_off + cdata_len + 4, 4);

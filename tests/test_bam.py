@@ -116,6 +116,59 @@ def test_corrupted_bam_streams_do_not_crash(tmp_path, rng):
         native.bam_parse_packed(bytes(b))
 
 
+def test_corrupt_bgzf_bsize_rejected(tmp_path):
+    """BGZF block with BSIZE < 12+xlen+8 (negative cdata_len) must be
+    rejected, not cast to a huge uInt avail_in (ADVICE r1, medium)."""
+    import io
+    import struct
+
+    import pytest
+
+    import hla_la_tpu.native as native
+    from hla_la_tpu.io.bam import _iter_bgzf_blocks
+
+    # craft a BGZF header whose BC BSIZE field is too small: xlen=6,
+    # BSIZE-1 = 10  ->  cdata_len = 11 - 6 - 19 = -14
+    header = struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+    extra = struct.pack("<BBHH", 66, 67, 2, 10)
+    blob = header + extra + b"\x00" * 64
+    with pytest.raises(ValueError):
+        list(_iter_bgzf_blocks(io.BytesIO(blob)))
+    if native.available():
+        assert native.bgzf_inflate_all(blob) is None
+
+
+def test_tail_corrupt_bam_raises_not_truncates(tmp_path):
+    """When native BGZF inflate rejects a corrupt tail block, extraction
+    must raise — not silently parse only the lazily-loaded first block
+    (r2 regression: 327/348 reads silently returned)."""
+    import struct
+
+    import pytest
+
+    from hla_la_tpu.io.bam import BamRecord, BamWriter, extract_reads
+
+    path = str(tmp_path / "t.bam")
+    w = BamWriter(path, [("c", 100000)])
+    for i in range(2000):  # enough to span >1 BGZF block
+        w.write(BamRecord(name=f"r{i}", flag=0, ref_id=0, pos=i, mapq=60,
+                          cigar=[(40, 0)], seq="ACGT" * 10, qual="I" * 40))
+    w.close()
+    by_name, _ = extract_reads(path, None)
+    assert sum(len(v) for v in by_name.values()) == 2000
+    data = bytearray(open(path, "rb").read())
+    # corrupt the BSIZE of the final (terminator) block
+    off, last = 0, None
+    while off + 18 <= len(data):
+        bsize = struct.unpack_from("<H", data, off + 16)[0] + 1
+        last = off
+        off += bsize
+    struct.pack_into("<H", data, last + 16, 10)
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        extract_reads(path, None)
+
+
 def test_extract_reads_packed_matches_python(tmp_path, rng):
     """The vectorised packed extraction must match the record-by-record
     path for every region/unmapped combination."""

@@ -132,16 +132,25 @@ def action_hla(args) -> int:
         from .io.bam import BamReader
         # header only: stream (the native path would inflate the whole file)
         contigs = BamReader(args.BAM, use_native=False).contigs()
+        # knownReferences specs are written against `samtools idxstats`
+        # output, which always ends with a `*  0` unmapped line
+        # (HLA-LA.pl:259-277) — add it so real specs can match
+        idx_contigs = dict(contigs)
+        idx_contigs.setdefault("*", 0)
         more = [args.moreReferencesDir] if args.moreReferencesDir else []
-        spec_path = pkg.match_known_reference(contigs, more)
-        regions = None
+        spec_path = pkg.match_known_reference(idx_contigs, more)
+        if spec_path is None and "*" not in contigs:
+            # simulated/legacy specs without the `*` row
+            spec_path = pkg.match_known_reference(contigs, more)
+        regions, include_unmapped = None, True
         if spec_path is not None:
             log_progress(f"matched known reference {spec_path}")
-            regions = _regions_from_spec(pkg, spec_path)
+            regions, include_unmapped = _regions_from_spec(pkg, spec_path)
         else:
             log_progress("WARNING: BAM reference not in knownReferences — "
                          "extracting ALL reads")
-        by_name, _ = extract_reads(args.BAM, regions)
+        by_name, _ = extract_reads(args.BAM, regions,
+                                   include_unmapped=include_unmapped)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         if args.longReads:
             unpaired += [r for p in pairs for r in p]
@@ -286,9 +295,20 @@ def action_validate(args) -> int:
 
 
 def _regions_from_spec(pkg, spec_path: str):
-    """knownReferences spec rows -> extraction regions (HLA-LA.pl:374-412)."""
+    """knownReferences spec rows -> extraction regions (HLA-LA.pl:374-412).
+
+    Parses the spec file directly: the matched spec may live in a
+    --moreReferencesDir outside the package (r2 fix — the old lookup in the
+    package's own dir raised KeyError for those)."""
+    spec = pkg.known_references([os.path.dirname(spec_path)])[spec_path]
     regions = []
-    for cid, rec in pkg.known_references()[spec_path].items():
+    include_unmapped = False
+    for cid, rec in spec.items():
+        if cid == "*":
+            # the idxstats unmapped pseudo-contig: ExtractCompleteContig=1
+            # means "also extract unmapped reads" (HLA-LA.pl:336-340, 415)
+            include_unmapped = rec.get("ExtractCompleteContig") in ("1", "yes")
+            continue
         if rec.get("ExtractCompleteContig") in ("1", "yes"):
             regions.append((cid, 0, 0))
         else:
@@ -296,7 +316,7 @@ def _regions_from_spec(pkg, spec_path: str):
             stop = rec.get("PartialExtraction_Stop") or ""
             if start and stop:
                 regions.append((cid, int(start) - 1, int(stop)))
-    return regions
+    return regions, include_unmapped
 
 
 def _split_long_reads(reads, chunk: int = 50000):

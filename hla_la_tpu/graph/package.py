@@ -283,8 +283,18 @@ class GraphPackage:
         path or None."""
         matches = []
         for path, contigs in self.known_references(more_dirs).items():
-            spec = {cid: int(rec["contigLength"]) for cid, rec in contigs.items()}
-            if spec == bam_contigs:
+            spec = {}
+            for cid, rec in contigs.items():
+                try:
+                    spec[cid] = int(rec["contigLength"])
+                except (ValueError, KeyError):
+                    # malformed row (e.g. a line of bare tabs in the shipped
+                    # Additional_B38_3.txt): the Perl driver counts it as a
+                    # contig that can never match, making the spec
+                    # unmatchable (HLA-LA.pl:315-359) — mirror that
+                    spec = None
+                    break
+            if spec is not None and spec == bam_contigs:
                 matches.append(path)
         if len(matches) == 1:
             return matches[0]

@@ -1,0 +1,279 @@
+"""Tests against the REAL reference data files (read-only fixtures mounted at
+/root/reference — data files, not code): the full IPD-IMGT/HLA 3.32.0
+G-group nomenclature, all 18 shipped knownReferences specs, the NA12878
+empirical quality matrix, and the shipped golden output table.
+
+These close VERDICT r1 item 1(a): every parser that will face the real
+package is exercised on the real on-disk formats, not just simulated ones.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+NOM_G = os.path.join(REF, "hla_nom_g.txt")
+KNOWN_DIR = os.path.join(REF, "additionalReferences", "PRG_MHC_GRCh38_withIMGT")
+QMAT = os.path.join(REF, "simulator", "predefinedQualityMatrices",
+                    "I101_NA12878.txt")
+GOLDEN = os.path.join(REF, "NA12878_example_output_G.txt")
+
+needs_ref = pytest.mark.skipif(not os.path.isdir(REF),
+                               reason="reference data not mounted")
+
+
+def _typer_with_real_g(tmp_path, rng):
+    from hla_la_tpu.models.typer import HLATyper
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    sim = simulate_prg_package(rng, backbone_length=400)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    return HLATyper(pkg, g_nomenclature_path=NOM_G)
+
+
+@needs_ref
+def test_real_hla_nom_g_parses_completely(tmp_path, rng):
+    """The real 15,695-line nomenclature file parses into the same structure
+    the reference's read_G_alleles builds (HLATyper.cpp:4153-4209)."""
+    typer = _typer_with_real_g(tmp_path, rng)
+    m = typer._load_g()
+    # every non-comment line contributes at least one allele mapping
+    n_data_lines = sum(1 for line in open(NOM_G)
+                       if line.strip() and not line.startswith("#"))
+    assert n_data_lines > 15000
+    assert len(m) >= n_data_lines  # multi-allele groups add more than one
+    # all 17 typed loci (+ more) are G-translatable
+    for locus in ("A", "B", "C", "DQA1", "DQB1", "DRB1", "DPA1", "DPB1",
+                  "DRB3", "DRB4"):
+        assert typer.can_translate_locus(locus), locus
+    # spot-check the canonical first group
+    assert m["A*01:01:01:01"] == "A*01:01:01G"
+    assert m["A*01:01:01:02N"] == "A*01:01:01G"
+    # single-allele line with empty G code maps to itself (A*;01:01:02;)
+    assert m["A*01:01:02"] == "A*01:01:02"
+    # every value is a well-formed locus-prefixed code
+    for k, v in m.items():
+        assert "*" in k and "*" in v
+
+
+@needs_ref
+def test_real_g_translation_of_golden_calls(tmp_path, rng):
+    """Each G-group called in the shipped NA12878 golden output is a real
+    group in hla_nom_g.txt, and translating its member alleles reproduces
+    exactly that G code (translate_allele_list_to_G_allele semantics,
+    HLATyper.cpp:4095-4152)."""
+    typer = _typer_with_real_g(tmp_path, rng)
+    m = typer._load_g()
+    groups: dict[str, list[str]] = {}
+    for allele, g in m.items():
+        groups.setdefault(g, []).append(allele)
+
+    golden_calls = []
+    with open(GOLDEN) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        for line in fh:
+            f = dict(zip(header, line.rstrip("\n").split("\t")))
+            golden_calls.append((f["Locus"], f["Allele"]))
+    assert len(golden_calls) == 12
+    for locus, g_allele in golden_calls:
+        assert g_allele in groups, f"{g_allele} not a known G group"
+        members = groups[g_allele]
+        translated, ok = typer.translate_to_g(members)
+        assert ok and translated == g_allele
+        # a mix of two groups must not translate cleanly
+        other = next(g for g in groups if g != g_allele
+                     and g.split("*")[0] == locus)
+        _, ok2 = typer.translate_to_g(members + groups[other])
+        assert not ok2
+
+
+@needs_ref
+def test_real_known_references_specs(tmp_path, rng):
+    """All 18 shipped knownReferences specs for PRG_MHC_GRCh38_withIMGT
+    parse, and reference auto-detection (HLA-LA.pl:259-373) uniquely
+    identifies each one from its exact (contig, length) header set."""
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    sim = simulate_prg_package(rng, backbone_length=400)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    # drop any simulated spec so only the real ones are in play
+    sim_spec = os.path.join(pkg.dir, "knownReferences", "simulated.txt")
+    if os.path.exists(sim_spec):
+        os.remove(sim_spec)
+
+    specs = pkg.known_references([KNOWN_DIR])
+    spec_files = [p for p in specs if p.startswith(KNOWN_DIR)]
+    assert len(spec_files) == 18
+    n_unique_headers = 0
+    for path in spec_files:
+        # required columns present in every row; skip malformed rows (the
+        # shipped Additional_B38_3.txt has a line of bare tabs)
+        contigs = {}
+        malformed = False
+        for cid, rec in specs[path].items():
+            for col in ("contigID", "contigLength", "ExtractCompleteContig"):
+                assert col in rec
+            if not rec["contigLength"].isdigit():
+                malformed = True
+                continue
+            contigs[cid] = int(rec["contigLength"])
+        assert contigs, path
+        if malformed:
+            # per HLA-LA.pl:315-359 this spec can never match; ours agrees
+            assert pkg.match_known_reference(contigs, [KNOWN_DIR]) != path
+            continue
+        try:
+            match = pkg.match_known_reference(contigs, [KNOWN_DIR])
+        except RuntimeError:
+            # a few shipped specs are strict subsets/duplicates of each
+            # other (e.g. B37 variants) — the reference would die the same
+            # way on an ambiguous match (HLA-LA.pl "Multiple matches")
+            continue
+        assert match == path
+        n_unique_headers += 1
+    assert n_unique_headers >= 14  # most specs are uniquely identifiable
+    # a header that matches nothing returns None
+    assert pkg.match_known_reference({"chrFake": 123}, [KNOWN_DIR]) is None
+
+
+@needs_ref
+def test_real_known_reference_extraction_regions(tmp_path, rng):
+    """PartialExtraction rows in the real B38 spec produce the same regions
+    the Perl driver extracts (HLA-LA.pl:393-465): complete contigs for
+    ExtractCompleteContig=1, (start, stop) windows otherwise."""
+    from hla_la_tpu.cli import _regions_from_spec
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    sim = simulate_prg_package(rng, backbone_length=400)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    spec = os.path.join(KNOWN_DIR, "Additional_B38.txt")
+    regions, include_unmapped = _regions_from_spec(pkg, spec)
+    # the `*  0  1` idxstats row means "extract unmapped too"
+    assert include_unmapped
+    by_contig = {}
+    for contig, start, stop in regions:
+        assert contig != "*"
+        by_contig.setdefault(contig, []).append((start, stop))
+    # chr6 MHC window is a partial extraction in this spec
+    with open(spec) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        rows = [dict(zip(header, line.rstrip("\n").split("\t")))
+                for line in fh if line.strip()]
+    for r in rows:
+        cid = r["contigID"]
+        if cid == "*":
+            continue
+        if r["ExtractCompleteContig"] == "1":
+            assert (0, 0) in by_contig.get(cid, []), cid
+        elif r.get("PartialExtraction_Start"):
+            start = int(r["PartialExtraction_Start"]) - 1
+            stop = int(r["PartialExtraction_Stop"])
+            assert (start, stop) in by_contig.get(cid, []), cid
+
+
+@needs_ref
+def test_cli_auto_detects_real_b38_reference(tmp_path, rng, capsys):
+    """End-to-end: a BAM whose header is exactly the real Additional_B38
+    contig set (incl. the idxstats `*` convention) is auto-detected, the
+    chr6 MHC window is extracted (plus unmapped), off-window reads are
+    dropped, and typing runs to completion."""
+    from hla_la_tpu.cli import main
+    from hla_la_tpu.io.bam import (BamRecord, BamWriter, FLAG_PAIRED,
+                                   FLAG_READ1, FLAG_READ2, FLAG_REVERSE,
+                                   FLAG_UNMAPPED)
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
+
+    spec_path = os.path.join(KNOWN_DIR, "Additional_B38.txt")
+    contigs = []
+    with open(spec_path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        for line in fh:
+            f = dict(zip(header, line.rstrip("\n").split("\t")))
+            if f["contigID"] != "*":
+                contigs.append((f["contigID"], int(f["contigLength"])))
+    assert len(contigs) == 194
+
+    sim = simulate_prg_package(rng, backbone_length=1500, n_haplotypes=4)
+    pkg_dir = str(tmp_path / "g")
+    sim.write_package(pkg_dir)
+
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=300, fragment_sd=25)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 8.0,
+                                               name_prefix=f"h{h}")
+    bam_path = str(tmp_path / "in.bam")
+    w = BamWriter(bam_path, contigs)
+    chr6_id = [i for i, (n, _) in enumerate(contigs) if n == "6"][0]
+    window = (28510120 - 1, 33480577)   # 0-based start
+    for i, p in enumerate(pairs):
+        for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            seq, qual = r.seq, r.qual
+            flag = FLAG_PAIRED | mate_flag
+            if r.reverse:
+                seq, qual, flag = revcomp(seq), qual[::-1], flag | FLAG_REVERSE
+            if i % 7 == 0:
+                # place a fraction as unmapped — must still be extracted
+                w.write(BamRecord(name=r.name, flag=flag | FLAG_UNMAPPED,
+                                  ref_id=-1, pos=-1, mapq=0, cigar=[],
+                                  seq=seq, qual=qual))
+            else:
+                pos = window[0] + 100 + (i * 37) % 10000
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=chr6_id,
+                                  pos=pos, mapq=60, cigar=[(len(seq), 0)],
+                                  seq=seq, qual=qual))
+    # decoy pairs OUTSIDE the MHC window — must not be extracted
+    for j in range(30):
+        seq = "".join(rng.choice(list("ACGT"), 90))
+        for mate_flag in (FLAG_READ1, FLAG_READ2):
+            w.write(BamRecord(name=f"decoy{j}", flag=FLAG_PAIRED | mate_flag,
+                              ref_id=chr6_id, pos=1000 + j * 50, mapq=60,
+                              cigar=[(90, 0)], seq=seq, qual="I" * 90))
+    w.close()
+
+    wd = str(tmp_path / "wd")
+    rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+               "--sampleID", "S", "--workingDir", wd,
+               "--moreReferencesDir", KNOWN_DIR])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert "Additional_B38.txt" in out.err + out.out
+    best = open(os.path.join(wd, "S", "hla", "R1_bestguess.txt")).read()
+    assert "A*02:01" in best or "A*01:01" in best
+    # decoy reads were dropped at extraction: readIDs file must not
+    # contain them
+    ids_files = [os.path.join(wd, "S", "hla", f)
+                 for f in os.listdir(os.path.join(wd, "S", "hla"))
+                 if "readID" in f]
+    for f in ids_files:
+        assert "decoy" not in open(f).read()
+
+
+@needs_ref
+def test_real_quality_matrix_profile(rng):
+    """The NA12878 empirical quality matrix (readLength 101) loads and
+    produces sane per-position quality distributions."""
+    from hla_la_tpu.sim.read_sim import QualityProfile
+    prof = QualityProfile.from_matrix_file(QMAT, read_length=101)
+    assert prof.read_length == 101
+    # per-position distributions are proper and over sane quality chars
+    assert prof.quality_probs.shape[0] == 101
+    np.testing.assert_allclose(prof.quality_probs.sum(axis=1), 1.0,
+                               atol=1e-6)
+    assert ((prof.quality_chars >= 33) & (prof.quality_chars < 105)).all()
+    # sampling through the simulator produces 101-char quality strings
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+    rs = ReadSimulator(rng, read_length=101, fragment_mean=300,
+                       fragment_sd=25, profile=prof)
+    src = "".join(rng.choice(list("ACGT"), 2000))
+    levels = np.arange(2000)
+    pairs = rs.simulate_pairs_from_string(src, levels, 2.0)
+    assert pairs
+    for p in pairs[:5]:
+        assert len(p.r1.qual) == 101 and len(p.r2.qual) == 101
+    # empirical accuracy at high-quality chars must beat low-quality ones
+    p = prof.p_correct
+    highs = [p[q] for q in p if q >= ord("F")]
+    lows = [p[q] for q in p if q <= ord("#")]
+    if highs and lows:
+        assert min(highs) > max(lows)

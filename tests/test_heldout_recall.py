@@ -1,0 +1,112 @@
+"""Held-out-allele recall (VERDICT r1 item 9): reads simulated from alleles
+that are ABSENT from the linearized haplotype panel (the seeder's index) must
+still seed via nearby panel haplotypes, align accurately, and type to the
+correct held-out allele.  This is the real patient situation — most patient
+alleles are not among the PRG's constituent haplotypes (README.md:24-28:
+bwa seeds against linearized graph haplotypes, i.e. never the exact allele).
+"""
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.models.pipeline import run_hla_typing
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator
+from hla_la_tpu.sim.truth import TrueReadLevels
+
+
+def _exon_columns(sim, locus):
+    return [i for i, n in enumerate(sim.column_names)
+            if f"_gene_{locus}_" in n and "_exon_" in n]
+
+
+def _splice_allele(sim, hap_idx, locus_to_allele):
+    """Aligned haplotype row with each locus's exon columns replaced by a
+    (held-out) allele's aligned exon string."""
+    row = list(sim.haplotypes[hap_idx])
+    for locus, allele in locus_to_allele.items():
+        cols = _exon_columns(sim, locus)
+        combined = sim.gene_alleles[locus][allele]
+        assert len(combined) == len(cols)
+        for idx, col in enumerate(cols):
+            row[col] = combined[idx]
+    return "".join(row)
+
+
+def _linearize(aligned_row):
+    seq, levels = [], []
+    for i, c in enumerate(aligned_row):
+        if c != "_":
+            seq.append(c)
+            levels.append(i)
+    return "".join(seq), np.asarray(levels, dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def heldout_world(tmp_path_factory):
+    rng = np.random.default_rng(20260817)
+    sim = simulate_prg_package(rng, backbone_length=3000, n_haplotypes=4,
+                               n_gene_alleles=12, allele_snp_rate=0.03,
+                               snp_rate=0.012)
+    pkg = sim.write_package(str(tmp_path_factory.mktemp("ho") / "pkg"))
+    n_panel = len(sim.haplotypes)  # rows incl. backbone == in-panel alleles
+    assert n_panel == 5
+    # alleles 06..12 are mutated copies present in the allele DB but in NO
+    # linearized haplotype; verify that for the ones we pick
+    diplotype = [
+        {"A": "A*06:01", "B": "B*08:01"},   # patient haplotype 1
+        {"A": "A*07:01", "B": "B*09:01"},   # patient haplotype 2
+    ]
+    for lta in diplotype:
+        for locus, allele in lta.items():
+            combined = sim.gene_alleles[locus][allele]
+            cols = _exon_columns(sim, locus)
+            for h in range(n_panel):
+                hap_ex = "".join(sim.haplotypes[h][c] for c in cols)
+                assert hap_ex != combined, "allele must be held out"
+    rows = [_splice_allele(sim, 1, diplotype[0]),
+            _splice_allele(sim, 2, diplotype[1])]
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=320,
+                       fragment_sd=30, with_error=True)
+    pairs = []
+    for pi, row in enumerate(rows):
+        seq, levels = _linearize(row)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 18.0,
+                                               name_prefix=f"pat{pi}")
+    return sim, pkg, pairs, diplotype
+
+
+def test_heldout_seeding_recall(heldout_world):
+    """≥95% of read pairs from a never-seen allele still align, with
+    truth-level accuracy ≥97% (the seeder must recover from ~3% exon
+    divergence against every panel haplotype)."""
+    from hla_la_tpu.models.aligner import ReadAligner
+    sim, pkg, pairs, _ = heldout_world
+    truth = TrueReadLevels({})
+    for p in pairs:
+        truth.truth[p.r1.name + "/1"] = p.r1.levels
+        truth.truth[p.r2.name + "/2"] = p.r2.levels
+    aligner = ReadAligner(pkg)
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    mean, sd = aligner.estimate_insert_size(fq)
+    out = aligner.align_pairs(fq, mean, sd, truth=truth)
+    recall = len(out) / len(pairs)
+    assert recall >= 0.95, f"recall {recall}"
+    assert truth.total > 0
+    assert truth.accuracy() >= 0.97, f"level accuracy {truth.accuracy()}"
+
+
+def test_heldout_typing_calls(heldout_world):
+    """The typer calls exactly the held-out diplotype at both loci."""
+    sim, pkg, pairs, diplotype = heldout_world
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    import tempfile
+    with tempfile.TemporaryDirectory() as out_dir:
+        res = run_hla_typing(pkg, pairs=fq, output_dir=out_dir)
+    by_locus = {r.locus: r for r in res.results}
+    for locus in ("A", "B"):
+        want = sorted(d[locus] for d in diplotype)
+        got = sorted([by_locus[locus].allele1_id, by_locus[locus].allele2_id])
+        assert got == want, f"{locus}: called {got}, truth {want}"
+        assert by_locus[locus].q1_allele1 > 0.9
+        assert by_locus[locus].q1_allele2 > 0.9

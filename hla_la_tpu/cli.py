@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "numpy", "jax", "sharded"])
     ap.add_argument("--moreReferencesDir", default=None)
+    ap.add_argument("--ref", help="reference genome FASTA (required to "
+                    "decode reference-based CRAM input)")
     ap.add_argument("--outputDirectory", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--trueHLA", help="truth table for concordance evaluation")
@@ -129,9 +131,18 @@ def action_hla(args) -> int:
     pairs, unpaired = [], []
     if args.BAM:
         log_progress(f"extracting reads from {args.BAM}")
-        from .io.bam import BamReader
-        # header only: stream (the native path would inflate the whole file)
-        contigs = BamReader(args.BAM, use_native=False).contigs()
+        from .io.bam import BamReader, is_cram
+        cram_reference = None
+        if is_cram(args.BAM):
+            if args.ref:
+                from .io.fasta import read_fasta
+                cram_reference = read_fasta(args.ref)
+            from .io.cram import CramReader
+            contigs = CramReader(args.BAM,
+                                 reference=cram_reference).contigs()
+        else:
+            # header only: stream (native would inflate the whole file)
+            contigs = BamReader(args.BAM, use_native=False).contigs()
         # knownReferences specs are written against `samtools idxstats`
         # output, which always ends with a `*  0` unmapped line
         # (HLA-LA.pl:259-277) — add it so real specs can match
@@ -150,7 +161,8 @@ def action_hla(args) -> int:
             log_progress("WARNING: BAM reference not in knownReferences — "
                          "extracting ALL reads")
         by_name, _ = extract_reads(args.BAM, regions,
-                                   include_unmapped=include_unmapped)
+                                   include_unmapped=include_unmapped,
+                                   cram_reference=cram_reference)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         if args.longReads:
             unpaired += [r for p in pairs for r in p]

@@ -305,23 +305,35 @@ def record_to_fastq(r: BamRecord):
     return FastqRead(r.name, seq, qual)
 
 
+def is_cram(path: str) -> bool:
+    with open(path, "rb") as fh:
+        return fh.read(4) == b"CRAM"
+
+
 def extract_reads(bam_path: str,
                   regions: list[tuple[str, int, int]] | None,
-                  include_unmapped: bool = True, with_tags: bool = False):
+                  include_unmapped: bool = True, with_tags: bool = False,
+                  cram_reference=None):
     """Extract primary records overlapping `regions` (contig, start0, stop0;
     stop=0 means whole contig) plus unmapped reads — the HLA-LA.pl
-    extraction step (HLA-LA.pl:393-465) without samtools.  Returns
-    ({name: [records]}, contigs).
+    extraction step (HLA-LA.pl:393-465) without samtools.  Accepts BAM or
+    CRAM input (HLA-LA.pl:221-229); CRAM needs `cram_reference` (dict or
+    (name, start, end) callable) unless the slices embed their reference.
+    Returns ({name: [records]}, contigs).
 
-    The default path filters on the native packed arrays (vectorised over
-    all records) and materialises BamRecord objects only for the selected
-    reads; pass with_tags=True to force the record-by-record path, which
-    preserves optional tag bytes (the packed parser drops them)."""
-    if not with_tags:
-        res = _extract_reads_packed(bam_path, regions, include_unmapped)
-        if res is not None:
-            return res
-    rd = BamReader(bam_path)
+    The default BAM path filters on the native packed arrays (vectorised
+    over all records) and materialises BamRecord objects only for the
+    selected reads; pass with_tags=True to force the record-by-record path,
+    which preserves optional tag bytes (the packed parser drops them)."""
+    if is_cram(bam_path):
+        from .cram import CramReader
+        rd = CramReader(bam_path, reference=cram_reference)
+    else:
+        if not with_tags:
+            res = _extract_reads_packed(bam_path, regions, include_unmapped)
+            if res is not None:
+                return res
+        rd = BamReader(bam_path)
     name_to_id = {n: i for i, (n, _) in enumerate(rd.references)}
     wanted: dict[int, list[tuple[int, int]]] = {}
     if regions:

@@ -1,0 +1,203 @@
+"""CRAM 3.0 codec tests: rANS block codec, container/encoding round-trips,
+reference-based reconstruction, mates, multi-slice, and CRAM input through
+extract_reads and the full CLI (HLA-LA.pl:221-229 accepts BAM or CRAM)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.io import rans
+from hla_la_tpu.io.bam import (BamRecord, extract_reads, FLAG_PAIRED,
+                               FLAG_READ1, FLAG_READ2, FLAG_REVERSE,
+                               FLAG_UNMAPPED)
+from hla_la_tpu.io.cram import CramReader, read_itf8, read_ltf8, write_itf8, \
+    write_ltf8
+from hla_la_tpu.io.cram_write import write_cram, M_GZIP, M_RANS4x8
+
+
+def test_itf8_ltf8_round_trip():
+    for v in (0, 1, 127, 128, 255, 16383, 16384, (1 << 21) - 1, 1 << 21,
+              (1 << 28) - 1, 1 << 28, (1 << 31) - 1, -1, -100, -(1 << 31)):
+        buf = write_itf8(v)
+        got, pos = read_itf8(buf, 0)
+        assert got == v and pos == len(buf), v
+    for v in (0, 127, 128, (1 << 14) - 1, 1 << 20, 1 << 35, (1 << 56) - 1,
+              1 << 56, (1 << 63) - 1):
+        buf = write_ltf8(v)
+        got, pos = read_ltf8(buf, 0)
+        assert got == v and pos == len(buf), v
+
+
+def test_rans_round_trip(rng):
+    cases = [b"", b"A", b"AAAA" * 100,
+             bytes(rng.integers(0, 256, 10000, dtype=np.uint8)),
+             bytes(rng.choice([65, 67, 71, 84], 33333).astype(np.uint8)),
+             bytes(rng.integers(33, 75, 4097, dtype=np.uint8))]
+    for order in (0, 1):
+        for data in cases:
+            assert rans.uncompress(rans.compress(data, order)) == data
+
+
+@pytest.fixture
+def world(rng):
+    ref = {"c1": "".join(rng.choice(list("ACGT"), 5000)),
+           "c2": "".join(rng.choice(list("ACGT"), 3000))}
+    contigs = [("c1", 5000), ("c2", 3000)]
+
+    def mk(name, rid, pos, L=60, muts=2, flag=0, cigar=None, seq=None,
+           qual=None):
+        if seq is None:
+            s = list(ref[contigs[rid][0]][pos:pos + L])
+            for _ in range(muts):
+                i = int(rng.integers(0, L))
+                s[i] = "ACGT"[("ACGT".index(s[i]) + 1) % 4]
+            seq = "".join(s)
+        if qual is None:
+            qual = "".join(chr(int(q)) for q in rng.integers(35, 70,
+                                                             len(seq)))
+        return BamRecord(name=name, flag=flag, ref_id=rid, pos=pos, mapq=60,
+                         cigar=cigar or [(len(seq), 0)], seq=seq, qual=qual)
+
+    recs = [mk("r1", 0, 100)]
+    recs += [mk("p1", 0, 200, flag=FLAG_PAIRED | FLAG_READ1),
+             mk("p1", 0, 500, flag=FLAG_PAIRED | FLAG_READ2 | FLAG_REVERSE)]
+    # indels + softclip + N base (forces a 'B' feature)
+    seq = (ref["c1"][800:820] + "TTTT" + ref["c1"][820:840]
+           + ref["c1"][845:860] + "N" + "GGGG")
+    recs.append(mk("indel", 0, 800,
+                   cigar=[(20, 0), (4, 1), (20, 0), (5, 2), (16, 0), (4, 4)],
+                   seq=seq))
+    recs.append(BamRecord(name="u1", flag=FLAG_UNMAPPED, ref_id=-1, pos=-1,
+                          mapq=0, cigar=[], seq="ACGTACGTAC",
+                          qual="IIIIIIIIII"))
+    recs.append(mk("on_c2", 1, 50))
+    return ref, contigs, recs
+
+
+@pytest.mark.parametrize("method", [M_GZIP, M_RANS4x8])
+def test_cram_round_trip(tmp_path, world, method):
+    ref, contigs, recs = world
+    path = str(tmp_path / "t.cram")
+    write_cram(path, contigs, recs, ref, method=method)
+    rd = CramReader(path, reference=ref)
+    got = list(rd)
+    assert len(got) == len(recs)
+    for orig, dec in zip(recs, got):
+        assert (dec.name, dec.seq, dec.qual, dec.pos, dec.ref_id,
+                dec.mapq) == (orig.name, orig.seq, orig.qual, orig.pos,
+                              orig.ref_id, orig.mapq)
+        if not (orig.flag & FLAG_UNMAPPED):
+            assert dec.cigar == orig.cigar
+        # per-record flags preserved (mate bits may be patched on)
+        for bit in (FLAG_PAIRED, FLAG_READ1, FLAG_READ2, FLAG_REVERSE,
+                    FLAG_UNMAPPED):
+            assert bool(dec.flag & bit) == bool(orig.flag & bit)
+
+
+def test_cram_embedded_reference(tmp_path, world, rng):
+    """Slices with an embedded reference decode with reference=None."""
+    ref, contigs, _ = world
+    recs = []
+    for i in range(40):
+        pos = 100 + i * 30
+        s = list(ref["c1"][pos:pos + 50])
+        s[int(rng.integers(0, 50))] = "N"
+        recs.append(BamRecord(name=f"e{i}", flag=0, ref_id=0, pos=pos,
+                              mapq=30, cigar=[(50, 0)], seq="".join(s),
+                              qual="H" * 50))
+    path = str(tmp_path / "emb.cram")
+    write_cram(path, contigs, recs, ref, embed_reference=True)
+    got = list(CramReader(path, reference=None))
+    assert [r.seq for r in got] == [r.seq for r in recs]
+
+
+def test_cram_requires_reference(tmp_path, world):
+    ref, contigs, recs = world
+    path = str(tmp_path / "t.cram")
+    write_cram(path, contigs, recs, ref)
+    with pytest.raises(ValueError, match="reference"):
+        list(CramReader(path, reference=None))
+
+
+def test_cram_multi_slice_and_extract(tmp_path, world):
+    """Records split across multiple slices/containers; extraction filters
+    regions exactly like the BAM path."""
+    ref, contigs, _ = world
+    recs = []
+    for i in range(100):
+        pos = 10 + i * 40
+        rid = 0 if pos + 60 < 5000 else 1
+        if rid == 1:
+            pos = pos % 2000
+        recs.append(BamRecord(name=f"m{i}", flag=0, ref_id=rid, pos=pos,
+                              mapq=60, cigar=[(60, 0)],
+                              seq=ref[contigs[rid][0]][pos:pos + 60],
+                              qual="I" * 60))
+    path = str(tmp_path / "ms.cram")
+    write_cram(path, contigs, recs, ref, per_slice=17)
+    got = list(CramReader(path, reference=ref))
+    assert len(got) == 100
+    assert [r.name for r in got] == [r.name for r in recs]
+    # region extraction via the shared entry point
+    by_name, cts = extract_reads(path, [("c1", 0, 1000)],
+                                 include_unmapped=False, cram_reference=ref)
+    names = set(by_name)
+    want = {r.name for r in recs
+            if r.ref_id == 0 and r.pos < 1000 and r.pos + 60 > 0}
+    assert names == want
+    assert cts == dict(contigs)
+
+
+def test_cram_through_cli(tmp_path, rng, capsys):
+    """Full HLA action with CRAM input + --ref (the HLA-LA.pl contract)."""
+    from hla_la_tpu.cli import main
+    from hla_la_tpu.io.fasta import write_fasta
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
+
+    sim = simulate_prg_package(rng, backbone_length=1800, n_haplotypes=4)
+    pkg_dir = str(tmp_path / "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+
+    # fake genome for chr6: random bases (reads are stored verbatim via
+    # substitution/B features against it)
+    genome = {"chr6": "".join(rng.choice(list("ACGT"), contig_len))}
+    ref_fa = str(tmp_path / "genome.fa")
+    write_fasta(ref_fa, genome)
+
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=300,
+                       fragment_sd=25)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 8.0,
+                                               name_prefix=f"h{h}")
+    recs = []
+    for i, p in enumerate(pairs):
+        for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            seq, qual = r.seq, r.qual
+            flag = FLAG_PAIRED | mate_flag
+            if r.reverse:
+                seq, qual, flag = revcomp(seq), qual[::-1], \
+                    flag | FLAG_REVERSE
+            recs.append(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=1000 + i * 3, mapq=60,
+                                  cigar=[(len(seq), 0)], seq=seq,
+                                  qual=qual))
+    cram_path = str(tmp_path / "in.cram")
+    write_cram(cram_path, [("chr6", contig_len)], recs, genome,
+               per_slice=500, method=M_RANS4x8)
+
+    wd = str(tmp_path / "wd")
+    rc = main(["--action", "HLA", "--BAM", cram_path, "--graph", pkg_dir,
+               "--sampleID", "S", "--workingDir", wd, "--ref", ref_fa])
+    assert rc == 0
+    best = open(os.path.join(wd, "S", "hla", "R1_bestguess.txt")).read()
+    assert "A*02:01" in best and "A*03:01" in best

@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--moreReferencesDir", default=None)
     ap.add_argument("--ref", help="reference genome FASTA (required to "
                     "decode reference-based CRAM input)")
+    ap.add_argument("--mapAgainstCompleteGenome", type=int, default=0,
+                    help="1 = paralog defense via decoy index over the "
+                    "package's extendedReferenceGenome (HLA-LA.cpp:617)")
+    ap.add_argument("--decoyFasta", default="",
+                    help="explicit decoy genome FASTA for the paralog "
+                    "defense (overrides extendedReferenceGenome)")
     ap.add_argument("--outputDirectory", default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--trueHLA", help="truth table for concordance evaluation")
@@ -180,7 +186,10 @@ def action_hla(args) -> int:
 
     cfg = RunConfig(graph_dir=args.graph, sample_id=args.sampleID,
                     working_dir=args.workingDir, long_reads=args.longReads,
-                    max_threads=args.maxThreads)
+                    max_threads=args.maxThreads,
+                    map_against_complete_genome=bool(
+                        args.mapAgainstCompleteGenome),
+                    decoy_fasta=args.decoyFasta)
     res = run_hla_typing(pkg, pairs=pairs, unpaired=unpaired,
                          output_dir=out_dir, cfg=cfg, backend=args.backend)
     log_progress(f"typing complete: {len(res.results)} loci -> "

@@ -250,6 +250,22 @@ class GraphPackage:
                 os.path.join(self.dir, "mapping_PRGonly", "referenceGenome.fa"))
         return self._prg_fasta
 
+    def extended_reference_path(self) -> str | None:
+        """Whole genome + PRG contigs (mapAgainstCompleteGenome target,
+        processBAM.cpp:69-86): extendedReferenceGenome/*.fa in the package,
+        or the pointer file extendedReferenceGenomePath.txt."""
+        p = os.path.join(self.dir, "extendedReferenceGenome",
+                         "extendedReferenceGenome.fa")
+        if os.path.exists(p):
+            return p
+        ptr = os.path.join(self.dir, "extendedReferenceGenomePath.txt")
+        if os.path.exists(ptr):
+            with open(ptr) as fh:
+                path = fh.read().strip()
+            if path and os.path.exists(path):
+                return path
+        return None
+
     # ------------------------------------------------------ knownReferences
     def known_references(self, more_dirs: list[str] = ()) -> dict[str, dict]:
         """Parse knownReferences/*.txt (+ extra dirs): each file is a TSV with

@@ -25,23 +25,29 @@ from .alignment import GraphAlignment, score_alignment
 GAP = ord("_")
 
 
-def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray
+def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray,
+                   lv_lo: int = 0, lv_hi: int | None = None
                    ) -> np.ndarray | None:
-    """Node entered at each level (array [n_levels]) for the path that emits
-    this haplotype (char at its levels, '_' elsewhere).  BFS with parent
-    pointers; returns None if the haplotype is not a graph path."""
+    """Node entered at each level in [lv_lo, lv_hi] (default whole graph)
+    for a path that emits this haplotype (char at its levels, '_'
+    elsewhere).  BFS with parent pointers from every node at lv_lo (any
+    consistent path through the window); returns None if none exists.
+    Windowing keeps realignment O(read window), not O(graph), on
+    multi-M-level PRGs."""
     n_levels = cprg.n_levels
+    if lv_hi is None:
+        lv_hi = n_levels - 1
     row = np.full(n_levels - 1, GAP, dtype=np.uint8)
     row[hap_levels] = np.frombuffer(hap_seq.encode(), dtype=np.uint8)
 
     from .. import native
     if native.available():
-        return native.walk_haplotype(cprg, row)
+        return native.walk_haplotype(cprg, row, lv_lo, lv_hi)
 
-    frontier = {int(n): None for n in range(cprg.level_offsets[0],
-                                            cprg.level_offsets[1])}
+    frontier = {int(n): None for n in range(cprg.level_offsets[lv_lo],
+                                            cprg.level_offsets[lv_lo + 1])}
     parents: list[dict[int, int | None]] = [dict(frontier)]
-    for lv in range(n_levels - 1):
+    for lv in range(lv_lo, lv_hi):
         want = row[lv]
         nxt: dict[int, int] = {}
         for node in frontier:
@@ -55,13 +61,13 @@ def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray
             return None
         parents.append(nxt)
         frontier = nxt
-    # backtrack one complete path
-    path = np.empty(n_levels, dtype=np.int64)
+    # backtrack one complete path over the window
+    path = np.empty(lv_hi - lv_lo + 1, dtype=np.int64)
     node = next(iter(frontier))
-    for lv in range(n_levels - 1, -1, -1):
-        path[lv] = node
-        node = parents[lv][node]
-        if node is None and lv > 0:
+    for i in range(lv_hi - lv_lo, -1, -1):
+        path[i] = node
+        node = parents[i][node]
+        if node is None and i > 0:
             return None
     return path
 
@@ -74,11 +80,24 @@ class GraphRealigner:
         self.hap_levels = hap_levels
         self._paths: dict[int, np.ndarray | None] = {}
 
-    def _node_path(self, hap_idx: int) -> np.ndarray | None:
-        if hap_idx not in self._paths:
-            self._paths[hap_idx] = walk_haplotype(
-                self.cprg, self.hap_seqs[hap_idx], self.hap_levels[hap_idx])
-        return self._paths[hap_idx]
+    # windowed path cache: levels are bucketed into blocks so nearby reads
+    # on the same haplotype share one walk (O(block), not O(graph))
+    _BLOCK = 65536
+    _MARGIN = 2048
+
+    def _node_path_window(self, hap_idx: int, lv: int
+                          ) -> tuple[np.ndarray, int] | None:
+        """(path, lv_lo) covering at least [lv - MARGIN, lv + MARGIN]."""
+        blk = lv // self._BLOCK
+        key = (hap_idx, blk)
+        if key not in self._paths:
+            lv_lo = max(0, blk * self._BLOCK - self._MARGIN)
+            lv_hi = min(self.cprg.n_levels - 1,
+                        (blk + 1) * self._BLOCK + self._MARGIN)
+            path = walk_haplotype(self.cprg, self.hap_seqs[hap_idx],
+                                  self.hap_levels[hap_idx], lv_lo, lv_hi)
+            self._paths[key] = (path, lv_lo) if path is not None else None
+        return self._paths[key]
 
     def realign(self, chain: GraphAlignment, hap_idx: int,
                 oriented_read: str, oriented_qual: str,
@@ -86,9 +105,6 @@ class GraphRealigner:
         """Re-align the read through the graph, anchored at the best match
         column of the linear chain.  Returns a new GraphAlignment (rescored)
         or None if no better alignment was found."""
-        path = self._node_path(hap_idx)
-        if path is None:
-            return None
         # anchor: middle-most matching column
         match_cols = np.nonzero(
             (chain.seq_c == chain.graph_c) & (chain.seq_c != GAP)
@@ -100,8 +116,13 @@ class GraphRealigner:
         # read position consumed through column c_star (0-based)
         y_after = int((chain.seq_c[:c_star + 1] != GAP).sum())
 
-        z_right = int(path[lv + 1] - self.cprg.level_offsets[lv + 1])
-        z_left = int(path[lv] - self.cprg.level_offsets[lv])
+        win = self._node_path_window(hap_idx, lv)
+        if win is None:
+            return None
+        path, lv_lo = win
+        z_right = int(path[lv + 1 - lv_lo]
+                      - self.cprg.level_offsets[lv + 1])
+        z_left = int(path[lv - lv_lo] - self.cprg.level_offsets[lv])
 
         right = extend_graph_dp(self.cprg, oriented_read, y_after, lv + 1,
                                 z_right, positive=True)

@@ -17,15 +17,20 @@ import os
 _WORKER_ALIGNER = None
 
 
-def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str):
+def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str,
+                 decoy_fasta: str = "", map_complete: bool = False):
     global _WORKER_ALIGNER
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from ..graph.package import GraphPackage
     from ..utils.config import RunConfig
     from .aligner import ReadAligner
-    cfg = RunConfig(long_reads=long_reads)
-    _WORKER_ALIGNER = ReadAligner(GraphPackage(graph_dir), cfg, band=band,
-                                  kmer_k=kmer_k, use_jax=False)
+    cfg = RunConfig(long_reads=long_reads, decoy_fasta=decoy_fasta,
+                    map_against_complete_genome=map_complete)
+    pkg = GraphPackage(graph_dir)
+    from .pipeline import build_decoy
+    decoy = build_decoy(pkg, cfg)   # cache-hit after the parent built it
+    _WORKER_ALIGNER = ReadAligner(pkg, cfg, band=band,
+                                  kmer_k=kmer_k, use_jax=False, decoy=decoy)
 
 
 def _align_chunk(args):
@@ -112,7 +117,8 @@ class ParallelAligner:
     """Drop-in align_pairs/align_unpaired over a process pool."""
 
     def __init__(self, graph_dir: str, n_workers: int, band: int = 32,
-                 kmer_k: int = 20, long_reads: str = ""):
+                 kmer_k: int = 20, long_reads: str = "",
+                 decoy_fasta: str = "", map_complete: bool = False):
         if not spawn_safe():
             raise RuntimeError(
                 "ParallelAligner needs a file-backed __main__ module "
@@ -123,7 +129,8 @@ class ParallelAligner:
         try:
             self.pool = ctx.Pool(self.n_workers, initializer=_init_worker,
                                  initargs=(graph_dir, band, kmer_k,
-                                           long_reads))
+                                           long_reads, decoy_fasta,
+                                           map_complete))
         finally:
             del os.environ["HLA_LA_IN_WORKER"]
 

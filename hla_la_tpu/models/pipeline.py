@@ -42,6 +42,29 @@ def pair_up_fastq(fq1: str, fq2: str) -> list[tuple[FastqRead, FastqRead]]:
     return out
 
 
+def build_decoy(pkg: GraphPackage, cfg: RunConfig):
+    """Decoy k-mer index for the paralog defense (mapAgainstCompleteGenome
+    equivalent).  Source: cfg.decoy_fasta if given, else the package's
+    extendedReferenceGenome (minus PRG_* contigs) when
+    cfg.map_against_complete_genome is set.  Returns DecoyIndex or None."""
+    from ..mapping.decoy import DecoyIndex
+    path = None
+    if cfg.decoy_fasta:
+        path = cfg.decoy_fasta
+    elif cfg.map_against_complete_genome:
+        path = pkg.extended_reference_path()
+        if path is None:
+            log_progress("WARNING: mapAgainstCompleteGenome requested but "
+                         "the package has no extendedReferenceGenome — "
+                         "paralog defense disabled")
+            return None
+    if path is None:
+        return None
+    from ..io.fasta import read_fasta
+    cache = os.path.join(pkg.dir, "mapping_PRGonly", "decoyIndex_k20.npz")
+    return DecoyIndex.from_fasta(read_fasta(path), cache_path=cache)
+
+
 def run_hla_typing(pkg: GraphPackage,
                    pairs: list[tuple[FastqRead, FastqRead]] | None = None,
                    unpaired: list[FastqRead] | None = None,
@@ -55,7 +78,11 @@ def run_hla_typing(pkg: GraphPackage,
     long_mode = cfg.long_reads
     os.makedirs(output_dir, exist_ok=True)
 
-    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"))
+    decoy = build_decoy(pkg, cfg)
+    if decoy is not None:
+        log_progress("paralog defense active (decoy k-mer index, "
+                     f"{len(decoy.index.seq_names)} decoy contigs)")
+    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"), decoy=decoy)
 
     insert_mean, insert_sd = 300.0, 100.0
     if pairs:
@@ -68,8 +95,10 @@ def run_hla_typing(pkg: GraphPackage,
         from .parallel_host import ParallelAligner, spawn_safe
         if spawn_safe():
             log_progress(f"aligning with {cfg.max_threads} worker processes")
-            par = ParallelAligner(pkg.dir, cfg.max_threads,
-                                  long_reads=cfg.long_reads)
+            par = ParallelAligner(
+                pkg.dir, cfg.max_threads, long_reads=cfg.long_reads,
+                decoy_fasta=cfg.decoy_fasta,
+                map_complete=cfg.map_against_complete_genome)
         else:
             log_progress("worker processes unavailable (no file-backed "
                          "__main__); aligning serially")

@@ -59,7 +59,7 @@ def _find_lib():
                 [i64] + [vp] * 11 + [i64] + [f64, f64, f64] + [vp] * 6)
             lib.hla_walk_haplotype.restype = ctypes.c_int
             lib.hla_walk_haplotype.argtypes = (
-                [vp, i64] + [vp] * 8 + [i64, vp])
+                [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
             lib.hla_seed_select.restype = None
             lib.hla_seed_select.argtypes = (
                 [vp] * 6 + [i64] * 4 + [vp] * 2)
@@ -246,13 +246,17 @@ def select_pairs(n1: np.ndarray, n2: np.ndarray, ll: np.ndarray,
     return b1, b2, pm, m1, m2, conf
 
 
-def walk_haplotype(cprg, row: np.ndarray):
+def walk_haplotype(cprg, row: np.ndarray, lv_lo: int = 0,
+                   lv_hi: int | None = None):
     """C++ haplotype walk (hla_walk_haplotype; graph_fallback.walk_haplotype
     semantics).  row: [n_levels-1] uint8 wanted emissions.  Returns the
-    [n_levels] node path or None (no path / lib unavailable)."""
+    node path over levels [lv_lo, lv_hi] (default: whole graph) or None
+    (no path / lib unavailable)."""
     lib = _find_lib()
     if lib is None:
         return None
+    if lv_hi is None:
+        lv_hi = cprg.n_levels - 1
     lo = np.ascontiguousarray(cprg.level_offsets, dtype=np.int64)
     oo = np.ascontiguousarray(cprg.out_offsets, dtype=np.int64)
     oe = np.ascontiguousarray(cprg.out_edges, dtype=np.int32)
@@ -262,11 +266,12 @@ def walk_haplotype(cprg, row: np.ndarray):
     et = np.ascontiguousarray(cprg.edge_to, dtype=np.int32)
     em = np.ascontiguousarray(cprg.edge_emission, dtype=np.uint8)
     rw = np.ascontiguousarray(row, dtype=np.uint8)
-    path = np.empty(cprg.n_levels, dtype=np.int64)
+    path = np.empty(lv_hi - lv_lo + 1, dtype=np.int64)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     ok = lib.hla_walk_haplotype(c(lo), cprg.n_levels, c(oo), c(oe),
                                 c(io_), c(ie), c(ef), c(et), c(em), c(rw),
-                                len(cprg.node_level), c(path))
+                                len(cprg.node_level), int(lv_lo), int(lv_hi),
+                                c(path))
     return path if ok else None
 
 

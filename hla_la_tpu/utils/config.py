@@ -126,6 +126,9 @@ class RunConfig:
     max_threads: int = 1
     long_reads: str = ""            # "", "ont2d", "pacbio"
     map_against_complete_genome: bool = False
+    decoy_fasta: str = ""           # explicit decoy genome for the paralog
+                                    # defense (mapAgainstCompleteGenome
+                                    # equivalent, HLA-LA.cpp:617-779)
     batch_size: int = 2048          # reads per device batch
     scoring: DPScoring = field(default_factory=DPScoring)
     likelihood: LikelihoodModel = field(default_factory=LikelihoodModel)

@@ -713,26 +713,37 @@ extern "C" int64_t hla_seed_chain(
 // Forward reachability pass over the level DAG, then one backward pick.
 // Returns 1 on success (out_path [n_levels] filled), 0 if not a graph path.
 // ---------------------------------------------------------------------------
+// Walk the haplotype emissions through the graph over the level window
+// [lv_lo, lv_hi] (inclusive of both level boundaries: out_path has
+// lv_hi - lv_lo + 1 entries, out_path[i] = node entered at level lv_lo+i).
+// The initial frontier is every node at lv_lo, so any consistent path
+// through the window is found — sufficient for anchoring the graph DP
+// (graph_fallback.realign uses the path only at the anchor level), and
+// O(window) instead of O(whole graph) on multi-M-level PRGs.
 extern "C" int hla_walk_haplotype(
     const int64_t* level_offsets, int64_t n_levels,    // [n_levels+1]
     const int64_t* out_offsets, const int32_t* out_edges,
     const int64_t* in_offsets, const int32_t* in_edges,
     const int32_t* edge_from, const int32_t* edge_to,
     const uint8_t* edge_emission,
-    const uint8_t* row,                                // [n_levels-1] wanted
+    const uint8_t* row,            // [n_levels-1] wanted emissions (global)
     int64_t n_nodes,
-    int64_t* out_path) {                               // [n_levels]
-    std::vector<uint8_t> reach(n_nodes, 0);
-    for (int64_t n = level_offsets[0]; n < level_offsets[1]; n++) reach[n] = 1;
-    for (int64_t lv = 0; lv + 1 < n_levels; lv++) {
+    int64_t lv_lo, int64_t lv_hi,  // 0 <= lv_lo <= lv_hi <= n_levels-1
+    int64_t* out_path) {           // [lv_hi - lv_lo + 1]
+    std::vector<uint8_t> reach(level_offsets[lv_hi + 1] - level_offsets[lv_lo],
+                               0);
+    const int64_t base = level_offsets[lv_lo];
+    for (int64_t n = level_offsets[lv_lo]; n < level_offsets[lv_lo + 1]; n++)
+        reach[n - base] = 1;
+    for (int64_t lv = lv_lo; lv < lv_hi; lv++) {
         uint8_t want = row[lv];
         bool any = false;
         for (int64_t n = level_offsets[lv]; n < level_offsets[lv + 1]; n++) {
-            if (!reach[n]) continue;
+            if (!reach[n - base]) continue;
             for (int64_t k = out_offsets[n]; k < out_offsets[n + 1]; k++) {
                 int32_t e = out_edges[k];
                 if (edge_emission[e] == want) {
-                    reach[edge_to[e]] = 1;
+                    reach[edge_to[e] - base] = 1;
                     any = true;
                 }
             }
@@ -740,22 +751,21 @@ extern "C" int hla_walk_haplotype(
         if (!any) return 0;
     }
     int64_t node = -1;
-    for (int64_t n = level_offsets[n_levels - 1];
-         n < level_offsets[n_levels]; n++)
-        if (reach[n]) { node = n; break; }
+    for (int64_t n = level_offsets[lv_hi]; n < level_offsets[lv_hi + 1]; n++)
+        if (reach[n - base]) { node = n; break; }
     if (node < 0) return 0;
-    out_path[n_levels - 1] = node;
-    for (int64_t lv = n_levels - 2; lv >= 0; lv--) {
+    out_path[lv_hi - lv_lo] = node;
+    for (int64_t lv = lv_hi - 1; lv >= lv_lo; lv--) {
         int64_t prev = -1;
         for (int64_t k = in_offsets[node]; k < in_offsets[node + 1]; k++) {
             int32_t e = in_edges[k];
-            if (edge_emission[e] == row[lv] && reach[edge_from[e]]) {
+            if (edge_emission[e] == row[lv] && reach[edge_from[e] - base]) {
                 prev = edge_from[e];
                 break;
             }
         }
         if (prev < 0) return 0;
-        out_path[lv] = prev;
+        out_path[lv - lv_lo] = prev;
         node = prev;
     }
     return 1;

@@ -1,0 +1,113 @@
+"""Paralog defense tests (VERDICT r1 item 4, mapAgainstCompleteGenome
+equivalent, HLA-LA.cpp:617-779 + processBAM.cpp:241-369).
+
+Scenario: a mutated paralogous copy of a class-I gene lives OUTSIDE the PRG
+(classic HLA failure mode: DRB/class-I pseudogenes).  Reads from the paralog
+must be dropped before NW when the decoy index is active, and must NOT
+produce typing observations; true-gene reads must be unaffected."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.mapping.decoy import DecoyIndex, filter_decoy_pairs
+from hla_la_tpu.models.aligner import ReadAligner
+from hla_la_tpu.models.pipeline import run_hla_typing
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator
+from hla_la_tpu.utils.config import RunConfig
+
+
+@pytest.fixture(scope="module")
+def paralog_world(tmp_path_factory):
+    rng = np.random.default_rng(99)
+    sim = simulate_prg_package(rng, backbone_length=2400, n_haplotypes=5,
+                               snp_rate=0.012)
+    root = tmp_path_factory.mktemp("decoy")
+    pkg = sim.write_package(str(root / "pkg"))
+
+    # paralog: gene A's region of haplotype 1 mutated at 4% and planted in
+    # a decoy contig far from the PRG
+    hap1, lv1 = sim.linearized(1)
+    gene_cols = [i for i, n in enumerate(sim.column_names)
+                 if "_gene_A_" in n]
+    lo, hi = min(gene_cols), max(gene_cols)
+    base_mask = (lv1 >= lo) & (lv1 <= hi)
+    gene_seq = "".join(np.array(list(hap1))[base_mask])
+    para = list(gene_seq)
+    for i in range(len(para)):
+        if rng.random() < 0.04:
+            para[i] = "ACGT"[("ACGT".index(para[i]) + int(rng.integers(1, 4)))
+                             % 4]
+    para_seq = "".join(para)
+    flank_l = "".join(rng.choice(list("ACGT"), 3000))
+    flank_r = "".join(rng.choice(list("ACGT"), 3000))
+    decoy_contig = flank_l + para_seq + flank_r
+    genome = {"chr11_paralog": decoy_contig,
+              "chr2_random": "".join(rng.choice(list("ACGT"), 5000))}
+    from hla_la_tpu.io.fasta import write_fasta
+    decoy_fa = str(root / "decoy.fa")
+    write_fasta(decoy_fa, genome)
+
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                       fragment_sd=25, with_error=True)
+    para_pairs = rs.simulate_pairs_from_string(
+        decoy_contig, np.full(len(decoy_contig), -1, dtype=np.int64), 10.0,
+        name_prefix="para")
+    # keep only pairs overlapping the paralog gene copy
+    para_pairs = [p for p in para_pairs
+                  if p.r1.start_pos > len(flank_l) - 200
+                  and p.r1.start_pos < len(flank_l) + len(para_seq)]
+    true_pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        true_pairs += rs.simulate_pairs_from_string(seq, levels, 12.0,
+                                                    name_prefix=f"true{h}")
+    return sim, pkg, decoy_fa, para_pairs, true_pairs
+
+
+def test_paralog_reads_seed_on_prg_without_defense(paralog_world):
+    """Sanity: without the decoy index the paralog reads DO contaminate
+    (they align to the PRG) — the failure mode the defense exists for."""
+    sim, pkg, decoy_fa, para_pairs, _ = paralog_world
+    aligner = ReadAligner(pkg)
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in para_pairs]
+    out = aligner.align_pairs(fq, 300, 25)
+    assert len(out) > 0, "expected contamination without the defense"
+
+
+def test_paralog_pairs_dropped_with_decoy(paralog_world):
+    sim, pkg, decoy_fa, para_pairs, true_pairs = paralog_world
+    from hla_la_tpu.io.fasta import read_fasta
+    decoy = DecoyIndex.from_fasta(read_fasta(decoy_fa))
+    aligner = ReadAligner(pkg, decoy=decoy)
+    fq_para = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in para_pairs]
+    fq_true = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in true_pairs]
+    out_para = aligner.align_pairs(fq_para, 300, 25)
+    out_true = aligner.align_pairs(fq_true, 300, 25)
+    # paralog: (near-)fully dropped; true reads: unaffected
+    assert len(out_para) <= max(1, len(fq_para) // 20), \
+        f"{len(out_para)}/{len(fq_para)} paralog pairs leaked"
+    assert len(out_true) >= 0.97 * len(fq_true)
+    assert aligner.stats.extras.get("decoy_dropped_pairs", 0) >= \
+        0.9 * len(fq_para)
+
+
+def test_paralog_no_typing_observations(paralog_world, tmp_path):
+    """End-to-end: typing a mix of true + paralog reads with the defense
+    produces the true diplotype; paralog read IDs appear in no readID
+    output file."""
+    sim, pkg, decoy_fa, para_pairs, true_pairs = paralog_world
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq())
+          for p in true_pairs + para_pairs]
+    cfg = RunConfig(decoy_fasta=decoy_fa)
+    out_dir = str(tmp_path / "out")
+    res = run_hla_typing(pkg, pairs=fq, output_dir=out_dir, cfg=cfg)
+    by_locus = {r.locus: r for r in res.results}
+    assert sorted([by_locus["A"].allele1_id, by_locus["A"].allele2_id]) == \
+        ["A*02:01", "A*03:01"]
+    for fn in os.listdir(out_dir):
+        if "readID" in fn:
+            content = open(os.path.join(out_dir, fn)).read()
+            assert "para" not in content

@@ -311,7 +311,8 @@ def action_validate(args) -> int:
                              backend=args.backend,
                              resolution=args.resolution)
     print(f"cohort accuracy: {report.total_accuracy * 100:.2f}% over "
-          f"{len(report.per_sample)} samples")
+          f"{report.n_samples} samples "
+          f"({len(report.discordant)} discordant calls)")
     return 0
 
 

@@ -23,6 +23,11 @@ for i, b in enumerate(b"ACGT"):
 def encode_kmers(seq_bytes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-mer codes of a uint8 sequence.  Returns (codes uint64, valid bool)
     — invalid where any base is non-ACGT."""
+    from .. import native
+    if native.available():
+        res = native.encode_kmers(seq_bytes, k)
+        if res is not None:
+            return res
     codes2 = _CODE[seq_bytes]
     n = len(seq_bytes) - k + 1
     if n <= 0:

@@ -61,7 +61,8 @@ class _Job:
 class ReadAligner:
     def __init__(self, pkg: GraphPackage, cfg: RunConfig | None = None,
                  band: int = 32, kmer_k: int = 20, use_jax: bool = False,
-                 graph_fallback: bool = True, decoy=None):
+                 graph_fallback: bool = True, decoy=None,
+                 sharded: bool = False):
         self.pkg = pkg
         self.cfg = cfg or RunConfig()
         self.band = band
@@ -80,6 +81,7 @@ class ReadAligner:
             [[0], np.cumsum(self.hap_lens)])[:-1]
         self.hap_codes_cat = (np.concatenate(self.hap_codes)
                               if self.hap_codes else np.zeros(0, np.uint8))
+        self.hap_enc_cat = _ENC[self.hap_codes_cat]  # 0-4 codes for NW
         self.hap_levels_cat = (np.concatenate(self.hap_levels)
                                if self.hap_levels else np.zeros(0, np.int64))
         self.index = self._load_or_build_index(kmer_k)
@@ -89,7 +91,8 @@ class ReadAligner:
         self.stats = Stats()
         self._jax_fwd = None
         self._jax_shapes = None
-        self.use_jax = use_jax
+        self.use_jax = use_jax or sharded
+        self.sharded = sharded
         self.graph_fallback = graph_fallback
         self._realigner = None
         # paralog defense (mapAgainstCompleteGenome equivalent,
@@ -134,6 +137,14 @@ class ReadAligner:
         import jax.numpy as jnp
         L = reads_arr.shape[1]
         W = refs_arr.shape[1] - L
+        if self.sharded and len(jax.devices()) > 1:
+            # device-sharded NW over the mesh "data" axis (SURVEY §2.3)
+            if self._jax_shapes != ("sharded", L, W):
+                from ..parallel.mesh import ShardedNW, make_mesh
+                self._jax_fwd = ShardedNW(make_mesh(len(jax.devices())),
+                                          L, W)
+                self._jax_shapes = ("sharded", L, W)
+            return self._jax_fwd(reads_arr, lens_arr, refs_arr)
         if self._jax_shapes != (L, W):
             if jax.default_backend() == "tpu":
                 # the Pallas kernel: 37 Gcells/s on v5e vs 0.73 for the XLA
@@ -252,16 +263,25 @@ class ReadAligner:
         win_start[:nb] = [j.window_start for j in jobs]
         reverse_arr[:nb] = [j.reverse for j in jobs]
         prg_id_arr[:nb] = np.asarray(self.prg_ids)[job_seq[:nb]]
-        # reference windows: one global gather over the concatenated
-        # haplotypes (out-of-range columns stay the padding code 4)
-        pos = win_start[:nb, None] + np.arange(L + W)
-        in_range = (pos >= 0) & (pos < self.hap_lens[job_seq[:nb], None])
+        # reference windows: per-job clamped memcpy from the encoded
+        # concatenated haplotypes (native), else one global numpy gather
+        # (out-of-range columns stay the padding code 4)
         if len(self.hap_codes_cat):
-            # out-of-range cells read index 0 and are masked to pad below
-            gp = self.hap_offsets[job_seq[:nb], None] + np.where(in_range,
-                                                                 pos, 0)
-            vals = _ENC[self.hap_codes_cat[gp]]
-            refs_arr[:nb] = np.where(in_range, vals, 4)
+            from .. import native
+            gw = (native.gather_windows(self.hap_enc_cat, self.hap_offsets,
+                                        self.hap_lens, job_seq[:nb],
+                                        win_start[:nb], L + W)
+                  if native.available() else None)
+            if gw is not None:
+                refs_arr[:nb] = gw
+            else:
+                pos = win_start[:nb, None] + np.arange(L + W)
+                in_range = (pos >= 0) & (pos < self.hap_lens[job_seq[:nb],
+                                                             None])
+                gp = self.hap_offsets[job_seq[:nb], None] + np.where(
+                    in_range, pos, 0)
+                vals = _ENC[self.hap_codes_cat[gp]]
+                refs_arr[:nb] = np.where(in_range, vals, 4)
         scores, end_k, end_state, pointers = self._run_nw(
             reads_arr, lens_arr, refs_arr)
         self.stats.n_chain_extensions += len(jobs)

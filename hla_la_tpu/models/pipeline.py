@@ -82,7 +82,8 @@ def run_hla_typing(pkg: GraphPackage,
     if decoy is not None:
         log_progress("paralog defense active (decoy k-mer index, "
                      f"{len(decoy.index.seq_names)} decoy contigs)")
-    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"), decoy=decoy)
+    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"),
+                          sharded=(backend == "sharded"), decoy=decoy)
 
     insert_mean, insert_sd = 300.0, 100.0
     if pairs:
@@ -127,8 +128,6 @@ def run_hla_typing(pkg: GraphPackage,
                 if al is not None:
                     aligned_unpaired.append(al)
                     kept_unpaired.append(r)
-    if par is not None:
-        par.close()
     n_reads = 2 * len(pairs) + len(unpaired)
     rps = t.rate(n_reads)
     log_progress(f"aligned {len(aligned_pairs)}/{len(pairs)} pairs + "
@@ -147,10 +146,17 @@ def run_hla_typing(pkg: GraphPackage,
     # alignment-level files stay at the top level
     hla_dir = os.path.join(output_dir, "hla")
     typer = HLATyper(pkg, cfg.typer, backend=backend)
-    results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
-                             aligned_unpaired, insert_mean, insert_sd,
-                             hla_dir, long_reads_mode=long_mode,
-                             n_workers=cfg.max_threads)
+    try:
+        # the warm alignment workers (package in memory) also serve
+        # per-locus typing — no reload cost
+        results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
+                                 aligned_unpaired, insert_mean, insert_sd,
+                                 hla_dir, long_reads_mode=long_mode,
+                                 n_workers=cfg.max_threads,
+                                 worker_pool=par)
+    finally:
+        if par is not None:
+            par.close()
     return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
                           insert_mean, insert_sd)
 

@@ -180,7 +180,7 @@ class HLATyper:
                  aligned_unpaired: list[GraphAlignment],
                  insert_mean: float, insert_sd: float,
                  output_dir: str, long_reads_mode: str = "",
-                 n_workers: int = 1) -> list[LocusResult]:
+                 n_workers: int = 1, worker_pool=None) -> list[LocusResult]:
         os.makedirs(output_dir, exist_ok=True)
         cfg = self.cfg.for_long_reads() if long_reads_mode else self.cfg
         long_reads = bool(long_reads_mode)
@@ -195,11 +195,11 @@ class HLATyper:
         results: list[LocusResult] = []
         hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
         per_locus = None
-        if n_workers > 1 and len(self.loci) > 1:
+        if (n_workers > 1 or worker_pool is not None) and len(self.loci) > 1:
             per_locus = self._type_loci_parallel(
                 raw_pairs, aligned_pairs, raw_unpaired, aligned_unpaired,
                 insert_mean, insert_sd, output_dir, cfg, long_reads,
-                kmer_counts, n_workers)
+                kmer_counts, n_workers, worker_pool)
         with open(hist_path, "w") as hist_fh:
             hist_fh.write("Locus\tLevelValue\n")
             for locus in self.loci:
@@ -240,30 +240,50 @@ class HLATyper:
     def _type_loci_parallel(self, raw_pairs, aligned_pairs, raw_unpaired,
                             aligned_unpaired, insert_mean, insert_sd,
                             output_dir, cfg, long_reads, kmer_counts,
-                            n_workers):
-        """Per-locus typing fan-out over spawned worker processes (the
-        reference types loci serially; loci are independent given the
-        alignments).  Returns {locus: (LocusResult|None, hist_text)} or None
-        when spawning is unsafe (caller then falls back to serial)."""
+                            n_workers, worker_pool=None):
+        """Per-locus typing fan-out over worker processes (the reference
+        types loci serially; loci are independent given the alignments).
+        `worker_pool`: a live ParallelAligner whose warm workers (package
+        already in memory) are reused; without one, fresh workers are
+        spawned — worth it only when serial typing would take minutes.
+        Returns {locus: (LocusResult|None, hist_text)} or None (caller
+        falls back to serial)."""
         from .parallel_host import pack_aligned_pairs, spawn_safe
-        if not spawn_safe():
+        # per-worker fixed costs (HLATyper init, kmer-index IPC; plus a
+        # package reload for fresh workers) only amortise at WGS scale
+        # (~1M MHC reads / several loci) — below that serial typing wins
+        if len(aligned_pairs) + len(aligned_unpaired) < 50_000 \
+                or len(self.loci) < 4:
+            return None
+        if worker_pool is None and not spawn_safe():
             return None
         import multiprocessing as mp
-        packed = pack_aligned_pairs(aligned_pairs)
-        raw1 = [(r1.name, r1.seq, r1.qual) for r1, _ in raw_pairs]
-        raw2 = [(r2.name, r2.seq, r2.qual) for _, r2 in raw_pairs]
-        rawu = [(r.name, r.seq, r.qual) for r in raw_unpaired]
-        unal = aligned_unpaired      # pickled directly (small in practice)
-        n = min(n_workers, len(self.loci))
+        n = min(n_workers if worker_pool is None else worker_pool.n_workers,
+                len(self.loci))
         chunks = [self.loci[i::n] for i in range(n)]
-        args = [(self.pkg.dir, self.backend, self.cfg, self.g_path, chunk,
-                 packed, raw1, raw2, rawu, unal, insert_mean, insert_sd,
-                 output_dir, cfg, long_reads, kmer_counts)
-                for chunk in chunks]
-        ctx = mp.get_context("spawn")
+        # ship only the alignments overlapping each chunk's gene ranges —
+        # at WGS scale most reads are outside any given locus, and the IPC
+        # of the full alignment set dominates otherwise
+        args = []
+        for chunk in chunks:
+            sel = self._subset_for_loci(chunk, raw_pairs, aligned_pairs,
+                                        raw_unpaired, aligned_unpaired)
+            (sub_raw_pairs, sub_aligned, sub_rawu, sub_unal) = sel
+            packed = pack_aligned_pairs(sub_aligned)
+            raw1 = [(r1.name, r1.seq, r1.qual) for r1, _ in sub_raw_pairs]
+            raw2 = [(r2.name, r2.seq, r2.qual) for _, r2 in sub_raw_pairs]
+            rawu = [(r.name, r.seq, r.qual) for r in sub_rawu]
+            args.append((self.pkg.dir, self.backend, self.cfg, self.g_path,
+                         chunk, packed, raw1, raw2, rawu, sub_unal,
+                         insert_mean, insert_sd, output_dir, cfg,
+                         long_reads, kmer_counts))
         try:
-            with ctx.Pool(n, initializer=_typing_worker_init) as pool:
-                chunk_results = pool.map(_typing_worker, args)
+            if worker_pool is not None:
+                chunk_results = worker_pool.pool.map(_typing_worker, args)
+            else:
+                ctx = mp.get_context("spawn")
+                with ctx.Pool(n, initializer=_typing_worker_init) as pool:
+                    chunk_results = pool.map(_typing_worker, args)
         except Exception:  # noqa: BLE001 — fall back to serial typing
             return None
         out = {}
@@ -461,6 +481,48 @@ class HLATyper:
                 if worst > cur_worst:
                     by_level[o.graph_level] = o
         return [by_level[lv] for lv in sorted(order)]
+
+    def _locus_level_range(self, locus) -> tuple[int, int] | None:
+        """Graph-level span of a locus's typed exon segments, from the
+        segment headers only (no allele matrix load)."""
+        lo, hi = None, None
+        for fn in self.graph_genes.get(locus, {}).values():
+            path = os.path.join(self.pkg.dir, "PRG", fn)
+            with open(path) as fh:
+                cols = fh.readline().split()[1:]
+            for c in cols:
+                lv = self.locus_to_level.get(c)
+                if lv is None:
+                    continue
+                lo = lv if lo is None else min(lo, lv)
+                hi = lv if hi is None else max(hi, lv)
+        if lo is None:
+            return None
+        return lo, hi
+
+    def _subset_for_loci(self, loci, raw_pairs, aligned_pairs, raw_unpaired,
+                         aligned_unpaired):
+        """Alignments/reads overlapping any of `loci`'s gene ranges
+        (requires _setup_pair_ranges to have run)."""
+        ranges = [r for r in (self._locus_level_range(l) for l in loci)
+                  if r is not None]
+        if not ranges or getattr(self, "_pair_ranges", None) is None:
+            return raw_pairs, aligned_pairs, raw_unpaired, aligned_unpaired
+        f1, l1, f2, l2, uf, ul = self._pair_ranges
+        n = len(aligned_pairs)
+        keep_p = np.zeros(n, dtype=bool)
+        nu = len(aligned_unpaired)
+        keep_u = np.zeros(nu, dtype=bool)
+        for lo, hi in ranges:
+            keep_p |= (((f1[:n] <= hi) & (l1[:n] >= lo) & (f1[:n] >= 0))
+                       | ((f2[:n] <= hi) & (l2[:n] >= lo) & (f2[:n] >= 0)))
+            if nu:
+                keep_u |= (uf[:nu] <= hi) & (ul[:nu] >= lo) & (uf[:nu] >= 0)
+        pi = np.nonzero(keep_p)[0]
+        ui = np.nonzero(keep_u)[0]
+        return ([raw_pairs[i] for i in pi], [aligned_pairs[i] for i in pi],
+                [raw_unpaired[i] for i in ui],
+                [aligned_unpaired[i] for i in ui])
 
     def _type_locus(self, locus, raw_pairs, aligned_pairs, raw_unpaired,
                     aligned_unpaired, insert_mean, insert_sd, output_dir,
@@ -895,8 +957,14 @@ class HLATyper:
             J = len(exon_idx)
             ei = np.asarray(exon_idx).tolist()
             ep = np.asarray(exon_pos).tolist()
+            lines: list[str] = []
             for j in range(J):
                 items = pileup.get(j, [])
+                if not items:
+                    # fast path: the bulk of a real-PRG-scale gene is
+                    # uncovered columns
+                    lines.append(f"{ei[j]}\t{ep[j]}\t0")
+                    continue
                 fields = [str(ei[j]), str(ep[j]), str(len(items))]
                 if items:
                     # per-read entries (reference pileup detail,
@@ -945,7 +1013,10 @@ class HLATyper:
                             f"{g}x{len(lens)}"
                             f"[{sum(lens) / len(lens):.1f};{sf};{r1f}]")
                     fields.append("".join(summary))
-                fh.write("\t".join(fields) + "\n")
+                lines.append("\t".join(fields))
+            fh.write("\n".join(lines))
+            if lines:
+                fh.write("\n")
 
     def _write_bestguess(self, results: list[LocusResult], output_dir,
                          cfg: TyperConfig):
@@ -1131,7 +1202,20 @@ def _typing_worker(args):
     from ..io.fastq import FastqRead
     from .parallel_host import unpack_aligned_pairs
 
-    typer = HLATyper(GraphPackage(pkg_dir), base_cfg,
+    # reuse the worker's already-loaded package when running inside the
+    # alignment worker pool (avoids a multi-GB package reload per worker at
+    # real-PRG scale)
+    pkg = None
+    try:
+        from . import parallel_host as ph
+        if ph._WORKER_ALIGNER is not None \
+                and ph._WORKER_ALIGNER.pkg.dir == pkg_dir:
+            pkg = ph._WORKER_ALIGNER.pkg
+    except Exception:  # noqa: BLE001
+        pass
+    if pkg is None:
+        pkg = GraphPackage(pkg_dir)
+    typer = HLATyper(pkg, base_cfg,
                      g_nomenclature_path=g_path, backend=backend)
     aligned_pairs = unpack_aligned_pairs(packed)
     raw_pairs = [(FastqRead(*a), FastqRead(*b)) for a, b in zip(raw1, raw2)]

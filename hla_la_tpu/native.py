@@ -60,6 +60,12 @@ def _find_lib():
             lib.hla_walk_haplotype.restype = ctypes.c_int
             lib.hla_walk_haplotype.argtypes = (
                 [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
+            lib.hla_encode_kmers.restype = None
+            lib.hla_encode_kmers.argtypes = (
+                [vp, i64, i64, vp, vp, ctypes.c_int])
+            lib.hla_gather_windows.restype = None
+            lib.hla_gather_windows.argtypes = (
+                [vp] * 5 + [i64, i64, vp, ctypes.c_int])
             lib.hla_seed_select.restype = None
             lib.hla_seed_select.argtypes = (
                 [vp] * 6 + [i64] * 4 + [vp] * 2)
@@ -244,6 +250,43 @@ def select_pairs(n1: np.ndarray, n2: np.ndarray, ll: np.ndarray,
                          float(max_pen_log),
                          c(b1), c(b2), c(pm), c(m1), c(m2), c(conf))
     return b1, b2, pm, m1, m2, conf
+
+
+def encode_kmers(seq_bytes: np.ndarray, k: int
+                 ) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ rolling k-mer encode (kmer_index.encode_kmers semantics) or
+    None when the lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n = len(seq_bytes)
+    n_out = n - k + 1
+    if n_out <= 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    sb = np.ascontiguousarray(seq_bytes, dtype=np.uint8)
+    out = np.empty(n_out, dtype=np.uint64)
+    valid = np.empty(n_out, dtype=np.uint8)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_encode_kmers(c(sb), n, k, c(out), c(valid), default_threads())
+    return out, valid.astype(bool)
+
+
+def gather_windows(enc_cat: np.ndarray, hap_offsets: np.ndarray,
+                   hap_lens: np.ndarray, job_seq: np.ndarray,
+                   win_start: np.ndarray, w: int) -> np.ndarray | None:
+    """C++ reference-window gather ([nb, w] uint8, pad code 4) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    nb = len(job_seq)
+    out = np.empty((nb, w), dtype=np.uint8)
+    a64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
+    ec = np.ascontiguousarray(enc_cat, dtype=np.uint8)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_gather_windows(c(ec), c(a64(hap_offsets)), c(a64(hap_lens)),
+                           c(a64(job_seq)), c(a64(win_start)), nb, w,
+                           c(out), default_threads())
+    return out
 
 
 def walk_haplotype(cprg, row: np.ndarray, lv_lo: int = 0,

@@ -58,16 +58,25 @@ def sharded_typing_step(mesh):
         ll_full = jax.lax.all_gather(ll_l, "model", axis=0,
                                      tiled=True)             # [C, R/d]
         a = ll_l[:, None, :]                                 # [C/m, 1, R/d]
-        b = ll_full[None, :, :]                              # [1, C, R/d]
+        b = ll_full[None, :, :]
         d = jnp.abs(a - b)
         hi = jnp.maximum(a, b)
         pair_partial = (hi + jnp.log1p(jnp.exp(-d))
                         + jnp.float32(LOG_HALF)).sum(axis=2)  # [C/m, C]
         pair = jax.lax.psum(pair_partial, "data")
-        # marginal per local cluster: sum over full C of normalised pair
-        # posterior is computed outside (host) — here return row LL sums as a
-        # cheap marginal proxy reduced over data
-        marg = jax.lax.psum(ll_l.sum(axis=1), "data")         # [C/m]
+        # REAL pair-posterior marginal (HLATyper.cpp:2409-2538): softmax
+        # over the full [C, C] pair matrix, marginal per local cluster =
+        # its row + column mass (diagonal counted once)
+        pair_full = jax.lax.all_gather(pair, "model", axis=0,
+                                       tiled=True)            # [C, C]
+        post = jnp.exp(pair_full - pair_full.max())
+        post = post / post.sum()
+        marg_full = (post.sum(axis=1) + post.sum(axis=0)
+                     - jnp.diag(post))                        # [C]
+        m_idx = jax.lax.axis_index("model")
+        c_local = pair.shape[0]
+        marg = jax.lax.dynamic_slice(marg_full, (m_idx * c_local,),
+                                     (c_local,))              # [C/m]
         return pair, marg
 
     @jax.jit
@@ -77,24 +86,58 @@ def sharded_typing_step(mesh):
     return run
 
 
-def sharded_align_step(mesh, L: int, W: int):
-    """Returns jitted fn(reads [B, L], lens [B], refs [B, L+W]) -> scores [B]
-    with B sharded over "data" (replicated over "model")."""
+def sharded_align_step(mesh, L: int, W: int, full_outputs: bool = False):
+    """Returns jitted fn(reads [B, L], lens [B], refs [B, L+W]) sharded over
+    "data" (replicated over "model").  full_outputs=True returns the
+    complete NW forward tuple (scores, end_k, end_state, pointers) so the
+    production host backtrace can consume it; False returns scores only."""
     import jax
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from ..ops.banded_nw import make_jax_banded_nw
 
     fwd = make_jax_banded_nw(L, W)
 
+    out_specs = ((P("data"), P("data"), P("data"), P("data", None, None))
+                 if full_outputs else P("data"))
+
     @partial(shard_map, mesh=mesh, check_vma=False,
              in_specs=(P("data", None), P("data"), P("data", None)),
-             out_specs=P("data"))
+             out_specs=out_specs)
     def step(reads_l, lens_l, refs_l):
-        s, _, _, _ = fwd(reads_l, lens_l, refs_l)
+        s, ek, es, ptr = fwd(reads_l, lens_l, refs_l)
+        if full_outputs:
+            return s, ek, es, ptr
         return s
 
     return jax.jit(step)
+
+
+class ShardedNW:
+    """Production device-sharded banded-NW forward: pads the batch to the
+    data-axis size and runs the jitted sharded step (SURVEY §2.3's data-
+    parallel read mapping).  Drop-in for ReadAligner's single-device path."""
+
+    def __init__(self, mesh, L: int, W: int):
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.L, self.W = L, W
+        self.step = sharded_align_step(mesh, L, W, full_outputs=True)
+
+    def __call__(self, reads, lens, refs):
+        import numpy as np
+        B = reads.shape[0]
+        Bp = -(-B // self.n_data) * self.n_data
+        if Bp != B:
+            pad = Bp - B
+            reads = np.concatenate(
+                [reads, np.full((pad, self.L), 4, dtype=reads.dtype)])
+            lens = np.concatenate([lens, np.zeros(pad, dtype=lens.dtype)])
+            refs = np.concatenate(
+                [refs, np.full((pad, self.L + self.W), 4, dtype=refs.dtype)])
+        s, ek, es, ptr = self.step(reads, lens, refs)
+        return (np.asarray(s)[:B], np.asarray(ek)[:B], np.asarray(es)[:B],
+                np.asarray(ptr)[:B])
 
 
 def full_step(mesh, L: int, W: int):

@@ -1,10 +1,16 @@
 """Cohort validation harness.
 
-Reference: HLAtypeinference_validation.pl (compare inferred vs truth HLA
-types across cohorts at 2-/4-digit and G resolution) plus the batch drivers
-Perl/applyToAllBAMs.pl / validationBAMs.txt.  Here: run the typing pipeline
-over a sample sheet, evaluate against a truth table, and write a concordance
-report."""
+Reference: HLAtypeinference_validation.pl — compares inferred vs truth HLA
+types across cohorts simultaneously at 2-digit (1 field), 4-digit
+(2 fields), and G-group resolution (per-locus N / CallRate / Accuracy,
+lines 1150-1190); groups calls into quality-calibration baskets (lines
+357-371, 555-581); tracks per-allele correct/incorrect counts
+(reference_predictions / imputations_predictions); and, for each discordant
+sample x locus, performs a pileup-based error analysis — inferred vs
+apparently-true allele exon sequences aligned column by column against the
+read pileup (lines 826-1000, output temp/hla_validation/pileup_*).  Plus
+the batch drivers Perl/applyToAllBAMs.pl / validationBAMs.txt.
+"""
 
 from __future__ import annotations
 
@@ -12,29 +18,128 @@ import os
 from dataclasses import dataclass, field
 
 from .graph.package import GraphPackage
-from .utils.nomenclature import (TypeEvaluation, evaluate_types,
-                                 read_inferred_bestguess, read_truth_file)
+from .utils.nomenclature import (allele_list_compatible, read_truth_file)
 from .utils.timing import log_progress
+
+RESOLUTIONS = (("2digit", 1), ("4digit", 2), ("G", 4))
+
+
+@dataclass
+class LocusStats:
+    n_samples: int = 0
+    n_called: int = 0            # alleles with a non-empty call
+    n_alleles: int = 0           # 2 * samples with truth
+    correct: dict[str, int] = field(default_factory=dict)  # res -> count
 
 
 @dataclass
 class CohortReport:
-    per_sample: dict[str, TypeEvaluation] = field(default_factory=dict)
+    per_locus: dict[str, LocusStats] = field(default_factory=dict)
+    # calibration: bucket -> [(q, correct?)], at 4digit resolution
+    calibration: list[tuple[float, bool]] = field(default_factory=list)
+    # (locus, allele) -> {"correct": n, "incorrect": n}, both directions
+    called_stats: dict[tuple[str, str], dict[str, int]] = \
+        field(default_factory=dict)
+    truth_stats: dict[tuple[str, str], dict[str, int]] = \
+        field(default_factory=dict)
+    discordant: list[tuple[str, str, tuple, tuple]] = \
+        field(default_factory=list)     # (sample, locus, called, truth)
+    n_samples: int = 0
 
-    @property
-    def total_accuracy(self) -> float:
-        tot = sum(e.n_alleles_total for e in self.per_sample.values())
-        cor = sum(e.n_alleles_correct for e in self.per_sample.values())
+    def accuracy(self, res: str = "4digit") -> float:
+        tot = sum(s.n_alleles for s in self.per_locus.values())
+        cor = sum(s.correct.get(res, 0) for s in self.per_locus.values())
         return cor / tot if tot else 0.0
 
-    def write(self, path: str) -> None:
+    # alias used by the CLI
+    @property
+    def total_accuracy(self) -> float:
+        return self.accuracy("4digit")
+
+    def add_sample(self, sample_id: str,
+                   inferred: dict[str, tuple[str, str, float, float]],
+                   truth: dict[str, tuple[str, str]]) -> None:
+        self.n_samples += 1
+        for locus, (t1, t2) in truth.items():
+            st = self.per_locus.setdefault(locus, LocusStats())
+            st.n_samples += 1
+            st.n_alleles += 2
+            called = inferred.get(locus)
+            if called is None:
+                continue
+            c1, c2, q1, q2 = called
+            st.n_called += int(bool(c1)) + int(bool(c2))
+            for res_name, res in RESOLUTIONS:
+                straight = (allele_list_compatible(c1, t1, res)
+                            + allele_list_compatible(c2, t2, res))
+                crossed = (allele_list_compatible(c1, t2, res)
+                           + allele_list_compatible(c2, t1, res))
+                n_corr = max(straight, crossed)
+                st.correct[res_name] = st.correct.get(res_name, 0) + n_corr
+            # calibration + per-allele stats at 4-digit, best assignment
+            straight = (allele_list_compatible(c1, t1, 2),
+                        allele_list_compatible(c2, t2, 2))
+            crossed = (allele_list_compatible(c1, t2, 2),
+                       allele_list_compatible(c2, t1, 2))
+            pairing = (list(zip((c1, c2), (t1, t2), straight))
+                       if sum(straight) >= sum(crossed)
+                       else list(zip((c1, c2), (t2, t1), crossed)))
+            for (c, t, ok), q in zip(pairing, (q1, q2)):
+                self.calibration.append((q, bool(ok)))
+                key = "correct" if ok else "incorrect"
+                self.called_stats.setdefault((locus, c), {}).setdefault(
+                    key, 0)
+                self.called_stats[(locus, c)][key] += 1
+                self.truth_stats.setdefault((locus, t), {}).setdefault(
+                    key, 0)
+                self.truth_stats[(locus, t)][key] += 1
+            if sum(x[2] for x in pairing) < 2:
+                self.discordant.append((sample_id, locus, (c1, c2),
+                                        (t1, t2)))
+
+    # ----------------------------------------------------------- outputs
+    def write_summary(self, path: str) -> None:
         with open(path, "w") as fh:
-            fh.write("SampleID\tLoci\tAllelesTotal\tAllelesCorrect\t"
-                     "Accuracy\n")
-            for sid, e in sorted(self.per_sample.items()):
-                fh.write(f"{sid}\t{e.n_loci}\t{e.n_alleles_total}\t"
-                         f"{e.n_alleles_correct}\t{e.accuracy:.4f}\n")
-            fh.write(f"TOTAL\t\t\t\t{self.total_accuracy:.4f}\n")
+            fh.write("Locus\tN\tCallRate\t"
+                     + "\t".join(f"Accuracy_{r}" for r, _ in RESOLUTIONS)
+                     + "\n")
+            for locus in sorted(self.per_locus):
+                st = self.per_locus[locus]
+                cr = st.n_called / st.n_alleles if st.n_alleles else 0.0
+                accs = [st.correct.get(r, 0) / st.n_alleles
+                        if st.n_alleles else 0.0 for r, _ in RESOLUTIONS]
+                fh.write(f"{locus}\t{st.n_samples}\t{cr:.4f}\t"
+                         + "\t".join(f"{a:.4f}" for a in accs) + "\n")
+            fh.write("TOTAL\t{}\t\t".format(self.n_samples)
+                     + "\t".join(f"{self.accuracy(r):.4f}"
+                                 for r, _ in RESOLUTIONS) + "\n")
+
+    def write_calibration(self, path: str) -> None:
+        """Quality-calibration table: Q1 buckets vs empirical accuracy
+        (the calibration_baskets of the reference, lines 357-371)."""
+        buckets = [(0.0, 0.5), (0.5, 0.8), (0.8, 0.9), (0.9, 0.99),
+                   (0.99, 1.0001)]
+        with open(path, "w") as fh:
+            fh.write("QualityBucket\tN\tMeanQ\tEmpiricalAccuracy\n")
+            for lo, hi in buckets:
+                sel = [(q, ok) for q, ok in self.calibration
+                       if lo <= q < hi]
+                if not sel:
+                    fh.write(f"[{lo},{hi})\t0\t\t\n")
+                    continue
+                mq = sum(q for q, _ in sel) / len(sel)
+                acc = sum(ok for _, ok in sel) / len(sel)
+                fh.write(f"[{lo},{hi})\t{len(sel)}\t{mq:.4f}\t{acc:.4f}\n")
+
+    def write_allele_stats(self, path: str) -> None:
+        with open(path, "w") as fh:
+            fh.write("Direction\tLocus\tAllele\tCorrect\tIncorrect\n")
+            for name, stats in (("called", self.called_stats),
+                                ("truth", self.truth_stats)):
+                for (locus, allele), d in sorted(stats.items()):
+                    fh.write(f"{name}\t{locus}\t{allele}\t"
+                             f"{d.get('correct', 0)}\t"
+                             f"{d.get('incorrect', 0)}\n")
 
 
 def read_sample_sheet(path: str) -> list[tuple[str, str]]:
@@ -50,6 +155,96 @@ def read_sample_sheet(path: str) -> list[tuple[str, str]]:
                                                     "individualid"):
                 out.append((f[0], f[1]))
     return out
+
+
+def read_bestguess_with_q(path: str) -> dict[str, tuple[str, str, float,
+                                                        float]]:
+    """R1_bestguess(_G).txt -> {locus: (allele1, allele2, q1, q2)}."""
+    out: dict[str, dict[int, tuple[str, float]]] = {}
+    with open(path) as fh:
+        fh.readline()
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 4:
+                continue
+            try:
+                q = float(f[3])
+            except ValueError:
+                q = 0.0
+            out.setdefault(f[0], {})[int(f[1])] = (f[2], q)
+    return {loc: (d.get(1, ("", 0.0))[0], d.get(2, ("", 0.0))[0],
+                  d.get(1, ("", 0.0))[1], d.get(2, ("", 0.0))[1])
+            for loc, d in out.items()}
+
+
+# ------------------------------------------------- pileup error analysis
+def _load_pileup(path: str) -> dict[tuple[str, int], tuple[int, str]]:
+    """R1_pileup_<locus>.txt -> {(exon_idx, exon_pos): (coverage, detail)}
+    (load_pileup, HLAtypeinference_validation.pl:1524-1558)."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) < 3:
+                continue
+            detail = f[3] if len(f) > 3 else ""
+            out[(f[0], int(f[1]))] = (int(f[2]), detail)
+    return out
+
+
+def _find_allele_row(rows: dict[str, list[str]], allele: str
+                     ) -> list[str] | None:
+    """Exact row, else any member of a ';'/G ambiguity list, else a row
+    sharing the first two fields (twoValidationAlleles_2_proper_names
+    semantics, reference lines 1589-1694)."""
+    for cand in allele.split(";"):
+        if cand in rows:
+            return rows[cand]
+    for cand in allele.split(";"):
+        for name, row in rows.items():
+            if allele_list_compatible(name, cand, 2):
+                return row
+    return None
+
+
+def pileup_error_analysis(pkg: GraphPackage, sample_out: str, locus: str,
+                          called: tuple[str, str], truth: tuple[str, str],
+                          out_path: str) -> int:
+    """Column-by-column comparison of inferred vs apparently-true allele
+    exon sequences, annotated with the read pileup, for a discordant call
+    (reference lines 882-1000).  Returns the number of columns where the
+    inferred and true genotypes disagree (and writes them)."""
+    from .models.typer import HLATyper
+    typer = HLATyper(pkg)
+    seg_map = typer.graph_genes.get(locus, {})
+    pileup_path = os.path.join(sample_out, "hla", f"R1_pileup_{locus}.txt")
+    pileup = _load_pileup(pileup_path) if os.path.exists(pileup_path) else {}
+    n_diff = 0
+    with open(out_path, "w") as fh:
+        fh.write(f"{locus}\tInferred: {called[0]} / {called[1]}\t"
+                 f"Truth: {truth[0]} / {truth[1]}\n")
+        fh.write("Exon\tPos\tInferred1\tInferred2\tTrue1\tTrue2\t"
+                 "Coverage\tPileup\n")
+        for exon_ord, (exon_id, fn) in enumerate(sorted(seg_map.items())):
+            cols, rows = pkg.read_segment(fn)
+            inf = [_find_allele_row(rows, a) for a in called]
+            tru = [_find_allele_row(rows, a) for a in truth]
+            if any(x is None for x in inf + tru):
+                fh.write(f"# {exon_id}: allele rows not all present "
+                         f"(inferred {called}, truth {truth})\n")
+                continue
+            for j in range(len(cols)):
+                gi = (inf[0][j], inf[1][j])
+                gt = (tru[0][j], tru[1][j])
+                if sorted(gi) == sorted(gt):
+                    continue
+                n_diff += 1
+                # pileup rows key exons by their 0-based ordinal within
+                # the locus (typer's exon_idx), positions per-exon
+                cov, detail = pileup.get((str(exon_ord), j), (0, ""))
+                fh.write(f"{exon_id}\t{j}\t{gi[0]}\t{gi[1]}\t{gt[0]}\t"
+                         f"{gt[1]}\t{cov}\t{detail}\n")
+    return n_diff
 
 
 def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
@@ -77,8 +272,24 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
         if use_g and (not os.path.exists(bg)
                       or len(open(bg).read().splitlines()) <= 1):
             bg = os.path.join(sample_out, "hla", "R1_bestguess.txt")
-        inferred = read_inferred_bestguess(bg)
-        report.per_sample[sample_id] = evaluate_types(
-            inferred, truth_all[sample_id], resolution)
-    report.write(os.path.join(out_dir, "validation_report.txt"))
+        inferred = read_bestguess_with_q(bg)
+        report.add_sample(sample_id, inferred, truth_all[sample_id])
+
+    report.write_summary(os.path.join(out_dir, "validation_report.txt"))
+    report.write_calibration(os.path.join(out_dir,
+                                          "validation_calibration.txt"))
+    report.write_allele_stats(os.path.join(out_dir,
+                                           "validation_allele_stats.txt"))
+    # pileup-based error analysis of every discordant call
+    for sample_id, locus, called, truth in report.discordant:
+        out_path = os.path.join(out_dir,
+                                f"pileup_analysis_{sample_id}_{locus}.txt")
+        try:
+            n = pileup_error_analysis(pkg, os.path.join(out_dir, sample_id),
+                                      locus, called, truth, out_path)
+            log_progress(f"discordant {sample_id}/{locus}: {n} "
+                         f"disagreeing columns -> {out_path}")
+        except Exception as e:  # noqa: BLE001 — analysis is best-effort
+            log_progress(f"pileup analysis failed for {sample_id}/{locus}:"
+                         f" {e}")
     return report

@@ -373,6 +373,85 @@ extern "C" void hla_nw_forward(
 // ---------------------------------------------------------------------------
 static const uint8_t PRJ_GAP = '_';
 
+// Rolling k-mer encode: out[i] = 2-bit code of seq[i..i+k), valid[i] = 0
+// when any base is non-ACGT.  One pass instead of numpy's k passes.
+extern "C" void hla_encode_kmers(
+    const uint8_t* seq, int64_t n, int64_t k,
+    uint64_t* out, uint8_t* valid, int n_threads) {
+    int64_t n_out = n - k + 1;
+    if (n_out <= 0) return;
+    static uint8_t code[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++) code[i] = 255;
+        code['A'] = code['a'] = 0; code['C'] = code['c'] = 1;
+        code['G'] = code['g'] = 2; code['T'] = code['t'] = 3;
+        init = true;
+    }
+    const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    int nt = n_threads > 0 ? n_threads : 1;
+    int64_t chunk = (n_out + nt - 1) / nt;
+    auto work = [&](int t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n_out ? lo + chunk : n_out;
+        if (lo >= hi) return;
+        uint64_t cur = 0;
+        int bad = 0;               // # invalid bases in current window
+        // warm the window [lo, lo+k)
+        for (int64_t i = lo; i < lo + k - 1; i++) {
+            uint8_t c = code[seq[i]];
+            cur = (cur << 2) | (c == 255 ? 0 : c);
+            if (c == 255) bad++;
+        }
+        // rolling with out-of-window invalid tracking via a small queue of
+        // positions is overkill: recount when a 255 enters/leaves
+        // (rare in real data) — track with a per-position flag scan
+        for (int64_t i = lo; i < hi; i++) {
+            uint8_t c = code[seq[i + k - 1]];
+            cur = ((cur << 2) | (c == 255 ? 0 : c)) & mask;
+            if (c == 255) bad++;
+            out[i] = cur;
+            valid[i] = bad == 0;
+            uint8_t c0 = code[seq[i]];
+            if (c0 == 255) bad--;
+        }
+    };
+    if (nt == 1) { work(0); return; }
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+}
+
+// Gather encoded reference windows for a job batch: out[i] =
+// enc_cat[hap_offsets[job_seq[i]] + win_start[i] .. +w], clamped to the
+// haplotype's length; out-of-range columns keep the padding code 4.
+// Replaces a ~40MB-of-temporaries numpy gather in _jobs_to_alignments.
+extern "C" void hla_gather_windows(
+    const uint8_t* enc_cat, const int64_t* hap_offsets,
+    const int64_t* hap_lens, const int64_t* job_seq,
+    const int64_t* win_start, int64_t nb, int64_t w,
+    uint8_t* out, int n_threads) {
+    int nt = n_threads > 0 ? n_threads : 1;
+    auto work = [&](int t) {
+        for (int64_t i = t; i < nb; i += nt) {
+            uint8_t* row = out + i * w;
+            std::memset(row, 4, (size_t)w);
+            int64_t s = job_seq[i];
+            int64_t ws = win_start[i];
+            int64_t lo = ws < 0 ? 0 : ws;
+            int64_t hi = ws + w;
+            if (hi > hap_lens[s]) hi = hap_lens[s];
+            if (hi <= lo) continue;
+            std::memcpy(row + (lo - ws), enc_cat + hap_offsets[s] + lo,
+                        (size_t)(hi - lo));
+        }
+    };
+    if (nt == 1) { work(0); return; }
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+}
+
 extern "C" int64_t hla_project_count(
     const int32_t* ops, const int64_t* n_ops,
     const int64_t* job_seq, const int64_t* window_start,

@@ -26,7 +26,11 @@ def test_sharded_typing_matches_numpy(rng):
     L = onehot @ contrib.T
     want = pair_ll_reduction_numpy(L.astype(np.float64))
     np.testing.assert_allclose(np.asarray(pair), want, rtol=1e-4, atol=1e-3)
-    np.testing.assert_allclose(np.asarray(marg), L.sum(axis=1), rtol=1e-4)
+    # the REAL pair-posterior marginal (row+col mass, diagonal once)
+    post = np.exp(want - want.max())
+    post /= post.sum()
+    marg_ref = post.sum(axis=1) + post.sum(axis=0) - np.diag(post)
+    np.testing.assert_allclose(np.asarray(marg), marg_ref, atol=1e-4)
 
 
 @needs_8

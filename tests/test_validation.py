@@ -85,9 +85,70 @@ def test_cohort_validation_end_to_end(tmp_path):
     samples = read_sample_sheet(str(sheet))
     report = validate_cohort(pkg, samples, str(truth),
                              str(tmp_path / "valout"))
-    assert "S1" in report.per_sample
+    assert report.n_samples == 1
     assert report.total_accuracy == 1.0
-    assert os.path.exists(tmp_path / "valout" / "validation_report.txt")
+    # all three resolutions perfect on concordant data
+    for res in ("2digit", "4digit", "G"):
+        assert report.accuracy(res) == 1.0
+    assert not report.discordant
+    for fn in ("validation_report.txt", "validation_calibration.txt",
+               "validation_allele_stats.txt"):
+        assert os.path.exists(tmp_path / "valout" / fn)
+    summary = (tmp_path / "valout" / "validation_report.txt").read_text()
+    assert "Accuracy_2digit" in summary and "Accuracy_G" in summary
     inferred = read_inferred_bestguess(
         str(tmp_path / "valout" / "S1" / "hla" / "R1_bestguess.txt"))
     assert "A" in inferred
+
+
+def test_cohort_validation_discordant_pileup_analysis(tmp_path):
+    """A sample whose truth table deliberately disagrees with the reads:
+    the harness must flag the discordant locus, keep the others perfect,
+    bucket the call in the calibration table, and write a pileup-based
+    error analysis listing the columns where inferred and 'true' alleles
+    disagree (HLAtypeinference_validation.pl:826-1000)."""
+    rng = np.random.default_rng(21)
+    sim = simulate_prg_package(rng, backbone_length=1800, n_haplotypes=4)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=280,
+                       fragment_sd=25)
+    bam_path = str(tmp_path / "S2.bam")
+    w = BamWriter(bam_path, [("chr6", 100000)])
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        for p in rs.simulate_pairs_from_string(seq, levels, 12.0,
+                                               name_prefix=f"h{h}"):
+            for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+                seq_o, qual = r.seq, r.qual
+                flag = FLAG_PAIRED | mate_flag
+                if r.reverse:
+                    seq_o, qual = revcomp(seq_o), qual[::-1]
+                    flag |= FLAG_REVERSE
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=max(r.start_pos, 0), mapq=60,
+                                  cigar=[(len(seq_o), 0)], seq=seq_o,
+                                  qual=qual))
+    w.close()
+    sheet = tmp_path / "validationBAMs.txt"
+    sheet.write_text(f"S2 {bam_path}\n")
+    # truth wrong at locus A (A*07:01 instead of A*03:01), right at B
+    truth = tmp_path / "truth.txt"
+    truth.write_text("IndividualID\tA\tA\tB\tB\n"
+                     "S2\tA*02:01\tA*07:01\tB*02:01\tB*03:01\n")
+    report = validate_cohort(pkg, read_sample_sheet(str(sheet)),
+                             str(truth), str(tmp_path / "valout"))
+    assert report.per_locus["B"].correct["4digit"] == 2
+    assert report.per_locus["A"].correct["4digit"] == 1
+    assert len(report.discordant) == 1
+    assert report.discordant[0][1] == "A"
+    # calibration has both correct and incorrect entries
+    ok = [o for _, o in report.calibration]
+    assert any(ok) and not all(ok)
+    # per-allele stats track the bad truth allele
+    assert report.truth_stats[("A", "A*07:01")]["incorrect"] == 1
+    # pileup analysis file written with disagreeing columns
+    pa = tmp_path / "valout" / "pileup_analysis_S2_A.txt"
+    assert pa.exists()
+    lines = pa.read_text().splitlines()
+    assert len(lines) > 2, "expected disagreeing columns"
+    assert "Inferred" in lines[0] or "Inferred1" in lines[1]

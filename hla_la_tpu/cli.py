@@ -253,12 +253,23 @@ def action_asm(args) -> int:
         raise SystemExit("--ASMfasta required for --action ASM")
     contigs = read_fasta(args.ASMfasta)
     typer = AssemblyTyper(pkg)
-    calls = typer.type_contigs(contigs)
+    truth = None
+    if args.trueHLA:
+        from .utils.nomenclature import read_truth_file
+        truth_all = read_truth_file(args.trueHLA)
+        truth = truth_all.get(args.sampleID)
+        if truth is None and len(truth_all) == 1:
+            truth = next(iter(truth_all.values()))
+    calls = typer.type_contigs(contigs, truth=truth)
     out_dir = args.outputDirectory or os.path.join(args.workingDir,
                                                    args.sampleID + "_ASM")
-    typer.write_outputs(calls, out_dir)
+    typer.write_outputs(calls, out_dir, contigs=contigs)
     for c in calls:
-        print(f"{c.locus}\t{c.contig}\t{c.allele}\tED={c.edit_distance}")
+        extra = ""
+        if c.min_dist_called_truth is not None:
+            extra = f"\ttruthED={c.min_dist_called_truth}"
+        print(f"{c.locus}\t{c.contig}\t{';'.join(c.alleles_at_min)}\t"
+              f"ED={c.edit_distance}{extra}")
     return 0
 
 

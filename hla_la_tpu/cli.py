@@ -52,7 +52,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--trueHLA", help="truth table for concordance evaluation")
     ap.add_argument("--ASMfasta", help="assembly contigs for --action ASM")
-    ap.add_argument("--ALTpanel", help="linear ALT panel FASTA for --action KIR")
+    ap.add_argument("--ALTpanel", help="linear ALT panel (package dir or "
+                    "FASTA) for --action KIR / buildKIRpanel output dir")
+    ap.add_argument("--annotations", help="gene annotation TSV "
+                    "(hap gene start0 stop0) for --action buildKIRpanel")
     ap.add_argument("--validationBAMs", help="sample sheet for --action validate")
     ap.add_argument("--resolution", type=int, default=2,
                     help="nomenclature fields compared in evaluation")
@@ -88,6 +91,8 @@ def main(argv=None):
         return action_extract_kmer_counts(args)
     if action == "KIRsimulation":
         return action_kir_simulation(args)
+    if action == "buildKIRpanel":
+        return action_build_kir_panel(args)
     if action == "graphFromMFA":
         return action_graph_from_mfa(args)
     if action == "findKIRinBAM":
@@ -274,18 +279,39 @@ def action_asm(args) -> int:
 
 
 def action_kir(args) -> int:
-    """Linear-ALT (KIR) typing (--action KIR, HLA-LA.cpp:812-905)."""
-    from .io.bam import bam_to_fastq_pairs, extract_reads
+    """Linear-ALT (KIR) typing (--action KIR, HLA-LA.cpp:812-905).
+
+    --ALTpanel may be a linear-ALT package DIRECTORY (the reference's
+    linearALTs layout; full workflow: region extraction from the BAM,
+    haplotype-pair model with insert term, reads2Genes) or a bare FASTA
+    (haplotype-pair model only)."""
+    from .io.bam import (bam_to_fastq_pairs, estimate_insert_size_from_bam,
+                         extract_reads)
     from .io.fasta import read_fasta
     from .io.fastq import read_fastq
     from .models.linear_alts import LinearALTsTyper
     if not args.ALTpanel:
-        raise SystemExit("--ALTpanel FASTA required for --action KIR")
-    panel = read_fasta(args.ALTpanel)
+        raise SystemExit("--ALTpanel (package dir or FASTA) required for "
+                         "--action KIR")
+    kir_pkg = None
+    if os.path.isdir(args.ALTpanel):
+        from .models.kir_package import KirPackage
+        kir_pkg = KirPackage.load(args.ALTpanel)
+        panel = kir_pkg.haplotypes
+    else:
+        panel = read_fasta(args.ALTpanel)
     pairs: list = []
     reads = []
+    mean = sd = None
     if args.BAM:
-        by_name, _ = extract_reads(args.BAM, None)
+        regions = None
+        if kir_pkg is not None and kir_pkg.covered_regions:
+            # extract only the covered regions (+ unmapped) —
+            # extractReads_extendedReferenceGenome, linearALTs.h:37
+            regions = [(c, a, b)
+                       for c, (a, b) in kir_pkg.covered_regions.items()]
+            mean, sd = estimate_insert_size_from_bam(args.BAM)
+        by_name, _ = extract_reads(args.BAM, regions)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         reads = [r for p in pairs for r in p] + unpaired
     elif args.FASTQ1 and args.FASTQ2:
@@ -296,16 +322,66 @@ def action_kir(args) -> int:
     else:
         raise SystemExit("--BAM, --FASTQ1/2 or --FASTQU required for "
                          "--action KIR")
-    typer = LinearALTsTyper(panel, backend=args.backend)
+    genes = None
+    if kir_pkg is not None and kir_pkg.annotations:
+        spans: dict[str, tuple[int, int]] = {}
+        for hap_spans in kir_pkg.annotations.values():
+            for g, a, b in hap_spans:
+                lo, hi = spans.get(g, (a, b))
+                spans[g] = (min(lo, a), max(hi, b))
+        genes = spans
+    typer = LinearALTsTyper(panel, backend=args.backend, genes=genes)
     if pairs:
         # paired model incl. the insert-size term
         # (processCollectedAlignments, linearALTs.h:69)
-        mean, sd = typer.estimate_insert(pairs)
+        if mean is None:
+            mean, sd = typer.estimate_insert(pairs)
         res = typer.type_diploid_paired(pairs, mean, sd)
     else:
         res = typer.type_diploid(reads)
     print(f"best ALT pair: {res.hap1} / {res.hap2} "
           f"(posterior {res.posterior:.4f})")
+    out_dir = args.outputDirectory or os.path.join(args.workingDir,
+                                                   args.sampleID + "_KIR")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "KIR_haplotypes.txt"), "w") as fh:
+        fh.write("Haplotype1\tHaplotype2\tPosterior\n")
+        fh.write(f"{res.hap1}\t{res.hap2}\t{res.posterior:.6f}\n")
+    if genes:
+        r2g = typer.reads_to_genes(reads)
+        with open(os.path.join(out_dir, "reads2Genes.txt"), "w") as fh:
+            fh.write("Gene\tNReads\tReadIDs\n")
+            for g in sorted(r2g):
+                fh.write(f"{g}\t{len(r2g[g])}\t"
+                         f"{','.join(sorted(r2g[g]))}\n")
+        print("reads2Genes: " + ", ".join(
+            f"{g}={len(r2g[g])}" for g in sorted(r2g)))
+    return 0
+
+
+def action_build_kir_panel(args) -> int:
+    """Panel builder: aligned region haplotypes (MFA FASTA) + gene
+    annotation TSV -> full linear-ALT package (the packaging step the
+    reference performed offline from IPD-KIR data)."""
+    from .io.fasta import read_fasta
+    from .models.kir_package import build_kir_package
+    if not args.ASMfasta or not args.ALTpanel:
+        raise SystemExit("buildKIRpanel needs --ASMfasta <aligned.fa> "
+                         "--ALTpanel <output dir> [--annotations <tsv>]")
+    haps = read_fasta(args.ASMfasta)
+    ann: dict[str, list[tuple[str, int, int]]] = {}
+    if args.annotations:
+        with open(args.annotations) as fh:
+            fh.readline()
+            for line in fh:
+                f = line.rstrip("\n").split("\t")
+                if len(f) >= 4:
+                    ann.setdefault(f[0], []).append(
+                        (f[1], int(f[2]), int(f[3])))
+    covered = None
+    pkg = build_kir_package(args.ALTpanel, haps, ann, covered)
+    print(f"KIR panel written: {len(pkg.haplotypes)} haplotypes, "
+          f"{len(pkg.genes())} genes -> {args.ALTpanel}")
     return 0
 
 
@@ -557,11 +633,55 @@ def action_extract_kmer_counts(args) -> int:
 def action_kir_simulation(args) -> int:
     """KIR haplotype/gene simulation self-test (KIRhaplotypesSimulation /
     KIRgeneSimulation actions, HLA-LA.cpp:907, 1186): simulate a diploid ALT
-    pair, generate reads, re-type, compare."""
+    pair, generate reads, re-type, compare.  With --ALTpanel <package dir>,
+    simulates from the real panel incl. read->gene truth evaluation."""
     from .io.fastq import FastqRead
     from .models.linear_alts import LinearALTsTyper
     from .sim.read_sim import ReadSimulator
     rng = np.random.default_rng(args.seed or 11)
+    if args.ALTpanel and os.path.isdir(args.ALTpanel):
+        from .models.kir_package import KirPackage
+        kp = KirPackage.load(args.ALTpanel)
+        names = sorted(kp.haplotypes)
+        h1, h2 = (names[int(rng.integers(len(names)))],
+                  names[int(rng.integers(len(names)))])
+        rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                           fragment_sd=30)
+        reads, true_gene = [], {}
+        spans = {h: kp.annotations.get(h, []) for h in (h1, h2)}
+        for h in (h1, h2):
+            seq = kp.haplotypes[h]
+            for p in rs.simulate_pairs_from_string(
+                    seq, np.arange(len(seq)), 8.0, name_prefix=h):
+                for r in (p.r1, p.r2):
+                    reads.append(r.to_fastq())
+                    for g, a, b in spans[h]:
+                        if r.start_pos < b and r.start_pos + len(r.seq) > a:
+                            true_gene.setdefault(r.name, set()).add(g)
+        gene_spans: dict[str, tuple[int, int]] = {}
+        for hap_spans in kp.annotations.values():
+            for g, a, b in hap_spans:
+                lo, hi = gene_spans.get(g, (a, b))
+                gene_spans[g] = (min(lo, a), max(hi, b))
+        typer = LinearALTsTyper(kp.haplotypes, backend=args.backend,
+                                genes=gene_spans)
+        res = typer.type_diploid(reads)
+        ok = {res.hap1, res.hap2} == {h1, h2}
+        print(f"simulated {h1}/{h2}; called {res.hap1}/{res.hap2} "
+              f"({'OK' if ok else 'MISMATCH'}, posterior "
+              f"{res.posterior:.4f})")
+        # read->gene truth evaluation (reads2Genes,
+        # HLA-LA.cpp:907-1186 simulation comparisons)
+        r2g = typer.reads_to_genes(reads)
+        n_ok = n_tot = 0
+        for g, read_names in r2g.items():
+            for rn in read_names:
+                if rn in true_gene:
+                    n_tot += 1
+                    n_ok += int(g in true_gene[rn])
+        acc = n_ok / n_tot if n_tot else 1.0
+        print(f"reads2Genes accuracy: {acc:.4f} ({n_ok}/{n_tot})")
+        return 0 if ok and acc >= 0.9 else 1
     L = 2000
     base = "".join("ACGT"[i] for i in rng.integers(0, 4, L))
     panel = {}

@@ -305,6 +305,38 @@ def record_to_fastq(r: BamRecord):
     return FastqRead(r.name, seq, qual)
 
 
+def estimate_insert_size_from_bam(path: str, max_pairs: int = 4000,
+                                  cram_reference=None
+                                  ) -> tuple[float, float]:
+    """Insert-size estimate straight from BAM/CRAM mate fields — the
+    graph-free estimateInsertSize_noGraph (processBAM.cpp:866-990):
+    histogram of |TLEN| over proper primary pairs -> (median, spread)."""
+    if is_cram(path):
+        from .cram import CramReader
+        rd = CramReader(path, reference=cram_reference)
+    else:
+        rd = BamReader(path)
+    hist: dict[int, float] = {}
+    n = 0
+    for rec in rd:
+        if n >= max_pairs:
+            break
+        if rec.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_UNMAPPED):
+            continue
+        if not (rec.flag & FLAG_PAIRED) or rec.tlen <= 0:
+            continue
+        hist[int(rec.tlen)] = hist.get(int(rec.tlen), 0.0) + 1.0
+        n += 1
+    rd.close()
+    if not hist:
+        import sys
+        print("WARNING: no proper pairs with TLEN found — insert size "
+              "falls back to (300, 100)", file=sys.stderr, flush=True)
+        return 300.0, 100.0
+    from ..models.aligner import insert_size_from_histogram
+    return insert_size_from_histogram(hist)
+
+
 def is_cram(path: str) -> bool:
     with open(path, "rb") as fh:
         return fh.read(4) == b"CRAM"

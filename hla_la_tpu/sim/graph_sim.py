@@ -102,6 +102,7 @@ def simulate_prg_package(rng: np.random.Generator,
                          genes: dict[str, tuple[float, float]] | None = None,
                          n_gene_alleles: int = 12,
                          allele_snp_rate: float = 0.02,
+                         allele_names: dict[str, list[str]] | None = None,
                          ) -> SimulatedPRG:
     """Simulate a PRG panel plus gene segment files.
 
@@ -177,7 +178,10 @@ def simulate_prg_package(rng: np.random.Generator,
                         chars[i] = chr(BASES[(np.searchsorted(BASES, ord(c)) +
                                               rng.integers(1, 4)) % 4])
                 combined = "".join(chars)
-            alleles[f"{locus}*{ai + 1:02d}:01"] = combined
+            names_for = (allele_names or {}).get(locus)
+            name = (names_for[ai] if names_for and ai < len(names_for)
+                    else f"{locus}*{ai + 1:02d}:01")
+            alleles[name] = combined
         gene_alleles[locus] = alleles
         allele_rows_per_gene[locus] = alleles
 

@@ -250,6 +250,65 @@ def test_cli_auto_detects_real_b38_reference(tmp_path, rng, capsys):
 
 
 @needs_ref
+def test_e2e_typing_with_real_imgt_nomenclature(tmp_path, rng):
+    """End-to-end typing where the allele DB carries REAL IMGT allele
+    names: the bestguess_G output must translate through the real
+    hla_nom_g.txt to the correct real G groups with perfectG=1
+    (the closest in-suite stand-in for the NA12878 golden run while the
+    real package/CRAM are unavailable)."""
+    from hla_la_tpu.models.pipeline import run_hla_typing
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+    from hla_la_tpu.utils.config import RunConfig
+    from hla_la_tpu.validation import read_bestguess_with_q
+
+    # haplotypes 1..4 carry the first four names; 01:01:01:01 and
+    # 01:01:01:03 are DIFFERENT alleles of the SAME G group A*01:01:01G
+    real_names = {
+        "A": ["A*11:01:01", "A*01:01:01:01", "A*01:01:01:03",
+              "A*02:01:01:01", "A*03:01:01:01", "A*24:02:01:01",
+              "A*26:01:01", "A*31:01:02", "A*32:01:01", "A*33:01:01",
+              "A*68:01:01:01", "A*66:01"],
+        "B": ["B*08:01:01", "B*56:01:01:01", "B*07:02:01:01",
+              "B*44:02:01:01",
+              "B*15:01:01:01", "B*18:01:01:01", "B*27:05:02", "B*35:01:01:01",
+              "B*40:01:01", "B*51:01:01", "B*57:01:01", "B*58:01:01"],
+    }
+    sim = simulate_prg_package(rng, backbone_length=2400, n_haplotypes=5,
+                               allele_names=real_names)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    import shutil
+    shutil.copy(NOM_G, os.path.join(pkg.dir, "hla_nom_g.txt"))
+
+    # diploid = haplotypes 1 and 2 -> A*01:01:01:01 + A*01:01:01:03 (SAME
+    # G group, homozygous at G resolution) and B*56:01:01:01 + B*07:02:01:01
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                       fragment_sd=25, with_error=True)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 16.0,
+                                               name_prefix=f"h{h}")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    res = run_hla_typing(pkg, pairs=fq, output_dir=str(tmp_path / "out"),
+                         cfg=RunConfig())
+    g_file = str(tmp_path / "out" / "hla" / "R1_bestguess_G.txt")
+    assert os.path.exists(g_file)
+    got = read_bestguess_with_q(g_file)
+    a1, a2, q1, q2 = got["A"]
+    assert {a1, a2} == {"A*01:01:01G"}, (a1, a2)
+    b1, b2, _, _ = got["B"]
+    assert {b1, b2} == {"B*56:01:01G", "B*07:02:01G"}, (b1, b2)
+    assert q1 > 0.9 and q2 > 0.9
+    # perfectG column must be 1 (clean translation)
+    lines = open(g_file).read().splitlines()
+    header = lines[0].split("\t")
+    pg = header.index("perfectG")
+    for line in lines[1:]:
+        assert line.split("\t")[pg] == "1", line
+
+
+@needs_ref
 def test_real_quality_matrix_profile(rng):
     """The NA12878 empirical quality matrix (readLength 101) loads and
     produces sane per-position quality distributions."""

@@ -149,8 +149,10 @@ def action_hla(args) -> int:
                 from .io.fasta import read_fasta
                 cram_reference = read_fasta(args.ref)
             from .io.cram import CramReader
-            contigs = CramReader(args.BAM,
-                                 reference=cram_reference).contigs()
+            # keep ONE buffered reader: extract_reads reuses it instead of
+            # re-reading the (potentially multi-hundred-MB) file
+            cram_reference = CramReader(args.BAM, reference=cram_reference)
+            contigs = cram_reference.contigs()
         else:
             # header only: stream (native would inflate the whole file)
             contigs = BamReader(args.BAM, use_native=False).contigs()

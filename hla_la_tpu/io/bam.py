@@ -359,7 +359,10 @@ def extract_reads(bam_path: str,
     which preserves optional tag bytes (the packed parser drops them)."""
     if is_cram(bam_path):
         from .cram import CramReader
-        rd = CramReader(bam_path, reference=cram_reference)
+        if isinstance(cram_reference, CramReader):
+            rd = cram_reference      # reuse an already-buffered reader
+        else:
+            rd = CramReader(bam_path, reference=cram_reference)
     else:
         if not with_tags:
             res = _extract_reads_packed(bam_path, regions, include_unmapped)

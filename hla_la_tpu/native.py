@@ -60,6 +60,8 @@ def _find_lib():
             lib.hla_walk_haplotype.restype = ctypes.c_int
             lib.hla_walk_haplotype.argtypes = (
                 [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
+            lib.hla_rans4x8_decode.restype = ctypes.c_int
+            lib.hla_rans4x8_decode.argtypes = [vp, i64, vp, i64]
             lib.hla_encode_kmers.restype = None
             lib.hla_encode_kmers.argtypes = (
                 [vp, i64, i64, vp, vp, ctypes.c_int])
@@ -250,6 +252,22 @@ def select_pairs(n1: np.ndarray, n2: np.ndarray, ll: np.ndarray,
                          float(max_pen_log),
                          c(b1), c(b2), c(pm), c(m1), c(m2), c(conf))
     return b1, b2, pm, m1, m2, conf
+
+
+def rans4x8_decode(blob: bytes) -> bytes | None:
+    """C++ rANS 4x8 block decode (CRAM method 4) or None on failure/
+    unavailable lib."""
+    lib = _find_lib()
+    if lib is None or len(blob) < 9:
+        return None
+    import struct
+    n_out = struct.unpack_from("<I", blob, 5)[0]
+    out = np.empty(max(n_out, 1), dtype=np.uint8)
+    rc = lib.hla_rans4x8_decode(blob, len(blob),
+                                out.ctypes.data_as(ctypes.c_void_p), n_out)
+    if rc != 0:
+        return None
+    return out[:n_out].tobytes()
 
 
 def encode_kmers(seq_bytes: np.ndarray, k: int

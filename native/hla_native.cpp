@@ -373,6 +373,162 @@ extern "C" void hla_nw_forward(
 // ---------------------------------------------------------------------------
 static const uint8_t PRJ_GAP = '_';
 
+// ---------------------------------------------------------------------------
+// rANS 4x8 decode (CRAM 3.0 block method 4; spec §13).  Mirrors
+// hla_la_tpu/io/rans.py exactly — see there for the format notes.
+namespace rans4x8 {
+static const int TF_SHIFT = 12;
+static const uint32_t TOTFREQ = 1u << TF_SHIFT;
+static const uint32_t RANS_L = 1u << 23;
+
+struct Reader {
+    const uint8_t* p;
+    const uint8_t* end;
+    bool ok = true;
+    uint8_t u8() { if (p >= end) { ok = false; return 0; } return *p++; }
+    uint32_t uint7() {
+        uint32_t b = u8();
+        if (b < 128) return b;
+        return ((b & 0x7F) << 8) | u8();
+    }
+};
+
+// symbol-RLE frequency table (shared by order-0 and each order-1 row)
+static bool read_freqs(Reader& r, uint32_t* F /*[256] zeroed*/) {
+    int j = r.u8();
+    int rle = 0;
+    while (r.ok) {
+        F[j] = r.uint7();
+        if (rle == 0 && r.p < r.end && *r.p == j + 1) {
+            j = r.u8();
+            rle = r.u8();
+        } else if (rle > 0) {
+            rle--;
+            j++;
+            if (j > 255) return false;
+        } else {
+            j = r.u8();
+            if (j == 0) break;
+        }
+    }
+    return r.ok;
+}
+
+static bool decode_o0(Reader& r, uint8_t* out, int64_t n_out) {
+    uint32_t F[256] = {0};
+    if (!read_freqs(r, F)) return false;
+    uint32_t C[257];
+    C[0] = 0;
+    for (int s = 0; s < 256; s++) C[s + 1] = C[s] + F[s];
+    if (C[256] != TOTFREQ) return false;
+    uint8_t sym_of[TOTFREQ];
+    for (int s = 0; s < 256; s++)
+        for (uint32_t k = C[s]; k < C[s + 1]; k++) sym_of[k] = (uint8_t)s;
+    uint32_t R[4];
+    for (int j2 = 0; j2 < 4; j2++) {
+        if (r.p + 4 > r.end) return false;
+        std::memcpy(&R[j2], r.p, 4);
+        r.p += 4;
+    }
+    for (int64_t i = 0; i < n_out; i++) {
+        int j2 = i & 3;
+        uint32_t x = R[j2];
+        uint32_t slot = x & (TOTFREQ - 1);
+        uint8_t s = sym_of[slot];
+        out[i] = s;
+        x = F[s] * (x >> TF_SHIFT) + slot - C[s];
+        while (x < RANS_L && r.p < r.end) x = (x << 8) | *r.p++;
+        R[j2] = x;
+    }
+    return true;
+}
+
+static bool decode_o1(Reader& r, uint8_t* out, int64_t n_out) {
+    // context tables with the same RLE over contexts
+    std::vector<uint32_t> F(256 * 256, 0);
+    std::vector<uint32_t> C(256 * 257, 0);
+    std::vector<uint8_t> sym_of(256 * TOTFREQ, 0);
+    std::vector<uint8_t> present(256, 0);
+    int cx = r.u8();
+    int rle = 0;
+    while (r.ok) {
+        if (!read_freqs(r, &F[cx * 256])) return false;
+        present[cx] = 1;
+        if (rle == 0 && r.p < r.end && *r.p == cx + 1) {
+            cx = r.u8();
+            rle = r.u8();
+        } else if (rle > 0) {
+            rle--;
+            cx++;
+            if (cx > 255) return false;
+        } else {
+            cx = r.u8();
+            if (cx == 0) break;
+        }
+    }
+    if (!r.ok) return false;
+    for (int c0 = 0; c0 < 256; c0++) {
+        if (!present[c0]) continue;
+        uint32_t* Fr = &F[c0 * 256];
+        uint32_t* Cr = &C[c0 * 257];
+        Cr[0] = 0;
+        for (int s = 0; s < 256; s++) Cr[s + 1] = Cr[s] + Fr[s];
+        if (Cr[256] != TOTFREQ) return false;
+        uint8_t* so = &sym_of[(size_t)c0 * TOTFREQ];
+        for (int s = 0; s < 256; s++)
+            for (uint32_t k = Cr[s]; k < Cr[s + 1]; k++) so[k] = (uint8_t)s;
+    }
+    uint32_t R[4];
+    for (int j2 = 0; j2 < 4; j2++) {
+        if (r.p + 4 > r.end) return false;
+        std::memcpy(&R[j2], r.p, 4);
+        r.p += 4;
+    }
+    int64_t q = n_out >> 2;
+    int64_t lo[4] = {0, q, 2 * q, 3 * q};
+    int64_t hi[4] = {q, 2 * q, 3 * q, n_out};
+    uint8_t last[4] = {0, 0, 0, 0};
+    int64_t max_len = 0;
+    for (int j2 = 0; j2 < 4; j2++)
+        if (hi[j2] - lo[j2] > max_len) max_len = hi[j2] - lo[j2];
+    for (int64_t t = 0; t < max_len; t++) {
+        for (int j2 = 0; j2 < 4; j2++) {
+            if (t >= hi[j2] - lo[j2]) continue;
+            uint32_t x = R[j2];
+            uint8_t c0 = last[j2];
+            uint32_t slot = x & (TOTFREQ - 1);
+            uint8_t s = sym_of[(size_t)c0 * TOTFREQ + slot];
+            out[lo[j2] + t] = s;
+            x = F[c0 * 256 + s] * (x >> TF_SHIFT) + slot
+                - C[c0 * 257 + s];
+            while (x < RANS_L && r.p < r.end) x = (x << 8) | *r.p++;
+            R[j2] = x;
+            last[j2] = s;
+        }
+    }
+    return true;
+}
+}  // namespace rans4x8
+
+// Full rANS4x8 block (with 9-byte header).  Returns 0 on success, writes
+// n_out bytes into out (caller sizes it from the header's raw size).
+extern "C" int hla_rans4x8_decode(const uint8_t* blob, int64_t len,
+                                  uint8_t* out, int64_t n_out) {
+    if (len < 9) return -1;
+    int order = blob[0];
+    uint32_t n_in;
+    std::memcpy(&n_in, blob + 1, 4);
+    uint32_t n_raw;
+    std::memcpy(&n_raw, blob + 5, 4);
+    if ((int64_t)n_raw != n_out) return -2;
+    if (n_out == 0) return 0;
+    if (9 + (int64_t)n_in > len) return -3;
+    rans4x8::Reader r{blob + 9, blob + 9 + n_in};
+    bool ok = (order == 0) ? rans4x8::decode_o0(r, out, n_out)
+                           : rans4x8::decode_o1(r, out, n_out);
+    return ok ? 0 : -4;
+}
+
 // Rolling k-mer encode: out[i] = 2-bit code of seq[i..i+k), valid[i] = 0
 // when any base is non-ACGT.  One pass instead of numpy's k passes.
 extern "C" void hla_encode_kmers(

@@ -93,6 +93,8 @@ def main(argv=None):
         return action_kir_simulation(args)
     if action == "buildKIRpanel":
         return action_build_kir_panel(args)
+    if action == "globalAlignment":
+        return action_global_alignment(args)
     if action == "graphFromMFA":
         return action_graph_from_mfa(args)
     if action == "findKIRinBAM":
@@ -358,6 +360,25 @@ def action_kir(args) -> int:
                          f"{','.join(sorted(r2g[g]))}\n")
         print("reads2Genes: " + ", ".join(
             f"{g}={len(r2g[g])}" for g in sorted(r2g)))
+    return 0
+
+
+def action_global_alignment(args) -> int:
+    """Chain-enriched global alignment of one query sequence against one
+    reference (globalAlignment.pl equivalent).  --ASMfasta = query FASTA,
+    --ref = reference FASTA, --outputDirectory/--workingDir for output."""
+    from .io.fasta import read_fasta
+    from .mapping.global_align import write_global_alignment
+    if not args.ASMfasta or not args.ref:
+        raise SystemExit("globalAlignment needs --ASMfasta <query.fa> "
+                         "--ref <reference.fa>")
+    query = next(iter(read_fasta(args.ASMfasta).values()))
+    reference = next(iter(read_fasta(args.ref).values()))
+    out = os.path.join(args.outputDirectory or args.workingDir,
+                       "globalAlignment.txt")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    mism, strand = write_global_alignment(out, query, reference)
+    print(f"globalAlignment: {mism} mismatches, strand {strand} -> {out}")
     return 0
 
 

@@ -328,3 +328,68 @@ def sample_reference_genomes(pkg: GraphPackage, n_samples: int = 8,
             lst.write(path + "\n")
             paths.append(path)
     return paths
+
+
+def compare_tool_calls(our_calls_path: str, other_calls_path: str,
+                       truth_path: str, out_path: str,
+                       other_name: str = "external") -> dict:
+    """Side-by-side concordance of this framework's calls vs an external
+    tool's calls against a shared truth table — the role of the reference's
+    forPaper/runxHLA.pl + runAllxHLA.pl competitor comparison (SURVEY §2.2)
+    without shelling out to the competitor (its calls file is the input).
+
+    Calls files: either R1_bestguess(_G).txt format or the truth-table
+    format (IndividualID + two columns per locus).  Returns {tool: {res:
+    accuracy}} and writes a per-locus comparison table."""
+    from .utils.nomenclature import (allele_list_compatible,
+                                     read_inferred_bestguess,
+                                     read_truth_file)
+
+    def load_calls(path):
+        with open(path) as fh:
+            head = fh.readline()
+        if head.startswith("Locus\t"):
+            return {"sample": read_inferred_bestguess(path)}
+        return {sid: d for sid, d in read_truth_file(path).items()}
+
+    truth = read_truth_file(truth_path)
+    ours = load_calls(our_calls_path)
+    other = load_calls(other_calls_path)
+    resolutions = (("2digit", 1), ("4digit", 2), ("G", 4))
+    stats = {"ours": {}, other_name: {}}
+    rows = []
+    for tool, calls in (("ours", ours), (other_name, other)):
+        per_res_ok = {r: 0 for r, _ in resolutions}
+        n_total = 0
+        for sid, per_locus_truth in truth.items():
+            called = calls.get(sid) or (calls.get("sample")
+                                        if len(calls) == 1 else None)
+            if called is None:
+                continue
+            for locus, (t1, t2) in per_locus_truth.items():
+                if locus not in called:
+                    continue
+                c1, c2 = called[locus][:2]
+                n_total += 2
+                row = [tool, sid, locus, c1, c2, t1, t2]
+                for res_name, res in resolutions:
+                    straight = (allele_list_compatible(c1, t1, res)
+                                + allele_list_compatible(c2, t2, res))
+                    crossed = (allele_list_compatible(c1, t2, res)
+                               + allele_list_compatible(c2, t1, res))
+                    ok = max(straight, crossed)
+                    per_res_ok[res_name] += ok
+                    row.append(str(ok))
+                rows.append(row)
+        stats[tool] = {r: (per_res_ok[r] / n_total if n_total else 0.0)
+                       for r, _ in resolutions}
+    with open(out_path, "w") as fh:
+        fh.write("Tool\tSample\tLocus\tCall1\tCall2\tTruth1\tTruth2\t"
+                 "OK_2digit\tOK_4digit\tOK_G\n")
+        for row in rows:
+            fh.write("\t".join(row) + "\n")
+        for tool in ("ours", other_name):
+            fh.write(f"TOTAL_{tool}\t\t\t\t\t\t\t"
+                     + "\t".join(f"{stats[tool][r]:.4f}"
+                                 for r, _ in resolutions) + "\n")
+    return stats

@@ -192,3 +192,34 @@ def test_graph_from_mfa_gap_and_case_normalisation(tmp_path):
     fasta = pkg.prg_fasta()
     assert fasta["h1"].isupper() and "-" not in fasta["h2"]
     assert len(fasta["h2"]) == 23     # two gap columns removed
+
+
+def test_compare_tool_calls(tmp_path):
+    """Competitor-comparison harness (forPaper/runxHLA role): side-by-side
+    multi-resolution concordance of our calls vs an external tool's."""
+    from hla_la_tpu.tools import compare_tool_calls
+
+    truth = tmp_path / "truth.txt"
+    truth.write_text("IndividualID\tA\tA\tB\tB\n"
+                     "S1\tA*02:01\tA*03:01\tB*07:02\tB*08:01\n")
+    ours = tmp_path / "ours.txt"
+    ours.write_text("IndividualID\tA\tA\tB\tB\n"
+                    "S1\tA*02:01:01\tA*03:01\tB*07:02\tB*08:01\n")
+    other = tmp_path / "xhla.txt"
+    other.write_text("IndividualID\tA\tA\tB\tB\n"
+                     "S1\tA*02:01\tA*11:01\tB*07:02\tB*44:02\n")
+    out = tmp_path / "cmp.txt"
+    stats = compare_tool_calls(str(ours), str(other), str(truth), str(out),
+                               other_name="xHLA")
+    assert stats["ours"]["4digit"] == 1.0
+    assert stats["xHLA"]["4digit"] == 0.5
+    text = out.read_text()
+    assert "TOTAL_ours" in text and "TOTAL_xHLA" in text
+    # bestguess-format input also accepted
+    bg = tmp_path / "bestguess.txt"
+    bg.write_text("Locus\tChromosome\tAllele\tQ1\n"
+                  "A\t1\tA*02:01\t1\nA\t2\tA*03:01\t1\n"
+                  "B\t1\tB*07:02\t1\nB\t2\tB*08:01\t1\n")
+    stats2 = compare_tool_calls(str(bg), str(other), str(truth),
+                                str(tmp_path / "cmp2.txt"))
+    assert stats2["ours"]["4digit"] == 1.0

@@ -127,10 +127,13 @@ def real_scale_bench():
         t_type = dt if t_type is None else min(t_type, dt)
     calls = {r.locus: (r.allele1_id, r.allele2_id) for r in res}
     log(f"typing: {t_type:.1f}s, calls {calls}")
-    ok = calls.get("A") == ("A*02:01", "A*03:01") or \
-        calls.get("A") == ("A*03:01", "A*02:01")
-    if not ok:
-        log("WARNING: typing calls do not match simulated truth")
+    # correctness gates: perf numbers are meaningless for a broken pipeline
+    assert truth.accuracy() > 0.95, \
+        f"alignment truth accuracy regressed: {truth.accuracy():.4f}"
+    for locus in ("A", "B"):
+        want = {f"{locus}*02:01", f"{locus}*03:01"}
+        assert set(calls.get(locus, ())) == want, \
+            f"typing regression at {locus}: {calls.get(locus)} != {want}"
 
     e2e = n_reads / (best_dt + t_type)
     log(f"real-scale e2e (align best-of-3 + type): {e2e:.0f} reads/s")

@@ -308,14 +308,22 @@ def action_kir(args) -> int:
     reads = []
     mean = sd = None
     if args.BAM:
+        cram_reference = None
+        if args.ref:
+            from .io.bam import is_cram
+            if is_cram(args.BAM):
+                from .io.fasta import read_fasta
+                cram_reference = read_fasta(args.ref)
         regions = None
         if kir_pkg is not None and kir_pkg.covered_regions:
             # extract only the covered regions (+ unmapped) —
             # extractReads_extendedReferenceGenome, linearALTs.h:37
             regions = [(c, a, b)
                        for c, (a, b) in kir_pkg.covered_regions.items()]
-            mean, sd = estimate_insert_size_from_bam(args.BAM)
-        by_name, _ = extract_reads(args.BAM, regions)
+            mean, sd = estimate_insert_size_from_bam(
+                args.BAM, cram_reference=cram_reference)
+        by_name, _ = extract_reads(args.BAM, regions,
+                                   cram_reference=cram_reference)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         reads = [r for p in pairs for r in p] + unpaired
     elif args.FASTQ1 and args.FASTQ2:

@@ -587,8 +587,12 @@ class CramReader:
         if self.buf[:4] != CRAM_MAGIC:
             raise ValueError(f"{path}: not a CRAM file")
         self.major, self.minor = self.buf[4], self.buf[5]
-        if self.major not in (2, 3):
-            raise ValueError(f"unsupported CRAM major version {self.major}")
+        if self.major != 3:
+            # CRAM 2.x blocks/containers carry no CRC32 fields — parsing
+            # them with the 3.0 layout would silently misalign
+            raise ValueError(
+                f"unsupported CRAM version {self.major}.{self.minor} — "
+                "only CRAM 3.0/3.x decodes (convert with samtools)")
         self.pos = 26  # 4 magic + 2 version + 20 file id
         self.reference = reference
         # file header container
@@ -806,7 +810,12 @@ class CramReader:
                 name=name, flag=bf, ref_id=rid, pos=pos1 - 1, mapq=mapq,
                 cigar=cigar, seq=seq, qual=qual_str, cf=cf, nf=nf,
                 mate=mate, tags=tags, idx=ri))
-        # attach mates within the slice (CF_HAS_MATE_DOWNSTREAM + NF)
+        # attach mates within the slice (CF_HAS_MATE_DOWNSTREAM + NF):
+        # name + mate flags + RNEXT/PNEXT/TLEN on both records
+        def _ref_len(rec):
+            return sum(n for n, op in rec["cigar"]
+                       if op in (0, 2, 3, 7, 8))
+
         for r in records:
             if r["cf"] & CF_HAS_MATE_DOWNSTREAM and r["nf"] >= 0:
                 mi = r["idx"] + r["nf"] + 1
@@ -820,11 +829,31 @@ class CramReader:
                             a["flag"] |= BAM_FMREVERSE
                         if b["flag"] & BAM_FUNMAP:
                             a["flag"] |= BAM_FMUNMAP
+                        a["mate_ref_id"] = b["ref_id"]
+                        a["mate_pos"] = b["pos"]
+                    # TLEN: signed leftmost-start to rightmost-end span
+                    left, right = (r, m) if r["pos"] <= m["pos"] else (m, r)
+                    span = (right["pos"] + _ref_len(right)) - left["pos"]
+                    left["tlen"] = span
+                    right["tlen"] = -span
+            elif r["cf"] & CF_DETACHED and r["mate"] is not None:
+                mf, ns, np_, ts = r["mate"]
+                r["flag"] |= BAM_FPAIRED
+                if mf & MF_MATE_REVERSE:
+                    r["flag"] |= BAM_FMREVERSE
+                if mf & MF_MATE_UNMAPPED:
+                    r["flag"] |= BAM_FMUNMAP
+                r["mate_ref_id"] = ns
+                r["mate_pos"] = np_ - 1
+                r["tlen"] = ts
         for r in records:
             yield BamRecord(name=r["name"], flag=r["flag"],
                             ref_id=r["ref_id"], pos=r["pos"],
                             mapq=r["mapq"], cigar=r["cigar"], seq=r["seq"],
-                            qual=r["qual"])
+                            qual=r["qual"],
+                            mate_ref_id=r.get("mate_ref_id", -1),
+                            mate_pos=r.get("mate_pos", -1),
+                            tlen=r.get("tlen", 0))
 
     def _reconstruct(self, rid, pos0, rl, features, sub_table, sh,
                      embedded_ref, quals, ch):
@@ -848,8 +877,6 @@ class CramReader:
         # reference span needed: rl + total deletions/skips
         extra = sum(f[2] if f[0] in ("D", "N") else 0 for f in features)
         ref = None
-        ref_start = pos0
-        need_ref = any(f[0] in ("X",) for f in features) or True
         softclip = sum(len(f[2]) for f in features if f[0] == "S")
         ins = sum(len(f[2]) if f[0] == "I" else (1 if f[0] == "i" else 0)
                   for f in features)

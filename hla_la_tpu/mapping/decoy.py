@@ -38,14 +38,29 @@ class DecoyIndex:
 
     @classmethod
     def from_fasta(cls, fasta: dict[str, str], exclude_prefixes=("PRG",),
-                   k: int = 20, cache_path: str | None = None
-                   ) -> "DecoyIndex | None":
+                   k: int = 20, cache_path: str | None = None,
+                   source_path: str | None = None) -> "DecoyIndex | None":
         """Build from a genome dict, excluding PRG contigs (`PRG_<id>` in
-        the reference's extendedReferenceGenome, processBAM.cpp:69-86)."""
+        the reference's extendedReferenceGenome, processBAM.cpp:69-86).
+
+        `source_path`: the FASTA file the dict came from — the cache is
+        keyed on its identity+mtime so switching decoy sources (or
+        regenerating one) never serves a stale index."""
         decoy = {n: s for n, s in fasta.items()
                  if not n.startswith(tuple(exclude_prefixes))}
         if not decoy:
             return None
+        if cache_path and source_path:
+            import hashlib
+            try:
+                tag = hashlib.md5(
+                    f"{os.path.abspath(source_path)}:"
+                    f"{os.path.getmtime(source_path)}".encode()
+                ).hexdigest()[:12]
+                root, ext = os.path.splitext(cache_path)
+                cache_path = f"{root}_{tag}{ext}"
+            except OSError:
+                cache_path = None
         if cache_path and os.path.exists(cache_path):
             try:
                 idx = KmerIndex.load(cache_path)

@@ -233,7 +233,9 @@ def write_global_alignment(path: str, query: str, reference: str,
     aligned query."""
     a_r, a_q, mism, (lo, hi), strand = global_alignment(query, reference, k)
     with open(path, "w") as fh:
-        fh.write(f"{mism} {lo}-{hi} {strand}0-{len(query)}\n")
+        # query end is the LAST 0-based index (maxPos_contig,
+        # globalAlignment.pl:488)
+        fh.write(f"{mism} {lo}-{hi} {strand}0-{len(query) - 1}\n")
         fh.write(a_r + "\n")
         fh.write(a_q + "\n")
     return mism, strand

@@ -62,7 +62,8 @@ def build_decoy(pkg: GraphPackage, cfg: RunConfig):
         return None
     from ..io.fasta import read_fasta
     cache = os.path.join(pkg.dir, "mapping_PRGonly", "decoyIndex_k20.npz")
-    return DecoyIndex.from_fasta(read_fasta(path), cache_path=cache)
+    return DecoyIndex.from_fasta(read_fasta(path), cache_path=cache,
+                                 source_path=path)
 
 
 def run_hla_typing(pkg: GraphPackage,

@@ -209,14 +209,21 @@ def _find_allele_row(rows: dict[str, list[str]], allele: str
 
 def pileup_error_analysis(pkg: GraphPackage, sample_out: str, locus: str,
                           called: tuple[str, str], truth: tuple[str, str],
-                          out_path: str) -> int:
+                          out_path: str, typer=None) -> int:
     """Column-by-column comparison of inferred vs apparently-true allele
     exon sequences, annotated with the read pileup, for a discordant call
     (reference lines 882-1000).  Returns the number of columns where the
     inferred and true genotypes disagree (and writes them)."""
     from .models.typer import HLATyper
-    typer = HLATyper(pkg)
+    from .utils.config import LOCI_2_EXONS
+    if typer is None:
+        typer = HLATyper(pkg)
     seg_map = typer.graph_genes.get(locus, {})
+    # the typer's pileup enumerates only the TYPED exons, in LOCI_2_EXONS
+    # order (typer._combined_exon_matrix) — mirror that exactly, or
+    # coverage would be read from the wrong exon on multi-exon real loci
+    typed_exons = [(e, seg_map[e]) for e in LOCI_2_EXONS.get(locus, [])
+                   if e in seg_map] or sorted(seg_map.items())
     pileup_path = os.path.join(sample_out, "hla", f"R1_pileup_{locus}.txt")
     pileup = _load_pileup(pileup_path) if os.path.exists(pileup_path) else {}
     n_diff = 0
@@ -225,7 +232,7 @@ def pileup_error_analysis(pkg: GraphPackage, sample_out: str, locus: str,
                  f"Truth: {truth[0]} / {truth[1]}\n")
         fh.write("Exon\tPos\tInferred1\tInferred2\tTrue1\tTrue2\t"
                  "Coverage\tPileup\n")
-        for exon_ord, (exon_id, fn) in enumerate(sorted(seg_map.items())):
+        for exon_ord, (exon_id, fn) in enumerate(typed_exons):
             cols, rows = pkg.read_segment(fn)
             inf = [_find_allele_row(rows, a) for a in called]
             tru = [_find_allele_row(rows, a) for a in truth]
@@ -280,13 +287,19 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
                                           "validation_calibration.txt"))
     report.write_allele_stats(os.path.join(out_dir,
                                            "validation_allele_stats.txt"))
-    # pileup-based error analysis of every discordant call
+    # pileup-based error analysis of every discordant call (one shared
+    # typer: per-call init re-reads the segment DB)
+    shared_typer = None
+    if report.discordant:
+        from .models.typer import HLATyper
+        shared_typer = HLATyper(pkg)
     for sample_id, locus, called, truth in report.discordant:
         out_path = os.path.join(out_dir,
                                 f"pileup_analysis_{sample_id}_{locus}.txt")
         try:
             n = pileup_error_analysis(pkg, os.path.join(out_dir, sample_id),
-                                      locus, called, truth, out_path)
+                                      locus, called, truth, out_path,
+                                      typer=shared_typer)
             log_progress(f"discordant {sample_id}/{locus}: {n} "
                          f"disagreeing columns -> {out_path}")
         except Exception as e:  # noqa: BLE001 — analysis is best-effort

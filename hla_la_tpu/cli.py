@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--validationBAMs", help="sample sheet for --action validate")
     ap.add_argument("--resolution", type=int, default=2,
                     help="nomenclature fields compared in evaluation")
+    ap.add_argument("--nHosts", type=int, default=1,
+                    help="multi-host cohort sharding: total hosts")
+    ap.add_argument("--hostIdx", type=int, default=0,
+                    help="multi-host cohort sharding: this host's index")
     args = ap.parse_args(argv)
 
     action = args.action
@@ -427,7 +431,8 @@ def action_validate(args) -> int:
                                                    "validation")
     report = validate_cohort(pkg, samples, args.trueHLA, out_dir,
                              backend=args.backend,
-                             resolution=args.resolution)
+                             resolution=args.resolution,
+                             n_hosts=args.nHosts, host_idx=args.hostIdx)
     print(f"cohort accuracy: {report.total_accuracy * 100:.2f}% over "
           f"{report.n_samples} samples "
           f"({len(report.discordant)} discordant calls)")

@@ -256,10 +256,18 @@ def pileup_error_analysis(pkg: GraphPackage, sample_out: str, locus: str,
 
 def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
                     truth_path: str, out_dir: str, backend: str = "numpy",
-                    resolution: int = 2, use_g: bool = True) -> CohortReport:
+                    resolution: int = 2, use_g: bool = True,
+                    n_hosts: int = 1, host_idx: int = 0) -> CohortReport:
+    """n_hosts/host_idx: deterministic sample-sheet sharding for multi-host
+    cohort runs (the reference's per-sample job arrays,
+    Perl/applyToAllBAMs.pl + makefile_cluster3): host i processes samples
+    i, i+n, i+2n, ...; each host writes its own report files."""
     from .io.bam import bam_to_fastq_pairs, extract_reads
     from .models.pipeline import run_hla_typing
 
+    if n_hosts > 1:
+        samples = samples[host_idx::n_hosts]
+        log_progress(f"host {host_idx}/{n_hosts}: {len(samples)} samples")
     truth_all = read_truth_file(truth_path)
     report = CohortReport()
     os.makedirs(out_dir, exist_ok=True)
@@ -282,11 +290,13 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
         inferred = read_bestguess_with_q(bg)
         report.add_sample(sample_id, inferred, truth_all[sample_id])
 
-    report.write_summary(os.path.join(out_dir, "validation_report.txt"))
-    report.write_calibration(os.path.join(out_dir,
-                                          "validation_calibration.txt"))
-    report.write_allele_stats(os.path.join(out_dir,
-                                           "validation_allele_stats.txt"))
+    suffix = f"_host{host_idx}" if n_hosts > 1 else ""
+    report.write_summary(os.path.join(out_dir,
+                                      f"validation_report{suffix}.txt"))
+    report.write_calibration(os.path.join(
+        out_dir, f"validation_calibration{suffix}.txt"))
+    report.write_allele_stats(os.path.join(
+        out_dir, f"validation_allele_stats{suffix}.txt"))
     # pileup-based error analysis of every discordant call (one shared
     # typer: per-call init re-reads the segment DB)
     shared_typer = None

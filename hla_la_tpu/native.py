@@ -65,6 +65,9 @@ def _find_lib():
             lib.hla_encode_kmers.restype = None
             lib.hla_encode_kmers.argtypes = (
                 [vp, i64, i64, vp, vp, ctypes.c_int])
+            lib.hla_encode_kmers_c.restype = None
+            lib.hla_encode_kmers_c.argtypes = (
+                [vp, i64, i64, vp, vp, ctypes.c_int, ctypes.c_int])
             lib.hla_gather_windows.restype = None
             lib.hla_gather_windows.argtypes = (
                 [vp] * 5 + [i64, i64, vp, ctypes.c_int])
@@ -270,10 +273,11 @@ def rans4x8_decode(blob: bytes) -> bytes | None:
     return out[:n_out].tobytes()
 
 
-def encode_kmers(seq_bytes: np.ndarray, k: int
+def encode_kmers(seq_bytes: np.ndarray, k: int, canonical: bool = False
                  ) -> tuple[np.ndarray, np.ndarray] | None:
-    """C++ rolling k-mer encode (kmer_index.encode_kmers semantics) or
-    None when the lib is unavailable."""
+    """C++ rolling k-mer encode (kmer_index.encode_kmers semantics;
+    canonical=True returns min(code, revcomp code)) or None when the lib
+    is unavailable."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -285,7 +289,8 @@ def encode_kmers(seq_bytes: np.ndarray, k: int
     out = np.empty(n_out, dtype=np.uint64)
     valid = np.empty(n_out, dtype=np.uint8)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-    lib.hla_encode_kmers(c(sb), n, k, c(out), c(valid), default_threads())
+    lib.hla_encode_kmers_c(c(sb), n, k, c(out), c(valid), default_threads(),
+                           1 if canonical else 0)
     return out, valid.astype(bool)
 
 

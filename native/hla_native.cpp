@@ -531,9 +531,11 @@ extern "C" int hla_rans4x8_decode(const uint8_t* blob, int64_t len,
 
 // Rolling k-mer encode: out[i] = 2-bit code of seq[i..i+k), valid[i] = 0
 // when any base is non-ACGT.  One pass instead of numpy's k passes.
-extern "C" void hla_encode_kmers(
+// canonical != 0: out[i] = min(code, revcomp_code) — the typer's canonical
+// 31-mer form (kMer_canonical_representation, HLATyper.cpp:4211-4256).
+extern "C" void hla_encode_kmers_c(
     const uint8_t* seq, int64_t n, int64_t k,
-    uint64_t* out, uint8_t* valid, int n_threads) {
+    uint64_t* out, uint8_t* valid, int n_threads, int canonical) {
     int64_t n_out = n - k + 1;
     if (n_out <= 0) return;
     static uint8_t code[256];
@@ -545,28 +547,30 @@ extern "C" void hla_encode_kmers(
         init = true;
     }
     const uint64_t mask = (k >= 32) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int rc_shift = 2 * (k - 1);
     int nt = n_threads > 0 ? n_threads : 1;
     int64_t chunk = (n_out + nt - 1) / nt;
     auto work = [&](int t) {
         int64_t lo = t * chunk;
         int64_t hi = lo + chunk < n_out ? lo + chunk : n_out;
         if (lo >= hi) return;
-        uint64_t cur = 0;
+        uint64_t cur = 0, rc = 0;
         int bad = 0;               // # invalid bases in current window
         // warm the window [lo, lo+k)
         for (int64_t i = lo; i < lo + k - 1; i++) {
             uint8_t c = code[seq[i]];
-            cur = (cur << 2) | (c == 255 ? 0 : c);
+            uint8_t cc = c == 255 ? 0 : c;
+            cur = (cur << 2) | cc;
+            rc = (rc >> 2) | ((uint64_t)(3 - cc) << rc_shift);
             if (c == 255) bad++;
         }
-        // rolling with out-of-window invalid tracking via a small queue of
-        // positions is overkill: recount when a 255 enters/leaves
-        // (rare in real data) — track with a per-position flag scan
         for (int64_t i = lo; i < hi; i++) {
             uint8_t c = code[seq[i + k - 1]];
-            cur = ((cur << 2) | (c == 255 ? 0 : c)) & mask;
+            uint8_t cc = c == 255 ? 0 : c;
+            cur = ((cur << 2) | cc) & mask;
+            rc = (rc >> 2) | ((uint64_t)(3 - cc) << rc_shift);
             if (c == 255) bad++;
-            out[i] = cur;
+            out[i] = canonical ? (cur < rc ? cur : rc) : cur;
             valid[i] = bad == 0;
             uint8_t c0 = code[seq[i]];
             if (c0 == 255) bad--;
@@ -576,6 +580,13 @@ extern "C" void hla_encode_kmers(
     std::vector<std::thread> threads;
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
+}
+
+// back-compat entry without the canonical flag
+extern "C" void hla_encode_kmers(
+    const uint8_t* seq, int64_t n, int64_t k,
+    uint64_t* out, uint8_t* valid, int n_threads) {
+    hla_encode_kmers_c(seq, n, k, out, valid, n_threads, 0);
 }
 
 // Gather encoded reference windows for a job batch: out[i] =

@@ -252,7 +252,8 @@ class HLATyper:
         # per-worker fixed costs (HLATyper init, kmer-index IPC; plus a
         # package reload for fresh workers) only amortise at WGS scale
         # (~1M MHC reads / several loci) — below that serial typing wins
-        if len(aligned_pairs) + len(aligned_unpaired) < 50_000 \
+        min_reads = getattr(self.cfg, "min_reads_for_typing_workers", 50_000)
+        if len(aligned_pairs) + len(aligned_unpaired) < min_reads \
                 or len(self.loci) < 4:
             return None
         if worker_pool is None and not spawn_safe():

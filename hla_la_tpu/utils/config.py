@@ -54,6 +54,9 @@ class TyperConfig:
 
     min_both_reads_weighted_ok: float = 0.0
     minimum_mapping_quality: float = 0.0
+    # workload gate for per-locus typing workers (fixed per-worker costs
+    # only amortise at WGS scale; tests lower this to exercise the path)
+    min_reads_for_typing_workers: int = 50_000
     minimum_per_position_mapping_quality: float = 0.7
     insert_size_sd_range: float = 5.0            # HLATyper.cpp:1411
     min_alignment_length_unpaired: int = 1000    # HLATyper.cpp:1034
@@ -97,6 +100,7 @@ class TyperConfig:
             unaccounted_min_coverage=self.unaccounted_min_coverage,
             unaccounted_min_allele_fraction=self.unaccounted_min_allele_fraction,
             k_for_kmer_index=self.k_for_kmer_index,
+            min_reads_for_typing_workers=self.min_reads_for_typing_workers,
         )
 
 

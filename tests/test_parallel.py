@@ -65,8 +65,14 @@ def test_parallel_typing_matches_serial(tmp_path):
     if not spawn_safe():
         import pytest
         pytest.skip("spawn unsafe in this environment")
+    from hla_la_tpu.utils.config import TyperConfig
     rng = np.random.default_rng(31)
-    sim = simulate_prg_package(rng, backbone_length=2500, n_haplotypes=6)
+    # >=4 loci so the worker gate passes; threshold lowered to actually
+    # exercise the fan-out (incl. per-chunk gene-range read subsetting)
+    sim = simulate_prg_package(
+        rng, backbone_length=5000, n_haplotypes=6,
+        genes={"A": (0.08, 0.26), "B": (0.30, 0.48), "C": (0.52, 0.70),
+               "DQA1": (0.74, 0.92)})
     pkg = sim.write_package(str(tmp_path / "pkg"))
     rs = ReadSimulator(rng, read_length=90, fragment_mean=260, fragment_sd=25)
     pairs = []
@@ -77,8 +83,9 @@ def test_parallel_typing_matches_serial(tmp_path):
     fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
     al = ReadAligner(pkg)
     aligned = al.align_pairs(fq, 260, 25)
+    cfg = TyperConfig(min_reads_for_typing_workers=1)
     for n_workers, d in ((1, "serial"), (2, "par")):
-        typer = HLATyper(pkg)
+        typer = HLATyper(pkg, cfg)
         typer.type_all(fq, aligned, [], [], 260.0, 25.0,
                        str(tmp_path / d), n_workers=n_workers)
     serial_dir, par_dir = str(tmp_path / "serial"), str(tmp_path / "par")
@@ -137,3 +144,24 @@ def test_mesh_steps_compile_and_run():
     want_pair = (np.maximum(ll[:, None, :], ll[None, :, :])
                  + np.log1p(np.exp(-d)) + np.log(0.5)).sum(axis=2)
     assert np.allclose(np.asarray(pair), want_pair, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_nw_matches_single_device(rng):
+    """Production ShardedNW (data-axis sharding + batch padding) returns
+    the same forward results as the single-device jax path at production
+    shapes, incl. a batch size not divisible by the mesh."""
+    from hla_la_tpu.ops.banded_nw import make_jax_banded_nw
+    from hla_la_tpu.parallel.mesh import ShardedNW, make_mesh
+
+    L, W, B = 128, 32, 101   # B deliberately not a multiple of 8
+    reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    lens = rng.integers(60, L + 1, B).astype(np.int64)
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    sh = ShardedNW(make_mesh(len(jax.devices())), L, W)
+    s1, k1, st1, p1 = sh(reads, lens, refs)
+    fwd = make_jax_banded_nw(L, W)
+    s2, k2, st2, p2 = (np.asarray(x) for x in fwd(reads, lens, refs))
+    np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(st1, st2)
+    np.testing.assert_array_equal(p1, p2)

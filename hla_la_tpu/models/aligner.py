@@ -398,6 +398,18 @@ class ReadAligner:
                     n_bases = max(int((best_al.seq_c != ord("_")).sum()), 1)
                     if best_al.log_likelihood / n_bases >= -0.25:
                         continue
+                    # a recombinant read has at least one well-matching
+                    # end to anchor the graph DP from; a read that matches
+                    # poorly EVERYWHERE (noise) only wastes the expensive
+                    # DP — skip it (the anchor the realigner would pick is
+                    # unreliable anyway)
+                    match = ((best_al.seq_c == best_al.graph_c)
+                             & (best_al.seq_c != ord("_")))
+                    k = min(30, len(match))
+                    if k and match[:k].mean() < 0.8 \
+                            and match[-k:].mean() < 0.8:
+                        self.stats.bump("graph_fallback_skipped_noise")
+                        continue
                     re_al = self._graph_realign(best_al, read)
                     if re_al is not None:
                         slot[m].append(re_al)

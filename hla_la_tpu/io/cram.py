@@ -129,16 +129,21 @@ def write_ltf8(v: int) -> bytes:
 
 # ------------------------------------------------------------------ blocks
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
-    if method == M_RAW:
-        return data
-    if method == M_GZIP:
-        return gzip.decompress(data)
-    if method == M_BZIP2:
-        return bz2.decompress(data)
-    if method == M_LZMA:
-        return lzma.decompress(data)
-    if method == M_RANS4x8:
-        return rans.uncompress(data)
+    try:
+        if method == M_RAW:
+            return data
+        if method == M_GZIP:
+            return gzip.decompress(data)
+        if method == M_BZIP2:
+            return bz2.decompress(data)
+        if method == M_LZMA:
+            return lzma.decompress(data)
+        if method == M_RANS4x8:
+            return rans.uncompress(data)
+    except NotImplementedError:
+        raise
+    except Exception as e:  # noqa: BLE001 — corrupt payloads raise cleanly
+        raise ValueError(f"corrupt CRAM block (method {method}: {e})") from e
     raise NotImplementedError(
         f"CRAM block compression method {method} not supported "
         "(rANSNx16/arith/fqzcomp/tok3 are CRAM 3.1 codecs)")
@@ -159,6 +164,9 @@ def read_block(buf: bytes, pos: int) -> tuple[Block, int]:
     content_id, pos = read_itf8(buf, pos)
     comp_size, pos = read_itf8(buf, pos)
     raw_size, pos = read_itf8(buf, pos)
+    if comp_size < 0 or raw_size < 0 or raw_size > (1 << 31):
+        raise ValueError(f"CRAM block: implausible sizes "
+                         f"(comp {comp_size}, raw {raw_size})")
     data = buf[pos:pos + comp_size]
     pos += comp_size
     pos += 4  # CRC32
@@ -596,9 +604,13 @@ class CramReader:
         self.pos = 26  # 4 magic + 2 version + 20 file id
         self.reference = reference
         # file header container
-        hdr, self.pos = read_container_header(self.buf, self.pos)
-        end = self.pos + hdr.length
-        blk, _ = read_block(self.buf, self.pos)
+        try:
+            hdr, self.pos = read_container_header(self.buf, self.pos)
+            end = self.pos + hdr.length
+            blk, _ = read_block(self.buf, self.pos)
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"{path}: truncated or corrupt CRAM "
+                             f"({e})") from e
         self.pos = end
         if blk.content_type != CT_FILE_HEADER:
             raise ValueError("first CRAM container is not the file header")
@@ -643,9 +655,12 @@ class CramReader:
     def __iter__(self):
         try:
             yield from self._iter_records()
-        except (IndexError, struct.error) as e:
+        except (ValueError, NotImplementedError):
+            raise
+        except Exception as e:  # noqa: BLE001 — untrusted input: any
+            # parser failure surfaces as a clean rejection, never a crash
             raise ValueError(f"{self.path}: truncated or corrupt CRAM "
-                             f"({e})") from e
+                             f"({type(e).__name__}: {e})") from e
 
     def _iter_records(self):
         pos = self.pos

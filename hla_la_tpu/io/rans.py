@@ -343,6 +343,8 @@ def uncompress(blob: bytes) -> bytes:
     n_out = int.from_bytes(blob[5:9], "little")
     if n_out == 0:
         return b""
+    if n_out > (1 << 31):
+        raise ValueError(f"rANS block: implausible raw size {n_out}")
     comp = blob[9:9 + n_in]
     from .. import native
     dec = getattr(native, "rans4x8_decode", None)

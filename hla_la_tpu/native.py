@@ -20,8 +20,10 @@ def _find_lib():
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for cand in (os.path.join(here, "native", "libhla_native.so"),
-                 os.path.join(here, "libhla_native.so")):
+    override = os.environ.get("HLA_NATIVE_LIB")  # e.g. the ASan build
+    for cand in ([override] if override else []) + [
+            os.path.join(here, "native", "libhla_native.so"),
+            os.path.join(here, "libhla_native.so")]:
         if os.path.exists(cand):
             try:
                 lib = ctypes.CDLL(cand)

@@ -237,3 +237,36 @@ def test_cram_mate_fields_and_tlen(tmp_path, world):
     from hla_la_tpu.io.bam import estimate_insert_size_from_bam
     mean, sd = estimate_insert_size_from_bam(path, cram_reference=ref)
     assert mean in (360.0, 460.0) or 300 <= mean <= 500
+
+
+def test_cram_fuzz_no_crash(tmp_path, world, rng):
+    """Random junk, bit-flipped and truncated CRAMs must raise ValueError
+    (or decode) — never crash, hang, or silently misparse into giant
+    allocations."""
+    ref, contigs, recs = world
+    path = str(tmp_path / "f.cram")
+    write_cram(path, contigs, recs, ref)
+    good = open(path, "rb").read()
+
+    def try_parse(blob):
+        p = str(tmp_path / "x.cram")
+        open(p, "wb").write(blob)
+        try:
+            for _ in CramReader(p, reference=ref):
+                pass
+        except (ValueError, NotImplementedError):
+            pass
+
+    # pure junk with CRAM magic
+    for _ in range(50):
+        n = int(rng.integers(0, 600))
+        try_parse(b"CRAM" + bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+    # truncations
+    for cut in range(26, len(good), max(1, len(good) // 60)):
+        try_parse(good[:cut])
+    # bit flips
+    for _ in range(150):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try_parse(bytes(b))

@@ -301,11 +301,22 @@ class BitWriter:
 
 
 class ExternalStream:
-    """Sequential reader over one external block's bytes."""
+    """Sequential reader over one external block's bytes.
+
+    Integer streams get a bulk fast path: the first read_itf8 decodes the
+    WHOLE remaining block in one native pass (hla_itf8_decode_all); later
+    reads pop from the array.  Byte-level reads stay correct because `pos`
+    is maintained on the fast path and the bulk index resyncs on mismatch
+    (in practice one content id serves one series, so streams are either
+    pure-int or pure-bytes)."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        self._vals = None
+        self._ends = None
+        self._i = 0
+        self._starts = None
 
     def read_byte(self) -> int:
         b = self.data[self.pos]
@@ -318,7 +329,28 @@ class ExternalStream:
         return b
 
     def read_itf8(self) -> int:
+        if self._vals is None:
+            from .. import native
+            res = native.itf8_decode_all(self.data, self.pos) \
+                if native.available() else None
+            if res is None:
+                v, self.pos = read_itf8(self.data, self.pos)
+                return v
+            self._vals, self._ends = res
+            self._vals = self._vals.tolist()
+            self._ends = self._ends.tolist()
+            self._starts = [self.pos] + self._ends[:-1]
+            self._i = 0
+        i = self._i
+        if i < len(self._vals) and self._starts[i] == self.pos:
+            self.pos = self._ends[i]
+            self._i = i + 1
+            return self._vals[i]
+        # resync after interleaved byte reads (rare): scalar decode and
+        # realign the bulk cursor
         v, self.pos = read_itf8(self.data, self.pos)
+        import bisect
+        self._i = bisect.bisect_left(self._starts, self.pos)
         return v
 
     def read_until(self, stop: int) -> bytes:
@@ -819,8 +851,13 @@ class CramReader:
                                 enc["QS"].read_byte(core, ext)
                                 for _ in range(rl))
                 cigar = []
-            qual_str = ("".join(chr(q + 33) for q in quals)
-                        if quals is not None else "*")
+            if quals is not None:
+                # vectorised phred+33: a chr() genexpr here cost ~30% of
+                # whole-file decode time
+                qual_str = (np.frombuffer(bytes(quals), np.uint8)
+                            + np.uint8(33)).tobytes().decode("latin-1")
+            else:
+                qual_str = "*"
             records.append(dict(
                 name=name, flag=bf, ref_id=rid, pos=pos1 - 1, mapq=mapq,
                 cigar=cigar, seq=seq, qual=qual_str, cf=cf, nf=nf,
@@ -968,7 +1005,8 @@ class CramReader:
             seq[rp:rl] = ref[ref_off:ref_off + n_match]
             add_op(0, n_match)
             ref_off += n_match
-        if all(q == 0xFF for q in quals):
+        qa = np.frombuffer(bytes(quals), np.uint8)
+        if (qa == 0xFF).all():
             return seq.decode(), cigar, None
-        return seq.decode(), cigar, bytes(q if q != 0xFF else 0
-                                          for q in quals)
+        return seq.decode(), cigar, np.where(qa == 0xFF, 0, qa
+                                             ).astype(np.uint8).tobytes()

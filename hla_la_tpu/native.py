@@ -64,6 +64,8 @@ def _find_lib():
                 [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
             lib.hla_rans4x8_decode.restype = ctypes.c_int
             lib.hla_rans4x8_decode.argtypes = [vp, i64, vp, i64]
+            lib.hla_itf8_decode_all.restype = i64
+            lib.hla_itf8_decode_all.argtypes = [vp, i64, vp, vp]
             lib.hla_encode_kmers.restype = None
             lib.hla_encode_kmers.argtypes = (
                 [vp, i64, i64, vp, vp, ctypes.c_int])
@@ -257,6 +259,26 @@ def select_pairs(n1: np.ndarray, n2: np.ndarray, ll: np.ndarray,
                          float(max_pen_log),
                          c(b1), c(b2), c(pm), c(m1), c(m2), c(conf))
     return b1, b2, pm, m1, m2, conf
+
+
+def itf8_decode_all(buf: bytes, offset: int = 0
+                    ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Decode every ITF8 value from buf[offset:]: (values, end_offsets)
+    where end_offsets are absolute positions after each value.  None when
+    the lib is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n = len(buf) - offset
+    if n <= 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    vals = np.empty(n, dtype=np.int64)
+    ends = np.empty(n, dtype=np.int64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    bb = np.frombuffer(buf, dtype=np.uint8)[offset:]
+    bb = np.ascontiguousarray(bb)
+    cnt = lib.hla_itf8_decode_all(c(bb), n, c(vals), c(ends))
+    return vals[:cnt], ends[:cnt] + offset
 
 
 def rans4x8_decode(blob: bytes) -> bytes | None:

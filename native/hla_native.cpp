@@ -510,6 +510,47 @@ static bool decode_o1(Reader& r, uint8_t* out, int64_t n_out) {
 }
 }  // namespace rans4x8
 
+// Bulk ITF8 decode of a whole CRAM external block: writes each value and
+// the byte offset where the NEXT value starts.  Returns the number of
+// complete values decoded (stops at a value that would overrun).
+extern "C" int64_t hla_itf8_decode_all(
+    const uint8_t* buf, int64_t len,
+    int64_t* out_vals, int64_t* out_ends) {
+    int64_t pos = 0, n = 0;
+    while (pos < len) {
+        uint8_t b0 = buf[pos];
+        int extra = (b0 < 0x80) ? 0 : (b0 < 0xC0) ? 1 : (b0 < 0xE0) ? 2
+                    : (b0 < 0xF0) ? 3 : 4;
+        if (pos + 1 + extra > len) break;
+        int64_t v;
+        switch (extra) {
+            case 0: v = b0; break;
+            case 1: v = ((int64_t)(b0 & 0x3F) << 8) | buf[pos + 1]; break;
+            case 2: v = ((int64_t)(b0 & 0x1F) << 16)
+                        | ((int64_t)buf[pos + 1] << 8) | buf[pos + 2];
+                    break;
+            case 3: v = ((int64_t)(b0 & 0x0F) << 24)
+                        | ((int64_t)buf[pos + 1] << 16)
+                        | ((int64_t)buf[pos + 2] << 8) | buf[pos + 3];
+                    break;
+            default: {
+                uint32_t u = ((uint32_t)(b0 & 0x0F) << 28)
+                             | ((uint32_t)buf[pos + 1] << 20)
+                             | ((uint32_t)buf[pos + 2] << 12)
+                             | ((uint32_t)buf[pos + 3] << 4)
+                             | (buf[pos + 4] & 0x0F);
+                v = (int64_t)(int32_t)u;   // sign per CRAM itf8
+                break;
+            }
+        }
+        pos += 1 + extra;
+        out_vals[n] = v;
+        out_ends[n] = pos;
+        n++;
+    }
+    return n;
+}
+
 // Full rANS4x8 block (with 9-byte header).  Returns 0 on success, writes
 // n_out bytes into out (caller sizes it from the header's raw size).
 extern "C" int hla_rans4x8_decode(const uint8_t* blob, int64_t len,

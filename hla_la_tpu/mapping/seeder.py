@@ -36,6 +36,11 @@ class Seeder:
     max_candidates: int = 6      # candidates kept per read (bwa -a analogue)
     diagonal_slack: int = 12     # hits within this diagonal band chain together
     min_chain_kmers: int = 2
+    kmer_stride: int = 2         # query every stride-th read position: a
+                                 # 100bp read still contributes ~40 k-mers
+                                 # per strand, plenty for chaining, at half
+                                 # the index-query cost (recall covered by
+                                 # the truth-accuracy + held-out tests)
 
     def candidates_batch(self, seqs: list[str]) -> list[list[Candidate]]:
         """Vectorised candidate generation for a whole read batch: one k-mer
@@ -87,7 +92,8 @@ class Seeder:
                     slot_offsets=offsets,
                     slot_to_read=read_index_of_slot,
                     n_reads=len(seqs), slack=self.diagonal_slack,
-                    min_chain=self.min_chain_kmers, k=k)
+                    min_chain=self.min_chain_kmers, k=k,
+                    stride=self.kmer_stride)
                 if res is not None:
                     r_a, s_a, st_a, nk_a2, sp_a = res
                     g_read.append(r_a)
@@ -98,6 +104,13 @@ class Seeder:
                     g_span.append(sp_a)
                     continue
             codes, valid = encode_kmers(cat, k)
+            if self.kmer_stride > 1:
+                # stride applies in READ coordinates (position within slot)
+                all_i = np.arange(len(codes))
+                slot_all = np.searchsorted(offsets, all_i,
+                                           side="right") - 1
+                rp_all = all_i - offsets[slot_all]
+                valid = valid & (rp_all % self.kmer_stride == 0)
             qi, gp = self.index.query_codes(codes, valid)
             if len(qi) == 0:
                 continue

@@ -55,7 +55,7 @@ def _find_lib():
             lib.hla_seed_chain.restype = i64
             lib.hla_seed_chain.argtypes = (
                 [vp, i64, vp, vp, i64, vp, i64, i64, vp, i64, vp, i64, vp]
-                + [i64] * 4 + [i64pp] * 5)
+                + [i64] * 5 + [i64pp] * 5)
             lib.hla_select_pairs.restype = None
             lib.hla_select_pairs.argtypes = (
                 [i64] + [vp] * 11 + [i64] + [f64, f64, f64] + [vp] * 6)
@@ -188,7 +188,8 @@ def seed_chain(cat: np.ndarray,
                prefix_starts: np.ndarray | None = None,
                prefix_bits: int = 0, *,
                slot_offsets: np.ndarray, slot_to_read: np.ndarray | None,
-               n_reads: int, slack: int, min_chain: int, k: int):
+               n_reads: int, slack: int, min_chain: int, k: int,
+               stride: int = 1):
     """C++ k-mer encode + index query + diagonal chaining (hla_seed_chain;
     semantics of encode_kmers + KmerIndex.query_codes + Seeder group stats).
     Returns (read, seq, ref_start, n_kmers, span) int64 arrays or None."""
@@ -212,7 +213,7 @@ def seed_chain(cat: np.ndarray,
         prefix_bits if ps is not None else 0, max_occ,
         c(so), len(so) - 1, c(sl), len(sl) - 1,
         c(s2r) if s2r is not None else None,
-        n_reads, slack, min_chain, k,
+        n_reads, slack, min_chain, k, stride,
         *[ctypes.byref(o) for o in outs])
     ng = int(ng)
     if ng == 0:

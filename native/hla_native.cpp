@@ -867,8 +867,10 @@ extern "C" int64_t hla_seed_chain(
     const int64_t* slot_offsets, int64_t R,      // concat offsets, [R+1]
     const int64_t* slot_to_read,                 // [R] or NULL (identity)
     int64_t n_reads, int64_t slack, int64_t min_chain, int64_t k,
+    int64_t stride,                              // query every stride-th pos
     int64_t** out_read, int64_t** out_seq, int64_t** out_start,
     int64_t** out_nk, int64_t** out_span) {
+    if (stride < 1) stride = 1;
     std::vector<SeedHit> hits;
     hits.reserve(1 << 16);
     std::vector<int64_t> read_hits(n_reads, 0);
@@ -917,6 +919,10 @@ extern "C" int64_t hla_seed_chain(
         else code = ((code << 2) | cb) & mask;
         int64_t i = j - k + 1;       // k-mer start position
         if (i < 0 || last_bad >= i) continue;
+        while (slot + 1 < R && i >= slot_offsets[slot + 1]) slot++;
+        int64_t rd = slot_to_read ? slot_to_read[slot] : slot;
+        int32_t rp = (int32_t)(i - slot_offsets[slot]);
+        if (stride > 1 && (rp % stride) != 0) continue;
         uint64_t c = code;
         int64_t p = (int64_t)(c >> pshift);
         const uint64_t* b0 = sorted_codes + bstart[p];
@@ -925,9 +931,6 @@ extern "C" int64_t hla_seed_chain(
         const uint64_t* hi = std::upper_bound(lo, b1, c);
         int64_t cnt = hi - lo;
         if (cnt == 0 || cnt > max_occ) continue;
-        while (slot + 1 < R && i >= slot_offsets[slot + 1]) slot++;
-        int64_t rd = slot_to_read ? slot_to_read[slot] : slot;
-        int32_t rp = (int32_t)(i - slot_offsets[slot]);
         for (int64_t h = lo - sorted_codes; h < hi - sorted_codes; h++) {
             int64_t gp = sorted_pos[h];
             // sequence of this global position (seq_offsets ascending, [S+1])

@@ -47,9 +47,10 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
 
     n_shifts = max(int(np.ceil(np.log2(max(W, 2)))), 1)
 
-    def kernel(readsT_ref, refsT_ref, lens_ref,
+    def kernel(ends_ref, readsT_ref, refsT_ref, lens_ref,
                score_ref, endk_ref, endstate_ref, ptr_ref,
                D_s, IY_s, IX_s, best_s):
+        blk = pl.program_id(0)
         # D_s/IY_s/IX_s: [W, TB] scratch; best_s: [8, TB] rows
         # (0=score, 1=k, 2=state; padded to a full sublane tile)
         D_s[:] = jnp.zeros((W, TB), jnp.float32)
@@ -88,7 +89,7 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
 
         harvest(0)
 
-        def row_body(i, read_row, ref_rows):
+        def row_body(i, read_row, ref_rows, clean: bool):
             # keep comparisons in f32: mixed-layout i1 vectors trip Mosaic
             # relayout ("replicated in destination but not in source")
             rr = jnp.broadcast_to(read_row, (W, TB))
@@ -114,33 +115,48 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             # masked ref positions (N/pad = unalignable wall, matching the
             # sequential C++/numpy recurrence), so it is a SEGMENTED
             # Hillis-Steele: segment id = running count of masked rows, and
-            # a shifted candidate is only taken when its segment matches
-            ok_f = jnp.where(ok, 0.0, 1.0)          # 1 at masked rows
-            seg = ok_f
-            sh = 1
-            for _s in range(n_shifts):
-                rolled_seg = jnp.concatenate(
-                    [jnp.zeros((min(sh, W), TB), jnp.float32),
-                     seg[:max(W - sh, 0)]], axis=0)
-                seg = seg + rolled_seg
-                sh *= 2
-            g = jnp.where(ok, nD - k_iota * ext, neg)
-            cm = g
-            sh = 1
-            for _s in range(n_shifts):
-                rolled = jnp.concatenate(
-                    [jnp.full((min(sh, W), TB), neg), cm[:max(W - sh, 0)]],
-                    axis=0)
-                rolled_seg = jnp.concatenate(
-                    [jnp.full((min(sh, W), TB), -1.0),
-                     seg[:max(W - sh, 0)]], axis=0)
-                same = jnp.where(rolled_seg == seg, 1.0, 0.0)
-                cm = jnp.maximum(cm, jnp.where(same > 0.0, rolled, neg))
-                sh *= 2
+            # a shifted candidate is only taken when its segment matches.
+            # `clean` (no masked position in this row window, the common
+            # case away from haplotype edges) drops the segment tracking —
+            # a plain cummax at a third of the vector ops.
+            if clean:
+                g = nD - k_iota * ext
+                cm = g
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), neg),
+                         cm[:max(W - sh, 0)]], axis=0)
+                    cm = jnp.maximum(cm, rolled)
+                    sh *= 2
+            else:
+                ok_f = jnp.where(ok, 0.0, 1.0)      # 1 at masked rows
+                seg = ok_f
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled_seg = jnp.concatenate(
+                        [jnp.zeros((min(sh, W), TB), jnp.float32),
+                         seg[:max(W - sh, 0)]], axis=0)
+                    seg = seg + rolled_seg
+                    sh *= 2
+                g = jnp.where(ok, nD - k_iota * ext, neg)
+                cm = g
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), neg),
+                         cm[:max(W - sh, 0)]], axis=0)
+                    rolled_seg = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), -1.0),
+                         seg[:max(W - sh, 0)]], axis=0)
+                    same = jnp.where(rolled_seg == seg, 1.0, 0.0)
+                    cm = jnp.maximum(cm, jnp.where(same > 0.0, rolled, neg))
+                    sh *= 2
             cm_shift = jnp.concatenate([jnp.full((1, TB), neg), cm[:-1]],
                                        axis=0)
             nIX = open_ + (k_iota - 1.0) * ext + cm_shift
-            nIX = jnp.where(ok, nIX, neg)
+            if not clean:
+                nIX = jnp.where(ok, nIX, neg)
             nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
             ocx = jnp.concatenate([jnp.full((1, TB), neg),
                                    nD[:-1] + open_], axis=0)
@@ -156,7 +172,12 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             D_s[:] = nD
             IY_s[:] = nIY
             IX_s[:] = nIX
-            harvest(i)
+            # harvest only at rows where some lane actually ends (the
+            # [n_b, Lpad+8] bitmap is precomputed by the wrapper and
+            # scalar-prefetched into SMEM)
+            @pl.when(ends_ref[blk, i] > 0)
+            def _():
+                harvest(i)
 
         # dynamic sublane slices must be 8-aligned on TPU: walk rows in
         # blocks of 8 with static offsets inside (L is padded to 8 | L by
@@ -165,13 +186,29 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
             base = pl.multiple_of(io * 8, 8)
             read_blk = readsT_ref[pl.ds(base, 8), :]         # [8, TB]
             ref_blk = refsT_ref[pl.ds(base, W + 8), :]       # [W+8, TB]
-            for r8 in range(8):
-                i = base + r8 + 1
+            # one scalar test per 8-row block: windows with no masked
+            # (N/pad >= 4) position take the cheap plain-cummax path
+            has_mask = jnp.max(ref_blk) >= 4
 
-                @pl.when(i <= L)
-                def _():
-                    row_body(i, read_blk[r8:r8 + 1, :],
-                             ref_blk[r8:r8 + W, :])
+            @pl.when(jnp.logical_not(has_mask))
+            def _():
+                for r8 in range(8):
+                    i = base + r8 + 1
+
+                    @pl.when(i <= L)
+                    def _():
+                        row_body(i, read_blk[r8:r8 + 1, :],
+                                 ref_blk[r8:r8 + W, :], clean=True)
+
+            @pl.when(has_mask)
+            def _():
+                for r8 in range(8):
+                    i = base + r8 + 1
+
+                    @pl.when(i <= L)
+                    def _():
+                        row_body(i, read_blk[r8:r8 + 1, :],
+                                 ref_blk[r8:r8 + W, :], clean=False)
             return 0
 
         jax.lax.fori_loop(0, (L + 7) // 8, outer, 0, unroll=False)
@@ -195,26 +232,27 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
         readsT = reads_p.T.astype(jnp.int32)    # [Lpad, Bp]
         refsT = refs_p.T.astype(jnp.int32)      # [Lpad+W, Bp]
         lens2 = lens_p.reshape(1, Bp)
+        # per-block end-row bitmap: ends[b, i] = any lane in block b whose
+        # read ends at row i (harvest is skipped everywhere else)
+        lens_blocks = lens_p.reshape(n_b, TB)
+        clipped = jnp.clip(lens_blocks, 0, Lpad + 7)
+        ends = jnp.zeros((n_b, Lpad + 8), jnp.int32).at[
+            jnp.arange(n_b)[:, None], clipped].max(
+                (lens_blocks >= 0).astype(jnp.int32))
 
-        scores, endk, endstate, ptrs = pl.pallas_call(
-            kernel,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(n_b,),
             in_specs=[
-                pl.BlockSpec((Lpad, TB), lambda b: (0, b)),
-                pl.BlockSpec((Lpad + W, TB), lambda b: (0, b)),
-                pl.BlockSpec((1, TB), lambda b: (0, b)),
+                pl.BlockSpec((Lpad, TB), lambda b, ends: (0, b)),
+                pl.BlockSpec((Lpad + W, TB), lambda b, ends: (0, b)),
+                pl.BlockSpec((1, TB), lambda b, ends: (0, b)),
             ],
             out_specs=(
-                pl.BlockSpec((1, TB), lambda b: (0, b)),
-                pl.BlockSpec((1, TB), lambda b: (0, b)),
-                pl.BlockSpec((1, TB), lambda b: (0, b)),
-                pl.BlockSpec((L + 1, W, TB), lambda b: (0, 0, b)),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((L + 1, W, Bp), jnp.int32),
+                pl.BlockSpec((1, TB), lambda b, ends: (0, b)),
+                pl.BlockSpec((1, TB), lambda b, ends: (0, b)),
+                pl.BlockSpec((1, TB), lambda b, ends: (0, b)),
+                pl.BlockSpec((L + 1, W, TB), lambda b, ends: (0, 0, b)),
             ),
             scratch_shapes=[
                 pltpu.VMEM((W, TB), jnp.float32),
@@ -222,8 +260,18 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
                 pltpu.VMEM((W, TB), jnp.float32),
                 pltpu.VMEM((8, TB), jnp.float32),
             ],
+        )
+        scores, endk, endstate, ptrs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((L + 1, W, Bp), jnp.int32),
+            ),
             interpret=interpret,
-        )(readsT, refsT, lens2)
+        )(ends, readsT, refsT, lens2)
         pointers = ptrs.transpose(2, 0, 1)[:B].astype(jnp.uint8)
         return scores[0, :B], endk[0, :B], endstate[0, :B], pointers
 

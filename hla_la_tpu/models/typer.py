@@ -63,6 +63,102 @@ class ExonObs:
     from_first_read: bool
 
 
+class _ObsSoA:
+    """Flat struct-of-arrays view over a locus's per-read observation
+    lists: built in ONE pass, after which every per-obs filter/count
+    (filterFirst20, allele filters, the used-observation gate, tensor
+    build, column QC) runs vectorised instead of re-walking ExonObs
+    objects (the reference walks its oneExonPosition vectors per filter,
+    HLATyper.cpp:1403-1880)."""
+    __slots__ = ("flat", "read_idx", "pos", "gid", "keys", "mqp", "w",
+                 "wok", "rev", "ffr", "q0", "run_novel", "name_id",
+                 "genotypes", "geno_ids", "names", "name_ids", "n_reads",
+                 "n_obs", "G")
+
+    def __init__(self, reads_obs: list[list[ExonObs]]):
+        geno_ids: dict[str, int] = {}
+        name_ids: dict[str, int] = {}
+        gsd, nsd = geno_ids.setdefault, name_ids.setdefault
+        flat: list[ExonObs] = []
+        read_idx: list[int] = []
+        pos: list[int] = []
+        gid: list[int] = []
+        nid: list[int] = []
+        mqp: list[float] = []
+        w: list[float] = []
+        wok: list[float] = []
+        rev: list[bool] = []
+        ffr: list[bool] = []
+        q0: list[int] = []
+        rnov: list[int] = []
+        for ri, obs in enumerate(reads_obs):
+            flat.extend(obs)
+            read_idx.extend([ri] * len(obs))
+            for o in obs:
+                pos.append(o.position_in_exon)
+                gid.append(gsd(o.genotype, len(geno_ids)))
+                nid.append(nsd(o.read_id, len(name_ids)))
+                mqp.append(o.mapq_position)
+                tw = o.this_weighted_ok
+                w.append((tw + o.paired_weighted_ok) / 2.0)
+                wok.append(tw)
+                rev.append(o.reverse)
+                ffr.append(o.from_first_read)
+                q = o.qualities
+                q0.append(q[0] if q else 0)
+                rnov.append(o.running_novel_gap)
+        self.flat = flat
+        self.read_idx = np.asarray(read_idx, dtype=np.int64)
+        self.pos = np.asarray(pos, dtype=np.int64)
+        self.gid = np.asarray(gid, dtype=np.int64)
+        self.name_id = np.asarray(nid, dtype=np.int64)
+        self.mqp = np.asarray(mqp, dtype=np.float64)
+        self.w = np.asarray(w, dtype=np.float64)
+        self.wok = np.asarray(wok, dtype=np.float64)
+        self.rev = np.asarray(rev, dtype=bool)
+        self.ffr = np.asarray(ffr, dtype=bool)
+        self.q0 = np.asarray(q0, dtype=np.int64)
+        self.run_novel = np.asarray(rnov, dtype=np.int64)
+        self.genotypes = list(geno_ids)
+        self.geno_ids = geno_ids
+        self.names = list(name_ids)
+        self.name_ids = name_ids
+        self.n_reads = len(reads_obs)
+        self.n_obs = len(flat)
+        self.G = max(len(geno_ids), 1)
+        self.keys = self.pos * self.G + self.gid
+
+    def ignored_key_array(self, ignore_alleles: dict[int, set[str]]):
+        """(pos, genotype) pairs of `ignore_alleles` as sorted int keys
+        (only interned genotypes can match an observation)."""
+        gi = self.geno_ids
+        ks = [p * self.G + gi[g]
+              for p, gs in ignore_alleles.items()
+              for g in gs if g in gi]
+        if not ks:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.asarray(ks, dtype=np.int64))
+
+    def ignored_name_id_array(self, ignore_read_ids: set[str]):
+        ni = self.name_ids
+        ids = [ni[n] for n in ignore_read_ids if n in ni]
+        if not ids:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.asarray(ids, dtype=np.int64))
+
+    def base_used_mask(self, ignore_read_ids, ignore_alleles, minq):
+        """Observations passing the mapQ/allele/read gates (the obs_used
+        predicate minus the long-read novel-gap clause)."""
+        m = self.mqp >= minq
+        ik = self.ignored_key_array(ignore_alleles)
+        if ik.size:
+            m &= ~np.isin(self.keys, ik)
+        inid = self.ignored_name_id_array(ignore_read_ids)
+        if inid.size:
+            m &= ~np.isin(self.name_id, inid)
+        return m
+
+
 @dataclass
 class LocusResult:
     locus: str
@@ -590,34 +686,41 @@ class HLATyper:
                     reads_obs.append(o)
 
         # ---- filters ----------------------------------------------------
+        soa = _ObsSoA(reads_obs)
         ignore_read_ids: set[str] = set()
         ignore_alleles: dict[int, set[str]] = {}
         if cfg.filter_first20 and not long_reads:
             self._filter_first20(reads_obs, ignore_read_ids, ignore_alleles,
-                                 cfg)
+                                 cfg, soa=soa)
         counts_post, strand_freqs, read1_freqs = self._allele_filters(
-            reads_obs, ignore_read_ids, ignore_alleles, cfg, long_reads)
+            reads_obs, ignore_read_ids, ignore_alleles, cfg, long_reads,
+            soa=soa)
 
         # ---- final pileup ------------------------------------------------
-        def obs_used(o: ExonObs) -> bool:
-            if o.mapq_position < cfg.minimum_per_position_mapping_quality:
-                return False
-            if o.genotype in ignore_alleles.get(o.position_in_exon, ()):
-                return False
-            if o.read_id in ignore_read_ids:
-                return False
-            if long_reads and o.running_novel_gap >= 2:
-                return False
-            return True
-
+        kept_mask = soa.base_used_mask(
+            ignore_read_ids, ignore_alleles,
+            cfg.minimum_per_position_mapping_quality) \
+            if soa.n_obs else np.zeros(0, dtype=bool)
+        used_mask = kept_mask & (soa.run_novel < 2) if long_reads \
+            else kept_mask
+        used_idx = np.nonzero(used_mask)[0]
         pileup: dict[int, list[ExonObs]] = {}
-        utilized_reads: set[str] = set()
-        for obs in reads_obs:
-            for o in obs:
-                if obs_used(o):
-                    pileup.setdefault(o.position_in_exon, []).append(o)
-                    utilized_reads.add(o.read_id)
-                    hist_fh.write(f"{locus}\tbase{o.this_weighted_ok}\n")
+        flat = soa.flat
+        pget = pileup.setdefault
+        for i in used_idx.tolist():
+            o = flat[i]
+            pget(o.position_in_exon, []).append(o)
+        utilized_reads = {soa.names[i]
+                          for i in np.unique(soa.name_id[used_idx]).tolist()}
+        # per-obs histogram lines (chain-constant value -> cached string)
+        wcache: dict[float, str] = {}
+        parts: list[str] = []
+        for v in soa.wok[used_idx].tolist():
+            s = wcache.get(v)
+            if s is None:
+                s = wcache[v] = f"{locus}\tbase{v}\n"
+            parts.append(s)
+        hist_fh.write("".join(parts))
         self._write_pileup(locus, pileup, exon_idx, exon_pos, strand_freqs,
                            read1_freqs, output_dir)
         with open(os.path.join(output_dir, f"R1_readIDs_{locus}.txt"),
@@ -635,7 +738,7 @@ class HLATyper:
         if R <= chunk:
             contrib, mismatch, used_count = self._build_read_tensors(
                 reads_obs, J, cfg, ignore_read_ids, ignore_alleles,
-                long_reads, p_ins)
+                long_reads, p_ins, soa=soa, kept_mask=kept_mask)
             LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
                                            backend=self.backend)
         else:
@@ -646,7 +749,8 @@ class HLATyper:
                 part = reads_obs[lo:lo + chunk]
                 contrib, mismatch, used_c = self._build_read_tensors(
                     part, J, cfg, ignore_read_ids, ignore_alleles,
-                    long_reads, p_ins)
+                    long_reads, p_ins, soa=soa, kept_mask=kept_mask,
+                    read_range=(lo, lo + len(part)))
                 used_count += used_c
                 LLmat[:, lo:lo + len(part)], MMmat[:, lo:lo + len(part)] =                     cluster_read_ll(onehot, contrib, mismatch,
                                     backend=self.backend)
@@ -703,7 +807,7 @@ class HLATyper:
         allele1_one = sorted(clusters[best1])[0]
         allele2_one = sorted(clusters[best2])[0]
         qc = self._column_qc(locus, cluster_seqs[best1], cluster_seqs[best2],
-                             pileup, counts_post, exon_idx, exon_pos,
+                             soa, used_idx, counts_post, exon_idx, exon_pos,
                              kmer_counts, combined[allele1_one],
                              combined[allele2_one], cfg, output_dir)
 
@@ -730,41 +834,56 @@ class HLATyper:
 
     # -------------------------------------------------------------- tensors
     def _build_read_tensors(self, reads_obs, J, cfg, ignore_read_ids,
-                            ignore_alleles, long_reads, p_ins):
+                            ignore_alleles, long_reads, p_ins,
+                            soa: _ObsSoA | None = None, kept_mask=None,
+                            read_range=None):
         """[R, J, 6] log-likelihood contribution and mismatch tensors
-        (the matmul lowering of HLATyper.cpp:2089-2276)."""
+        (the matmul lowering of HLATyper.cpp:2089-2276).
+
+        `soa`/`kept_mask`: precomputed flat view + filter mask for the FULL
+        read set; `read_range=(lo, hi)` restricts to a read-index window
+        (tensor row r = read lo+r), for the chunked wide-segment path."""
         log_ins_act = math.log(p_ins) + math.log(0.25)
         log_del = math.log(p_ins)
         log_mm = math.log(1.0 - 2 * p_ins)
         table = phred_to_p_correct_table(conservative_cap=0.999, floor=None)
 
-        kept_reads = []
-        for obs in reads_obs:
-            kept = [o for o in obs
-                    if o.mapq_position >= cfg.minimum_per_position_mapping_quality
-                    and o.genotype not in ignore_alleles.get(o.position_in_exon, ())
-                    and o.read_id not in ignore_read_ids]
-            kept_reads.append(kept)
-
-        R = len(kept_reads)
+        if soa is None:
+            soa = _ObsSoA(reads_obs)
+            kept_mask = None
+        if kept_mask is None:
+            kept_mask = soa.base_used_mask(
+                ignore_read_ids, ignore_alleles,
+                cfg.minimum_per_position_mapping_quality) \
+                if soa.n_obs else np.zeros(0, dtype=bool)
+        if read_range is None:
+            lo, hi = 0, soa.n_reads
+        else:
+            lo, hi = read_range
+        sel = kept_mask
+        if read_range is not None:
+            sel = sel & (soa.read_idx >= lo) & (soa.read_idx < hi)
+        R = hi - lo
         contrib = np.zeros((R, J, 6), dtype=np.float32)
         mismatch = np.zeros((R, J, 6), dtype=np.float32)
         # flatten: (r, j) is unique per obs (one obs per level after
         # removeDoublePositions), so scatter is plain fancy indexing
-        r_idx = np.asarray([r for r, kept in enumerate(kept_reads)
-                            for _ in kept], dtype=np.int64)
+        r_idx = soa.read_idx[sel] - lo
         used = len(r_idx)
         if used == 0:
             return contrib, mismatch, used
-        flat = [o for kept in kept_reads for o in kept]
-        j_idx = np.asarray([o.position_in_exon for o in flat], dtype=np.int64)
-        genos = [o.genotype for o in flat]
-        is_gap = np.asarray([g == "_" for g in genos])
-        first = np.asarray([0 if g == "_" else ord(g[0]) for g in genos],
-                           dtype=np.int64)
-        l_diff = np.asarray([len(g) - 1 for g in genos], dtype=np.float64)
-        q0 = np.asarray([o.qualities[0] if o.qualities else 0 for o in flat],
-                        dtype=np.int64)
+        j_idx = soa.pos[sel]
+        genos_tbl = soa.genotypes
+        gap_tbl = np.asarray([g == "_" for g in genos_tbl], dtype=bool)
+        first_tbl = np.asarray([0 if g == "_" else ord(g[0])
+                                for g in genos_tbl], dtype=np.int64)
+        ldiff_tbl = np.asarray([len(g) - 1 for g in genos_tbl],
+                               dtype=np.float64)
+        garr = soa.gid[sel]
+        is_gap = gap_tbl[garr]
+        first = first_tbl[garr]
+        l_diff = ldiff_tbl[garr]
+        q0 = soa.q0[sel]
         p_c = table[q0].astype(np.float64)
         p_c = np.where(p_c <= 0, 0.001, p_c)
         v_match = np.where(is_gap, log_del, log_mm + np.log(p_c))
@@ -789,129 +908,150 @@ class HLATyper:
 
     # -------------------------------------------------------------- filters
     def _filter_first20(self, reads_obs, ignore_read_ids, ignore_alleles,
-                        cfg: TyperConfig):
+                        cfg: TyperConfig, soa: _ObsSoA | None = None):
         """'filterFirst20' top-N-by-quality allele plausibility filter
         (HLATyper.cpp:1509-1719).  Note the reference divides the top-N count
         by the *boolean* filterFirst20 (==1), so an allele passes iff it
-        appears in the top N at all; replicated faithfully."""
-        per_pos: dict[int, list[tuple[str, float, int]]] = {}
-        for ri, obs in enumerate(reads_obs):
-            for o in obs:
-                if o.mapq_position < cfg.minimum_per_position_mapping_quality:
-                    continue
-                w = (o.this_weighted_ok + o.paired_weighted_ok) / 2.0
-                per_pos.setdefault(o.position_in_exon, []).append(
-                    (o.genotype, w, ri))
-        per_read_kicked_robust: dict[int, int] = {}
-        for pos, items in per_pos.items():
-            if len(items) < cfg.filter_first20_n:
-                continue
-            items_sorted = sorted(items, key=lambda t: -t[1])
-            topN = {g for g, _, _ in items_sorted[:cfg.filter_first20_n]}
-            kicked: dict[str, int] = {}
-            for g, _, ri in items:
-                if g not in topN:
-                    ignore_alleles.setdefault(pos, set()).add(g)
-                    kicked[g] = kicked.get(g, 0) + 1
-            for g, _, ri in items:
-                if kicked.get(g, 0) >= 2:
-                    per_read_kicked_robust[ri] = \
-                        per_read_kicked_robust.get(ri, 0) + 1
-        for ri, n in per_read_kicked_robust.items():
-            if n > cfg.filter_first20_kickout_limit:
-                if reads_obs[ri]:
-                    ignore_read_ids.add(reads_obs[ri][0].read_id)
-                    ignore_read_ids.add(reads_obs[ri][0].paired_read_id)
+        appears in the top N at all; replicated faithfully (vectorised: a
+        stable per-position sort by descending weight, then group-rank and
+        key-membership arithmetic — the sequential per-position loop is
+        order-equivalent because the sort is stable on insertion order)."""
+        if soa is None:
+            soa = _ObsSoA(reads_obs)
+        n = cfg.filter_first20_n
+        m = soa.mqp >= cfg.minimum_per_position_mapping_quality
+        if not m.any():
+            return
+        pos = soa.pos[m]
+        wv = soa.w[m]
+        rid = soa.read_idx[m]
+        key = soa.keys[m]
+        order = np.lexsort((np.arange(len(wv)), -wv, pos))
+        spos = pos[order]
+        grp_start = np.flatnonzero(np.r_[True, spos[1:] != spos[:-1]])
+        grp_cnt = np.diff(np.r_[grp_start, len(spos)])
+        eligible = grp_cnt >= n
+        if not eligible.any():
+            return
+        rank = np.arange(len(spos)) - np.repeat(grp_start, grp_cnt)
+        elig_row = np.repeat(eligible, grp_cnt)
+        skey = key[order]
+        topn_keys = np.unique(skey[elig_row & (rank < n)])
+        kicked_row = elig_row & ~np.isin(skey, topn_keys)
+        if not kicked_row.any():
+            return
+        uk, k_inv, k_cnt = np.unique(skey[kicked_row], return_inverse=True,
+                                     return_counts=True)
+        G = soa.G
+        genotypes = soa.genotypes
+        for k in uk.tolist():
+            ignore_alleles.setdefault(k // G, set()).add(genotypes[k % G])
+        # a read is kicked out when more than `kickout_limit` of its
+        # observations carry a robustly-kicked (count >= 2) genotype
+        robust = kicked_row.copy()
+        robust[kicked_row] = k_cnt[k_inv] >= 2
+        per_read = np.bincount(rid[order][robust], minlength=soa.n_reads)
+        for ri in np.nonzero(per_read > cfg.filter_first20_kickout_limit)[0]:
+            if reads_obs[ri]:
+                ignore_read_ids.add(reads_obs[ri][0].read_id)
+                ignore_read_ids.add(reads_obs[ri][0].paired_read_id)
 
     def _allele_filters(self, reads_obs, ignore_read_ids, ignore_alleles,
-                        cfg: TyperConfig, long_reads: bool):
+                        cfg: TyperConfig, long_reads: bool,
+                        soa: _ObsSoA | None = None):
         """Low-frequency and strand-bias allele filters
-        (HLATyper.cpp:1721-1880)."""
-        # [count, fwd, rev, read1] per (position, genotype) — one dict hop
-        # per obs instead of five
-        per_pos: dict[int, dict[str, list[int]]] = {}
-        minq = cfg.minimum_per_position_mapping_quality
-        ig_get = ignore_alleles.get
-        for obs in reads_obs:
-            for o in obs:
-                if o.read_id in ignore_read_ids:
-                    continue
-                if o.mapq_position < minq:
-                    continue
-                ig = ig_get(o.position_in_exon)
-                if ig and o.genotype in ig:
-                    continue
-                d = per_pos.setdefault(o.position_in_exon, {})
-                e = d.get(o.genotype)
-                if e is None:
-                    e = d[o.genotype] = [0, 0, 0, 0]
-                e[0] += 1
-                e[2 if o.reverse else 1] += 1
-                if o.from_first_read:
-                    e[3] += 1
-        counts = {pos: {g: e[0] for g, e in d.items()}
-                  for pos, d in per_pos.items()}
-        by_strand = {pos: {g: [e[1], e[2]] for g, e in d.items()}
-                     for pos, d in per_pos.items()}
-        read1_counts = {pos: {g: e[3] for g, e in d.items()}
-                        for pos, d in per_pos.items()}
-
+        (HLATyper.cpp:1721-1880).  Counting is vectorised per unique
+        (position, genotype) key; only the output-dict assembly loops, once
+        per unique key instead of once per observation."""
         counts_post: dict[int, dict[str, int]] = {}
         strand_freqs: dict[int, dict[str, float]] = {}
         read1_freqs: dict[int, dict[str, float]] = {}
-        for pos, alleles in counts.items():
-            total = sum(alleles.values())
-            if total >= cfg.high_coverage_min_coverage:
-                for g, n in alleles.items():
-                    af = n / total
-                    if (af < cfg.high_coverage_min_allele_freq
-                            and cfg.high_coverage_filter_alleles):
-                        ignore_alleles.setdefault(pos, set()).add(g)
-                    else:
-                        counts_post.setdefault(pos, {})[g] = n
-            for g, (fwd, rev) in by_strand[pos].items():
-                tot = fwd + rev
-                min_strand = min(fwd, rev) / tot if tot else 0.0
-                strand_freqs.setdefault(pos, {})[g] = min_strand
-                r1c = read1_counts.get(pos, {}).get(g, 0)
-                read1_freqs.setdefault(pos, {})[g] = r1c / tot if tot else 0.0
-                if (long_reads and cfg.long_reads_filter_strand
-                        and tot >= cfg.long_reads_filter_strand_min_allele_coverage
-                        and min_strand < cfg.long_reads_filter_strand_min_strand_freq):
-                    ignore_alleles.setdefault(pos, set()).add(g)
+        if soa is None:
+            soa = _ObsSoA(reads_obs)
+        if soa.n_obs == 0:
+            return counts_post, strand_freqs, read1_freqs
+        m = soa.base_used_mask(ignore_read_ids, ignore_alleles,
+                               cfg.minimum_per_position_mapping_quality)
+        if not m.any():
+            return counts_post, strand_freqs, read1_freqs
+        uk, inv = np.unique(soa.keys[m], return_inverse=True)
+        cnt = np.bincount(inv)
+        fwd = np.bincount(inv, weights=~soa.rev[m]).astype(np.int64)
+        r1 = np.bincount(inv, weights=soa.ffr[m]).astype(np.int64)
+        G = soa.G
+        upos = uk // G
+        # per-position coverage totals, broadcast back per key
+        pidx = np.cumsum(np.r_[False, upos[1:] != upos[:-1]])
+        ptot = np.bincount(pidx, weights=cnt).astype(np.int64)
+        tot_per_key = ptot[pidx]
+
+        genotypes = soa.genotypes
+        hc_min = cfg.high_coverage_min_coverage
+        hc_freq = cfg.high_coverage_min_allele_freq
+        hc_filter = cfg.high_coverage_filter_alleles
+        lr_filter = long_reads and cfg.long_reads_filter_strand
+        lr_min = cfg.long_reads_filter_strand_min_allele_coverage
+        lr_freq = cfg.long_reads_filter_strand_min_strand_freq
+        for i, k in enumerate(uk.tolist()):
+            p = k // G
+            g = genotypes[k % G]
+            n = int(cnt[i])
+            total = int(tot_per_key[i])
+            if total >= hc_min:
+                if n / total < hc_freq and hc_filter:
+                    ignore_alleles.setdefault(p, set()).add(g)
+                else:
+                    counts_post.setdefault(p, {})[g] = n
+            f = int(fwd[i])
+            r = n - f
+            min_strand = min(f, r) / n if n else 0.0
+            strand_freqs.setdefault(p, {})[g] = min_strand
+            read1_freqs.setdefault(p, {})[g] = int(r1[i]) / n if n else 0.0
+            if lr_filter and n >= lr_min and min_strand < lr_freq:
+                ignore_alleles.setdefault(p, set()).add(g)
         return counts_post, strand_freqs, read1_freqs
 
     # ------------------------------------------------------------------- QC
-    def _column_qc(self, locus, seq1, seq2, pileup, counts_post, exon_idx,
-                   exon_pos, kmer_counts, comb1, comb2, cfg, output_dir):
+    def _column_qc(self, locus, seq1, seq2, soa, used_idx, counts_post,
+                   exon_idx, exon_pos, kmer_counts, comb1, comb2, cfg,
+                   output_dir):
+        """Column coverage / incompatibility QC (vectorised over the used
+        observations; a pileup genotype is incompatible when it differs
+        from both called alleles' column characters)."""
         J = len(seq1)
-        cov = np.array([len(pileup.get(j, ())) for j in range(J)], dtype=float)
+        pos_used = soa.pos[used_idx]
+        gid_used = soa.gid[used_idx]
+        per_col_total = np.bincount(pos_used, minlength=J)
+        cov = per_col_total.astype(float)
         cov_sorted = np.sort(cov)
         decile = float(cov_sorted[int(len(cov_sorted) / 10.0)]) \
             if len(cov_sorted) else 0.0
         min_cov = float(cov_sorted[0]) if len(cov_sorted) else 0.0
 
-        total_alleles = 0
-        incompatible = 0
-        per_col_total = np.zeros(J, dtype=int)
-        per_col_incomp = np.zeros(J, dtype=int)
+        # called alleles' per-column characters -> interned genotype ids
+        # (a multi-base observation can never equal a single column char)
+        lut = np.full(256, -1, dtype=np.int64)
+        for g, i in soa.geno_ids.items():
+            if len(g) == 1:
+                lut[ord(g)] = i
+        col1 = lut[np.frombuffer(seq1.encode(), dtype=np.uint8)]
+        col2 = lut[np.frombuffer(seq2.encode(), dtype=np.uint8)]
+        incomp = ((gid_used != col1[pos_used])
+                  & (gid_used != col2[pos_used]))
+        per_col_incomp = np.bincount(pos_used[incomp], minlength=J)
+        total_alleles = int(len(pos_used))
+        incompatible = int(incomp.sum())
+
         unaccounted = 0
-        for j in range(J):
+        for j, alleles in counts_post.items():
             a1, a2 = seq1[j], seq2[j]
-            for o in pileup.get(j, ()):
-                total_alleles += 1
-                per_col_total[j] += 1
-                if o.genotype != a1 and o.genotype != a2:
-                    incompatible += 1
-                    per_col_incomp[j] += 1
-            if j in counts_post:
-                tot = sum(counts_post[j].values())
-                if tot >= cfg.unaccounted_min_coverage:
-                    for g, n in counts_post[j].items():
-                        if g in (a1, a2):
-                            continue
-                        if n / tot >= cfg.unaccounted_min_allele_fraction:
-                            unaccounted += 1
+            tot = sum(alleles.values())
+            if tot >= cfg.unaccounted_min_coverage:
+                for g, n in alleles.items():
+                    if g in (a1, a2):
+                        continue
+                    if n / tot >= cfg.unaccounted_min_allele_fraction:
+                        unaccounted += 1
         avg_err = incompatible / total_alleles if total_alleles else 0.0
 
         with open(os.path.join(output_dir,
@@ -959,6 +1099,12 @@ class HLATyper:
             ei = np.asarray(exon_idx).tolist()
             ep = np.asarray(exon_pos).tolist()
             lines: list[str] = []
+            # chain-constant fragments cached ONCE per read for the whole
+            # locus (a read covers O(read length) columns; per-column caches
+            # rebuilt every fragment ~200x)
+            frag_cache: dict[tuple, tuple[str, str]] = {}
+            mqp_cache: dict[float, str] = {}
+            q1_cache = [str(i) for i in range(256)]
             for j in range(J):
                 items = pileup.get(j, [])
                 if not items:
@@ -976,9 +1122,6 @@ class HLATyper:
                     # chain-constant, so those fragments are cached
                     entries = []
                     by_allele: dict[str, list[int]] = {}
-                    frag_cache: dict[tuple, tuple[str, str]] = {}
-                    mqp_cache: dict[float, str] = {}
-                    q1_cache = [str(i) for i in range(256)]
                     for o in items:
                         fk = (o.read_id, o.paired_read_id, o.mapq,
                               o.this_weighted_ok, o.pairs_strands_distance,

@@ -165,6 +165,8 @@ class ReadAligner:
             cands = self.seeder.candidates(read.seq)
         jobs = []
         rc = None
+        half_band = self.band // 2
+        new = _Job.__new__
         for c in cands:
             if c.reverse:
                 if rc is None:
@@ -172,8 +174,12 @@ class ReadAligner:
                 oriented, qual = rc
             else:
                 oriented, qual = read.seq, read.qual
-            jobs.append(_Job(pair_idx, mate, c.seq_idx, c.reverse,
-                             c.ref_start - self.band // 2, oriented, qual))
+            j = new(_Job)
+            j.__dict__ = {"pair_idx": pair_idx, "mate": mate,
+                          "cand_seq": c.seq_idx, "reverse": c.reverse,
+                          "window_start": c.ref_start - half_band,
+                          "oriented_seq": oriented, "oriented_qual": qual}
+            jobs.append(j)
         self.stats.considered_chains += len(jobs)
         return jobs
 

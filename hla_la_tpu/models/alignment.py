@@ -191,23 +191,35 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
         if res is not None:
             (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
              col_starts, ll, first_lv, last_lv, lv2, bad) = res
+            # scalar columns -> Python lists ONCE (per-element np scalar
+            # indexing in the loop costs ~10x), and skip the dataclass
+            # __init__ by assembling each instance __dict__ directly
+            skip = (bad | (col_counts == 0)).tolist()
+            s_l = col_starts.tolist()
+            e_l = (col_starts + col_counts).tolist()
+            rev_l = reverse.tolist()
+            pid_l = prg_ids.astype(np.int64).tolist()
+            fl_l = first_lv.tolist()
+            ll_l = last_lv.tolist()
+            llh_l = ll.tolist()
+            new = GraphAlignment.__new__
             out: list[GraphAlignment | None] = []
             for b in range(B):
-                if bad[b] or col_counts[b] == 0:
+                if skip[b]:
                     out.append(None)
                     continue
-                s = int(col_starts[b])
-                e = s + int(col_counts[b])
-                al = GraphAlignment(
-                    levels=levels[s:e], graph_c=graph_c[s:e],
-                    seq_c=seq_c[s:e], seq_qual=qual_c[s:e],
-                    reverse=bool(reverse[b]), seq_idx=int(prg_ids[b]),
-                )
-                al._first_level = int(first_lv[b])
-                al._last_level = int(last_lv[b])
-                al._lv2 = lv2[b]
-                al._pos_keys = pos_keys[s:e]
-                al.log_likelihood = float(ll[b])
+                s = s_l[b]
+                e = e_l[b]
+                al = new(GraphAlignment)
+                al.__dict__ = {
+                    "levels": levels[s:e], "graph_c": graph_c[s:e],
+                    "seq_c": seq_c[s:e], "seq_qual": qual_c[s:e],
+                    "reverse": rev_l[b], "seq_idx": pid_l[b],
+                    "mapq": 1.0, "mapq_per_pos": None,
+                    "from_first_read": True, "log_likelihood": llh_l[b],
+                    "_first_level": fl_l[b], "_last_level": ll_l[b],
+                    "_lv2": lv2[b], "_pos_keys": pos_keys[s:e],
+                }
                 out.append(al)
             return out
 

@@ -84,6 +84,11 @@ def _find_lib():
             lib.hla_project_fill.argtypes = (
                 [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 5
                 + [f64, f64] + [vp] * 9 + [ctypes.c_int])
+            lib.hla_graph_extend.restype = i64
+            lib.hla_graph_extend.argtypes = (
+                [vp] * 17 + [i64, i64, vp, i64, i64, i64, i64,
+                ctypes.c_int, i64, i64] + [f64] * 6 + [i64, f64]
+                + [vp] * 3 + [i64, vp, vp])
             _LIB = lib
             break
     return _LIB
@@ -364,6 +369,64 @@ def walk_haplotype(cprg, row: np.ndarray, lv_lo: int = 0,
                                 len(cprg.node_level), int(lv_lo), int(lv_hi),
                                 c(path))
     return path if ok else None
+
+
+def graph_extend(cprg, sequence: str, start_seq: int, start_level: int,
+                 start_z: int, positive: bool, lim_level: int, lim_seq: int,
+                 sc):
+    """C++ graph-space extension DP (hla_graph_extend; the exact
+    extend_graph_dp semantics incl. tie-breaking).  Returns
+    (graph_chars, levels, seq_chars, score, end_level, end_seq, end_z),
+    False when the DP found no positive-score extension, or None when the
+    lib is unavailable / the problem doesn't fit (caller falls back)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    arrs = getattr(cprg, "_gx_arrays", None)
+    if arrs is None:
+        arrs = tuple(np.ascontiguousarray(a, dtype=d) for a, d in (
+            (cprg.level_offsets, np.int64),
+            (cprg.node_level, np.int32), (cprg.node_z, np.int32),
+            (cprg.edge_from, np.int32), (cprg.edge_to, np.int32),
+            (cprg.edge_emission, np.uint8),
+            (cprg.out_offsets, np.int64), (cprg.out_edges, np.int32),
+            (cprg.in_offsets, np.int64), (cprg.in_edges, np.int32),
+            (cprg.jump_from, np.int32), (cprg.jump_to, np.int32),
+            (cprg.jump_len, np.int32),
+            (cprg.jump_out_offsets, np.int64), (cprg.jump_out, np.int32),
+            (cprg.jump_in_offsets, np.int64), (cprg.jump_in, np.int32)))
+        cprg._gx_arrays = arrs
+        cprg._gx_zmul = int(np.max(np.diff(arrs[0]))) + 1
+    zmul = cprg._gx_zmul
+    seq_b = np.frombuffer(sequence.encode(), dtype=np.uint8)
+    # 64-bit cell-key capacity check (x * (len+2) * zmul must fit)
+    if (cprg.n_levels + 1) * (len(seq_b) + 2) * zmul >= (1 << 62):
+        return None
+    cap = abs(int(lim_level) - int(start_level)) \
+        + abs(int(lim_seq) - int(start_seq)) + 8
+    out_g = np.empty(cap, dtype=np.uint8)
+    out_s = np.empty(cap, dtype=np.uint8)
+    out_l = np.empty(cap, dtype=np.int64)
+    out_score = ctypes.c_double()
+    out_end = np.empty(3, dtype=np.int64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    n = lib.hla_graph_extend(
+        *(c(a) for a in arrs), cprg.n_levels, zmul,
+        c(seq_b), len(seq_b), int(start_seq), int(start_level),
+        int(start_z), 1 if positive else 0, int(lim_level), int(lim_seq),
+        float(sc.match), float(sc.mismatch), float(sc.open_gap),
+        float(sc.extend_gap), float(sc.graph_gap),
+        float(sc.diagonal_filter), int(sc.max_nonincrease_diagonals),
+        float(sc.stop_threshold),
+        c(out_g), c(out_s), c(out_l), cap,
+        ctypes.byref(out_score), c(out_end))
+    if n == -1:
+        return False
+    if n < 0:
+        return None
+    return (out_g[:n].tobytes().decode(), out_l[:n].tolist(),
+            out_s[:n].tobytes().decode(), float(out_score.value),
+            int(out_end[0]), int(out_end[1]), int(out_end[2]))
 
 
 def seed_select(read_of: np.ndarray, seq_idx: np.ndarray,

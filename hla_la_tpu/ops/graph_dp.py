@@ -95,6 +95,18 @@ def extend_graph_dp(cprg: CompiledPRG, sequence: str, start_seq: int,
         lim_level = 0 if max_level is None else max_level
         lim_seq = 0 if max_seq is None else max_seq
 
+    from .. import native
+    if native.available():
+        res = native.graph_extend(cprg, sequence, start_seq, start_level,
+                                  start_z, positive, lim_level, lim_seq, sc)
+        if res is False:
+            return None
+        if res is not None:
+            g, lv, s, score, ex, ey, ez = res
+            return GraphExtension(graph_chars=g, levels=lv, seq_chars=s,
+                                  score=score, end_level=ex, end_seq=ey,
+                                  end_z=ez)
+
     # scores[(x,y,z)] = [D, GG, SG]; backtrace[(x,y,z,state)] =
     #   (px,py,pz,pstate, emit_graph, emit_seq, emit_levels)
     scores: dict[tuple, list[float]] = {

@@ -1231,3 +1231,365 @@ extern "C" void hla_select_pairs(
         base += nch;
     }
 }
+
+// ------------------------------------------------------- graph-space DP
+// Native port of ops/graph_dp.py::extend_graph_dp (itself a faithful
+// reimplementation of the reference's
+// fullNeedleman_diagonal_extension_gapJumper, extensionAligner.cpp:335-1557).
+// Sparse diagonal sweep over cells (level x, seqpos y, node z), three states
+// D/GraphGap/SequenceGap, per-diagonal pruning, gap jumps.  Candidate
+// resolution replicates the Python insertion-order / first-strict-max
+// semantics exactly, so results are identical to the Python implementation.
+#include <unordered_map>
+
+namespace graphdp {
+constexpr double NEG = -1e30;
+constexpr int D = 0, GG = 1, SG = 2;
+constexpr int GAPC = '_';
+struct BTrec {
+    int64_t px, py, pz;
+    int32_t pst;
+    int32_t em_g, em_s;      // -1 = matrix switch, -2 = gap jump
+    int64_t lvl;             // emitted level (-1 insert) or jump length
+};
+struct Cell {
+    double s[3];
+    BTrec bt[3];
+    bool has_bt[3];
+};
+struct XYZ { int64_t x, y, z; };
+struct CandCell {
+    int64_t x, y, z;
+    double best[3];
+    BTrec bt[3];
+    bool has[3];
+};
+}  // namespace graphdp
+
+extern "C" int64_t hla_graph_extend(
+    const int64_t* level_offsets,
+    const int32_t* node_level, const int32_t* node_z,
+    const int32_t* edge_from, const int32_t* edge_to,
+    const uint8_t* edge_emission,
+    const int64_t* out_offsets, const int32_t* out_edges,
+    const int64_t* in_offsets, const int32_t* in_edges,
+    const int32_t* jump_from, const int32_t* jump_to,
+    const int32_t* jump_len,
+    const int64_t* jump_out_offsets, const int32_t* jump_out,
+    const int64_t* jump_in_offsets, const int32_t* jump_in,
+    int64_t n_levels, int64_t zmul,
+    const uint8_t* seq, int64_t seq_len,
+    int64_t start_seq, int64_t start_level, int64_t start_z,
+    int positive, int64_t lim_level, int64_t lim_seq,
+    double s_match, double s_mismatch, double s_open, double s_extend,
+    double s_graph_gap, double diag_filter, int64_t max_noninc,
+    double stop_thr,
+    uint8_t* out_graph, uint8_t* out_seq_c, int64_t* out_levels,
+    int64_t out_cap, double* out_score, int64_t* out_end) {
+    using namespace graphdp;
+    const uint64_t ymul = (uint64_t)(seq_len + 2);
+    auto key_of = [&](int64_t x, int64_t y, int64_t z) -> uint64_t {
+        return ((uint64_t)x * ymul + (uint64_t)(y + 1)) * (uint64_t)zmul
+               + (uint64_t)z;
+    };
+    auto node_of = [&](int64_t lv, int64_t z) -> int64_t {
+        return level_offsets[lv] + z;
+    };
+    auto in_bounds = [&](int64_t x, int64_t y) -> bool {
+        return positive ? (x <= lim_level && y <= lim_seq)
+                        : (x >= lim_level && y >= lim_seq);
+    };
+
+    std::unordered_map<uint64_t, Cell> scores;
+    scores.reserve(4096);
+    {
+        Cell c0;
+        c0.s[0] = 0.0; c0.s[1] = NEG; c0.s[2] = NEG;
+        c0.has_bt[0] = c0.has_bt[1] = c0.has_bt[2] = false;
+        scores.emplace(key_of(start_level, start_seq, start_z), c0);
+    }
+    double current_max = 0.0;
+    std::vector<XYZ> maxima{{start_level, start_seq, start_z}};
+    int64_t last_improve = 0;
+    std::vector<XYZ> frontier_m1{{start_level, start_seq, start_z}};
+    std::vector<XYZ> frontier_m2;
+    const int64_t step = positive ? 1 : -1;
+
+    std::unordered_map<uint64_t, int32_t> cand_idx;
+    std::vector<CandCell> cand;
+    cand_idx.reserve(4096);
+    auto push = [&](int64_t x, int64_t y, int64_t z, int st, double v,
+                    const BTrec& bt) {
+        uint64_t k = key_of(x, y, z);
+        auto ins = cand_idx.try_emplace(k, (int32_t)cand.size());
+        if (ins.second) {
+            CandCell cc;
+            cc.x = x; cc.y = y; cc.z = z;
+            cc.best[0] = cc.best[1] = cc.best[2] = NEG;
+            cc.has[0] = cc.has[1] = cc.has[2] = false;
+            cand.push_back(cc);
+        }
+        CandCell& cc = cand[ins.first->second];
+        if (!cc.has[st] || v > cc.best[st]) {
+            cc.best[st] = v; cc.bt[st] = bt; cc.has[st] = true;
+        }
+    };
+
+    const int64_t diagonals = seq_len + n_levels;
+    std::vector<XYZ> new_cells;
+    for (int64_t diag = 1; diag <= diagonals; diag++) {
+        if (diag - last_improve > max_noninc) break;
+        cand.clear();
+        cand_idx.clear();
+
+        // from m-2 diagonal: match/mismatch
+        for (const XYZ& c : frontier_m2) {
+            int64_t nx = c.x + step, ny = c.y + step;
+            if (!in_bounds(nx, ny)) continue;
+            int s_em = positive ? seq[c.y] : seq[c.y - 1];
+            double prev_d = scores[key_of(c.x, c.y, c.z)].s[D];
+            if (prev_d <= NEG / 2) continue;
+            int64_t node = node_of(c.x, c.z);
+            int64_t lvl = positive ? nx - 1 : nx;
+            if (positive) {
+                for (int64_t e = out_offsets[node]; e < out_offsets[node + 1];
+                     e++) {
+                    int32_t eid = out_edges[e];
+                    int64_t nz = node_z[edge_to[eid]];
+                    int em = edge_emission[eid];
+                    push(nx, ny, nz, D,
+                         prev_d + (em == s_em ? s_match : s_mismatch),
+                         BTrec{c.x, c.y, c.z, D, em, s_em, lvl});
+                }
+            } else {
+                for (int64_t e = in_offsets[node]; e < in_offsets[node + 1];
+                     e++) {
+                    int32_t eid = in_edges[e];
+                    int64_t nz = node_z[edge_from[eid]];
+                    int em = edge_emission[eid];
+                    push(nx, ny, nz, D,
+                         prev_d + (em == s_em ? s_match : s_mismatch),
+                         BTrec{c.x, c.y, c.z, D, em, s_em, lvl});
+                }
+            }
+        }
+
+        // from m-1 diagonal: gaps and jumps
+        for (const XYZ& c : frontier_m1) {
+            const Cell& pc = scores[key_of(c.x, c.y, c.z)];
+            double pd = pc.s[D], pgg = pc.s[GG], psg = pc.s[SG];
+            // gap in graph (consume sequence char)
+            {
+                int64_t nx = c.x, ny = c.y + step;
+                if (in_bounds(nx, ny)) {
+                    int s_em = positive ? seq[c.y] : seq[c.y - 1];
+                    if (pd > NEG / 2)
+                        push(nx, ny, c.z, GG, pd + s_open + s_extend,
+                             BTrec{c.x, c.y, c.z, D, GAPC, s_em, -1});
+                    if (pgg > NEG / 2)
+                        push(nx, ny, c.z, GG, pgg + s_extend,
+                             BTrec{c.x, c.y, c.z, GG, GAPC, s_em, -1});
+                }
+            }
+            // gap in sequence (consume graph edge)
+            {
+                int64_t nx = c.x + step, ny = c.y;
+                if (in_bounds(nx, ny)) {
+                    int64_t node = node_of(c.x, c.z);
+                    int64_t lvl = positive ? c.x : nx;
+                    int64_t e0, e1;
+                    if (positive) { e0 = out_offsets[node];
+                                    e1 = out_offsets[node + 1]; }
+                    else { e0 = in_offsets[node]; e1 = in_offsets[node + 1]; }
+                    for (int64_t e = e0; e < e1; e++) {
+                        int32_t eid = positive ? out_edges[e] : in_edges[e];
+                        int64_t nz = positive ? node_z[edge_to[eid]]
+                                              : node_z[edge_from[eid]];
+                        int em = edge_emission[eid];
+                        if (em != GAPC) {
+                            if (pd > NEG / 2)
+                                push(nx, ny, nz, SG, pd + s_open + s_extend,
+                                     BTrec{c.x, c.y, c.z, D, em, GAPC, lvl});
+                            if (psg > NEG / 2)
+                                push(nx, ny, nz, SG, psg + s_extend,
+                                     BTrec{c.x, c.y, c.z, SG, em, GAPC, lvl});
+                        } else {
+                            // graph gap edge: SG extension at graph-gap cost;
+                            // non-affine D->D step
+                            if (psg > NEG / 2)
+                                push(nx, ny, nz, SG, psg + s_graph_gap,
+                                     BTrec{c.x, c.y, c.z, SG, em, GAPC, lvl});
+                            if (pd > NEG / 2)
+                                push(nx, ny, nz, D, pd + s_graph_gap,
+                                     BTrec{c.x, c.y, c.z, D, em, GAPC, lvl});
+                        }
+                    }
+                }
+            }
+            // gap jumps (consume many all-gap graph levels)
+            if (pd > NEG / 2) {
+                int64_t node = node_of(c.x, c.z);
+                if (positive) {
+                    for (int64_t j = jump_out_offsets[node];
+                         j < jump_out_offsets[node + 1]; j++) {
+                        int32_t jid = jump_out[j];
+                        int32_t tgt = jump_to[jid];
+                        int64_t jx = node_level[tgt], jz = node_z[tgt];
+                        int64_t jl = jump_len[jid];
+                        if (in_bounds(jx, c.y))
+                            push(jx, c.y, jz, D, pd + jl * s_graph_gap,
+                                 BTrec{c.x, c.y, c.z, D, -2, -2, jl});
+                    }
+                } else {
+                    for (int64_t j = jump_in_offsets[node];
+                         j < jump_in_offsets[node + 1]; j++) {
+                        int32_t jid = jump_in[j];
+                        int32_t src = jump_from[jid];
+                        int64_t jx = node_level[src], jz = node_z[src];
+                        int64_t jl = jump_len[jid];
+                        if (in_bounds(jx, c.y))
+                            push(jx, c.y, jz, D, pd + jl * s_graph_gap,
+                                 BTrec{c.x, c.y, c.z, D, -2, -2, jl});
+                    }
+                }
+            }
+        }
+
+        // resolve candidates per cell (insertion order)
+        new_cells.clear();
+        for (const CandCell& cc : cand) {
+            double vals[3] = {NEG, NEG, NEG};
+            BTrec bts[3];
+            bool hasb[3] = {false, false, false};
+            for (int st = GG; st <= SG; st++)
+                if (cc.has[st]) {
+                    vals[st] = cc.best[st]; bts[st] = cc.bt[st];
+                    hasb[st] = true;
+                }
+            // D candidates: pushed D values, then closing from GG/SG
+            if (cc.has[D]) {
+                vals[D] = cc.best[D]; bts[D] = cc.bt[D]; hasb[D] = true;
+            }
+            if (vals[GG] > NEG / 2 && (!hasb[D] || vals[GG] > vals[D])) {
+                vals[D] = vals[GG];
+                bts[D] = BTrec{cc.x, cc.y, cc.z, GG, -1, -1, -1};
+                hasb[D] = true;
+            }
+            if (vals[SG] > NEG / 2 && (!hasb[D] || vals[SG] > vals[D])) {
+                vals[D] = vals[SG];
+                bts[D] = BTrec{cc.x, cc.y, cc.z, SG, -1, -1, -1};
+                hasb[D] = true;
+            }
+            if (!hasb[D]) vals[D] = NEG;
+            if (vals[D] < stop_thr) continue;
+            uint64_t k = key_of(cc.x, cc.y, cc.z);
+            auto it = scores.find(k);
+            bool changed = false;
+            Cell* cur;
+            if (it == scores.end()) {
+                Cell nc;
+                for (int st = 0; st < 3; st++) {
+                    nc.s[st] = vals[st];
+                    nc.has_bt[st] = hasb[st];
+                    if (hasb[st]) nc.bt[st] = bts[st];
+                }
+                cur = &scores.emplace(k, nc).first->second;
+                changed = true;
+            } else {
+                cur = &it->second;
+                for (int st = 0; st < 3; st++)
+                    if (vals[st] > cur->s[st]) {
+                        cur->s[st] = vals[st];
+                        cur->bt[st] = bts[st];
+                        cur->has_bt[st] = true;
+                        changed = true;
+                    }
+            }
+            if (changed) {
+                new_cells.push_back({cc.x, cc.y, cc.z});
+                if (cur->s[D] > current_max) {
+                    current_max = cur->s[D];
+                    maxima.clear();
+                    maxima.push_back({cc.x, cc.y, cc.z});
+                    last_improve = diag;
+                } else if (cur->s[D] == current_max && cur->s[D] > 0) {
+                    maxima.push_back({cc.x, cc.y, cc.z});
+                    last_improve = diag;
+                }
+            }
+        }
+
+        // diagonal filtering: drop cells > threshold below the diagonal max
+        if (!new_cells.empty()) {
+            double dmax = NEG;
+            for (const XYZ& c : new_cells) {
+                double v = scores[key_of(c.x, c.y, c.z)].s[D];
+                if (v > dmax) dmax = v;
+            }
+            std::vector<XYZ> kept;
+            kept.reserve(new_cells.size());
+            for (const XYZ& c : new_cells)
+                if (dmax - scores[key_of(c.x, c.y, c.z)].s[D] <= diag_filter)
+                    kept.push_back(c);
+            frontier_m2 = std::move(frontier_m1);
+            frontier_m1 = std::move(kept);
+        } else {
+            frontier_m2 = std::move(frontier_m1);
+            frontier_m1.clear();
+        }
+    }
+
+    if (current_max <= 0) return -1;
+    XYZ end = maxima[0];
+    double best_s = scores[key_of(end.x, end.y, end.z)].s[D];
+    for (size_t i = 1; i < maxima.size(); i++) {
+        double v = scores[key_of(maxima[i].x, maxima[i].y, maxima[i].z)].s[D];
+        if (v > best_s) { best_s = v; end = maxima[i]; }
+    }
+
+    // backtrace
+    std::vector<uint8_t> gch, sch;
+    std::vector<int64_t> lvls;
+    int64_t x = end.x, y = end.y, z = end.z;
+    int st = D;
+    while (!(x == start_level && y == start_seq && z == start_z && st == D)) {
+        auto it = scores.find(key_of(x, y, z));
+        if (it == scores.end() || !it->second.has_bt[st]) break;
+        BTrec bt = it->second.bt[st];
+        if (bt.em_g == -1) {
+            // matrix switch, no emission
+        } else if (bt.em_g == -2) {
+            if (positive) {
+                for (int64_t l = bt.px + bt.lvl - 1; l >= bt.px; l--) {
+                    gch.push_back(GAPC); sch.push_back(GAPC);
+                    lvls.push_back(l);
+                }
+            } else {
+                for (int64_t l = x; l < x + bt.lvl; l++) {
+                    gch.push_back(GAPC); sch.push_back(GAPC);
+                    lvls.push_back(l);
+                }
+            }
+        } else {
+            gch.push_back((uint8_t)bt.em_g);
+            sch.push_back((uint8_t)bt.em_s);
+            lvls.push_back(bt.lvl);
+        }
+        x = bt.px; y = bt.py; z = bt.pz; st = bt.pst;
+    }
+    int64_t n = (int64_t)gch.size();
+    if (n > out_cap) return -2;
+    if (positive) {
+        std::reverse(gch.begin(), gch.end());
+        std::reverse(sch.begin(), sch.end());
+        std::reverse(lvls.begin(), lvls.end());
+    }
+    if (n) {
+        memcpy(out_graph, gch.data(), n);
+        memcpy(out_seq_c, sch.data(), n);
+        memcpy(out_levels, lvls.data(), n * sizeof(int64_t));
+    }
+    *out_score = best_s;
+    out_end[0] = end.x; out_end[1] = end.y; out_end[2] = end.z;
+    return n;
+}

@@ -71,6 +71,61 @@ def test_alignment_parity(world):
         assert abs(a.mapq - b.mapq) < 1e-6
 
 
+def test_graph_extend_parity():
+    """Native hla_graph_extend must match the Python extend_graph_dp
+    exactly — score, emitted columns, levels, and endpoint — on random
+    extension problems in both directions, with errors and indels."""
+    from hla_la_tpu.graph.compile import compile_prg
+    from hla_la_tpu.ops.graph_dp import extend_graph_dp
+
+    rng = np.random.default_rng(7)
+    sim = simulate_prg_package(rng, backbone_length=500, n_haplotypes=4)
+    c = compile_prg(sim.prg)
+    seq_g, edges, nodes = sim.prg.simulate_random_paths(1, rng)[0]
+    bases = "ACGT"
+
+    def mutate(read):
+        read = list(read)
+        for _ in range(rng.integers(0, 3)):
+            i = int(rng.integers(0, len(read)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                read[i] = bases[int(rng.integers(0, 4))]
+            elif op == 1 and len(read) > 30:
+                del read[i]
+            else:
+                read.insert(i, bases[int(rng.integers(0, 4))])
+        return "".join(read)
+
+    n_checked = 0
+    for _ in range(25):
+        a = int(rng.integers(0, 350))
+        b = a + int(rng.integers(60, 140))
+        read = mutate(seq_g[a:b].replace("_", ""))
+        if len(read) < 40:
+            continue
+        pos = bool(rng.integers(0, 2))
+        if pos:
+            args = (read, 0, a, sim.prg.z_of_node(int(nodes[a])), True)
+        else:
+            args = (read, len(read), b,
+                    sim.prg.z_of_node(int(nodes[b])), False)
+        got = extend_graph_dp(c, *args)
+        want = _with_native_disabled(lambda: extend_graph_dp(c, *args))
+        if want is None:
+            assert got is None
+            continue
+        assert got is not None
+        assert got.score == pytest.approx(want.score, abs=1e-9)
+        assert got.graph_chars == want.graph_chars
+        assert got.seq_chars == want.seq_chars
+        assert got.levels == want.levels
+        assert (got.end_level, got.end_seq, got.end_z) == \
+            (want.end_level, want.end_seq, want.end_z)
+        n_checked += 1
+    assert n_checked >= 15
+
+
 def test_select_pair_edge_cases(world):
     """Native selection must match Python for degenerate inputs: single
     chains, invalid strands, disjoint haplotypes (no shared anchors)."""

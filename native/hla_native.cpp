@@ -16,6 +16,9 @@
 #include <vector>
 #include <thread>
 #include <zlib.h>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -323,6 +326,204 @@ static void nw_one(const uint8_t* __restrict rd, const uint8_t* __restrict rf,
     *out_state = best_state;
 }
 
+#if defined(__AVX512F__)
+// AVX-512 row kernel for W = NV*16.  The lane-serial IX recurrence (a
+// ~10-cycle dependency chain per lane that dominated nw_one's row cost) is
+// replaced on clean rows (no N/pad in the window) by the closed form
+//   IX[k] = max(open + (k-1)*ext + max_{j<=k-1}(nD[j] - j*ext), NEGF)
+// — the segmented cummax of ops/banded_nw.py:232-257 with one segment,
+// PLUS the final NEGF clamp, which reproduces the sequential recurrence's
+// decayed floor bit-exactly: NEGF + c is absorbed to NEGF in float32, so
+// the serial chain's floor stays exactly NEGF and max(closed, NEGF) equals
+// the serial value in every lane (incl. deep-negative ones).  Exact for
+// the integer-valued production scoring; non-integer scoring could differ
+// by float rounding in the drift trick (parity tests use the defaults).
+// Rows containing N/pad lanes fall back to the serial scalar loop.
+template <int NV>
+static void nw_one_avx512(const uint8_t* __restrict rd,
+                          const uint8_t* __restrict rf,
+                          int64_t L, int64_t len,
+                          float s_match, float s_mismatch, float s_open,
+                          float s_ext,
+                          float* out_score, int32_t* out_k,
+                          int32_t* out_state, uint8_t* __restrict ptr) {
+    constexpr int W = NV * 16;
+    const float NEGF = -1e30f;
+    const __m512 NEGV = _mm512_set1_ps(NEGF);
+    const __m512 matchv = _mm512_set1_ps(s_match);
+    const __m512 mismv = _mm512_set1_ps(s_mismatch);
+    const __m512 openv = _mm512_set1_ps(s_open);
+    const __m512 extv = _mm512_set1_ps(s_ext);
+    const __m512i four = _mm512_set1_epi32(4);
+    const __m512i one_i = _mm512_set1_epi32(1);
+    const __m512i two_i = _mm512_set1_epi32(2);
+    const __m512i idx15 = _mm512_set1_epi32(15);
+    alignas(64) float rampb[W], rampm1b[W];
+    for (int k = 0; k < W; k++) {
+        rampb[k] = (float)k * s_ext;
+        rampm1b[k] = (float)(k - 1) * s_ext;
+    }
+    __m512 rampv[NV], rampm1v[NV];
+    for (int v = 0; v < NV; v++) {
+        rampv[v] = _mm512_load_ps(rampb + v * 16);
+        rampm1v[v] = _mm512_load_ps(rampm1b + v * 16);
+    }
+    __m512 D[NV], IY[NV], IX[NV];
+    for (int v = 0; v < NV; v++) {
+        D[v] = _mm512_setzero_ps();
+        IY[v] = NEGV;
+        IX[v] = NEGV;
+    }
+    std::memset(ptr, 0, (size_t)(L + 1) * W);
+    float best = NEGF; int32_t best_k = 0, best_state = 0;
+    auto harvest = [&]() {
+        alignas(64) float sb[3][W];
+        for (int v = 0; v < NV; v++) {
+            _mm512_store_ps(sb[0] + v * 16, D[v]);
+            _mm512_store_ps(sb[1] + v * 16, IY[v]);
+            _mm512_store_ps(sb[2] + v * 16, IX[v]);
+        }
+        best = NEGF; best_k = 0; best_state = 0;
+        for (int s2 = 0; s2 < 3; s2++)
+            for (int k = 0; k < W; k++)
+                if (sb[s2][k] > best) {
+                    best = sb[s2][k]; best_state = s2; best_k = k;
+                }
+    };
+    if (len == 0) harvest();
+    for (int64_t i = 1; i <= L; i++) {
+        const uint8_t rc = rd[i - 1];
+        const uint8_t* __restrict xrow = rf + (i - 1);
+        uint8_t* __restrict prow = ptr + i * W;
+        const __m512i rcv = _mm512_set1_epi32((int)rc);
+        const bool rc_ok = rc < 4;
+        __mmask16 okm[NV];
+        __m512 nD[NV], nIY[NV], nIX[NV];
+        __m512i pbyte[NV];
+        bool allok = true;
+        for (int v = 0; v < NV; v++) {
+            __m128i bytes = _mm_loadu_si128(
+                reinterpret_cast<const __m128i*>(xrow + v * 16));
+            __m512i xi = _mm512_cvtepu8_epi32(bytes);
+            okm[v] = _mm512_cmp_epu32_mask(xi, four, _MM_CMPINT_LT);
+            allok &= (okm[v] == (__mmask16)0xFFFF);
+            __mmask16 eqm = rc_ok ? _mm512_cmpeq_epi32_mask(xi, rcv)
+                                  : (__mmask16)0;
+            __m512 m = _mm512_mask_mov_ps(mismv, eqm, matchv);
+            __m512 sub = _mm512_mask_mov_ps(NEGV, okm[v], m);
+            __m512 m12 = _mm512_max_ps(IY[v], IX[v]);
+            __m512 pb = _mm512_max_ps(D[v], m12);
+            __mmask16 dge = _mm512_cmp_ps_mask(D[v], m12, _CMP_GE_OQ);
+            __mmask16 iyge = _mm512_cmp_ps_mask(IY[v], IX[v], _CMP_GE_OQ);
+            __m512i s12 = _mm512_mask_mov_epi32(two_i, iyge, one_i);
+            pbyte[v] = _mm512_maskz_mov_epi32((__mmask16)~dge, s12);
+            nD[v] = _mm512_add_ps(pb, sub);
+        }
+        // IY: from (i-1, k+1) — shift down one lane across groups
+        for (int v = 0; v < NV; v++) {
+            __m512i dn = v + 1 < NV ? _mm512_castps_si512(D[v + 1])
+                                    : _mm512_castps_si512(NEGV);
+            __m512i iyn = v + 1 < NV ? _mm512_castps_si512(IY[v + 1])
+                                     : _mm512_castps_si512(NEGV);
+            __m512 dsh = _mm512_castsi512_ps(_mm512_alignr_epi32(
+                dn, _mm512_castps_si512(D[v]), 1));
+            __m512 iysh = _mm512_castsi512_ps(_mm512_alignr_epi32(
+                iyn, _mm512_castps_si512(IY[v]), 1));
+            __m512 oc = _mm512_add_ps(dsh, openv);
+            __m512 ec = _mm512_add_ps(iysh, extv);
+            nIY[v] = _mm512_max_ps(oc, ec);
+            __mmask16 iyb = _mm512_cmp_ps_mask(ec, oc, _CMP_GT_OQ);
+            pbyte[v] = _mm512_mask_or_epi32(pbyte[v], iyb, pbyte[v],
+                                            _mm512_set1_epi32(4));
+        }
+        if (allok) {
+            // closed-form IX: drift, prefix-max (in-vector shifts + carry),
+            // shift-by-one, undrift, clamp to the serial floor
+            __m512 carry = NEGV;
+            __m512 gm[NV];
+            for (int v = 0; v < NV; v++) {
+                __m512 g = _mm512_sub_ps(nD[v], rampv[v]);
+                __m512i gi = _mm512_castps_si512(g);
+                __m512i negi = _mm512_castps_si512(NEGV);
+                g = _mm512_max_ps(g, _mm512_castsi512_ps(
+                    _mm512_alignr_epi32(gi, negi, 15)));
+                gi = _mm512_castps_si512(g);
+                g = _mm512_max_ps(g, _mm512_castsi512_ps(
+                    _mm512_alignr_epi32(gi, negi, 14)));
+                gi = _mm512_castps_si512(g);
+                g = _mm512_max_ps(g, _mm512_castsi512_ps(
+                    _mm512_alignr_epi32(gi, negi, 12)));
+                gi = _mm512_castps_si512(g);
+                g = _mm512_max_ps(g, _mm512_castsi512_ps(
+                    _mm512_alignr_epi32(gi, negi, 8)));
+                g = _mm512_max_ps(g, carry);
+                gm[v] = g;
+                carry = _mm512_permutexvar_ps(idx15, g);
+            }
+            for (int v = 0; v < NV; v++) {
+                __m512i prev = v > 0 ? _mm512_castps_si512(gm[v - 1])
+                                     : _mm512_castps_si512(NEGV);
+                __m512 gsh = _mm512_castsi512_ps(_mm512_alignr_epi32(
+                    _mm512_castps_si512(gm[v]), prev, 15));
+                __m512 cand = _mm512_add_ps(
+                    _mm512_add_ps(openv, rampm1v[v]), gsh);
+                cand = _mm512_max_ps(cand, NEGV);
+                if (v == 0)
+                    cand = _mm512_mask_mov_ps(cand, (__mmask16)1, NEGV);
+                nIX[v] = cand;
+            }
+            for (int v = 0; v < NV; v++) {
+                __m512i prevIX = v > 0 ? _mm512_castps_si512(nIX[v - 1])
+                                       : _mm512_castps_si512(NEGV);
+                __m512i prevD = v > 0 ? _mm512_castps_si512(nD[v - 1])
+                                      : _mm512_castps_si512(NEGV);
+                __m512 ixsh = _mm512_castsi512_ps(_mm512_alignr_epi32(
+                    _mm512_castps_si512(nIX[v]), prevIX, 15));
+                __m512 ndsh = _mm512_castsi512_ps(_mm512_alignr_epi32(
+                    _mm512_castps_si512(nD[v]), prevD, 15));
+                __m512 ec = _mm512_add_ps(ixsh, extv);
+                __m512 oc = _mm512_add_ps(ndsh, openv);
+                __mmask16 ixb = _mm512_cmp_ps_mask(ec, oc, _CMP_GT_OQ);
+                if (v == 0) ixb = (__mmask16)(ixb & 0xFFFE);
+                pbyte[v] = _mm512_mask_or_epi32(pbyte[v], ixb, pbyte[v],
+                                                _mm512_set1_epi32(8));
+                _mm512_mask_cvtepi32_storeu_epi8(prow + v * 16,
+                                                 (__mmask16)0xFFFF,
+                                                 pbyte[v]);
+            }
+        } else {
+            // N/pad in the window: serial scalar IX for this row
+            alignas(64) float ndb[W], nixb[W];
+            for (int v = 0; v < NV; v++) {
+                _mm512_store_ps(ndb + v * 16, nD[v]);
+                _mm512_mask_cvtepi32_storeu_epi8(prow + v * 16,
+                                                 (__mmask16)0xFFFF,
+                                                 pbyte[v]);
+            }
+            nixb[0] = NEGF;
+            float run = NEGF;
+            for (int k = 1; k < W; k++) {
+                float oc = ndb[k - 1] + s_open;
+                float ec = run + s_ext;
+                float m = oc > ec ? oc : ec;
+                run = (okm[k >> 4] >> (k & 15)) & 1 ? m : NEGF;
+                nixb[k] = run;
+                prow[k] |= (uint8_t)((ec > oc) << 3);
+            }
+            for (int v = 0; v < NV; v++)
+                nIX[v] = _mm512_load_ps(nixb + v * 16);
+        }
+        for (int v = 0; v < NV; v++) {
+            D[v] = nD[v]; IY[v] = nIY[v]; IX[v] = nIX[v];
+        }
+        if (i == len) harvest();
+    }
+    *out_score = best;
+    *out_k = best_k;
+    *out_state = best_state;
+}
+#endif  // __AVX512F__
+
 extern "C" void hla_nw_forward(
     const uint8_t* reads, const int64_t* lens, const uint8_t* refs,
     int64_t B, int64_t L, int64_t W,
@@ -346,6 +547,23 @@ extern "C" void hla_nw_forward(
                    out_ptr + b * (L + 1) * W);
             }
         };
+#if defined(__AVX512F__)
+        auto run_512 = [&](auto fn) {
+            for (int64_t b = t; b < B; b += nt)
+                fn(reads + b * L, refs + b * (L + W), L, lens[b],
+                   s_match, s_mismatch, s_open, s_ext,
+                   out_scores + b, out_k + b, out_state + b,
+                   out_ptr + b * (L + 1) * W);
+        };
+        switch (W) {
+            case 16: run_512(nw_one_avx512<1>); break;
+            case 32: run_512(nw_one_avx512<2>); break;
+            case 48: run_512(nw_one_avx512<3>); break;
+            case 64: run_512(nw_one_avx512<4>); break;
+            case 128: run_512(nw_one_avx512<8>); break;
+            default: run_all(nw_one<0>); break;
+        }
+#else
         switch (W) {
             case 16: run_all(nw_one<16>); break;
             case 32: run_all(nw_one<32>); break;
@@ -354,6 +572,7 @@ extern "C" void hla_nw_forward(
             case 128: run_all(nw_one<128>); break;
             default: run_all(nw_one<0>); break;
         }
+#endif
     };
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();

@@ -119,22 +119,27 @@ def test_jax_matches_numpy(rng):
     np.testing.assert_array_equal(k_np, k_j)
 
 
-def test_native_matches_numpy(rng):
+@pytest.mark.parametrize("W", [16, 32, 48, 64, 128, 24])
+def test_native_matches_numpy(rng, W):
+    """Exact parity for every native kernel bucket: the AVX-512 widths
+    (16/32/48/64/128) and a non-multiple-of-16 width (generic scalar
+    path).  Includes N/pad codes (masked-lane rows) and short lens."""
     from hla_la_tpu import native
     if not native.available():
         pytest.skip("native lib not built")
     from hla_la_tpu.ops.banded_nw import banded_nw_forward
-    B, L, W = 64, 40, 16
-    reads = rng.integers(0, 5, (B, L)).astype(np.uint8)
-    refs = rng.integers(0, 5, (B, L + W)).astype(np.uint8)
-    lens = rng.integers(5, L + 1, B).astype(np.int64)
-    a = banded_nw_forward(reads, lens, refs, use_native=True)
-    b = banded_nw_forward(reads, lens, refs, use_native=False)
-    ok = b[0] > -1e29   # unalignable rows may tie-break differently
-    np.testing.assert_allclose(a[0], b[0], rtol=1e-6)
-    np.testing.assert_array_equal(a[1][ok], b[1][ok])
-    np.testing.assert_array_equal(a[2][ok], b[2][ok])
-    np.testing.assert_array_equal(a[3], b[3])
+    B, L = 64, 40
+    for hi in (5, 4):   # with N/pad codes (masked rows) and pure ACGT
+        reads = rng.integers(0, hi, (B, L)).astype(np.uint8)
+        refs = rng.integers(0, hi, (B, L + W)).astype(np.uint8)
+        lens = rng.integers(5, L + 1, B).astype(np.int64)
+        a = banded_nw_forward(reads, lens, refs, use_native=True)
+        b = banded_nw_forward(reads, lens, refs, use_native=False)
+        ok = b[0] > -1e29   # unalignable rows may tie-break differently
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-6)
+        np.testing.assert_array_equal(a[1][ok], b[1][ok])
+        np.testing.assert_array_equal(a[2][ok], b[2][ok])
+        np.testing.assert_array_equal(a[3], b[3])
 
 
 def test_jax_scan_nw_n_bases_parity(rng):

@@ -34,13 +34,14 @@ def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str,
 
 
 def _align_chunk(args):
-    pairs, insert_mean, insert_sd = args
-    return pack_aligned_pairs(
+    idx, pairs, insert_mean, insert_sd = args
+    return idx, pack_aligned_pairs(
         _WORKER_ALIGNER.align_pairs(pairs, insert_mean, insert_sd))
 
 
-def _align_unpaired_chunk(reads):
-    return _WORKER_ALIGNER.align_unpaired(reads)
+def _align_unpaired_chunk(args):
+    idx, reads = args
+    return idx, _WORKER_ALIGNER.align_unpaired(reads)
 
 
 def pack_aligned_pairs(aps):
@@ -141,9 +142,16 @@ class ParallelAligner:
         # IPC (measured at 3M-level scale, r2)
         chunk = max(256, -(-len(pairs) // (self.n_workers * 6)))
         chunks = [pairs[i:i + chunk] for i in range(0, len(pairs), chunk)]
-        results = self.pool.map(
-            _align_chunk, [(c, insert_mean, insert_sd) for c in chunks])
-        out = [ap for res in results for ap in unpack_aligned_pairs(res)]
+        # imap_unordered so the parent unpacks each chunk while workers are
+        # still aligning the rest (pool.map would leave the parent idle and
+        # then unpack everything serially); chunk ids restore the order
+        slots = [None] * len(chunks)
+        for idx, res in self.pool.imap_unordered(
+                _align_chunk,
+                [(i, c, insert_mean, insert_sd)
+                 for i, c in enumerate(chunks)]):
+            slots[idx] = unpack_aligned_pairs(res)
+        out = [ap for res in slots for ap in res]
         if truth is not None:
             by_id = {ap.read_id: ap for ap in out}
             for r1, r2 in pairs:
@@ -163,8 +171,11 @@ class ParallelAligner:
             return []
         chunk = max(256, -(-len(reads) // (self.n_workers * 2)))
         chunks = [reads[i:i + chunk] for i in range(0, len(reads), chunk)]
-        results = self.pool.map(_align_unpaired_chunk, chunks)
-        out = [al for res in results for al in res]
+        slots = [None] * len(chunks)
+        for idx, res in self.pool.imap_unordered(
+                _align_unpaired_chunk, list(enumerate(chunks))):
+            slots[idx] = res
+        out = [al for res in slots for al in res]
         if truth is not None:
             for r, al in zip(reads, out):
                 if al is not None:

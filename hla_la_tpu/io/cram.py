@@ -140,13 +140,16 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
             return lzma.decompress(data)
         if method == M_RANS4x8:
             return rans.uncompress(data)
+        if method == M_RANSNx16:
+            from . import rans_nx16
+            return rans_nx16.uncompress(data, raw_size)
     except NotImplementedError:
         raise
     except Exception as e:  # noqa: BLE001 — corrupt payloads raise cleanly
         raise ValueError(f"corrupt CRAM block (method {method}: {e})") from e
     raise NotImplementedError(
         f"CRAM block compression method {method} not supported "
-        "(rANSNx16/arith/fqzcomp/tok3 are CRAM 3.1 codecs)")
+        "(arith/fqzcomp/tok3 are CRAM 3.1 codecs)")
 
 
 @dataclass
@@ -183,6 +186,9 @@ def write_block(method: int, ctype: int, content_id: int,
         data = gzip.compress(raw)
     elif method == M_RANS4x8:
         data = rans.compress(raw, order=0)
+    elif method == M_RANSNx16:
+        from . import rans_nx16
+        data = rans_nx16.compress(raw, order=0)
     elif method == M_RAW:
         data = raw
     else:

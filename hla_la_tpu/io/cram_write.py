@@ -18,7 +18,8 @@ from .bam import BamRecord
 from .cram import (BAM_FPAIRED, BAM_FUNMAP, BitWriter, CF_DETACHED,
                    CF_HAS_MATE_DOWNSTREAM, CF_QUAL_STORED, CRAM_MAGIC,
                    CT_COMPRESSION_HEADER, CT_CORE, CT_EXTERNAL,
-                   CT_FILE_HEADER, CT_SLICE_HEADER, M_GZIP, M_RANS4x8, M_RAW,
+                   CT_FILE_HEADER, CT_SLICE_HEADER, M_GZIP, M_RANS4x8,
+                   M_RANSNx16, M_RAW,
                    write_block, write_container_header, write_itf8,
                    write_ltf8)
 

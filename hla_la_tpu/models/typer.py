@@ -349,8 +349,9 @@ class HLATyper:
         # package reload for fresh workers) only amortise at WGS scale
         # (~1M MHC reads / several loci) — below that serial typing wins
         min_reads = getattr(self.cfg, "min_reads_for_typing_workers", 50_000)
+        min_loci = getattr(self.cfg, "min_loci_for_typing_workers", 4)
         if len(aligned_pairs) + len(aligned_unpaired) < min_reads \
-                or len(self.loci) < 4:
+                or len(self.loci) < min_loci:
             return None
         if worker_pool is None and not spawn_safe():
             return None

@@ -13,7 +13,8 @@ from hla_la_tpu.io.bam import (BamRecord, extract_reads, FLAG_PAIRED,
                                FLAG_UNMAPPED)
 from hla_la_tpu.io.cram import CramReader, read_itf8, read_ltf8, write_itf8, \
     write_ltf8
-from hla_la_tpu.io.cram_write import write_cram, M_GZIP, M_RANS4x8
+from hla_la_tpu.io.cram_write import write_cram, M_GZIP, M_RANS4x8, \
+    M_RANSNx16
 
 
 def test_itf8_ltf8_round_trip():
@@ -37,6 +38,45 @@ def test_rans_round_trip(rng):
     for order in (0, 1):
         for data in cases:
             assert rans.uncompress(rans.compress(data, order)) == data
+
+
+def test_rans_nx16_round_trip(rng):
+    """CRAM 3.1 rANSNx16: order 0/1, 4/32 states, PACK, RLE, STRIPE, CAT,
+    NOSZ — every transform combination must round-trip."""
+    from hla_la_tpu.io import rans_nx16 as nx
+
+    cases = [b"", b"A", b"AB", b"AAAA" * 200,
+             bytes(rng.integers(0, 256, 9973, dtype=np.uint8)),
+             bytes(rng.choice([65, 67, 71, 84], 20001).astype(np.uint8)),
+             bytes(rng.choice([0, 1], 5000, p=[0.9, 0.1]).astype(np.uint8)),
+             bytes(np.repeat(rng.integers(60, 70, 300, dtype=np.uint8),
+                             rng.integers(1, 40, 300)).tobytes()),
+             bytes(rng.integers(33, 75, 4097, dtype=np.uint8))]
+    for data in cases:
+        for order in (0, 1):
+            for n32 in (False, True):
+                for use_rle in (False, True):
+                    blob = nx.compress(data, order=order, n32=n32,
+                                       use_rle=use_rle)
+                    assert nx.uncompress(blob) == data, \
+                        (len(data), order, n32, use_rle)
+        # stripe + nosz
+        blob = nx.compress(data, order=1, stripe=4)
+        assert nx.uncompress(blob) == data
+        blob = nx.compress(data, order=0, nosz=True)
+        assert nx.uncompress(blob, len(data)) == data
+        blob = nx.compress(data, cat=True)
+        assert nx.uncompress(blob) == data
+
+    # uint7 round trip
+    out = bytearray()
+    vals = [0, 1, 127, 128, 16383, 16384, 1 << 30, (1 << 35) + 7]
+    for v in vals:
+        nx.write_uint7(v, out)
+    pos = 0
+    for v in vals:
+        got, pos = nx.read_uint7(out, pos)
+        assert got == v
 
 
 @pytest.fixture
@@ -75,7 +115,7 @@ def world(rng):
     return ref, contigs, recs
 
 
-@pytest.mark.parametrize("method", [M_GZIP, M_RANS4x8])
+@pytest.mark.parametrize("method", [M_GZIP, M_RANS4x8, M_RANSNx16])
 def test_cram_round_trip(tmp_path, world, method):
     ref, contigs, recs = world
     path = str(tmp_path / "t.cram")

@@ -60,9 +60,16 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=2,
                     help="nomenclature fields compared in evaluation")
     ap.add_argument("--nHosts", type=int, default=1,
-                    help="multi-host cohort sharding: total hosts")
+                    help="multi-host sharding: total hosts (validate: "
+                         "cohort rows; HLA: read-slice alignment shards)")
     ap.add_argument("--hostIdx", type=int, default=0,
                     help="multi-host cohort sharding: this host's index")
+    ap.add_argument("--shardDir",
+                    help="--action HLA with --nHosts>1: directory this "
+                         "host's align shard is written to")
+    ap.add_argument("--mergeShards",
+                    help="--action HLA: merge align shards from this "
+                         "directory and run typing (no read input needed)")
     args = ap.parse_args(argv)
 
     action = args.action
@@ -145,6 +152,19 @@ def action_hla(args) -> int:
         args.workingDir, args.sampleID)
     os.makedirs(out_dir, exist_ok=True)
 
+    if getattr(args, "mergeShards", None):
+        # multi-host HLA: typing over every host's align shard
+        from .models.pipeline import merge_shards_and_type
+        cfg = RunConfig(graph_dir=args.graph, sample_id=args.sampleID,
+                        working_dir=args.workingDir,
+                        long_reads=args.longReads,
+                        max_threads=args.maxThreads)
+        res = merge_shards_and_type(pkg, args.mergeShards, out_dir, cfg,
+                                    backend=args.backend)
+        log_progress(f"typing complete: {len(res.results)} loci -> "
+                     f"{out_dir}/hla/R1_bestguess.txt")
+        return 0
+
     pairs, unpaired = [], []
     if args.BAM:
         log_progress(f"extracting reads from {args.BAM}")
@@ -203,6 +223,13 @@ def action_hla(args) -> int:
                     map_against_complete_genome=bool(
                         args.mapAgainstCompleteGenome),
                     decoy_fasta=args.decoyFasta)
+    if args.nHosts > 1:
+        # multi-host HLA: align this host's read slice, write a shard
+        from .models.pipeline import align_shard
+        shard_dir = args.shardDir or os.path.join(out_dir, "align_shards")
+        align_shard(pkg, pairs, unpaired, shard_dir, args.hostIdx,
+                    args.nHosts, cfg, backend=args.backend)
+        return 0
     res = run_hla_typing(pkg, pairs=pairs, unpaired=unpaired,
                          output_dir=out_dir, cfg=cfg, backend=args.backend)
     log_progress(f"typing complete: {len(res.results)} loci -> "

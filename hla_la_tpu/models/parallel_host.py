@@ -44,15 +44,12 @@ def _align_unpaired_chunk(args):
     return idx, _WORKER_ALIGNER.align_unpaired(reads)
 
 
-def pack_aligned_pairs(aps):
-    """Serialise a list of AlignedPair into a handful of large arrays —
-    pickling thousands of small per-chain arrays dominates IPC otherwise."""
+def pack_chains(chains):
+    """Serialise a list of GraphAlignment chains into large arrays (the
+    shared layer under pack_aligned_pairs and the align-shard files)."""
     import numpy as np
-    chains = [c for ap in aps for c in (ap.chain1, ap.chain2)]
     n_cols = np.asarray([c.n_columns for c in chains], dtype=np.int64)
     return dict(
-        read_ids="\n".join(ap.read_id for ap in aps),
-        pair_mapq=np.asarray([ap.mapq for ap in aps]),
         n_cols=n_cols,
         levels=(np.concatenate([c.levels for c in chains])
                 if chains else np.zeros(0, np.int64)),
@@ -77,11 +74,19 @@ def pack_aligned_pairs(aps):
     )
 
 
-def unpack_aligned_pairs(d):
+def pack_aligned_pairs(aps):
+    """Serialise a list of AlignedPair into a handful of large arrays —
+    pickling thousands of small per-chain arrays dominates IPC otherwise."""
     import numpy as np
-    from .aligner import AlignedPair
+    d = pack_chains([c for ap in aps for c in (ap.chain1, ap.chain2)])
+    d["read_ids"] = "\n".join(ap.read_id for ap in aps)
+    d["pair_mapq"] = np.asarray([ap.mapq for ap in aps])
+    return d
+
+
+def unpack_chains(d):
+    import numpy as np
     from .alignment import GraphAlignment
-    ids = d["read_ids"].split("\n") if d["read_ids"] else []
     offs = np.concatenate([[0], np.cumsum(d["n_cols"])])
     chains = []
     for i in range(len(d["n_cols"])):
@@ -96,6 +101,13 @@ def unpack_aligned_pairs(d):
         al._first_level = int(d["first_lv"][i])
         al._last_level = int(d["last_lv"][i])
         chains.append(al)
+    return chains
+
+
+def unpack_aligned_pairs(d):
+    from .aligner import AlignedPair
+    ids = d["read_ids"].split("\n") if d["read_ids"] else []
+    chains = unpack_chains(d)
     return [AlignedPair(ids[i], chains[2 * i], chains[2 * i + 1],
                         float(d["pair_mapq"][i]))
             for i in range(len(ids))]

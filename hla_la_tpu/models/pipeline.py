@@ -66,6 +66,40 @@ def build_decoy(pkg: GraphPackage, cfg: RunConfig):
                                  source_path=path)
 
 
+def _align_all(engine, pairs, unpaired, insert_mean, insert_sd, batch_size,
+               truth=None):
+    """Batched alignment of all pairs + unpaired reads; returns the aligned
+    subset, the kept raw reads, and each kept read's index in the input
+    (used by align shards to restore the global order on merge)."""
+    aligned_pairs: list[AlignedPair] = []
+    kept_pairs: list[tuple[FastqRead, FastqRead]] = []
+    kept_pair_idx: list[int] = []
+    aligned_unpaired = []
+    kept_unpaired: list[FastqRead] = []
+    kept_unpaired_idx: list[int] = []
+    bs = batch_size
+    for lo in range(0, len(pairs), bs):
+        batch = pairs[lo:lo + bs]
+        out = engine.align_pairs(batch, insert_mean, insert_sd, truth=truth)
+        by_id = {p.read_id: p for p in out}
+        for k, pr in enumerate(batch):
+            ap = by_id.get(pr[0].name)
+            if ap is not None:
+                aligned_pairs.append(ap)
+                kept_pairs.append(pr)
+                kept_pair_idx.append(lo + k)
+    for lo in range(0, len(unpaired), bs):
+        batch = unpaired[lo:lo + bs]
+        out = engine.align_unpaired(batch, truth=truth)
+        for k, (r, al) in enumerate(zip(batch, out)):
+            if al is not None:
+                aligned_unpaired.append(al)
+                kept_unpaired.append(r)
+                kept_unpaired_idx.append(lo + k)
+    return (aligned_pairs, kept_pairs, aligned_unpaired, kept_unpaired,
+            kept_pair_idx, kept_unpaired_idx)
+
+
 def run_hla_typing(pkg: GraphPackage,
                    pairs: list[tuple[FastqRead, FastqRead]] | None = None,
                    unpaired: list[FastqRead] | None = None,
@@ -105,30 +139,12 @@ def run_hla_typing(pkg: GraphPackage,
             log_progress("worker processes unavailable (no file-backed "
                          "__main__); aligning serially")
 
-    aligned_pairs: list[AlignedPair] = []
-    kept_pairs: list[tuple[FastqRead, FastqRead]] = []
-    aligned_unpaired = []
-    kept_unpaired: list[FastqRead] = []
-    bs = cfg.batch_size
     with Timer("align") as t:
         engine = par if par is not None else aligner
-        for lo in range(0, len(pairs), bs):
-            batch = pairs[lo:lo + bs]
-            out = engine.align_pairs(batch, insert_mean, insert_sd,
-                                     truth=truth)
-            by_id = {p.read_id: p for p in out}
-            for pr in batch:
-                ap = by_id.get(pr[0].name)
-                if ap is not None:
-                    aligned_pairs.append(ap)
-                    kept_pairs.append(pr)
-        for lo in range(0, len(unpaired), bs):
-            batch = unpaired[lo:lo + bs]
-            out = engine.align_unpaired(batch, truth=truth)
-            for r, al in zip(batch, out):
-                if al is not None:
-                    aligned_unpaired.append(al)
-                    kept_unpaired.append(r)
+        (aligned_pairs, kept_pairs, aligned_unpaired, kept_unpaired,
+         _kp_idx, _ku_idx) = _align_all(engine, pairs, unpaired,
+                                        insert_mean, insert_sd,
+                                        cfg.batch_size, truth)
     n_reads = 2 * len(pairs) + len(unpaired)
     rps = t.rate(n_reads)
     log_progress(f"aligned {len(aligned_pairs)}/{len(pairs)} pairs + "
@@ -159,6 +175,155 @@ def run_hla_typing(pkg: GraphPackage,
         if par is not None:
             par.close()
     return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
+                          insert_mean, insert_sd)
+
+
+def _shard_path(shard_dir: str, host_idx: int, n_hosts: int) -> str:
+    return os.path.join(shard_dir, f"align_shard_{host_idx}of{n_hosts}.npz")
+
+
+def align_shard(pkg: GraphPackage, pairs, unpaired, shard_dir: str,
+                host_idx: int, n_hosts: int,
+                cfg: RunConfig | None = None, backend: str = "auto") -> str:
+    """Host `host_idx` of an `n_hosts` HLA run: align the deterministic
+    1/N input slice (pairs[i::N]) and write the alignments + kept raw
+    reads as a shard file.  The insert-size distribution is estimated from
+    the FULL input sample (identical on every host), so a merged run is
+    byte-identical to a single-host run.  SURVEY §2.3's multi-host input
+    sharding: alignment (the dominant cost) scales across hosts; typing
+    runs once at merge (merge_shards_and_type)."""
+    from .parallel_host import pack_chains, pack_aligned_pairs
+    cfg = cfg or RunConfig()
+    if not (0 <= host_idx < n_hosts):
+        raise ValueError(f"hostIdx {host_idx} outside 0..{n_hosts - 1}")
+    os.makedirs(shard_dir, exist_ok=True)
+    decoy = build_decoy(pkg, cfg)
+    aligner = ReadAligner(pkg, cfg, use_jax=(backend == "jax"),
+                          sharded=(backend == "sharded"), decoy=decoy)
+    insert_mean, insert_sd = 300.0, 100.0
+    if pairs:
+        insert_mean, insert_sd = aligner.estimate_insert_size(pairs)
+        log_progress(f"insert size estimate (full input): "
+                     f"mean {insert_mean}, sd {insert_sd}")
+    my_pairs = pairs[host_idx::n_hosts]
+    my_unpaired = unpaired[host_idx::n_hosts]
+    log_progress(f"host {host_idx}/{n_hosts}: aligning {len(my_pairs)} "
+                 f"pairs + {len(my_unpaired)} unpaired")
+    par = None
+    if cfg.max_threads > 1 and (len(my_pairs) + len(my_unpaired)) > 512:
+        from .parallel_host import ParallelAligner, spawn_safe
+        if spawn_safe():
+            par = ParallelAligner(
+                pkg.dir, cfg.max_threads, long_reads=cfg.long_reads,
+                decoy_fasta=cfg.decoy_fasta,
+                map_complete=cfg.map_against_complete_genome)
+    try:
+        with Timer("align") as t:
+            engine = par if par is not None else aligner
+            (aligned_pairs, kept_pairs, aligned_unpaired, kept_unpaired,
+             kp_idx, ku_idx) = _align_all(engine, my_pairs, my_unpaired,
+                                          insert_mean, insert_sd,
+                                          cfg.batch_size)
+    finally:
+        if par is not None:
+            par.close()
+    n_reads = 2 * len(my_pairs) + len(my_unpaired)
+    log_progress(f"host {host_idx}: aligned {len(aligned_pairs)} pairs + "
+                 f"{len(aligned_unpaired)} unpaired "
+                 f"({t.rate(n_reads):.1f} reads/s)")
+    d = pack_aligned_pairs(aligned_pairs)
+    du = pack_chains(aligned_unpaired)
+    blob = {f"p_{k}": v for k, v in d.items()}
+    blob.update({f"u_{k}": v for k, v in du.items()})
+    # original input positions (global index = host_idx + local * n_hosts)
+    blob["p_orig_idx"] = np.asarray(
+        [host_idx + i * n_hosts for i in kp_idx], dtype=np.int64)
+    blob["u_orig_idx"] = np.asarray(
+        [host_idx + i * n_hosts for i in ku_idx], dtype=np.int64)
+    for pre, reads in (("r1", [p[0] for p in kept_pairs]),
+                       ("r2", [p[1] for p in kept_pairs]),
+                       ("ru", kept_unpaired)):
+        blob[f"{pre}_names"] = "\n".join(r.name for r in reads)
+        blob[f"{pre}_seqs"] = "\n".join(r.seq for r in reads)
+        blob[f"{pre}_quals"] = "\n".join(r.qual for r in reads)
+    blob["meta"] = np.asarray([host_idx, n_hosts, len(pairs),
+                               len(unpaired)], dtype=np.int64)
+    blob["insert"] = np.asarray([insert_mean, insert_sd])
+    path = _shard_path(shard_dir, host_idx, n_hosts)
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, **blob)
+    log_progress(f"wrote {path}")
+    return path
+
+
+def merge_shards_and_type(pkg: GraphPackage, shard_dir: str,
+                          output_dir: str, cfg: RunConfig | None = None,
+                          backend: str = "auto") -> PipelineResult:
+    """Merge every host's align shard (restoring the single-host input
+    order via the stored original indices) and run typing once.  Outputs
+    are byte-identical to a single-host `run_hla_typing` on the same
+    input."""
+    from .parallel_host import unpack_aligned_pairs, unpack_chains
+    cfg = cfg or RunConfig()
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(shard_dir, "align_shard_*.npz")))
+    if not files:
+        raise SystemExit(f"no align_shard_*.npz in {shard_dir}")
+    shards = []
+    for f in files:
+        with np.load(f, allow_pickle=False) as z:
+            shards.append({k: (str(z[k]) if z[k].dtype.kind == "U" else z[k])
+                           for k in z.files})
+    n_hosts = int(shards[0]["meta"][1])
+    seen = sorted(int(s["meta"][0]) for s in shards)
+    if seen != list(range(n_hosts)):
+        raise SystemExit(f"incomplete shard set in {shard_dir}: have hosts "
+                         f"{seen}, expected 0..{n_hosts - 1}")
+    ins = shards[0]["insert"]
+    for s in shards[1:]:
+        if not np.array_equal(s["insert"], ins):
+            raise SystemExit("shards disagree on the insert-size estimate "
+                             "— were they built from the same input?")
+    insert_mean, insert_sd = float(ins[0]), float(ins[1])
+
+    def reads_of(s, pre):
+        names = s[f"{pre}_names"].split("\n") if s[f"{pre}_names"] else []
+        seqs = s[f"{pre}_seqs"].split("\n") if s[f"{pre}_seqs"] else []
+        quals = s[f"{pre}_quals"].split("\n") if s[f"{pre}_quals"] else []
+        return [FastqRead(n, sq, q) for n, sq, q in zip(names, seqs, quals)]
+
+    pair_items, unp_items = [], []
+    for s in shards:
+        aps = unpack_aligned_pairs(
+            {k[2:]: v for k, v in s.items() if k.startswith("p_")
+             and not k.startswith("p_orig")})
+        r1s, r2s = reads_of(s, "r1"), reads_of(s, "r2")
+        for idx, ap, r1, r2 in zip(s["p_orig_idx"], aps, r1s, r2s):
+            pair_items.append((int(idx), ap, (r1, r2)))
+        chains = unpack_chains(
+            {k[2:]: v for k, v in s.items() if k.startswith("u_")
+             and not k.startswith("u_orig")})
+        for idx, al, r in zip(s["u_orig_idx"], chains, reads_of(s, "ru")):
+            unp_items.append((int(idx), al, r))
+    pair_items.sort(key=lambda x: x[0])
+    unp_items.sort(key=lambda x: x[0])
+    aligned_pairs = [x[1] for x in pair_items]
+    kept_pairs = [x[2] for x in pair_items]
+    aligned_unpaired = [x[1] for x in unp_items]
+    kept_unpaired = [x[2] for x in unp_items]
+    log_progress(f"merged {len(files)} shards: {len(aligned_pairs)} pairs "
+                 f"+ {len(aligned_unpaired)} unpaired")
+
+    os.makedirs(output_dir, exist_ok=True)
+    _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir)
+    hla_dir = os.path.join(output_dir, "hla")
+    typer = HLATyper(pkg, cfg.typer, backend=backend)
+    results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
+                             aligned_unpaired, insert_mean, insert_sd,
+                             hla_dir, long_reads_mode=cfg.long_reads,
+                             n_workers=cfg.max_threads)
+    n_in = int(sum(s["meta"][2] for s in shards) // max(1, len(shards)))
+    return PipelineResult(results, n_in, len(aligned_pairs), 0.0,
                           insert_mean, insert_sd)
 
 

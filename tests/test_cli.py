@@ -25,8 +25,9 @@ def test_prepare_graph(tmp_path, rng):
     assert os.path.exists(pkg.serialized_path)
 
 
-def test_hla_action_from_bam(tmp_path, rng):
-    # simulated package with a knownReferences spec matching our fake BAM
+def _bam_world(tmp_path, rng):
+    """Simulated package + knownReferences spec + matching BAM (shared by
+    the HLA-action tests)."""
     sim = simulate_prg_package(rng, backbone_length=1800, n_haplotypes=4)
     pkg_dir = str(tmp_path / "g")
     sim.write_package(pkg_dir)
@@ -60,7 +61,11 @@ def test_hla_action_from_bam(tmp_path, rng):
                               pos=max(r.start_pos, 0), mapq=60,
                               cigar=[(len(seq), 0)], seq=seq, qual=qual))
     w.close()
+    return pkg_dir, bam_path
 
+
+def test_hla_action_from_bam(tmp_path, rng):
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
     out_dir = str(tmp_path / "out")
     rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
                "--sampleID", "S1", "--workingDir", str(tmp_path),
@@ -73,6 +78,46 @@ def test_hla_action_from_bam(tmp_path, rng):
     called = {l.split("\t")[2].split(";")[0].split("*")[1].split(":")[0]
               for l in lines if l.startswith("A\t")}
     assert called == {"02", "03"}
+
+
+def test_hla_multi_host_shards_match_single_host(tmp_path, rng):
+    """Multi-host HLA: two hosts each align their read slice
+    (--nHosts/--hostIdx/--shardDir), then --mergeShards types from the
+    shards — every typing output must be byte-identical to the single-host
+    run (same insert estimate, shard orig-index order restoration)."""
+    import filecmp
+
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    single = str(tmp_path / "single")
+    assert main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+                 "--sampleID", "S1", "--workingDir", str(tmp_path),
+                 "--outputDirectory", single]) == 0
+
+    shard_dir = str(tmp_path / "shards")
+    for host in ("0", "1"):
+        assert main(["--action", "HLA", "--BAM", bam_path,
+                     "--graph", pkg_dir, "--sampleID", "S1",
+                     "--workingDir", str(tmp_path),
+                     "--outputDirectory", str(tmp_path / f"h{host}"),
+                     "--nHosts", "2", "--hostIdx", host,
+                     "--shardDir", shard_dir]) == 0
+    assert os.path.exists(os.path.join(shard_dir, "align_shard_0of2.npz"))
+    assert os.path.exists(os.path.join(shard_dir, "align_shard_1of2.npz"))
+
+    merged = str(tmp_path / "merged")
+    assert main(["--action", "HLA", "--graph", pkg_dir, "--sampleID", "S1",
+                 "--workingDir", str(tmp_path), "--outputDirectory", merged,
+                 "--mergeShards", shard_dir]) == 0
+
+    for fn in ("hla/R1_bestguess.txt", "hla/R1_bestguess_G.txt",
+               "reads_per_level.txt"):
+        a, b = os.path.join(single, fn), os.path.join(merged, fn)
+        assert filecmp.cmp(a, b, shallow=False), f"{fn} differs"
+    # per-locus outputs too
+    import glob
+    for a in glob.glob(os.path.join(single, "hla", "R1_pileup_*.txt")):
+        b = os.path.join(merged, "hla", os.path.basename(a))
+        assert filecmp.cmp(a, b, shallow=False), os.path.basename(a)
 
 
 def test_kir_action_paired_fastq(tmp_path, rng):

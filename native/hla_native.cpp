@@ -1132,6 +1132,46 @@ extern "C" int64_t hla_seed_chain(
     uint64_t code = 0;
     int64_t last_bad = -1;
     int64_t slot = 0;
+    // The query loop is memory-latency-bound: bstart[] (4M entries at
+    // pbits=22) and the sorted_codes bucket are random accesses that miss
+    // cache on nearly every k-mer.  Batch queries and software-prefetch
+    // two stages ahead (bucket table on enqueue, bucket payload on flush)
+    // so the misses overlap instead of serialising.
+    struct PendQ { uint64_t c; int64_t b0, b1; int32_t rd, rp; };
+    constexpr int QB = 64;
+    PendQ pend[QB];
+    int npend = 0;
+    auto flush = [&]() {
+        for (int q = 0; q < npend; q++) {
+            PendQ& e = pend[q];
+            e.b0 = bstart[e.c >> pshift];
+            e.b1 = bstart[(e.c >> pshift) + 1];
+            if (e.b1 > e.b0)
+                __builtin_prefetch(sorted_codes + e.b0);
+        }
+        for (int q = 0; q < npend; q++) {
+            const PendQ& e = pend[q];
+            const uint64_t* b0 = sorted_codes + e.b0;
+            const uint64_t* b1 = sorted_codes + e.b1;
+            const uint64_t* lo = std::lower_bound(b0, b1, e.c);
+            const uint64_t* hi = std::upper_bound(lo, b1, e.c);
+            int64_t cnt = hi - lo;
+            if (cnt == 0 || cnt > max_occ) continue;
+            for (int64_t h = lo - sorted_codes; h < hi - sorted_codes; h++) {
+                int64_t gp = sorted_pos[h];
+                // sequence of this global position (seq_offsets asc, [S+1])
+                int64_t si = std::upper_bound(seq_offsets,
+                                              seq_offsets + S + 1, gp)
+                             - seq_offsets - 1;
+                int32_t ref_pos = (int32_t)(gp - seq_offsets[si]);
+                int32_t dg = ref_pos - e.rp;
+                hits.push_back({e.rd, (int32_t)si, dg, e.rp,
+                                (int32_t)fdiv0(dg, slack)});
+                read_hits[e.rd]++;
+            }
+        }
+        npend = 0;
+    };
     for (int64_t j = 0; j < total; j++) {
         uint8_t cb = b2[seq[j]];
         if (cb == 255) { last_bad = j; code = (code << 2) & mask; }
@@ -1142,26 +1182,11 @@ extern "C" int64_t hla_seed_chain(
         int64_t rd = slot_to_read ? slot_to_read[slot] : slot;
         int32_t rp = (int32_t)(i - slot_offsets[slot]);
         if (stride > 1 && (rp % stride) != 0) continue;
-        uint64_t c = code;
-        int64_t p = (int64_t)(c >> pshift);
-        const uint64_t* b0 = sorted_codes + bstart[p];
-        const uint64_t* b1 = sorted_codes + bstart[p + 1];
-        const uint64_t* lo = std::lower_bound(b0, b1, c);
-        const uint64_t* hi = std::upper_bound(lo, b1, c);
-        int64_t cnt = hi - lo;
-        if (cnt == 0 || cnt > max_occ) continue;
-        for (int64_t h = lo - sorted_codes; h < hi - sorted_codes; h++) {
-            int64_t gp = sorted_pos[h];
-            // sequence of this global position (seq_offsets ascending, [S+1])
-            int64_t si = std::upper_bound(seq_offsets, seq_offsets + S + 1, gp)
-                         - seq_offsets - 1;
-            int32_t ref_pos = (int32_t)(gp - seq_offsets[si]);
-            int32_t dg = ref_pos - rp;
-            hits.push_back({(int32_t)rd, (int32_t)si, dg, rp,
-                            (int32_t)fdiv0(dg, slack)});
-            read_hits[rd]++;
-        }
+        __builtin_prefetch(&bstart[code >> pshift]);
+        pend[npend++] = {code, 0, 0, (int32_t)rd, rp};
+        if (npend == QB) flush();
     }
+    flush();
     if (hits.empty()) {
         *out_read = *out_seq = *out_start = *out_nk = *out_span = nullptr;
         return 0;

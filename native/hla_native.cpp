@@ -271,7 +271,7 @@ static void nw_one(const uint8_t* __restrict rd, const uint8_t* __restrict rf,
     const int64_t W = WT > 0 ? WT : W_rt;
     const float NEGF = -1e30f;
     for (int64_t k = 0; k < W; k++) { D[k] = 0.0f; IY[k] = NEGF; IX[k] = NEGF; }
-    std::memset(ptr, 0, (size_t)(L + 1) * W);
+    std::memset(ptr, 0, (size_t)W);  // row 0 only; rows 1..L are fully written
     float best = NEGF; int32_t best_k = 0, best_state = 0;
     auto harvest = [&](const float* d, const float* iy, const float* ix) {
         best = NEGF; best_k = 0; best_state = 0;
@@ -374,7 +374,7 @@ static void nw_one_avx512(const uint8_t* __restrict rd,
         IY[v] = NEGV;
         IX[v] = NEGV;
     }
-    std::memset(ptr, 0, (size_t)(L + 1) * W);
+    std::memset(ptr, 0, (size_t)W);  // row 0 only; rows 1..L are fully written
     float best = NEGF; int32_t best_k = 0, best_state = 0;
     auto harvest = [&]() {
         alignas(64) float sb[3][W];

@@ -266,12 +266,28 @@ def _encode_o0(data: bytes, n_states: int) -> bytes:
     return bytes(out)
 
 
+def _native_decode(comp, pos, n_out, n_states, order1, shift, freqs):
+    from .. import native
+    dec = getattr(native, "ransnx16_decode", None)
+    if dec is None or not native.available():
+        return None
+    return dec(bytes(comp), pos, n_out, n_states, 1 if order1 else 0,
+               shift, freqs)
+
+
 def _decode_o0(comp, pos: int, n_out: int, n_states: int) -> bytes:
     syms, pos = _read_alphabet(comp, pos)
     freqs = np.zeros((1, 256), dtype=np.int64)
     for s in syms:
         f, pos = read_uint7(comp, pos)
         freqs[0, s] = f
+    if freqs.sum() != TOT_O0:
+        raise ValueError("rANSNx16: order-0 frequencies do not sum to "
+                         f"{TOT_O0}")
+    res = _native_decode(comp, pos, n_out, n_states, False, TF_SHIFT_O0,
+                         freqs)
+    if res is not None:
+        return res
     sym_of = np.zeros((1, TOT_O0), dtype=np.uint8)
     sym_of[0] = np.repeat(np.arange(256, dtype=np.uint8), freqs[0])
     cums = np.zeros((1, 257), dtype=np.int64)
@@ -330,6 +346,9 @@ def _decode_o1(comp, pos: int, n_out: int, n_states: int) -> bytes:
     if flag & 1:
         clen, pos = read_uint7(comp, pos)
         rawlen, pos = read_uint7(comp, pos)
+        if rawlen > (1 << 24):   # a full 256x256 uint7 table is ~128KB
+            raise ValueError(
+                f"rANSNx16 order-1: implausible table size {rawlen}")
         table = _decode_o0(comp[pos:pos + clen], 0, rawlen, 4)
         pos += clen
     else:
@@ -343,6 +362,13 @@ def _decode_o1(comp, pos: int, n_out: int, n_states: int) -> bytes:
             freqs[cx, s] = f
     if not (flag & 1):
         pos += tpos
+    row_sums = freqs.sum(axis=1)
+    if not np.all((row_sums == 0) | (row_sums == (1 << shift))):
+        raise ValueError("rANSNx16: order-1 context frequencies do not "
+                         f"sum to {1 << shift}")
+    res = _native_decode(comp, pos, n_out, n_states, True, shift, freqs)
+    if res is not None:
+        return res
     sym_of = np.zeros((256, 1 << shift), dtype=np.uint8)
     for cx in syms:
         if freqs[cx].sum() > 0:
@@ -453,6 +479,8 @@ def _rle_decode(meta, litstream: bytes, n_out: int) -> bytes:
     for b in litstream:
         if is_run[b]:
             run, pos = read_uint7(meta, pos)
+            if run + 1 > n_out - len(out):
+                raise ValueError("rANSNx16 RLE: run overflows output")
             out += bytes([b]) * (run + 1)
         else:
             out.append(b)
@@ -466,14 +494,12 @@ def _rle_decode(meta, litstream: bytes, n_out: int) -> bytes:
 def compress(data: bytes, order: int = 0, n32: bool = False,
              use_pack: bool = True, use_rle: bool = False,
              stripe: int = 0, cat: bool = False,
-             nosz: bool = False, _known_len: int | None = None) -> bytes:
+             nosz: bool = False) -> bytes:
     """Encode one rANSNx16 block.  `stripe` > 0 splits into that many
     interleaved substreams first (each recursively encoded)."""
     out = bytearray()
     fmt = 0
     n = len(data)
-    if not nosz:
-        pass  # size written after fmt below
     if stripe and n >= stripe:
         fmt = F_STRIPE | (F_NOSZ if nosz else 0)
         out.append(fmt)
@@ -552,9 +578,13 @@ def uncompress(blob: bytes, n_out: int | None = None) -> bytes:
         ulen = n_out
     else:
         ulen, pos = read_uint7(blob, pos)
+    if ulen > (1 << 31):
+        raise ValueError(f"rANSNx16 block: implausible raw size {ulen}")
     if fmt & F_STRIPE:
         n = blob[pos]
         pos += 1
+        if n == 0:
+            raise ValueError("rANSNx16 STRIPE: zero substreams")
         clens = []
         for _ in range(n):
             c, pos = read_uint7(blob, pos)
@@ -579,12 +609,18 @@ def uncompress(blob: bytes, n_out: int | None = None) -> bytes:
             rle_meta = uncompress(blob[pos:pos + clen], mlen)
             pos += clen
         lit_len, pos = read_uint7(blob, pos)
+        if lit_len > ulen:
+            raise ValueError(
+                f"rANSNx16 RLE: literal stream {lit_len} > raw size {ulen}")
     pack_info = None
     if fmt & F_PACK:
         p0 = pos
         nsym = blob[pos]
         pos += 1 + nsym
         plen, pos = read_uint7(blob, pos)
+        if plen > max(ulen, 16):
+            raise ValueError(
+                f"rANSNx16 PACK: packed stream {plen} > raw size {ulen}")
         pack_info = (p0, plen)
         dec_len = plen
     elif fmt & F_RLE:

@@ -110,7 +110,6 @@ def run_hla_typing(pkg: GraphPackage,
     cfg = cfg or RunConfig()
     pairs = pairs or []
     unpaired = unpaired or []
-    long_mode = cfg.long_reads
     os.makedirs(output_dir, exist_ok=True)
 
     decoy = build_decoy(pkg, cfg)
@@ -151,31 +150,42 @@ def run_hla_typing(pkg: GraphPackage,
                  f"{len(aligned_unpaired)}/{len(unpaired)} unpaired "
                  f"({rps:.1f} reads/s)")
 
-    _write_reads_per_level(aligned_pairs, aligned_unpaired,
-                           pkg, output_dir)
     # end-of-alignment statistics (reference prints aligner::statistics,
     # processBAM.cpp:1860)
     aligner.stats.n_align_calls += len(aligned_pairs)
     log_progress(aligner.stats.report())
 
-    # typing outputs go into <outputDirectory>/hla/ like the reference
-    # (outputDirectory_for_HLA, processBAM.cpp:1805); the coverage track and
-    # alignment-level files stay at the top level
-    hla_dir = os.path.join(output_dir, "hla")
-    typer = HLATyper(pkg, cfg.typer, backend=backend)
     try:
         # the warm alignment workers (package in memory) also serve
         # per-locus typing — no reload cost
-        results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
-                                 aligned_unpaired, insert_mean, insert_sd,
-                                 hla_dir, long_reads_mode=long_mode,
-                                 n_workers=cfg.max_threads,
-                                 worker_pool=par)
+        results = _type_and_write(pkg, cfg, backend, aligned_pairs,
+                                  kept_pairs, aligned_unpaired,
+                                  kept_unpaired, insert_mean, insert_sd,
+                                  output_dir, worker_pool=par)
     finally:
         if par is not None:
             par.close()
     return PipelineResult(results, len(pairs), len(aligned_pairs), rps,
                           insert_mean, insert_sd)
+
+
+def _type_and_write(pkg, cfg, backend, aligned_pairs, kept_pairs,
+                    aligned_unpaired, kept_unpaired, insert_mean, insert_sd,
+                    output_dir, worker_pool=None):
+    """The post-alignment tail shared by run_hla_typing and
+    merge_shards_and_type — one definition so the multi-host merge path
+    cannot silently drift from the single-host one (its byte-identity
+    guarantee depends on this).  Typing outputs go into
+    <outputDirectory>/hla/ like the reference (outputDirectory_for_HLA,
+    processBAM.cpp:1805); the coverage track stays at the top level."""
+    _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir)
+    hla_dir = os.path.join(output_dir, "hla")
+    typer = HLATyper(pkg, cfg.typer, backend=backend)
+    return typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
+                          aligned_unpaired, insert_mean, insert_sd,
+                          hla_dir, long_reads_mode=cfg.long_reads,
+                          n_workers=cfg.max_threads,
+                          worker_pool=worker_pool)
 
 
 def _shard_path(shard_dir: str, host_idx: int, n_hosts: int) -> str:
@@ -280,10 +290,17 @@ def merge_shards_and_type(pkg: GraphPackage, shard_dir: str,
         raise SystemExit(f"incomplete shard set in {shard_dir}: have hosts "
                          f"{seen}, expected 0..{n_hosts - 1}")
     ins = shards[0]["insert"]
+    counts = shards[0]["meta"][2:4]
     for s in shards[1:]:
-        if not np.array_equal(s["insert"], ins):
-            raise SystemExit("shards disagree on the insert-size estimate "
-                             "— were they built from the same input?")
+        # every shard stores the FULL input's pair/unpaired counts and the
+        # full-input insert estimate — all must agree or the shards were
+        # built from different inputs (the insert check alone is vacuous
+        # for unpaired-only runs, where every host stores the default)
+        if not np.array_equal(s["insert"], ins) \
+                or not np.array_equal(s["meta"][2:4], counts):
+            raise SystemExit("shards disagree on the input (read counts or "
+                             "insert-size estimate) — were they built from "
+                             "the same input?")
     insert_mean, insert_sd = float(ins[0]), float(ins[1])
 
     def reads_of(s, pre):
@@ -315,14 +332,10 @@ def merge_shards_and_type(pkg: GraphPackage, shard_dir: str,
                  f"+ {len(aligned_unpaired)} unpaired")
 
     os.makedirs(output_dir, exist_ok=True)
-    _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir)
-    hla_dir = os.path.join(output_dir, "hla")
-    typer = HLATyper(pkg, cfg.typer, backend=backend)
-    results = typer.type_all(kept_pairs, aligned_pairs, kept_unpaired,
-                             aligned_unpaired, insert_mean, insert_sd,
-                             hla_dir, long_reads_mode=cfg.long_reads,
-                             n_workers=cfg.max_threads)
-    n_in = int(sum(s["meta"][2] for s in shards) // max(1, len(shards)))
+    results = _type_and_write(pkg, cfg, backend, aligned_pairs, kept_pairs,
+                              aligned_unpaired, kept_unpaired, insert_mean,
+                              insert_sd, output_dir)
+    n_in = int(shards[0]["meta"][2])
     return PipelineResult(results, n_in, len(aligned_pairs), 0.0,
                           insert_mean, insert_sd)
 

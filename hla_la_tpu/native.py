@@ -64,6 +64,10 @@ def _find_lib():
                 [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
             lib.hla_rans4x8_decode.restype = ctypes.c_int
             lib.hla_rans4x8_decode.argtypes = [vp, i64, vp, i64]
+            lib.hla_ransnx16_decode.restype = ctypes.c_int
+            lib.hla_ransnx16_decode.argtypes = [
+                vp, i64, i64, i64, i64, ctypes.c_int, ctypes.c_int,
+                vp, i64, vp]
             lib.hla_itf8_decode_all.restype = i64
             lib.hla_itf8_decode_all.argtypes = [vp, i64, vp, vp]
             lib.hla_encode_kmers.restype = None
@@ -285,6 +289,25 @@ def itf8_decode_all(buf: bytes, offset: int = 0
     bb = np.ascontiguousarray(bb)
     cnt = lib.hla_itf8_decode_all(c(bb), n, c(vals), c(ends))
     return vals[:cnt], ends[:cnt] + offset
+
+
+def ransnx16_decode(comp: bytes, pos: int, n_out: int, n_states: int,
+                    order: int, shift: int,
+                    freqs: np.ndarray) -> bytes | None:
+    """C++ rANS Nx16 payload decode (CRAM 3.1 method 5; the symbol stream
+    after the Python layer has parsed tables/transforms) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    freqs_c = np.ascontiguousarray(freqs, dtype=np.int64)
+    out = np.empty(max(n_out, 1), dtype=np.uint8)
+    rc = lib.hla_ransnx16_decode(
+        comp, len(comp), pos, n_out, n_states, order, shift,
+        freqs_c.ctypes.data_as(ctypes.c_void_p), freqs_c.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return out[:n_out].tobytes()
 
 
 def rans4x8_decode(blob: bytes) -> bytes | None:

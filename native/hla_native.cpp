@@ -332,12 +332,16 @@ static void nw_one(const uint8_t* __restrict rd, const uint8_t* __restrict rf,
 // replaced on clean rows (no N/pad in the window) by the closed form
 //   IX[k] = max(open + (k-1)*ext + max_{j<=k-1}(nD[j] - j*ext), NEGF)
 // — the segmented cummax of ops/banded_nw.py:232-257 with one segment,
-// PLUS the final NEGF clamp, which reproduces the sequential recurrence's
-// decayed floor bit-exactly: NEGF + c is absorbed to NEGF in float32, so
-// the serial chain's floor stays exactly NEGF and max(closed, NEGF) equals
-// the serial value in every lane (incl. deep-negative ones).  Exact for
-// the integer-valued production scoring; non-integer scoring could differ
-// by float rounding in the drift trick (parity tests use the defaults).
+// PLUS a final NEGF clamp reproducing the sequential recurrence's decayed
+// floor (NEGF + c is absorbed to NEGF in float32, so the serial chain's
+// floor stays exactly NEGF).  Exactness scope: identical to the serial
+// kernel for every lane whose value stays above NEGF; lanes already
+// driven below NEGF by an earlier masked row (nD ~ -2e30) can keep
+// -2e30-class values where the serial chain would floor at -1e30 — both
+// are in the filtered domain (production drops score <= -1e29, and row
+// maxima still agree exactly because IX lane 0 is exactly NEGF in every
+// implementation).  Integer-valued production scoring is required for
+// the drift trick to be rounding-free (parity tests use the defaults).
 // Rows containing N/pad lanes fall back to the serial scalar loop.
 template <int NV>
 static void nw_one_avx512(const uint8_t* __restrict rd,
@@ -768,6 +772,102 @@ extern "C" int64_t hla_itf8_decode_all(
         n++;
     }
     return n;
+}
+
+// rANS Nx16 payload decode (CRAM 3.1, io/rans_nx16.py::_decode_payload).
+// The caller (Python) parses the format byte, transforms and frequency
+// tables; this decodes the N-state 16-bit-renorm symbol stream.  freqs is
+// [n_ctx][256] int64 (n_ctx = 1 for order 0, 256 for order 1), rows
+// summing to 1<<shift (or 0 for absent contexts).  Returns 0 on success.
+extern "C" int hla_ransnx16_decode(
+    const uint8_t* comp, int64_t comp_len, int64_t pos,
+    int64_t n_out, int64_t n_states, int order, int shift,
+    const int64_t* freqs, int64_t n_ctx, uint8_t* out) {
+    if (shift < 1 || shift > 16 || n_states < 1 || n_states > 64 ||
+        n_ctx < 1 || n_ctx > 256 || n_out < 0 || pos < 0)
+        return -1;
+    const int64_t tot = (int64_t)1 << shift;
+    std::vector<uint8_t> sym_tab((size_t)n_ctx * tot, 0);
+    std::vector<int32_t> cums((size_t)n_ctx * 257);
+    for (int64_t cx = 0; cx < n_ctx; cx++) {
+        const int64_t* F = freqs + cx * 256;
+        int32_t c = 0;
+        int32_t* C = cums.data() + cx * 257;
+        for (int s = 0; s < 256; s++) {
+            if (F[s] < 0 || F[s] > tot) return -2;
+            C[s] = c;
+            c += (int32_t)F[s];
+        }
+        C[256] = c;
+        if (c == 0) continue;        // absent context
+        if (c != tot) return -2;     // corrupt frequency table
+        uint8_t* st = sym_tab.data() + cx * tot;
+        int64_t w = 0;
+        for (int s = 0; s < 256; s++)
+            for (int64_t r = 0; r < F[s]; r++) st[w++] = (uint8_t)s;
+    }
+    std::vector<uint32_t> states(n_states);
+    for (int64_t j = 0; j < n_states; j++) {
+        if (pos + 4 > comp_len) return -3;
+        states[j] = (uint32_t)comp[pos] | ((uint32_t)comp[pos + 1] << 8)
+                    | ((uint32_t)comp[pos + 2] << 16)
+                    | ((uint32_t)comp[pos + 3] << 24);
+        pos += 4;
+    }
+    const uint32_t Lb = 1u << 15;
+    const uint32_t mask = (uint32_t)tot - 1;
+    if (order == 0) {
+        const uint8_t* st = sym_tab.data();
+        const int32_t* C = cums.data();
+        const int64_t* F = freqs;
+        for (int64_t i = 0; i < n_out; i++) {
+            int64_t j = i % n_states;
+            uint32_t x = states[j];
+            uint32_t slot = x & mask;
+            uint8_t s = st[slot];
+            out[i] = s;
+            x = (uint32_t)F[s] * (x >> shift) + slot - (uint32_t)C[s];
+            while (x < Lb && pos + 1 < comp_len) {
+                x = (x << 16) | (uint32_t)comp[pos]
+                    | ((uint32_t)comp[pos + 1] << 8);
+                pos += 2;
+            }
+            states[j] = x;
+        }
+    } else {
+        // order 1: state j owns fragment j of N near-equal splits;
+        // decode proceeds t-major across states (matches the encoder's
+        // reverse-interleaved renorm stream)
+        int64_t q = n_out / n_states;
+        std::vector<int64_t> lo(n_states), hi(n_states);
+        std::vector<uint8_t> last(n_states, 0);
+        int64_t max_len = 0;
+        for (int64_t j = 0; j < n_states; j++) {
+            lo[j] = j * q;
+            hi[j] = (j < n_states - 1) ? (j + 1) * q : n_out;
+            if (hi[j] - lo[j] > max_len) max_len = hi[j] - lo[j];
+        }
+        for (int64_t t = 0; t < max_len; t++) {
+            for (int64_t j = 0; j < n_states; j++) {
+                if (t >= hi[j] - lo[j]) continue;
+                uint32_t x = states[j];
+                int64_t cx = last[j];
+                uint32_t slot = x & mask;
+                uint8_t s = sym_tab[cx * tot + slot];
+                out[lo[j] + t] = s;
+                x = (uint32_t)freqs[cx * 256 + s] * (x >> shift) + slot
+                    - (uint32_t)cums[cx * 257 + s];
+                while (x < Lb && pos + 1 < comp_len) {
+                    x = (x << 16) | (uint32_t)comp[pos]
+                        | ((uint32_t)comp[pos + 1] << 8);
+                    pos += 2;
+                }
+                states[j] = x;
+                last[j] = s;
+            }
+        }
+    }
+    return 0;
 }
 
 // Full rANS4x8 block (with 9-byte header).  Returns 0 on success, writes

@@ -68,6 +68,22 @@ def test_rans_nx16_round_trip(rng):
         blob = nx.compress(data, cat=True)
         assert nx.uncompress(blob) == data
 
+    # native payload decoder must agree with the pure-Python decode
+    import hla_la_tpu.native as native
+    if native.available():
+        avail = native.available
+        try:
+            for data in cases:
+                for order in (0, 1):
+                    blob = nx.compress(data, order=order, use_pack=False)
+                    nat = nx.uncompress(blob)
+                    native.available = lambda: False
+                    py = nx.uncompress(blob)
+                    native.available = avail
+                    assert nat == py == data, (len(data), order)
+        finally:
+            native.available = avail
+
     # uint7 round trip
     out = bytearray()
     vals = [0, 1, 127, 128, 16383, 16384, 1 << 30, (1 << 35) + 7]
@@ -77,6 +93,28 @@ def test_rans_nx16_round_trip(rng):
     for v in vals:
         got, pos = nx.read_uint7(out, pos)
         assert got == v
+
+
+def test_rans_nx16_fuzz_no_crash(rng):
+    """Corrupt rANSNx16 blobs must raise cleanly (no crash, no unbounded
+    allocation): bit flips and truncations over an order-1 block."""
+    from hla_la_tpu.io import rans_nx16 as nx
+
+    good = nx.compress(bytes(rng.integers(0, 256, 4000, dtype=np.uint8)),
+                       order=1)
+    for _ in range(150):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 6))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        try:
+            nx.uncompress(bytes(b))
+        except (ValueError, IndexError, NotImplementedError):
+            pass
+    for cut in range(0, len(good), 53):
+        try:
+            nx.uncompress(good[:cut])
+        except (ValueError, IndexError, NotImplementedError):
+            pass
 
 
 @pytest.fixture

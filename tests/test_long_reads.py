@@ -121,3 +121,51 @@ def test_long_read_50kb_splitting():
     assert all(len(x.seq) <= 50000 for x in big_chunks)
     assert "".join(x.seq for x in big_chunks) == long_seq
     assert [x for x in out if x.name == "small"]
+
+
+def test_long_read_multi_host_shards(long_world, tmp_path):
+    """Unpaired (long-read) multi-host sharding: 2-host align shards +
+    merge must match the single-host outputs byte-for-byte, and the
+    merge must refuse shards built from different inputs (the unpaired
+    path has no insert estimate, so the guard rests on the stored
+    full-input read counts)."""
+    import filecmp
+    import os
+
+    import pytest
+
+    from hla_la_tpu.graph.package import GraphPackage
+    from hla_la_tpu.models.pipeline import (align_shard,
+                                            merge_shards_and_type)
+
+    rng, sim, pkg = long_world
+    rs = ReadSimulator(rng, insertion_rate=0.004, deletion_rate=0.004)
+    reads = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        reads += rs.simulate_unpaired_from_string(seq, levels, 12.0,
+                                                  read_length=1400,
+                                                  name_prefix=f"mh{h}")
+    fq = [r.to_fastq() for r in reads]
+    cfg = RunConfig(long_reads="ont2d")
+    gp = GraphPackage(pkg.dir)
+
+    single = str(tmp_path / "single")
+    run_hla_typing(gp, unpaired=fq, output_dir=single, cfg=cfg)
+
+    shard_dir = str(tmp_path / "shards")
+    for host in (0, 1):
+        align_shard(gp, [], fq, shard_dir, host, 2, cfg)
+    merged = str(tmp_path / "merged")
+    merge_shards_and_type(gp, shard_dir, merged, cfg)
+
+    for fn in ("hla/R1_bestguess.txt", "reads_per_level.txt"):
+        assert filecmp.cmp(os.path.join(single, fn),
+                           os.path.join(merged, fn), shallow=False), fn
+
+    # guard: a shard built from a different input must be rejected
+    bad_dir = str(tmp_path / "bad_shards")
+    align_shard(gp, [], fq, bad_dir, 0, 2, cfg)
+    align_shard(gp, [], fq[: len(fq) // 2], bad_dir, 1, 2, cfg)
+    with pytest.raises(SystemExit, match="disagree"):
+        merge_shards_and_type(gp, bad_dir, str(tmp_path / "bad_out"), cfg)

@@ -42,15 +42,40 @@ class Seeder:
                                  # the index-query cost (recall covered by
                                  # the truth-accuracy + held-out tests)
 
+    _EMPTY = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+              np.zeros(0, bool), np.zeros(0, np.int64),
+              np.zeros(0, np.int64), np.zeros(0, np.int64))
+
     def candidates_batch(self, seqs: list[str]) -> list[list[Candidate]]:
+        """Selected candidates as per-read Candidate lists (the object API;
+        the hot alignment path uses candidates_batch_arrays instead)."""
+        read_l, seq_a, rev_a, start_a, nk_a, span_a = \
+            self.candidates_batch_arrays(seqs)
+        per_read: list[list[Candidate]] = [[] for _ in seqs]
+        seq_l = seq_a.tolist()
+        rev_l = rev_a.tolist()
+        start_l = start_a.tolist()
+        nk_l = nk_a.tolist()
+        span_l = span_a.tolist()
+        new = Candidate.__new__
+        for i, r in enumerate(read_l.tolist()):
+            c = new(Candidate)
+            c.__dict__ = {"seq_idx": seq_l[i], "reverse": rev_l[i],
+                          "ref_start": start_l[i], "n_kmers": nk_l[i],
+                          "span": span_l[i]}
+            per_read[r].append(c)
+        return per_read
+
+    def candidates_batch_arrays(self, seqs: list[str]):
         """Vectorised candidate generation for a whole read batch: one k-mer
         encode + one index query + one lexsort across all (read, strand)
-        hits."""
+        hits.  Returns the SELECTED candidates as SoA arrays
+        (read_of ascending, selection order within read):
+        (read_of, seq_idx, reverse, ref_start, n_kmers, span)."""
         from .kmer_index import encode_kmers, revcomp_bytes
         k = self.index.k
-        per_read: list[list[Candidate]] = [[] for _ in seqs]
         if not seqs:
-            return per_read
+            return self._EMPTY
         # concatenate reads with 1-byte separators; the reverse strand is the
         # revcomp of the whole concatenation (read i lands mirrored at
         # total - off_i - len_i, and its k-mer positions are positions within
@@ -160,7 +185,7 @@ class Seeder:
             g_nk.append(n_uniq_g[m])
             g_span.append(rp_max_g[m] - rp_min_g[m] + k)
         if not g_read:
-            return per_read
+            return self._EMPTY
         read_a = np.concatenate(g_read)
         seq_a = np.concatenate(g_seq)
         rev_a = np.concatenate(g_rev)
@@ -175,35 +200,32 @@ class Seeder:
                if native.available() else None)
         if sel is not None:
             out_idx, out_counts = sel
-            # flatten the selection, convert scalar columns to Python lists
-            # once, and assemble Candidate __dict__s directly (per-element
-            # np indexing + dataclass __init__ cost ~5x at 300k candidates)
+            # flatten the selection (per-element np indexing at 300k
+            # candidates costs ~5x, so keep it one fancy-index pass)
             rs = np.nonzero(out_counts)[0]
             cnts = out_counts[rs]
             gsel = out_idx[np.repeat(rs, cnts),
                            np.concatenate([np.arange(c) for c in cnts])
                            if len(cnts) else np.empty(0, dtype=np.int64)]
-            seq_l = seq_a[gsel].tolist()
-            rev_l = rev_a[gsel].tolist()
-            start_l = start_a[gsel].tolist()
-            nk_l = nk_a[gsel].tolist()
-            span_l = span_a[gsel].tolist()
-            read_l = np.repeat(rs, cnts).tolist()
-            new = Candidate.__new__
-            for i, r in enumerate(read_l):
-                c = new(Candidate)
-                c.__dict__ = {"seq_idx": seq_l[i], "reverse": rev_l[i],
-                              "ref_start": start_l[i], "n_kmers": nk_l[i],
-                              "span": span_l[i]}
-                per_read[r].append(c)
-            return per_read
+            return (np.repeat(rs, cnts).astype(np.int64), seq_a[gsel],
+                    rev_a[gsel], start_a[gsel], nk_a[gsel], span_a[gsel])
 
+        per_read: list[list[Candidate]] = [[] for _ in seqs]
         for gi in range(len(read_a)):
             per_read[int(read_a[gi])].append(Candidate(
                 seq_idx=int(seq_a[gi]), reverse=bool(rev_a[gi]),
                 ref_start=int(start_a[gi]), n_kmers=int(nk_a[gi]),
                 span=int(span_a[gi])))
-        return [self._select(c) for c in per_read]
+        sel_lists = [self._select(c) for c in per_read]
+        read_of = np.asarray([r for r, cs in enumerate(sel_lists)
+                              for _ in cs], dtype=np.int64)
+        flat = [c for cs in sel_lists for c in cs]
+        return (read_of,
+                np.asarray([c.seq_idx for c in flat], dtype=np.int64),
+                np.asarray([c.reverse for c in flat], dtype=bool),
+                np.asarray([c.ref_start for c in flat], dtype=np.int64),
+                np.asarray([c.n_kmers for c in flat], dtype=np.int64),
+                np.asarray([c.span for c in flat], dtype=np.int64))
 
     def _select(self, cands: list[Candidate]) -> list[Candidate]:
         cands.sort(key=lambda c: (-c.n_kmers, -c.span))

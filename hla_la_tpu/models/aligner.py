@@ -183,33 +183,95 @@ class ReadAligner:
         self.stats.considered_chains += len(jobs)
         return jobs
 
-    def _jobs_to_alignments(self, jobs: list[_Job]
-                            ) -> list[GraphAlignment | None]:
-        if not jobs:
-            return []
+    def _max_b(self) -> int:
         # bound the NW pointer tensor (~[B, L+1, W] uint8) to a few hundred
         # MB: very large inputs process in slices.  On TPU the Pallas kernel
         # peaks at exactly B=4096 (46 Gcells/s on v5e; 2x slower at 16k+),
         # so slice to the sweet spot there.
-        MAX_B = 65536
         if self.use_jax:
             try:
                 import jax
                 if jax.default_backend() == "tpu":
-                    MAX_B = 4096
+                    return 4096
             except Exception:  # noqa: BLE001
                 pass
+        return 65536
+
+    def _jobs_to_alignments(self, jobs: list[_Job]
+                            ) -> list[GraphAlignment | None]:
+        """Object-API wrapper over _align_core (estimate_insert_size and
+        dev actions build _Job lists; the hot path uses
+        _align_jobs_arrays)."""
+        if not jobs:
+            return []
+        MAX_B = self._max_b()
         if len(jobs) > MAX_B:
             out: list[GraphAlignment | None] = []
             for lo in range(0, len(jobs), MAX_B):
                 out.extend(self._jobs_to_alignments(jobs[lo:lo + MAX_B]))
             return out
-        L = max(len(j.oriented_seq) for j in jobs)
+        nb = len(jobs)
+        # unique oriented reads (jobs of one read share the string object) ->
+        # one padded stack + a single fancy-index per array
+        row_of: dict[int, int] = {}
+        uniq: list[tuple] = []
+        job_row = np.empty(nb, dtype=np.int64)
+        for bi, j in enumerate(jobs):
+            key = id(j.oriented_seq)
+            row = row_of.get(key)
+            if row is None:
+                row = row_of[key] = len(uniq)
+                uniq.append((j.oriented_seq, j.oriented_qual))
+            job_row[bi] = row
+        return self._align_core(
+            uniq, job_row,
+            np.asarray([j.cand_seq for j in jobs], dtype=np.int64),
+            np.asarray([j.window_start for j in jobs], dtype=np.int64),
+            np.asarray([j.reverse for j in jobs], dtype=bool),
+            np.asarray([j.mate == 1 for j in jobs], dtype=bool))
+
+    def _align_jobs_arrays(self, job_read: np.ndarray, job_seq: np.ndarray,
+                           job_rev: np.ndarray, win_start: np.ndarray,
+                           all_reads) -> list[GraphAlignment | None]:
+        """SoA job assembly (no Candidate/_Job objects): job_read indexes
+        all_reads (even = mate 1); candidates stay numpy end-to-end."""
+        if not len(job_read):
+            return []
+        MAX_B = self._max_b()
+        if len(job_read) > MAX_B:
+            out: list[GraphAlignment | None] = []
+            for lo in range(0, len(job_read), MAX_B):
+                sl = slice(lo, lo + MAX_B)
+                out.extend(self._align_jobs_arrays(
+                    job_read[sl], job_seq[sl], job_rev[sl], win_start[sl],
+                    all_reads))
+            return out
+        keys, job_row = np.unique(job_read * 2 + job_rev,
+                                  return_inverse=True)
+        uniq = []
+        for key in keys.tolist():
+            r = all_reads[key >> 1]
+            if key & 1:
+                uniq.append((revcomp(r.seq), r.qual[::-1]))
+            else:
+                uniq.append((r.seq, r.qual))
+        return self._align_core(uniq, job_row.astype(np.int64), job_seq,
+                                win_start, job_rev, job_read % 2 == 0)
+
+    def _align_core(self, uniq: list[tuple], job_row: np.ndarray,
+                    job_seq_in: np.ndarray, win_start_in: np.ndarray,
+                    reverse_in: np.ndarray, ffr_in: np.ndarray
+                    ) -> list[GraphAlignment | None]:
+        """Batched NW + backtrace + projection for one job slice.  uniq:
+        unique (oriented_seq, oriented_qual) rows; job_row maps each job to
+        its row; the remaining arrays are per job."""
+        nb = len(job_row)
+        L = max(len(s) for s, _ in uniq)
         if self.use_jax:
             # bucket shapes so jit compiles once per (L, W, B) bucket
             L = max(64, 1 << (L - 1).bit_length())
         W = self.band
-        B = len(jobs)
+        B = nb
         if self.use_jax:
             B = max(64, 1 << (B - 1).bit_length())
             try:
@@ -229,19 +291,6 @@ class ReadAligner:
         win_start = np.zeros(B, dtype=np.int64)
         reverse_arr = np.zeros(B, dtype=bool)
         prg_id_arr = np.zeros(B, dtype=np.int64)
-        nb = len(jobs)
-        # unique oriented reads (jobs of one read share the string object) ->
-        # one padded stack + a single fancy-index per array
-        row_of: dict[int, int] = {}
-        uniq: list[tuple] = []
-        job_row = np.empty(nb, dtype=np.int64)
-        for bi, j in enumerate(jobs):
-            key = id(j.oriented_seq)
-            row = row_of.get(key)
-            if row is None:
-                row = row_of[key] = len(uniq)
-                uniq.append((j.oriented_seq, j.oriented_qual))
-            job_row[bi] = row
         Rn = len(uniq)
         # vectorised stacking: one big encode + one scatter (a python loop
         # over ~10k unique reads cost ~0.6s/batch at real-PRG scale)
@@ -265,9 +314,9 @@ class ReadAligner:
         reads_ascii[:nb] = ascii_u[job_row]
         quals_ascii[:nb] = qual_u[job_row]
         lens_arr[:nb] = lens_u[job_row]
-        job_seq[:nb] = [j.cand_seq for j in jobs]
-        win_start[:nb] = [j.window_start for j in jobs]
-        reverse_arr[:nb] = [j.reverse for j in jobs]
+        job_seq[:nb] = job_seq_in
+        win_start[:nb] = win_start_in
+        reverse_arr[:nb] = reverse_in
         prg_id_arr[:nb] = np.asarray(self.prg_ids)[job_seq[:nb]]
         # reference windows: per-job clamped memcpy from the encoded
         # concatenated haplotypes (native), else one global numpy gather
@@ -290,17 +339,17 @@ class ReadAligner:
                 refs_arr[:nb] = np.where(in_range, vals, 4)
         scores, end_k, end_state, pointers = self._run_nw(
             reads_arr, lens_arr, refs_arr)
-        self.stats.n_chain_extensions += len(jobs)
+        self.stats.n_chain_extensions += nb
 
         from .. import native
         native_bt = None
         if native.available():
             native_bt = native.nw_backtrace_batch(pointers, lens_arr,
                                                   end_k, end_state)
+        ffr_l = ffr_in.tolist()
         if native_bt is not None:
             from .alignment import project_and_score_batch
             ops_b, n_ops_b = native_bt
-            nb = len(jobs)
             n_ops_b = n_ops_b.astype(np.int64).copy()
             n_ops_b[scores[:B] <= -1e29] = 0
             out = project_and_score_batch(
@@ -309,24 +358,27 @@ class ReadAligner:
                 self.hap_codes_cat, self.hap_levels_cat, self.hap_offsets,
                 self.hap_lens, reverse_arr[:nb], prg_id_arr[:nb],
                 self.long_reads)
-            for al, j in zip(out, jobs):
+            for al, ffr in zip(out, ffr_l):
                 if al is not None:
-                    al.from_first_read = (j.mate == 1)
+                    al.from_first_read = ffr
             return out
 
         out: list[GraphAlignment | None] = []
-        for bi, j in enumerate(jobs):
+        for bi in range(nb):
             if scores[bi] <= -1e29:
                 out.append(None)
                 continue
             ops = banded_nw_backtrace(pointers[bi], int(lens_arr[bi]),
                                       int(end_k[bi]), int(end_state[bi]))
+            seq_i = int(job_seq[bi])
+            s, q = uniq[int(job_row[bi])]
             al = project_linear_alignment(
-                ops, j.oriented_seq, j.oriented_qual,
-                self.hap_seqs[j.cand_seq], self.hap_levels[j.cand_seq],
-                j.window_start, j.reverse, self.prg_ids[j.cand_seq])
+                ops, s, q,
+                self.hap_seqs[seq_i], self.hap_levels[seq_i],
+                int(win_start[bi]), bool(reverse_arr[bi]),
+                self.prg_ids[seq_i])
             if al is not None:
-                al.from_first_read = (j.mate == 1)
+                al.from_first_read = ffr_l[bi]
                 al.log_likelihood = score_alignment(al, self.long_reads)
             out.append(al)
         return out
@@ -354,32 +406,31 @@ class ReadAligner:
                     insert_mean: float, insert_sd: float,
                     truth=None) -> list[AlignedPair]:
         all_reads = [r for p in pairs for r in p]
-        all_cands = self.seeder.candidates_batch([r.seq for r in all_reads])
+        (read_of, seq_idx_a, rev_a, start_a, nk_a, _span_a) = \
+            self.seeder.candidates_batch_arrays([r.seq for r in all_reads])
         if self.decoy is not None:
             from ..mapping.decoy import filter_decoy_pairs
-            prg_best = np.asarray(
-                [max((c.n_kmers for c in lst), default=0)
-                 for lst in all_cands], dtype=np.int64)
+            prg_best = np.zeros(len(all_reads), dtype=np.int64)
+            np.maximum.at(prg_best, read_of, nk_a)
             keep = filter_decoy_pairs(
                 self.decoy, [(r1.seq, r2.seq) for r1, r2 in pairs], prg_best)
             n_drop = int((~keep).sum())
             if n_drop:
                 self.stats.bump("decoy_dropped_pairs", n_drop)
-                for pi in np.nonzero(~keep)[0]:
-                    all_cands[2 * pi] = []
-                    all_cands[2 * pi + 1] = []
-        jobs: list[_Job] = []
-        for pi, (r1, r2) in enumerate(pairs):
-            jobs.extend(self._make_jobs(pi, 1, r1, all_cands[2 * pi]))
-            jobs.extend(self._make_jobs(pi, 2, r2, all_cands[2 * pi + 1]))
-        alignments = self._jobs_to_alignments(jobs)
+                m = keep[read_of // 2]
+                read_of, seq_idx_a, rev_a, start_a = (
+                    read_of[m], seq_idx_a[m], rev_a[m], start_a[m])
+        win_start = start_a - self.band // 2
+        self.stats.considered_chains += len(read_of)
+        alignments = self._align_jobs_arrays(read_of, seq_idx_a, rev_a,
+                                             win_start, all_reads)
 
         per_pair: dict[int, tuple[list, list]] = {}
-        for j, al in zip(jobs, alignments):
+        for r, al in zip(read_of.tolist(), alignments):
             if al is None:
                 continue
-            slot = per_pair.setdefault(j.pair_idx, ([], []))
-            slot[0 if j.mate == 1 else 1].append(al)
+            slot = per_pair.setdefault(r >> 1, ([], []))
+            slot[r & 1].append(al)
         # dedup chains that project to the same PRG span, keeping the best
         # likelihood (skipIdenticalCoordinates, processBAM.cpp:3233-3246)
         for slot in per_pair.values():

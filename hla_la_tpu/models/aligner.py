@@ -232,9 +232,11 @@ class ReadAligner:
 
     def _align_jobs_arrays(self, job_read: np.ndarray, job_seq: np.ndarray,
                            job_rev: np.ndarray, win_start: np.ndarray,
-                           all_reads) -> list[GraphAlignment | None]:
+                           all_reads, unpaired: bool = False
+                           ) -> list[GraphAlignment | None]:
         """SoA job assembly (no Candidate/_Job objects): job_read indexes
-        all_reads (even = mate 1); candidates stay numpy end-to-end."""
+        all_reads (paired layout: even = mate 1; unpaired: every read is
+        'first'); candidates stay numpy end-to-end."""
         if not len(job_read):
             return []
         MAX_B = self._max_b()
@@ -244,7 +246,7 @@ class ReadAligner:
                 sl = slice(lo, lo + MAX_B)
                 out.extend(self._align_jobs_arrays(
                     job_read[sl], job_seq[sl], job_rev[sl], win_start[sl],
-                    all_reads))
+                    all_reads, unpaired))
             return out
         keys, job_row = np.unique(job_read * 2 + job_rev,
                                   return_inverse=True)
@@ -255,8 +257,10 @@ class ReadAligner:
                 uniq.append((revcomp(r.seq), r.qual[::-1]))
             else:
                 uniq.append((r.seq, r.qual))
+        ffr = (np.ones(len(job_read), dtype=bool) if unpaired
+               else job_read % 2 == 0)
         return self._align_core(uniq, job_row.astype(np.int64), job_seq,
-                                win_start, job_rev, job_read % 2 == 0)
+                                win_start, job_rev, ffr)
 
     def _align_core(self, uniq: list[tuple], job_row: np.ndarray,
                     job_seq_in: np.ndarray, win_start_in: np.ndarray,
@@ -662,25 +666,30 @@ class ReadAligner:
                        ) -> list[GraphAlignment | None]:
         """alignOneLongRead equivalent: no pair model; mapQ from chain-LL
         posteriors (processBAM.cpp:3618-3839)."""
-        all_cands = self.seeder.candidates_batch([r.seq for r in reads])
+        (read_of, seq_idx_a, rev_a, start_a, nk_a, _span_a) = \
+            self.seeder.candidates_batch_arrays([r.seq for r in reads])
         if self.decoy is not None:
             dec = self.decoy.best_chain_kmers([r.seq for r in reads])
-            n_drop = 0
-            for pi, lst in enumerate(all_cands):
-                prg_best = max((c.n_kmers for c in lst), default=0)
-                if dec[pi] > prg_best and lst:
-                    all_cands[pi] = []
-                    n_drop += 1
+            prg_best = np.zeros(len(reads), dtype=np.int64)
+            np.maximum.at(prg_best, read_of, nk_a)
+            has = np.zeros(len(reads), dtype=bool)
+            has[read_of] = True
+            drop = (np.asarray(dec) > prg_best) & has
+            n_drop = int(drop.sum())
             if n_drop:
                 self.stats.bump("decoy_dropped_reads", n_drop)
-        jobs: list[_Job] = []
-        for pi, r in enumerate(reads):
-            jobs.extend(self._make_jobs(pi, 1, r, all_cands[pi]))
-        alignments = self._jobs_to_alignments(jobs)
+                m = ~drop[read_of]
+                read_of, seq_idx_a, rev_a, start_a = (
+                    read_of[m], seq_idx_a[m], rev_a[m], start_a[m])
+        win_start = start_a - self.band // 2
+        self.stats.considered_chains += len(read_of)
+        alignments = self._align_jobs_arrays(read_of, seq_idx_a, rev_a,
+                                             win_start, reads,
+                                             unpaired=True)
         per_read: dict[int, list[GraphAlignment]] = {}
-        for j, al in zip(jobs, alignments):
+        for r, al in zip(read_of.tolist(), alignments):
             if al is not None:
-                per_read.setdefault(j.pair_idx, []).append(al)
+                per_read.setdefault(r, []).append(al)
         out: list[GraphAlignment | None] = []
         for pi, r in enumerate(reads):
             chains = per_read.get(pi)

@@ -186,6 +186,10 @@ class LocusResult:
                 self.allele2_g or self.allele2_id)
 
 
+# shared str(i) cache for the pileup writer's zero-coverage runs
+_POS_STR: list[str] = []
+
+
 class HLATyper:
     def __init__(self, pkg: GraphPackage, cfg: TyperConfig | None = None,
                  g_nomenclature_path: str | None = None,
@@ -1097,8 +1101,41 @@ class HLATyper:
         path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
         with open(path, "w") as fh:
             J = len(exon_idx)
-            ei = np.asarray(exon_idx).tolist()
-            ep = np.asarray(exon_pos).tolist()
+            ei_a = np.asarray(exon_idx)
+            ep_a = np.asarray(exon_pos)
+            ei = ei_a.tolist()
+            ep = ep_a.tolist()
+            # uncovered-column runs (the bulk of a real-PRG-scale gene) are
+            # emitted as one str.join chunk per (exon, consecutive-position)
+            # run — per-column f-strings over ~600k columns/locus were the
+            # dominant pileup cost.  Chunks carry internal newlines; the
+            # final "\n".join reproduces the per-line layout byte-for-byte.
+            run_breaks = ((np.flatnonzero((np.diff(ei_a) != 0)
+                                          | (np.diff(ep_a) != 1)) + 1)
+                          .tolist() if J > 1 else [])
+            pos_str = _POS_STR
+            need = int(ep_a.max()) + 1 if J else 0
+            while len(pos_str) < need:
+                pos_str.extend(map(str, range(len(pos_str), need)))
+            import bisect as _bisect
+
+            def zero_chunk(a, b):
+                parts = []
+                u = a
+                bi = _bisect.bisect_right(run_breaks, a)
+                while u < b:
+                    v = run_breaks[bi] if bi < len(run_breaks) else J
+                    if v > b:
+                        v = b
+                    et = str(ei[u]) + "\t"
+                    p0 = ep[u]
+                    parts.append(et + ("\t0\n" + et).join(
+                        pos_str[p0:p0 + (v - u)]) + "\t0")
+                    u = v
+                    bi += 1
+                return "\n".join(parts)
+
+            covered = sorted(j for j, its in pileup.items() if its)
             lines: list[str] = []
             # chain-constant fragments cached ONCE per read for the whole
             # locus (a read covers O(read length) columns; per-column caches
@@ -1106,13 +1143,12 @@ class HLATyper:
             frag_cache: dict[tuple, tuple[str, str]] = {}
             mqp_cache: dict[float, str] = {}
             q1_cache = [str(i) for i in range(256)]
-            for j in range(J):
-                items = pileup.get(j, [])
-                if not items:
-                    # fast path: the bulk of a real-PRG-scale gene is
-                    # uncovered columns
-                    lines.append(f"{ei[j]}\t{ep[j]}\t0")
-                    continue
+            prev = 0
+            for j in covered:
+                if j > prev:
+                    lines.append(zero_chunk(prev, j))
+                prev = j + 1
+                items = pileup[j]
                 fields = [str(ei[j]), str(ep[j]), str(len(items))]
                 if items:
                     # per-read entries (reference pileup detail,
@@ -1159,6 +1195,8 @@ class HLATyper:
                             f"[{sum(lens) / len(lens):.1f};{sf};{r1f}]")
                     fields.append("".join(summary))
                 lines.append("\t".join(fields))
+            if J > prev:
+                lines.append(zero_chunk(prev, J))
             fh.write("\n".join(lines))
             if lines:
                 fh.write("\n")

@@ -578,7 +578,9 @@ def uncompress(blob: bytes, n_out: int | None = None) -> bytes:
         ulen = n_out
     else:
         ulen, pos = read_uint7(blob, pos)
-    if ulen > (1 << 31):
+    if ulen > (1 << 28):
+        # CRAM blocks are ~MBs; a single corrupt uint7 length byte must
+        # not drive a multi-GB allocation + garbage decode
         raise ValueError(f"rANSNx16 block: implausible raw size {ulen}")
     if fmt & F_STRIPE:
         n = blob[pos]

@@ -80,11 +80,10 @@ class DecoyIndex:
     def best_chain_kmers(self, seqs: list[str]) -> np.ndarray:
         """[n_reads] distinct k-mer count of the best decoy chain per read
         (0 = no decoy hit)."""
-        cands = self.seeder.candidates_batch(seqs)
+        read_of, _seq, _rev, _start, nk, _span = \
+            self.seeder.candidates_batch_arrays(seqs)
         out = np.zeros(len(seqs), dtype=np.int64)
-        for i, lst in enumerate(cands):
-            if lst:
-                out[i] = max(c.n_kmers for c in lst)
+        np.maximum.at(out, read_of, nk)
         return out
 
 

@@ -186,10 +186,6 @@ class LocusResult:
                 self.allele2_g or self.allele2_id)
 
 
-# shared str(i) cache for the pileup writer's zero-coverage runs
-_POS_STR: list[str] = []
-
-
 class HLATyper:
     def __init__(self, pkg: GraphPackage, cfg: TyperConfig | None = None,
                  g_nomenclature_path: str | None = None,
@@ -1113,7 +1109,11 @@ class HLATyper:
             run_breaks = ((np.flatnonzero((np.diff(ei_a) != 0)
                                           | (np.diff(ep_a) != 1)) + 1)
                           .tolist() if J > 1 else [])
-            pos_str = _POS_STR
+            # str(i) cache lives on the typer (reclaimed with it, unlike a
+            # module global) and is shared across this run's loci
+            pos_str = getattr(self, "_pos_str_cache", None)
+            if pos_str is None:
+                pos_str = self._pos_str_cache = []
             need = int(ep_a.max()) + 1 if J else 0
             while len(pos_str) < need:
                 pos_str.extend(map(str, range(len(pos_str), need)))

@@ -29,70 +29,76 @@ def _find_lib():
                 lib = ctypes.CDLL(cand)
             except OSError:
                 continue
-            lib.hla_bgzf_inflate_all.restype = ctypes.c_int
-            lib.hla_bgzf_inflate_all.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_void_p),
-                ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
-            vp, i64, i32p = (ctypes.c_void_p, ctypes.c_int64,
-                             ctypes.POINTER(ctypes.c_int64))
-            lib.hla_bam_count.restype = ctypes.c_int64
-            lib.hla_bam_count.argtypes = [vp, i64, i32p, i32p, i32p]
-            lib.hla_bam_parse.restype = ctypes.c_int64
-            lib.hla_bam_parse.argtypes = [vp, i64] + [vp] * 14
-            lib.hla_nw_backtrace_batch.restype = None
-            lib.hla_nw_backtrace_batch.argtypes = [
-                vp, i64, i64, i64, vp, vp, vp, vp, i64, vp]
-            f32 = ctypes.c_float
-            lib.hla_nw_forward.restype = None
-            lib.hla_nw_forward.argtypes = [
-                vp, vp, vp, i64, i64, i64, f32, f32, f32, f32,
-                vp, vp, vp, vp, ctypes.c_int]
-            lib.hla_free.restype = None
-            lib.hla_free.argtypes = [vp]
-            f64 = ctypes.c_double
-            i64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
-            lib.hla_seed_chain.restype = i64
-            lib.hla_seed_chain.argtypes = (
-                [vp, i64, vp, vp, i64, vp, i64, i64, vp, i64, vp, i64, vp]
-                + [i64] * 5 + [i64pp] * 5)
-            lib.hla_select_pairs.restype = None
-            lib.hla_select_pairs.argtypes = (
-                [i64] + [vp] * 11 + [i64] + [f64, f64, f64] + [vp] * 6)
-            lib.hla_walk_haplotype.restype = ctypes.c_int
-            lib.hla_walk_haplotype.argtypes = (
-                [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
-            lib.hla_rans4x8_decode.restype = ctypes.c_int
-            lib.hla_rans4x8_decode.argtypes = [vp, i64, vp, i64]
-            lib.hla_ransnx16_decode.restype = ctypes.c_int
-            lib.hla_ransnx16_decode.argtypes = [
-                vp, i64, i64, i64, i64, ctypes.c_int, ctypes.c_int,
-                vp, i64, vp]
-            lib.hla_itf8_decode_all.restype = i64
-            lib.hla_itf8_decode_all.argtypes = [vp, i64, vp, vp]
-            lib.hla_encode_kmers.restype = None
-            lib.hla_encode_kmers.argtypes = (
-                [vp, i64, i64, vp, vp, ctypes.c_int])
-            lib.hla_encode_kmers_c.restype = None
-            lib.hla_encode_kmers_c.argtypes = (
-                [vp, i64, i64, vp, vp, ctypes.c_int, ctypes.c_int])
-            lib.hla_gather_windows.restype = None
-            lib.hla_gather_windows.argtypes = (
-                [vp] * 5 + [i64, i64, vp, ctypes.c_int])
-            lib.hla_seed_select.restype = None
-            lib.hla_seed_select.argtypes = (
-                [vp] * 6 + [i64] * 4 + [vp] * 2)
-            lib.hla_project_count.restype = i64
-            lib.hla_project_count.argtypes = [vp] * 7 + [i64, i64, vp, vp]
-            lib.hla_project_fill.restype = None
-            lib.hla_project_fill.argtypes = (
-                [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 5
-                + [f64, f64] + [vp] * 9 + [ctypes.c_int])
-            lib.hla_graph_extend.restype = i64
-            lib.hla_graph_extend.argtypes = (
-                [vp] * 17 + [i64, i64, vp, i64, i64, i64, i64,
-                ctypes.c_int, i64, i64] + [f64] * 6 + [i64, f64]
-                + [vp] * 3 + [i64, vp, vp])
+            try:
+                lib.hla_bgzf_inflate_all.restype = ctypes.c_int
+                lib.hla_bgzf_inflate_all.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+                vp, i64, i32p = (ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.POINTER(ctypes.c_int64))
+                lib.hla_bam_count.restype = ctypes.c_int64
+                lib.hla_bam_count.argtypes = [vp, i64, i32p, i32p, i32p]
+                lib.hla_bam_parse.restype = ctypes.c_int64
+                lib.hla_bam_parse.argtypes = [vp, i64] + [vp] * 14
+                lib.hla_nw_backtrace_batch.restype = None
+                lib.hla_nw_backtrace_batch.argtypes = [
+                    vp, i64, i64, i64, vp, vp, vp, vp, i64, vp]
+                f32 = ctypes.c_float
+                lib.hla_nw_forward.restype = None
+                lib.hla_nw_forward.argtypes = [
+                    vp, vp, vp, i64, i64, i64, f32, f32, f32, f32,
+                    vp, vp, vp, vp, ctypes.c_int]
+                lib.hla_free.restype = None
+                lib.hla_free.argtypes = [vp]
+                f64 = ctypes.c_double
+                i64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int64))
+                lib.hla_seed_chain.restype = i64
+                lib.hla_seed_chain.argtypes = (
+                    [vp, i64, vp, vp, i64, vp, i64, i64, vp, i64, vp, i64, vp]
+                    + [i64] * 5 + [i64pp] * 5)
+                lib.hla_select_pairs.restype = None
+                lib.hla_select_pairs.argtypes = (
+                    [i64] + [vp] * 11 + [i64] + [f64, f64, f64] + [vp] * 6)
+                lib.hla_walk_haplotype.restype = ctypes.c_int
+                lib.hla_walk_haplotype.argtypes = (
+                    [vp, i64] + [vp] * 8 + [i64, i64, i64, vp])
+                lib.hla_rans4x8_decode.restype = ctypes.c_int
+                lib.hla_rans4x8_decode.argtypes = [vp, i64, vp, i64]
+                lib.hla_ransnx16_decode.restype = ctypes.c_int
+                lib.hla_ransnx16_decode.argtypes = [
+                    vp, i64, i64, i64, i64, ctypes.c_int, ctypes.c_int,
+                    vp, i64, vp]
+                lib.hla_itf8_decode_all.restype = i64
+                lib.hla_itf8_decode_all.argtypes = [vp, i64, vp, vp]
+                lib.hla_encode_kmers.restype = None
+                lib.hla_encode_kmers.argtypes = (
+                    [vp, i64, i64, vp, vp, ctypes.c_int])
+                lib.hla_encode_kmers_c.restype = None
+                lib.hla_encode_kmers_c.argtypes = (
+                    [vp, i64, i64, vp, vp, ctypes.c_int, ctypes.c_int])
+                lib.hla_gather_windows.restype = None
+                lib.hla_gather_windows.argtypes = (
+                    [vp] * 5 + [i64, i64, vp, ctypes.c_int])
+                lib.hla_seed_select.restype = None
+                lib.hla_seed_select.argtypes = (
+                    [vp] * 6 + [i64] * 4 + [vp] * 2)
+                lib.hla_project_count.restype = i64
+                lib.hla_project_count.argtypes = [vp] * 7 + [i64, i64, vp, vp]
+                lib.hla_project_fill.restype = None
+                lib.hla_project_fill.argtypes = (
+                    [vp] * 6 + [i64] + [vp] * 3 + [i64, i64] + [vp] * 5
+                    + [f64, f64] + [vp] * 9 + [ctypes.c_int])
+                lib.hla_graph_extend.restype = i64
+                lib.hla_graph_extend.argtypes = (
+                    [vp] * 17 + [i64, i64, vp, i64, i64, i64, i64,
+                    ctypes.c_int, i64, i64] + [f64] * 6 + [i64, f64]
+                    + [vp] * 3 + [i64, vp, vp])
+            except AttributeError:
+                # stale previously-built .so missing a newer symbol:
+                # treat as unusable and fall back (next candidate or
+                # pure Python) instead of crashing available()
+                continue
             _LIB = lib
             break
     return _LIB

@@ -95,6 +95,35 @@ def test_rans_nx16_round_trip(rng):
         assert got == v
 
 
+def test_rans_nx16_golden_bitstream():
+    """Frozen compressed blobs must keep decoding: guards the on-disk
+    bitstream (CRAM files written with this codec today must stay
+    readable after any refactor)."""
+    from hla_la_tpu.io import rans_nx16 as nx
+
+    data = bytes(range(8)) * 40 + b"AAAAABBBCC" * 13
+    golden_o0 = bytes.fromhex(
+        "8083420b000102030405060741424381611032547688989900aa00855b8558"
+        "855885588359816c816c816cbb5002003dc4932d4866c45f382a85626bc2d9"
+        "23fc37c468ef20b423d246d06a3fd1aa93f60789e97942488490460af9e471"
+        "b0d5f50696a9fa601f14e5654e5b25dc0aeca61dc21ecc2f38ae2f9f138df2"
+        "cbcaeff70c917c673d")
+    golden_o1 = bytes.fromhex(
+        "c583423b0241420402040204020402040204020402040204020402040204020"
+        "40282740b0001020304050607414243813ac137430004103254767c88989fa0"
+        "00aa0097363d3d3d3d3d3d81743d3d82313dce99240029fc9e0750bc25007b6"
+        "c4e001630f46dfa09958d182de0030200e0070200e00b0200e00f0200e00302"
+        "00e0070200e00b0200e00f0200e0030200e0070200e00b0200e00f0200e0030"
+        "200e0070200e00b0200e00f0200e0030200e0070200e00b0200e00f0200e003"
+        "0200e0070200e00b0200e00f0200e0030200e0070200e00b0200e00f0200e00"
+        "30200e0070200e00b0200e04f4400")
+    assert nx.uncompress(golden_o0) == data
+    assert nx.uncompress(golden_o1) == data
+    # and today's encoder still emits exactly these bytes
+    assert nx.compress(data, order=0) == golden_o0
+    assert nx.compress(data, order=1, n32=True, use_rle=True) == golden_o1
+
+
 def test_rans_nx16_fuzz_no_crash(rng):
     """Corrupt rANSNx16 blobs must raise cleanly (no crash, no unbounded
     allocation): bit flips and truncations over an order-1 block."""

@@ -459,7 +459,8 @@ def action_validate(args) -> int:
     report = validate_cohort(pkg, samples, args.trueHLA, out_dir,
                              backend=args.backend,
                              resolution=args.resolution,
-                             n_hosts=args.nHosts, host_idx=args.hostIdx)
+                             n_hosts=args.nHosts, host_idx=args.hostIdx,
+                             ref=args.ref)
     print(f"cohort accuracy: {report.total_accuracy * 100:.2f}% over "
           f"{report.n_samples} samples "
           f"({len(report.discordant)} discordant calls)")

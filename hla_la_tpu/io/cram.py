@@ -673,10 +673,10 @@ class CramReader:
         pass  # fully buffered
 
     # -------------------------------------------------------- reference
-    def _ref_bases(self, ref_id: int, start0: int, end0: int,
-                   embedded: bytes | None) -> bytes:
-        if embedded is not None:
-            return embedded[:end0 - start0]
+    def _ref_bases(self, ref_id: int, start0: int, end0: int) -> bytes:
+        # (embedded references are sliced by _reconstruct itself — they are
+        # slice-local, not contig-global, so this function must not see
+        # them)
         if self.reference is None:
             raise ValueError(
                 "CRAM slice requires the reference genome — pass --ref "
@@ -889,11 +889,19 @@ class CramReader:
                             a["flag"] |= BAM_FMUNMAP
                         a["mate_ref_id"] = b["ref_id"]
                         a["mate_pos"] = b["pos"]
-                    # TLEN: signed leftmost-start to rightmost-end span
-                    left, right = (r, m) if r["pos"] <= m["pos"] else (m, r)
-                    span = (right["pos"] + _ref_len(right)) - left["pos"]
-                    left["tlen"] = span
-                    right["tlen"] = -span
+                    # TLEN: signed leftmost-start to rightmost-end span;
+                    # 0 when the mates map to different reference
+                    # sequences (BAM convention — a cross-contig "span"
+                    # would mix coordinate systems)
+                    if r["ref_id"] != m["ref_id"]:
+                        r["tlen"] = m["tlen"] = 0
+                    else:
+                        left, right = ((r, m) if r["pos"] <= m["pos"]
+                                       else (m, r))
+                        span = (right["pos"] + _ref_len(right)) \
+                            - left["pos"]
+                        left["tlen"] = span
+                        right["tlen"] = -span
             elif r["cf"] & CF_DETACHED and r["mate"] is not None:
                 mf, ns, np_, ts = r["mate"]
                 r["flag"] |= BAM_FPAIRED
@@ -943,8 +951,12 @@ class CramReader:
             if embedded_ref is not None:
                 ref = embedded_ref[pos0 - (sh.start - 1):]
             else:
-                ref = self._ref_bases(rid, pos0, pos0 + max(ref_span, 0),
-                                      None)
+                ref = self._ref_bases(rid, pos0, pos0 + max(ref_span, 0))
+            if ref is not None and len(ref) < max(ref_span, 0):
+                # alignment overhangs the contig end: htslib pads the
+                # reference with N — a short slice must NOT shrink the
+                # bytearray slice-assignments below (silent base shifts)
+                ref = bytes(ref) + b"N" * (max(ref_span, 0) - len(ref))
         rp = 0   # read pos (0-based)
         ref_off = 0
         for fc, fpos, val in sorted(features, key=lambda f: f[1]):

@@ -234,18 +234,12 @@ class AssemblyTyper:
                 return None
             if sa == sb:
                 continue
-            W = abs(len(sa) - len(sb)) + 32
-            reads = np.full((1, len(sa)), 4, dtype=np.uint8)
-            reads[0, :] = _ENC[np.frombuffer(sa.encode(), np.uint8)]
-            lens = np.asarray([len(sa)], dtype=np.int64)
-            refs = np.full((1, len(sa) + W), 4, dtype=np.uint8)
-            rb = _ENC[np.frombuffer(sb.encode(), np.uint8)]
-            refs[0, W // 2:W // 2 + len(sb)] = rb[:len(sa) + W - W // 2]
-            scores, _, _, _ = banded_nw_forward(reads, lens, refs,
-                                                EDIT_SCORING)
-            if scores[0] <= -1e29:
-                return None
-            total += -scores[0]
+            # TRUE global unit-cost edit distance (Text::LevenshteinXS
+            # semantics) — the glocal banded NW used elsewhere in this
+            # module skips leading/trailing reference bases for free,
+            # which would under-report the distance when one allele's
+            # exon is a substring of the other's
+            total += _levenshtein(sa.encode(), sb.encode())
         return int(round(total))
 
     def _exon_distances(self, alleles: dict[str, str], contig_seq: str,
@@ -354,3 +348,24 @@ class AssemblyTyper:
                              f"{hit.contig_start}\t{hit.contig_stop}\t"
                              f"{'-' if hit.reverse else '+'}\t"
                              f"{hap}\t{hpos}\t{chrom}\t{rpos}\n")
+
+
+def _levenshtein(a: bytes, b: bytes) -> int:
+    """Exact unit-cost edit distance, numpy row DP.  The serial insertion
+    recurrence cur[j] = min(base[j], cur[j-1] + 1) is a min-plus prefix
+    scan, done exactly with the integer drift trick."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    m = len(b)
+    bb = np.frombuffer(b, np.uint8)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = ar.copy()
+    for i, ca in enumerate(a):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i + 1
+        np.minimum(prev[:-1] + (bb != ca), prev[1:] + 1, out=cur[1:])
+        cur = np.minimum.accumulate(cur - ar) + ar
+        prev = cur
+    return int(prev[-1])

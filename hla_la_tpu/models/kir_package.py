@@ -169,23 +169,33 @@ def _build_gene_graph(graph_dir: str, aligned_haplotypes, gene_annotations):
             for n in names]
     n_cols = len(rows[0])
     # column names: gene segments carved where ANY haplotype has the gene
+    # (deterministic: annotations visited in sorted order — column
+    # ownership must not depend on dict iteration order)
     gene_cols = np.zeros(n_cols, dtype=object)
     gene_cols[:] = ""
-    for name, spans in gene_annotations.items():
-        for gene, a, b in spans:
+    for name in sorted(gene_annotations):
+        for gene, a, b in sorted(gene_annotations[name]):
             for j in range(a, b):
                 if not gene_cols[j]:
                     gene_cols[j] = gene
     segs: list[tuple[str, int, int]] = []
     j = 0
     seg_idx = 0
+    # a gene whose columns are interrupted (overlapping annotations) gets
+    # one segment PER RUN with distinct exon ordinals — duplicate
+    # "exon_2" keys would silently shadow all but the last run in
+    # _discover_genes-style consumers
+    gene_runs: dict[str, int] = {}
     while j < n_cols:
         g = gene_cols[j]
         j2 = j
         while j2 < n_cols and gene_cols[j2] == g:
             j2 += 1
         if g:
-            segs.append((f"{seg_idx}_gene_{g}_{seg_idx}_exon_2.txt", j, j2))
+            run = gene_runs.get(g, 0)
+            gene_runs[g] = run + 1
+            segs.append((f"{seg_idx}_gene_{g}_{seg_idx}_exon_{2 + run}.txt",
+                         j, j2))
         else:
             segs.append((f"{seg_idx}_nongene_{seg_idx}.txt", j, j2))
         seg_idx += 1
@@ -201,9 +211,17 @@ def _build_gene_graph(graph_dir: str, aligned_haplotypes, gene_annotations):
         seg_rows = {}
         parts = fn.split("_")
         if parts[1] == "gene":
-            # allele rows named <gene>*<nn>:01 per haplotype
+            gene = parts[2]
+            # allele rows named <gene>*<nn>:01 — only for haplotypes whose
+            # annotation says they CARRY this gene over this span; KIR
+            # presence/absence variation means other haplotypes' gap/N
+            # columns here encode gene absence, not a phantom allele
             for hi, n in enumerate(names):
-                allele = f"{parts[2]}*{hi + 1:02d}:01"
+                carries = any(g2 == gene and a2 < b and b2 > a
+                              for g2, a2, b2 in gene_annotations.get(n, []))
+                if not carries:
+                    continue
+                allele = f"{gene}*{hi + 1:02d}:01"
                 seg_rows[allele] = list(rows[hi][a:b])
         for hi, n in enumerate(names):
             seg_rows.setdefault(n, list(rows[hi][a:b]))

@@ -34,8 +34,12 @@ class LocusStats:
 
 @dataclass
 class CohortReport:
+    # resolution (nomenclature fields) for calibration, per-allele stats
+    # and discordance detection; the summary still reports every
+    # RESOLUTIONS column (--resolution from the CLI)
+    primary_resolution: int = 2
     per_locus: dict[str, LocusStats] = field(default_factory=dict)
-    # calibration: bucket -> [(q, correct?)], at 4digit resolution
+    # calibration: bucket -> [(q, correct?)], at primary resolution
     calibration: list[tuple[float, bool]] = field(default_factory=list)
     # (locus, allele) -> {"correct": n, "incorrect": n}, both directions
     called_stats: dict[tuple[str, str], dict[str, int]] = \
@@ -76,11 +80,13 @@ class CohortReport:
                            + allele_list_compatible(c2, t1, res))
                 n_corr = max(straight, crossed)
                 st.correct[res_name] = st.correct.get(res_name, 0) + n_corr
-            # calibration + per-allele stats at 4-digit, best assignment
-            straight = (allele_list_compatible(c1, t1, 2),
-                        allele_list_compatible(c2, t2, 2))
-            crossed = (allele_list_compatible(c1, t2, 2),
-                       allele_list_compatible(c2, t1, 2))
+            # calibration + per-allele stats at the primary resolution,
+            # best assignment
+            pr = self.primary_resolution
+            straight = (allele_list_compatible(c1, t1, pr),
+                        allele_list_compatible(c2, t2, pr))
+            crossed = (allele_list_compatible(c1, t2, pr),
+                       allele_list_compatible(c2, t1, pr))
             pairing = (list(zip((c1, c2), (t1, t2), straight))
                        if sum(straight) >= sum(crossed)
                        else list(zip((c1, c2), (t2, t1), crossed)))
@@ -257,37 +263,48 @@ def pileup_error_analysis(pkg: GraphPackage, sample_out: str, locus: str,
 def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
                     truth_path: str, out_dir: str, backend: str = "numpy",
                     resolution: int = 2, use_g: bool = True,
-                    n_hosts: int = 1, host_idx: int = 0) -> CohortReport:
+                    n_hosts: int = 1, host_idx: int = 0,
+                    ref: str | None = None) -> CohortReport:
     """n_hosts/host_idx: deterministic sample-sheet sharding for multi-host
     cohort runs (the reference's per-sample job arrays,
     Perl/applyToAllBAMs.pl + makefile_cluster3): host i processes samples
-    i, i+n, i+2n, ...; each host writes its own report files."""
-    from .io.bam import bam_to_fastq_pairs, extract_reads
+    i, i+n, i+2n, ...; each host writes its own report files.
+    `ref`: reference FASTA for CRAM sample sheets (decode reference)."""
+    from .io.bam import bam_to_fastq_pairs, extract_reads, is_cram
     from .models.pipeline import run_hla_typing
 
     if n_hosts > 1:
         samples = samples[host_idx::n_hosts]
         log_progress(f"host {host_idx}/{n_hosts}: {len(samples)} samples")
     truth_all = read_truth_file(truth_path)
-    report = CohortReport()
+    report = CohortReport(primary_resolution=resolution)
     os.makedirs(out_dir, exist_ok=True)
+    cram_ref = None
     for sample_id, bam in samples:
         if sample_id not in truth_all:
             log_progress(f"{sample_id}: no truth, skipping")
             continue
         log_progress(f"validating {sample_id} <- {bam}")
-        by_name, _contigs = extract_reads(bam, None)
+        if is_cram(bam) and cram_ref is None and ref:
+            from .io.fasta import read_fasta
+            cram_ref = read_fasta(ref)     # shared across the cohort
+        by_name, _contigs = extract_reads(bam, None,
+                                          cram_reference=cram_ref)
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         sample_out = os.path.join(out_dir, sample_id)
-        run_hla_typing(pkg, pairs=pairs, unpaired=[],
+        # the sample's full read set, exactly like the production CLI
+        # path (cli.py action_hla) — dropping unpaired reads here would
+        # validate a different pipeline than the one shipped
+        run_hla_typing(pkg, pairs=pairs, unpaired=unpaired,
                        output_dir=sample_out, backend=backend)
-        bg = os.path.join(sample_out, "hla",
-                          "R1_bestguess_G.txt" if use_g
-                          else "R1_bestguess.txt")
-        if use_g and (not os.path.exists(bg)
-                      or len(open(bg).read().splitlines()) <= 1):
-            bg = os.path.join(sample_out, "hla", "R1_bestguess.txt")
-        inferred = read_bestguess_with_q(bg)
+        # G calls where available, with a PER-LOCUS fall-back to the raw
+        # calls (the G writer skips loci with no G-group table; those
+        # must not score as no-calls)
+        inferred = read_bestguess_with_q(
+            os.path.join(sample_out, "hla", "R1_bestguess.txt"))
+        g_path = os.path.join(sample_out, "hla", "R1_bestguess_G.txt")
+        if use_g and os.path.exists(g_path):
+            inferred.update(read_bestguess_with_q(g_path))
         report.add_sample(sample_id, inferred, truth_all[sample_id])
 
     suffix = f"_host{host_idx}" if n_hosts > 1 else ""

@@ -290,9 +290,14 @@ class BamWriter:
 
 
 # ------------------------------------------------------------- conveniences
+# full IUPAC complement (BAM SEQ nibbles decode to '=ACMGRSVTWYHKDBN');
+# unknown characters pass through unchanged
+_COMP_TABLE = bytes.maketrans(b"ACGTUacgtuRYSWKMBVDHryswkmbvdh",
+                              b"TGCAAtgcaaYRSWMKVBHDyrswmkvbhd")
+
+
 def revcomp(s: str) -> str:
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-    return "".join(comp.get(c, "N") for c in reversed(s))
+    return s.encode().translate(_COMP_TABLE)[::-1].decode()
 
 
 def record_to_fastq(r: BamRecord):

@@ -63,10 +63,13 @@ def _collect_chains(query: str, ref_index: KmerIndex, k: int,
     return chains
 
 
-def _chain_dp(chains: list[_Chain]) -> list[_Chain]:
+def _chain_dp(chains: list[_Chain], q_len: int, r_len: int
+              ) -> list[_Chain]:
     """Pick a compatible (strictly increasing in query AND reference) chain
-    subset maximizing anchored score minus inter-chain gap penalties
-    (globalAlignment.pl:172-260 semantics)."""
+    subset maximizing anchored score minus inter-chain gap penalties,
+    with SYMMETRIC entry and exit gap costs
+    (globalAlignment.pl:172-260 semantics — without the exit term the
+    selection strands query/reference tails for free)."""
     chains = sorted(chains, key=lambda c: (c.r_first, c.q_first))
     n = len(chains)
     best = np.full(n, -np.inf)
@@ -77,19 +80,24 @@ def _chain_dp(chains: list[_Chain]) -> list[_Chain]:
         best[i] = anchor + S_GAP * (c.q_first + c.r_first)
         for j in range(i):
             p = chains[j]
-            if p.q_last < c.q_first and p.r_last < c.r_first:
-                dq = c.q_first - p.q_last - 1
-                dr = c.r_first - p.r_last - 1
+            # allow a small boundary overlap (adjacent chains share up to
+            # k-1 end-extension bases; the stitcher trims it) but require
+            # strictly increasing ends
+            oq = p.q_last - c.q_first + 1
+            orr = p.r_last - c.r_first + 1
+            if (oq < 24 and orr < 24 and p.q_last < c.q_last
+                    and p.r_last < c.r_last):
+                dq = max(c.q_first - p.q_last - 1, 0)
+                dr = max(c.r_first - p.r_last - 1, 0)
                 cand = best[j] + anchor + S_GAP * abs(dq - dr) \
                     + S_MISMATCH * min(dq, dr) * 0.5
                 if cand > best[i]:
                     best[i] = cand
                     prev[i] = j
-        # exit penalty handled when comparing ends below
     if n == 0:
         return []
-    # prefer chains covering more; add exit gap cost
-    exit_scores = best  # ends-free on exit handled by caller stitch
+    exit_scores = best + S_GAP * np.asarray(
+        [(q_len - 1 - c.q_last) + (r_len - 1 - c.r_last) for c in chains])
     i = int(np.argmax(exit_scores))
     out = []
     while i >= 0:
@@ -108,6 +116,12 @@ def _nw_pair(a: str, b: str) -> tuple[str, str]:
     if not b:
         return a, "-" * len(a)
     W = max(16, abs(len(a) - len(b)) + 16)
+    if len(a) * (W + 2) > 50_000_000:
+        # the banded DP is O(len(a) * W); wildly different lengths (e.g.
+        # the no-seed fallback of a short query vs a multi-Mb reference)
+        # would allocate a multi-GB pointer tensor — emit a full indel
+        # alignment instead
+        return a + "-" * len(b), "-" * len(a) + b
     # round band up to even to keep the kernel's center placement stable
     reads = np.full((1, len(a)), 4, dtype=np.uint8)
     reads[0] = _ENC[np.frombuffer(a.encode("latin-1", "replace"),
@@ -147,11 +161,19 @@ def _nw_pair(a: str, b: str) -> tuple[str, str]:
             else:
                 b_out.append("-")
     # b positions the banded path never visited (pads outside the band):
-    # emit as pure insertions in b at the appropriate end
-    missing_head = [i for i in range(len(b)) if i not in b_seen
-                    and (not b_seen or i < min(b_seen))]
-    missing_tail = [i for i in range(len(b)) if i not in b_seen
-                    and b_seen and i > max(b_seen)]
+    # emit as pure insertions in b at the appropriate end.  b_seen holds a
+    # contiguous-ish visited span; only positions before its min / after
+    # its max can be missing, so two range slices suffice (per-position
+    # min()/max() scans were O(len(b) * |b_seen|))
+    if b_seen:
+        b_lo, b_hi = min(b_seen), max(b_seen)
+        missing_head = [i for i in range(min(b_lo, len(b)))
+                        if i not in b_seen]
+        missing_tail = [i for i in range(b_hi + 1, len(b))
+                        if i not in b_seen]
+    else:
+        missing_head = list(range(len(b)))
+        missing_tail = []
     head_a = "-" * len(missing_head)
     head_b = "".join(b[i] for i in missing_head)
     tail_a = "-" * len(missing_tail)
@@ -167,7 +189,8 @@ def global_alignment(query: str, reference: str, k: int = 16
     ref_index = KmerIndex.build({"ref": reference}, k=k)
     best = None
     for strand, q in (("+", query), ("-", revcomp(query))):
-        chains = _chain_dp(_collect_chains(q, ref_index, k))
+        chains = _chain_dp(_collect_chains(q, ref_index, k),
+                           len(q), len(reference))
         if not chains:
             continue
         score_proxy = sum(c.n_kmers for c in chains)
@@ -177,22 +200,28 @@ def global_alignment(query: str, reference: str, k: int = 16
         # no seeds at all: full-length NW (unit scores)
         a_q, a_r = _nw_pair(query, reference)
         mism = sum(1 for x, y in zip(a_q, a_r)
-                   if x != "-" and y != "-" and x != y)
+                   if x != "-" and y != "-" and x.upper() != y.upper())
         return a_r, a_q, mism, (0, len(reference) - 1), "+"
     _, strand, q, chains = best
 
     ref_parts, q_parts = [], []
     last_q = last_r = -1
     for c in chains:
+        # trim any small boundary overlap with the previous chain (the
+        # chain DP tolerates up to k-1 shared end-extension bases)
+        t = max(last_q + 1 - c.q_first, last_r + 1 - c.r_first, 0)
+        q_first, r_first = c.q_first + t, c.r_first + t
+        if q_first > c.q_last or r_first > c.r_last:
+            continue
         # stitch the gap before this chain
-        q_seg = q[last_q + 1:c.q_first]
-        r_seg = reference[last_r + 1:c.r_first]
+        q_seg = q[last_q + 1:q_first]
+        r_seg = reference[last_r + 1:r_first]
         a_q, a_r = _nw_pair(q_seg, r_seg)
         q_parts.append(a_q)
         ref_parts.append(a_r)
         # the chain body: equal-length diagonal run (allow mismatches)
-        q_body = q[c.q_first:c.q_last + 1]
-        r_body = reference[c.r_first:c.r_last + 1]
+        q_body = q[q_first:c.q_last + 1]
+        r_body = reference[r_first:c.r_last + 1]
         if len(q_body) == len(r_body):
             q_parts.append(q_body)
             ref_parts.append(r_body)

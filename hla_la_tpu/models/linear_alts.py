@@ -180,7 +180,7 @@ class LinearALTsTyper:
             _, a2, p2 = self._read_ll_row(r2, len(r2.seq) * np.log(0.25))
             both = (p1 >= 0) & (p2 >= 0)
             if both.any():
-                d = np.abs(p2 - p1)[both]
+                d = _outer_span(p1, p2, len(r1.seq), len(r2.seq))[both]
                 dists.append(float(np.median(d)))
         if not dists:
             return 300.0, 75.0
@@ -212,7 +212,12 @@ class LinearALTsTyper:
             row1, a1, p1 = self._read_ll_row(r1, len(r1.seq) * np.log(0.25))
             row2, a2, p2 = self._read_ll_row(r2, len(r2.seq) * np.log(0.25))
             both = (p1 >= 0) & (p2 >= 0)
-            dist = np.abs(p2 - p1).astype(np.float64)
+            # outer fragment span (leftmost start -> rightmost end), the
+            # same metric as BAM TLEN — cli.py feeds a TLEN-derived
+            # insert_mean here; a start-to-start distance would sit one
+            # read length off the model for every concordant pair
+            dist = _outer_span(p1, p2, len(r1.seq),
+                               len(r2.seq)).astype(np.float64)
             ins = np.where(both, np.maximum(logpdf(dist), tail), tail)
             cols.append(row1 + row2 + ins)
             anchors.append(a1 if a1 is not None else a2)
@@ -251,3 +256,11 @@ class LinearALTsTyper:
                 if lo <= pos < hi:
                     out[g].append(r.name)
         return out
+
+
+def _outer_span(p1: np.ndarray, p2: np.ndarray, len1: int,
+                len2: int) -> np.ndarray:
+    """Fragment outer span per haplotype: leftmost mate start to rightmost
+    mate end — the |TLEN| metric (invalid anchors produce garbage values
+    that callers mask via `both`)."""
+    return (np.maximum(p1 + len1, p2 + len2) - np.minimum(p1, p2))

@@ -18,7 +18,8 @@ import numpy as np
 from ..io.fastq import FastqRead
 
 BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-_COMP_TABLE = bytes.maketrans(b"ACGTacgtN", b"TGCAtgcaN")
+_COMP_TABLE = bytes.maketrans(b"ACGTUacgtuNRYSWKMBVDHryswkmbvdh",
+                              b"TGCAAtgcaaNYRSWMKVBHDyrswmkvbhd")
 
 
 def revcomp(s: str) -> str:

@@ -21,12 +21,15 @@ def downsample_bam(in_path: str, out_path: str, fraction: float,
     Name-hash based so both mates survive together.  Returns (kept, total)."""
     rd = BamReader(in_path)
     w = BamWriter(out_path, rd.references, rd.header_text)
-    rng_salt = np.uint64(seed * 2654435761 + 1)
+    import zlib
+    rng_salt = (seed * 2654435761 + 1) & 0xFFFFFFFF
     kept = total = 0
     for rec in rd:
         total += 1
-        h = np.uint64(hash((rec.name, int(rng_salt))) & 0xFFFFFFFF)
-        if (int(h) % 10_000) / 10_000.0 < fraction:
+        # content-based hash: builtin hash() is salted per process
+        # (PYTHONHASHSEED), which would make the subsample irreproducible
+        h = zlib.crc32(rec.name.encode(), rng_salt)
+        if (h % 10_000) / 10_000.0 < fraction:
             w.write(rec)
             kept += 1
     w.close()
@@ -39,8 +42,10 @@ def reduce_bam_to_prg(in_path: str, pkg: GraphPackage, out_path: str,
     """Keep only reads overlapping the PRG's known regions (+ unmapped)
     (reduceBAM2PRG.pl).  Returns number of records written."""
     from .io.bam import extract_reads
-    rd = BamReader(in_path)
+    # header only: stream (native would inflate the whole file)
+    rd = BamReader(in_path, use_native=False)
     contigs = rd.contigs()
+    references, header_text = rd.references, rd.header_text
     rd.close()
     spec = pkg.match_known_reference(contigs, list(more_reference_dirs))
     regions = None
@@ -52,16 +57,19 @@ def reduce_bam_to_prg(in_path: str, pkg: GraphPackage, out_path: str,
             elif rec.get("PartialExtraction_Start"):
                 regions.append((cid, int(rec["PartialExtraction_Start"]) - 1,
                                 int(rec["PartialExtraction_Stop"])))
+    else:
+        import sys
+        print(f"WARNING: {in_path}: BAM reference not in knownReferences — "
+              "keeping ALL reads (nothing to reduce against)",
+              file=sys.stderr, flush=True)
     by_name, _ = extract_reads(in_path, regions, with_tags=True)
-    rd = BamReader(in_path)
-    w = BamWriter(out_path, rd.references, rd.header_text)
+    w = BamWriter(out_path, references, header_text)
     n = 0
     for recs in by_name.values():
         for r in recs:
             w.write(r)
             n += 1
     w.close()
-    rd.close()
     return n
 
 
@@ -127,10 +135,16 @@ def truth_to_vcf(reference_row: str, hap1: str, hap2: str, contig: str,
             run_a2 = hap2[i:j].replace("_", "")
             pos = ref_before + 1       # 1-based start of run in ref coords
             if not run_ref or not run_a1 or not run_a2:
-                # indel: left-anchor with N (no access to flanking base here)
+                # indel: left-anchor with N (no access to flanking base
+                # here).  The anchor stands for the reference base BEFORE
+                # the event, so the record position moves to that base
+                # (pos = ref_before); at the very start of the contig the
+                # unanchored pos = 1 is kept (right-anchored edge case)
                 run_ref = "N" + run_ref
                 run_a1 = "N" + run_a1
                 run_a2 = "N" + run_a2
+                if ref_before >= 1:
+                    pos = ref_before
             alts: list[str] = []
             gt = []
             for a in (run_a1, run_a2):
@@ -286,7 +300,23 @@ def rename_bam_contigs(in_path: str, out_path: str,
     rd = BamReader(in_path)
     refs = [(mapping.get(name, name), length)
             for name, length in rd.references]
-    w = BamWriter(out_path, refs)
+    # keep the text header (@RG/@PG/@CO, sort order), renaming @SQ SN:
+    # fields to stay consistent with the renamed binary references
+    header = rd.header_text
+    if header:
+        out_lines = []
+        for line in header.splitlines():
+            if line.startswith("@SQ"):
+                fields = line.split("\t")
+                for fi, f in enumerate(fields):
+                    if f.startswith("SN:"):
+                        fields[fi] = "SN:" + mapping.get(f[3:], f[3:])
+                line = "\t".join(fields)
+            out_lines.append(line)
+        header = "\n".join(out_lines)
+        if rd.header_text.endswith("\n"):
+            header += "\n"
+    w = BamWriter(out_path, refs, header)
     n = 0
     for rec in rd:
         w.write(rec)

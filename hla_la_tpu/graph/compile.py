@@ -69,6 +69,24 @@ class CompiledPRG:
         where W = lv_hi - lv_lo counts *edge levels* (transitions lv -> lv+1).
         """
         W = lv_hi - lv_lo
+        # padding must COVER the window — silent truncation would make a
+        # DP kernel built on these tables unable to traverse the dropped
+        # nodes/edges (a wrong answer with no error)
+        max_z = int(np.max(np.diff(self.level_offsets[lv_lo:lv_hi + 2])))
+        if max_z > z_pad:
+            raise ValueError(f"window_tables: z_pad {z_pad} < widest level "
+                             f"{max_z} in [{lv_lo}, {lv_hi}]")
+        max_deg = 0
+        n0, n1 = int(self.level_offsets[lv_lo]), \
+            int(self.level_offsets[min(lv_hi + 1, len(self.level_offsets)
+                                       - 1)])
+        if n1 > n0:
+            max_deg = max(
+                int(np.max(np.diff(self.out_offsets[n0:n1 + 1]))),
+                int(np.max(np.diff(self.in_offsets[n0:n1 + 1]))))
+        if max_deg > deg_pad:
+            raise ValueError(f"window_tables: deg_pad {deg_pad} < max "
+                             f"degree {max_deg} in [{lv_lo}, {lv_hi}]")
         succ_z = np.full((W, z_pad, deg_pad), -1, dtype=np.int32)
         succ_em = np.zeros((W, z_pad, deg_pad), dtype=np.uint8)
         pred_z = np.full((W, z_pad, deg_pad), -1, dtype=np.int32)

@@ -304,7 +304,7 @@ class PRG:
                 code_char = "|"
             allele = decode.get((locus, ord(code_char[0])), code_char[0])
             assert len(allele) == 1, f"non-unit emission {allele!r}"
-            label = f[6] if len(f) > 6 else ""
+            label = f[6].replace(_SLASH, "|") if len(f) > 6 else ""
             pgf = (f[7] not in ("0", "")) if len(f) > 6 else False
             recs.append((idx2node[int(f[4])], idx2node[int(f[5])],
                          ord(allele), locus, label, pgf))
@@ -381,6 +381,11 @@ class PRG:
             if cc == "|":
                 cc = _SLASH
             label = self.edge_label[e] if self.edge_label else ""
+            # '|' is the field separator: escape it like the CODE section
+            # does (a label literally containing 'SLASH' is ambiguous —
+            # the same limitation the reference format has)
+            if "|" in label:
+                label = label.replace("|", _SLASH)
             pgf = int(self.edge_pgf_protect[e]) if self.edge_pgf_protect is not None else 0
             lines.append(f"{e + 1}{_SEP}{locus}{_SEP}1{_SEP}{cc}{_SEP}"
                          f"{self.edge_from[e] + 1}{_SEP}{self.edge_to[e] + 1}"

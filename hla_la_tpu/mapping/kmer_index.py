@@ -41,11 +41,13 @@ def encode_kmers(seq_bytes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]
     return out, ~bad
 
 
+_COMP_BYTES = np.full(256, ord("N"), dtype=np.uint8)
+for _a, _b in zip(b"ACGTacgt", b"TGCATGCA"):
+    _COMP_BYTES[_a] = _b
+
+
 def revcomp_bytes(seq_bytes: np.ndarray) -> np.ndarray:
-    comp = np.full(256, ord("N"), dtype=np.uint8)
-    for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
-        comp[a] = b
-    return comp[seq_bytes][::-1]
+    return _COMP_BYTES[seq_bytes][::-1]
 
 
 @dataclass
@@ -109,7 +111,11 @@ class KmerIndex:
     def save(self, path: str) -> None:
         """Persist to npz (the `ref_is_indexed` on-disk index cache role,
         BWAmapper.cpp:53-65)."""
-        np.savez(path, k=self.k, names="\x00".join(self.seq_names),
+        # names as a unicode ARRAY: numpy strips trailing NULs from a
+        # joined scalar string, so empty/trailing-empty names (and the
+        # zero-sequence case) would corrupt the round-trip
+        np.savez(path, k=self.k,
+                 names_arr=np.asarray(self.seq_names, dtype="U"),
                  seq_offsets=self.seq_offsets,
                  sorted_codes=self.sorted_codes, sorted_pos=self.sorted_pos,
                  max_occurrences=self.max_occurrences)
@@ -117,7 +123,11 @@ class KmerIndex:
     @classmethod
     def load(cls, path: str) -> "KmerIndex":
         with np.load(path) as z:
-            return cls(k=int(z["k"]), seq_names=str(z["names"]).split("\x00"),
+            if "names_arr" in z.files:
+                names = [str(x) for x in z["names_arr"]]
+            else:   # legacy caches (joined-scalar format)
+                names = str(z["names"]).split("\x00")
+            return cls(k=int(z["k"]), seq_names=names,
                        seq_offsets=z["seq_offsets"],
                        sorted_codes=z["sorted_codes"],
                        sorted_pos=z["sorted_pos"],

@@ -179,6 +179,12 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
 
     from .. import native
     if native.available():
+        # NOTE the scoring constants/formulas appear three times (here, the
+        # vectorised fallback below, and score_alignment) and must stay in
+        # sync; they CANNOT be unified into one table helper because the
+        # fallback paths take logs in float32 while this path is float64 —
+        # changing either's rounding breaks the byte-stable output
+        # snapshot (tests/test_output_snapshot.py)
         p_err = 0.075 if long_read_mode else 0.001
         log_mm = math.log(1.0 - 2 * p_err)
         table = phred_to_p_correct_table(conservative_cap=0.999, floor=1e-5)

@@ -418,6 +418,49 @@ def alignment_weighted_ok_fraction(al: GraphAlignment) -> float:
     return out
 
 
+def weighted_ok_fractions_batch(chains: list[GraphAlignment]) -> np.ndarray:
+    """Vectorised alignment_weighted_ok_fraction over many chains: ONE
+    concatenated pass + per-chain bincount sums (a Python loop over tens of
+    thousands of chains costs ~1s at WGS scale).  Fills each chain's _wok
+    cache so later scalar calls are hits.  Summation runs per chain in
+    column order — last-ulp rounding may differ from the scalar np.sum
+    (pairwise) path, which never observes the same chain twice because of
+    the cache."""
+    out = np.empty(len(chains), dtype=np.float64)
+    todo = []
+    for i, c in enumerate(chains):
+        w = getattr(c, "_wok", None)
+        if w is None:
+            todo.append(i)
+        else:
+            out[i] = w
+    if not todo:
+        return out
+    table = phred_to_p_correct_table(conservative_cap=None, floor=None)
+    seq_c = np.concatenate([chains[i].seq_c for i in todo])
+    graph_c = np.concatenate([chains[i].graph_c for i in todo])
+    qual = np.concatenate([chains[i].seq_qual for i in todo])
+    lens = np.asarray([chains[i].n_columns for i in todo], dtype=np.int64)
+    cid = np.repeat(np.arange(len(todo)), lens)
+    nt = len(todo)
+    seq_base = seq_c != GAP
+    graph_gap = graph_c == GAP
+    considered = np.bincount(cid, weights=seq_base.astype(np.float64),
+                             minlength=nt)
+    ins = (seq_base & graph_gap).astype(np.float64)
+    mism = seq_base & (~graph_gap) & (seq_c != graph_c)
+    wm = np.where(mism, np.maximum(table[qual], 0.0), 0.0)
+    weighted = (np.bincount(cid, weights=ins, minlength=nt)
+                + np.bincount(cid, weights=wm, minlength=nt))
+    vals = np.where(considered > 0,
+                    1.0 - weighted / np.maximum(considered, 1.0), 0.0)
+    for k, i in enumerate(todo):
+        v = float(vals[k])
+        chains[i]._wok = v
+        out[i] = v
+    return out
+
+
 def strands_valid(a1: GraphAlignment, a2: GraphAlignment) -> bool:
     """alignerBase::alignedReadPair_strandsValid (alignerBase.cpp:213-244)."""
     if a1.first_level() == -1 or a2.first_level() == -1:

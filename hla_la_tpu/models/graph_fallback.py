@@ -67,8 +67,6 @@ def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray,
     for i in range(lv_hi - lv_lo, -1, -1):
         path[i] = node
         node = parents[i][node]
-        if node is None and i > 0:
-            return None
     return path
 
 
@@ -91,6 +89,11 @@ class GraphRealigner:
         blk = lv // self._BLOCK
         key = (hap_idx, blk)
         if key not in self._paths:
+            if len(self._paths) >= 256:
+                # bound the cache (~560KB/entry): fallback reads scattered
+                # over many (haplotype, block) pairs on a multi-M-level
+                # graph would otherwise retain GBs for the aligner's life
+                self._paths.clear()
             lv_lo = max(0, blk * self._BLOCK - self._MARGIN)
             lv_hi = min(self.cprg.n_levels - 1,
                         (blk + 1) * self._BLOCK + self._MARGIN)

@@ -37,7 +37,8 @@ from ..utils.timing import log_progress
 from .aligner import AlignedPair
 from .alignment import (GraphAlignment, alignment_fraction_ok,
                         alignment_weighted_ok_fraction,
-                        pair_distance_graph_levels, strands_valid)
+                        pair_distance_graph_levels, strands_valid,
+                        weighted_ok_fractions_batch)
 
 GAP = ord("_")
 _BASE_CH = {"A": 0, "C": 1, "G": 2, "T": 3}
@@ -287,6 +288,9 @@ class HLATyper:
                                        insert_sd, output_dir, cfg)
 
         self._setup_pair_ranges(aligned_pairs, aligned_unpaired)
+        self._pair_quality = (self._compute_pair_quality(
+            aligned_pairs, insert_mean, insert_sd, cfg)
+            if aligned_pairs else None)
 
         results: list[LocusResult] = []
         hist_path = os.path.join(output_dir, "histogram_matchesPerRead.txt")
@@ -313,11 +317,36 @@ class HLATyper:
                     results.append(r)
 
         self._pair_ranges = None     # only valid for this read set
+        self._pair_quality = None
         self._write_bestguess(results, output_dir, cfg)
         with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
             fh.write(f"Loci = {','.join(self.loci)}\n")
             fh.write("veryConservativeReadLikelihoods = 1\n")
         return results
+
+    def _compute_pair_quality(self, aligned_pairs, insert_mean, insert_sd,
+                              cfg: TyperConfig):
+        """Per-pair quality predicate + weightedOK fractions, computed ONCE
+        for the whole run (HLATyper.cpp:1403-1430 applies the identical
+        locus-independent checks inside every locus loop).  Needed for the
+        full read set because every OK pair writes read/readPair histogram
+        lines for every locus, whether or not it overlaps the locus's
+        exons.  Returns (ok [N] bool, w1 [N], w2 [N])."""
+        n = len(aligned_pairs)
+        ok = np.zeros(n, dtype=bool)
+        if n == 0:
+            return ok, np.zeros(0), np.zeros(0)
+        w1 = weighted_ok_fractions_batch([ap.chain1 for ap in aligned_pairs])
+        w2 = weighted_ok_fractions_batch([ap.chain2 for ap in aligned_pairs])
+        thr = cfg.min_both_reads_weighted_ok
+        rng = cfg.insert_size_sd_range * insert_sd
+        for i, ap in enumerate(aligned_pairs):
+            ok[i] = (strands_valid(ap.chain1, ap.chain2)
+                     and abs(pair_distance_graph_levels(ap.chain1, ap.chain2)
+                             - insert_mean) <= rng
+                     and ap.chain1.mapq >= cfg.minimum_mapping_quality
+                     and w1[i] >= thr and w2[i] >= thr)
+        return ok, w1, w2
 
     def _setup_pair_ranges(self, aligned_pairs, aligned_unpaired):
         """Per-chain level ranges, computed once: loci only visit overlapping
@@ -362,6 +391,27 @@ class HLATyper:
         # ship only the alignments overlapping each chunk's gene ranges —
         # at WGS scale most reads are outside any given locus, and the IPC
         # of the full alignment set dominates otherwise
+        # spill the k-mer count index to disk and ship the PATH: its sorted
+        # code arrays cover every input read (hundreds of MB at WGS scale)
+        # and would otherwise be pickled into each worker's args
+        kc_arg = kmer_counts
+        kc_path = None
+        if kmer_counts is not None and len(kmer_counts.codes):
+            import tempfile
+            fd, kc_path = tempfile.mkstemp(suffix=".npz",
+                                           prefix="hla_kmercounts_")
+            os.close(fd)
+            with open(kc_path, "wb") as fh:
+                np.savez(fh, codes=kmer_counts.codes,
+                         counts=kmer_counts.counts, k=kmer_counts.k)
+            kc_arg = kc_path
+        # full-set histogram fractions: every OK pair's lines must appear
+        # for every locus, but workers only receive gene-range subsets
+        hist_w = (np.zeros(0), np.zeros(0))
+        if getattr(self, "_pair_quality", None) is not None:
+            ok_a, w1_a, w2_a = self._pair_quality
+            oki = np.nonzero(ok_a)[0]
+            hist_w = (w1_a[oki], w2_a[oki])
         args = []
         for chunk in chunks:
             sel = self._subset_for_loci(chunk, raw_pairs, aligned_pairs,
@@ -374,7 +424,7 @@ class HLATyper:
             args.append((self.pkg.dir, self.backend, self.cfg, self.g_path,
                          chunk, packed, raw1, raw2, rawu, sub_unal,
                          insert_mean, insert_sd, output_dir, cfg,
-                         long_reads, kmer_counts))
+                         long_reads, kc_arg, hist_w))
         try:
             if worker_pool is not None:
                 chunk_results = worker_pool.pool.map(_typing_worker, args)
@@ -384,6 +434,12 @@ class HLATyper:
                     chunk_results = pool.map(_typing_worker, args)
         except Exception:  # noqa: BLE001 — fall back to serial typing
             return None
+        finally:
+            if kc_path is not None:
+                try:
+                    os.unlink(kc_path)
+                except OSError:
+                    pass
         out = {}
         for res in chunk_results:
             for locus, r, hist_text in res:
@@ -459,7 +515,11 @@ class HLATyper:
             return cached
         seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
         n_cols = al.n_columns
-        cols_nongap = int(((seq_c != GAP) | (graph_c != GAP)).sum())
+        # the reference's expression is the typo
+        # `(seq != "_") || (seq != "_")` (HLATyper.cpp:3235, 3610), which
+        # reduces to seq-non-gap alone — reproduced verbatim so the pileup
+        # "alignmentLength" field matches reference output byte-for-byte
+        cols_nongap = int((seq_c != GAP).sum())
 
         # running novel gap lengths, both directions (HLATyper.cpp:3237-3290)
         reset = (seq_c != GAP) & (graph_c != GAP)
@@ -637,37 +697,49 @@ class HLATyper:
         J = len(levels)
 
         # ---- pileups per read (pair mates merged; reference 1386-1500)
+        # quality predicate + weightedOK fractions are locus-independent —
+        # computed once per run (type_all / the typing worker)
+        pq = getattr(self, "_pair_quality", None)
+        if pq is None and aligned_pairs:
+            pq = self._compute_pair_quality(aligned_pairs, insert_mean,
+                                            insert_sd, cfg)
         reads_obs: list[list[ExonObs]] = []
         if getattr(self, "_pair_ranges", None) is not None and raw_pairs:
             f1, l1, f2, l2, _, _ = self._pair_ranges
             n = len(aligned_pairs)
             ov = (((f1[:n] <= lv_max) & (l1[:n] >= lv_min) & (f1[:n] >= 0))
                   | ((f2[:n] <= lv_max) & (l2[:n] >= lv_min) & (f2[:n] >= 0)))
-            pair_iter = [(raw_pairs[i], aligned_pairs[i])
-                         for i in np.nonzero(ov)[0]]
         else:
-            pair_iter = list(zip(raw_pairs, aligned_pairs))
-        for (r1, r2), ap in pair_iter:
-            o1 = self._alignment_to_obs(ap.chain1, r1, ap.chain2, r2,
-                                        lv_min, lv_max, level_to_pos)
-            o2 = self._alignment_to_obs(ap.chain2, r2, ap.chain1, r1,
-                                        lv_min, lv_max, level_to_pos)
-            ok = (strands_valid(ap.chain1, ap.chain2)
-                  and abs(pair_distance_graph_levels(ap.chain1, ap.chain2)
-                          - insert_mean) <= cfg.insert_size_sd_range * insert_sd
-                  and ap.chain1.mapq >= cfg.minimum_mapping_quality
-                  and alignment_weighted_ok_fraction(ap.chain1)
-                  >= cfg.min_both_reads_weighted_ok
-                  and alignment_weighted_ok_fraction(ap.chain2)
-                  >= cfg.min_both_reads_weighted_ok)
-            if ok:
+            ov = np.ones(len(aligned_pairs), dtype=bool)
+        # every quality-OK pair writes its histogram lines for this locus —
+        # the reference emits them OUTSIDE the has-exon-positions check
+        # (HLATyper.cpp:1426-1430), so pairs with no overlap with this
+        # locus's exons still appear.  In the per-locus worker fan-out the
+        # full-set fractions arrive via _hist_override (workers only hold
+        # the gene-range read subset).
+        hist = getattr(self, "_hist_override", None)
+        if hist is None and pq is not None:
+            ok_a, w1_a, w2_a = pq
+            oki = np.nonzero(ok_a)[0]
+            hist = (w1_a[oki], w2_a[oki])
+        if hist is not None:
+            parts = []
+            for w1, w2 in zip(hist[0].tolist(), hist[1].tolist()):
+                parts.append(f"{locus}\tread{w1}\n{locus}\tread{w2}\n"
+                             f"{locus}\treadPair{(w1 + w2) / 2}\n")
+            hist_fh.write("".join(parts))
+        if aligned_pairs:
+            ok_a, _w1_a, _w2_a = pq
+            for i in np.nonzero(ov & ok_a)[0]:
+                r1, r2 = raw_pairs[i]
+                ap = aligned_pairs[i]
+                o1 = self._alignment_to_obs(ap.chain1, r1, ap.chain2, r2,
+                                            lv_min, lv_max, level_to_pos)
+                o2 = self._alignment_to_obs(ap.chain2, r2, ap.chain1, r1,
+                                            lv_min, lv_max, level_to_pos)
                 merged = self._remove_double_positions(o1 + o2)
                 if merged:
                     reads_obs.append(merged)
-                    w1 = alignment_weighted_ok_fraction(ap.chain1)
-                    w2 = alignment_weighted_ok_fraction(ap.chain2)
-                    hist_fh.write(f"{locus}\tread{w1}\n{locus}\tread{w2}\n")
-                    hist_fh.write(f"{locus}\treadPair{(w1 + w2) / 2}\n")
         if getattr(self, "_pair_ranges", None) is not None and raw_unpaired:
             _, _, _, _, uf, ul = self._pair_ranges
             n = len(aligned_unpaired)
@@ -1403,10 +1475,23 @@ def _typing_worker_init():
     os.environ["HLA_LA_IN_WORKER"] = "1"
 
 
+_KC_CACHE: dict[str, "KmerCountIndex"] = {}
+
+
+def _load_spilled_kmer_counts(path: str) -> "KmerCountIndex":
+    kc = _KC_CACHE.get(path)
+    if kc is None:
+        with np.load(path) as z:
+            kc = KmerCountIndex(z["codes"], z["counts"], int(z["k"]))
+        _KC_CACHE.clear()
+        _KC_CACHE[path] = kc
+    return kc
+
+
 def _typing_worker(args):
     (pkg_dir, backend, base_cfg, g_path, loci, packed, raw1, raw2, rawu,
      aligned_unpaired, insert_mean, insert_sd, output_dir, cfg, long_reads,
-     kmer_counts) = args
+     kmer_counts, hist_w) = args
     import io
 
     from ..graph.package import GraphPackage
@@ -1416,6 +1501,10 @@ def _typing_worker(args):
     # reuse the worker's already-loaded package when running inside the
     # alignment worker pool (avoids a multi-GB package reload per worker at
     # real-PRG scale)
+    if isinstance(kmer_counts, str):
+        # spilled index: load once per worker process (see the spill in
+        # _type_loci_parallel)
+        kmer_counts = _load_spilled_kmer_counts(kmer_counts)
     pkg = None
     try:
         from . import parallel_host as ph
@@ -1432,6 +1521,10 @@ def _typing_worker(args):
     raw_pairs = [(FastqRead(*a), FastqRead(*b)) for a, b in zip(raw1, raw2)]
     raw_unpaired = [FastqRead(*a) for a in rawu]
     typer._setup_pair_ranges(aligned_pairs, aligned_unpaired)
+    typer._pair_quality = (typer._compute_pair_quality(
+        aligned_pairs, insert_mean, insert_sd, cfg)
+        if aligned_pairs else None)
+    typer._hist_override = hist_w   # full-set fractions for the histogram
     out = []
     for locus in loci:
         log_progress(f"HLATypeInference: locus {locus}")

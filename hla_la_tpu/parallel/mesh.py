@@ -37,7 +37,7 @@ def make_mesh(n_data: int, n_model: int = 1, devices=None):
 
 
 def sharded_typing_step(mesh):
-    """Returns jitted fn(onehot [C, K], contrib [R, K], mismatch [R, K])
+    """Returns jitted fn(onehot [C, K], contrib [R, K])
     -> (pair_LL [C, C], marginal [C]) with C sharded over "model" and R over
     "data"; psum over "data" completes the pair reduction."""
     import jax
@@ -65,11 +65,16 @@ def sharded_typing_step(mesh):
                         + jnp.float32(LOG_HALF)).sum(axis=2)  # [C/m, C]
         pair = jax.lax.psum(pair_partial, "data")
         # REAL pair-posterior marginal (HLATyper.cpp:2409-2538): softmax
-        # over the full [C, C] pair matrix, marginal per local cluster =
-        # its row + column mass (diagonal counted once)
+        # over the UNORDERED pairs (upper triangle incl. diagonal — the
+        # full symmetric matrix would count every heterozygous pair twice
+        # in the normaliser, inflating het-pair posteriors), marginal per
+        # cluster = mass of every pair containing it (diagonal once)
         pair_full = jax.lax.all_gather(pair, "model", axis=0,
                                        tiled=True)            # [C, C]
-        post = jnp.exp(pair_full - pair_full.max())
+        c_full = pair_full.shape[0]
+        triu = (jnp.arange(c_full)[:, None]
+                <= jnp.arange(c_full)[None, :])
+        post = jnp.where(triu, jnp.exp(pair_full - pair_full.max()), 0.0)
         post = post / post.sum()
         marg_full = (post.sum(axis=1) + post.sum(axis=0)
                      - jnp.diag(post))                        # [C]

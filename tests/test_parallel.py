@@ -26,10 +26,16 @@ def test_sharded_typing_matches_numpy(rng):
     L = onehot @ contrib.T
     want = pair_ll_reduction_numpy(L.astype(np.float64))
     np.testing.assert_allclose(np.asarray(pair), want, rtol=1e-4, atol=1e-3)
-    # the REAL pair-posterior marginal (row+col mass, diagonal once)
-    post = np.exp(want - want.max())
-    post /= post.sum()
-    marg_ref = post.sum(axis=1) + post.sum(axis=0) - np.diag(post)
+    # the REAL pair-posterior marginal — the HOST formula (typer.py:
+    # triu softmax over unordered pairs; the full symmetric matrix would
+    # double-count heterozygous pairs in the normaliser)
+    iu = np.triu_indices(C)
+    P = np.exp(want[iu] - want[iu].max())
+    P /= P.sum()
+    marg_ref = np.zeros(C)
+    np.add.at(marg_ref, iu[0], P)
+    sec = iu[1] != iu[0]
+    np.add.at(marg_ref, iu[1][sec], P[sec])
     np.testing.assert_allclose(np.asarray(marg), marg_ref, atol=1e-4)
 
 

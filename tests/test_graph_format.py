@@ -82,3 +82,16 @@ EDGES:
     g = PRG.from_text(text)
     assert g.n_edges == 1
     assert g.edge_label[0] == ""
+
+
+def test_edge_label_pipe_round_trip():
+    """Edge labels containing the field separator must survive
+    to_text -> from_text (escaped like the CODE section)."""
+    from hla_la_tpu.graph.prg import PRG, prg_from_haplotypes
+
+    g = prg_from_haplotypes(["ACG", "ATG"])
+    g.edge_label = [f"lab|{e}" for e in range(g.n_edges)]
+    text = g.to_text()
+    g2 = PRG.from_text(text)
+    assert g2.n_edges == g.n_edges
+    assert sorted(g2.edge_label) == sorted(g.edge_label)

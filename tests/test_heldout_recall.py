@@ -110,3 +110,18 @@ def test_heldout_typing_calls(heldout_world):
         assert got == want, f"{locus}: called {got}, truth {want}"
         assert by_locus[locus].q1_allele1 > 0.9
         assert by_locus[locus].q1_allele2 > 0.9
+
+
+def test_kmer_index_empty_name_round_trip(tmp_path):
+    """Index save/load with empty or trailing-empty sequence names (numpy
+    strips trailing NULs from joined scalar strings — stored as an array
+    now)."""
+    from hla_la_tpu.mapping.kmer_index import KmerIndex
+
+    idx = KmerIndex.build({"a": "ACGTACGTACGTACGTACGTACGT",
+                           "": "TTTTACGTACGTACGTACGTTTTT"}, k=20)
+    p = str(tmp_path / "i.npz")
+    idx.save(p)
+    idx2 = KmerIndex.load(p)
+    assert idx2.seq_names == idx.seq_names
+    assert len(idx2.seq_offsets) == len(idx.seq_offsets)

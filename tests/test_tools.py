@@ -223,3 +223,78 @@ def test_compare_tool_calls(tmp_path):
     stats2 = compare_tool_calls(str(bg), str(other), str(truth),
                                 str(tmp_path / "cmp2.txt"))
     assert stats2["ours"]["4digit"] == 1.0
+
+
+def test_truth_to_vcf_indel_anchoring(tmp_path):
+    """Anchored indels sit on the reference base BEFORE the event:
+    applying the records must reproduce the haplotype (the old pos+1
+    placement shifted every indel one base right)."""
+    ref = "ACGT_ACGTAC"
+    h2 = "ACGTTACGTAC"   # T inserted between ref pos 4 and 5
+    out = str(tmp_path / "t.vcf")
+    truth_to_vcf(ref, h2, h2, "chr6", out)
+    recs = [l.split("\t") for l in open(out) if not l.startswith("#")]
+    assert len(recs) == 1
+    pos, vref, valt = int(recs[0][1]), recs[0][3], recs[0][4]
+    assert pos == 4 and vref == "N" and valt == "NT"
+    # apply: replace the anchor (= ref base at `pos`) + consumed ref bases
+    plain = ref.replace("_", "")
+    applied = (plain[:pos - 1] + valt.replace("N", plain[pos - 1])
+               + plain[pos - 1 + len(vref):])
+    assert applied == h2.replace("_", "")
+
+    # deletion: ref ACG -> A_G deletes C; anchor on the A at pos 1
+    out2 = str(tmp_path / "d.vcf")
+    truth_to_vcf("ACG", "A_G", "A_G", "chr6", out2)
+    recs = [l.split("\t") for l in open(out2) if not l.startswith("#")]
+    pos, vref, valt = int(recs[0][1]), recs[0][3], recs[0][4]
+    plain = "ACG"
+    applied = (plain[:pos - 1] + valt.replace("N", plain[pos - 1])
+               + plain[pos - 1 + len(vref):])
+    assert applied == "AG", (pos, vref, valt)
+
+
+def test_downsample_reproducible_across_processes(tmp_path):
+    """The kept set must be a pure function of (names, seed) — builtin
+    hash() is salted per process (PYTHONHASHSEED) and broke this."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "a.bam")
+    w = BamWriter(src, [("c", 1000)])
+    for i in range(50):
+        w.write(_mk(f"r{i}", "ACGT", pos=i))
+    w.close()
+    names = []
+    for run in range(2):
+        out = str(tmp_path / f"o{run}.bam")
+        code = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from hla_la_tpu.tools import downsample_bam\n"
+            f"downsample_bam({src!r}, {out!r}, 0.5, seed=7)\n")
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       env={**os.environ, "PYTHONHASHSEED": "random"})
+        names.append([r.name for r in BamReader(out)])
+    assert names[0] == names[1]
+    assert 5 < len(names[0]) < 45
+
+
+def test_rename_bam_contigs_keeps_header(tmp_path):
+    """@RG/@PG survive a contig rename and @SQ SN: fields are renamed."""
+    from hla_la_tpu.io.bam import BamReader, BamWriter
+    from hla_la_tpu.tools import rename_bam_contigs
+
+    src = str(tmp_path / "a.bam")
+    hdr = ("@HD\tVN:1.6\tSO:coordinate\n"
+           "@SQ\tSN:6\tLN:1000\n"
+           "@RG\tID:rg1\tSM:S1\n")
+    w = BamWriter(src, [("6", 1000)], hdr)
+    w.write(_mk("r1", "ACGT", pos=1))
+    w.close()
+    dst = str(tmp_path / "b.bam")
+    rename_bam_contigs(src, dst, {"6": "chr6"})
+    rd = BamReader(dst)
+    assert "@RG\tID:rg1\tSM:S1" in rd.header_text
+    assert "SO:coordinate" in rd.header_text
+    assert "SN:chr6" in rd.header_text and "SN:6" not in rd.header_text
+    assert rd.references == [("chr6", 1000)]

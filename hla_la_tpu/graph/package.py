@@ -215,7 +215,7 @@ class GraphPackage:
                         prg_id=int(f[idx["SequenceID"]]),
                         name=f[idx["Name"]],
                         fasta_id=f[idx["FASTAID"]],
-                        chrom=f[idx.get("Chr", idx["FASTAID"])] if "Chr" in idx else "",
+                        chrom=f[idx["Chr"]] if "Chr" in idx else "",
                         start_1based=int(f[idx["Start_1based"]] or 0) if "Start_1based" in idx else 0,
                         stop_1based=int(f[idx["Stop_1based"]] or 0) if "Stop_1based" in idx else 0,
                     ))

@@ -687,7 +687,10 @@ class CramReader:
             seq = self.reference(name, start0, end0)
         else:
             seq = self.reference[name][start0:end0]
-        return seq.encode() if isinstance(seq, str) else seq
+        # the spec normalises references to uppercase before use — the
+        # writer compares case-insensitively, so raw soft-masked
+        # (lowercase) bases here would reconstruct wrong reads
+        return (seq.encode() if isinstance(seq, str) else bytes(seq)).upper()
 
     # -------------------------------------------------------- iteration
     def __iter__(self):
@@ -949,7 +952,7 @@ class CramReader:
         ref_span = rl + extra - softclip - ins
         if ch.ref_required or embedded_ref is not None:
             if embedded_ref is not None:
-                ref = embedded_ref[pos0 - (sh.start - 1):]
+                ref = bytes(embedded_ref[pos0 - (sh.start - 1):]).upper()
             else:
                 ref = self._ref_bases(rid, pos0, pos0 + max(ref_span, 0))
             if ref is not None and len(ref) < max(ref_span, 0):

@@ -163,7 +163,11 @@ def write_cram(path: str, contigs: list[tuple[str, int]],
 
 def _write_data_container(records, contigs, reference, counter, method,
                           embed_reference) -> bytes:
-    ref_ids = {r.ref_id for r in records if not (r.flag & BAM_FUNMAP)}
+    # unmapped records contribute ref_id -1: a chunk mixing one mapped
+    # contig with unmapped reads MUST be multiref (with per-record RI),
+    # else the decoder assigns the slice ref to the unmapped records
+    ref_ids = {(-1 if (r.flag & BAM_FUNMAP) else r.ref_id)
+               for r in records}
     multiref = len(ref_ids) != 1
     slice_ref = -2 if multiref else next(iter(ref_ids)) if ref_ids else -1
     mapped = [r for r in records if not (r.flag & BAM_FUNMAP)]
@@ -179,12 +183,26 @@ def _write_data_container(records, contigs, reference, counter, method,
     cf_values = []
     mq_values = []
 
-    # plan mate attachment: adjacent records sharing a name
+    # plan mate attachment: adjacent records sharing a name AND forming a
+    # real primary mate pair (both FPAIRED, complementary READ1/READ2,
+    # neither secondary/supplementary) — name adjacency alone would
+    # attach supplementary alignments and corrupt mate fields on decode
+    def _attachable(a, b):
+        aux = 0x100 | 0x800   # secondary | supplementary
+        if (a.flag | b.flag) & aux:
+            return False
+        if not ((a.flag & BAM_FPAIRED) and (b.flag & BAM_FPAIRED)):
+            return False
+        r1a, r2a = a.flag & 0x40, a.flag & 0x80
+        r1b, r2b = b.flag & 0x40, b.flag & 0x80
+        return bool((r1a and r2b) or (r2a and r1b))
+
     nf = {}
     i = 0
     while i < len(records):
         j = i + 1
-        if j < len(records) and records[j].name == records[i].name:
+        if (j < len(records) and records[j].name == records[i].name
+                and _attachable(records[i], records[j])):
             nf[i] = j - i - 1
             i = j + 1
         else:
@@ -210,7 +228,10 @@ def _write_data_container(records, contigs, reference, counter, method,
         st.put_itf8("RG", -1)
         st.put_stop_array("RN", r.name.encode())
         if cf & CF_DETACHED:
-            mf = 0
+            # MF carries the mate's strand/unmapped state — a conformant
+            # consumer derives the mate flags from MF, not from BF
+            mf = ((1 if r.flag & 0x20 else 0)      # FMREVERSE
+                  | (2 if r.flag & 0x8 else 0))    # FMUNMAP
             st.put_itf8("MF", mf)
             st.put_itf8("NS", r.mate_ref_id)
             st.put_itf8("NP", r.mate_pos + 1)

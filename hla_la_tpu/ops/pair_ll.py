@@ -87,6 +87,10 @@ def pair_ll_reduction_numpy(L: np.ndarray, chunk: int = 256) -> np.ndarray:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def make_pair_ll_jax(C: int, R: int, chunk: int = 512):
     """jit-compiled pair reduction: lax.scan over read chunks of the shared
     [C, R] likelihood matrix.  Decomposition used on TPU:

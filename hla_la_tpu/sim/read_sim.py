@@ -135,15 +135,30 @@ class ReadSimulator:
 
     # ------------------------------------------------------------- one read
     def _sequence_read(self, source: str, source_levels: np.ndarray,
-                       start: int) -> tuple[str, str, np.ndarray] | None:
+                       start: int, require_indel: bool = False
+                       ) -> tuple[str, str, np.ndarray] | None:
         """Emit read_length bases starting at `start` in the gap-free source.
         Returns (seq, qual, levels) in plus orientation, or None if the
-        source is exhausted."""
+        source is exhausted.  require_indel=True conditions on >= 1 indel
+        (rejection sampling): the vectorised pair path pre-flags reads
+        with P(>=1 indel) and re-simulating unconditionally would square
+        that probability (~10x too few indel reads at default rates)."""
+        for _ in range(1000 if require_indel else 1):
+            res = self._sequence_read_once(source, source_levels, start)
+            if res is None:
+                return None
+            if not require_indel or res[3] > 0:
+                return res[:3]
+        return res[:3]
+
+    def _sequence_read_once(self, source: str, source_levels: np.ndarray,
+                            start: int):
         L = self.read_length
         seq = []
         qual = []
         levels = []
         pos = start
+        n_indels = 0
         rng = self.rng
         while len(seq) < L:
             if pos >= len(source):
@@ -151,12 +166,14 @@ class ReadSimulator:
             if self.with_error and rng.random() < self.deletion_rate:
                 skip = max(1, int(rng.geometric(0.5)))
                 pos += skip
+                n_indels += 1
                 continue
             if self.with_error and rng.random() < self.insertion_rate:
                 seq.append(chr(BASES[rng.integers(0, 4)]))
                 q = self._draw_quality(len(seq) - 1)
                 qual.append(chr(q))
                 levels.append(-1)
+                n_indels += 1
                 continue
             q = self._draw_quality(len(seq))
             base = source[pos]
@@ -167,7 +184,8 @@ class ReadSimulator:
             qual.append(chr(q))
             levels.append(int(source_levels[pos]))
             pos += 1
-        return "".join(seq), "".join(qual), np.asarray(levels, dtype=np.int64)
+        return ("".join(seq), "".join(qual),
+                np.asarray(levels, dtype=np.int64), n_indels)
 
     def _draw_quality(self, pos_in_read: int) -> int:
         p = self.profile
@@ -249,7 +267,8 @@ class ReadSimulator:
         for i in range(n):
             name = f"{name_prefix}{self.name_sep}{i}"
             if has_indel[i, 0]:
-                r = self._sequence_read(source, source_levels, int(starts[i]))
+                r = self._sequence_read(source, source_levels,
+                                        int(starts[i]), require_indel=True)
                 if r is None:
                     continue
                 f_seq, f_qual, f_lv = r
@@ -259,7 +278,8 @@ class ReadSimulator:
                 f_lv = fwd_l[i]
             if has_indel[i, 1]:
                 r = self._sequence_read(source, source_levels,
-                                        int(rev_starts[i]))
+                                        int(rev_starts[i]),
+                                        require_indel=True)
                 if r is None:
                     continue
                 rv_seq, rv_qual, rv_lv = r

@@ -377,3 +377,46 @@ def test_cram_fuzz_no_crash(tmp_path, world, rng):
         for _ in range(int(rng.integers(1, 8))):
             b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
         try_parse(bytes(b))
+
+
+def test_cram_unmapped_with_single_contig(tmp_path, rng):
+    """Unmapped records chunked with mapped records on exactly ONE contig
+    must keep ref_id=-1 (forces a multiref slice with per-record RI) and
+    supplementary records must not be mate-attached."""
+    ref = {"c1": "".join(rng.choice(list("ACGT"), 2000))}
+    recs = [
+        BamRecord(name="m1", flag=0, ref_id=0, pos=100, mapq=60,
+                  cigar=[(50, 0)], seq=ref["c1"][100:150], qual="I" * 50),
+        BamRecord(name="u1", flag=FLAG_UNMAPPED, ref_id=-1, pos=-1, mapq=0,
+                  cigar=[], seq="ACGTACGTAC", qual="IIIIIIIIII"),
+        # primary + supplementary with the same name: NOT a mate pair
+        BamRecord(name="s1", flag=0, ref_id=0, pos=300, mapq=60,
+                  cigar=[(40, 0)], seq=ref["c1"][300:340], qual="I" * 40),
+        BamRecord(name="s1", flag=0x800, ref_id=0, pos=700, mapq=60,
+                  cigar=[(40, 0)], seq=ref["c1"][700:740], qual="I" * 40),
+    ]
+    path = str(tmp_path / "u.cram")
+    write_cram(path, [("c1", 2000)], recs, ref)
+    got = list(CramReader(path, reference=ref))
+    assert got[1].ref_id == -1 and (got[1].flag & FLAG_UNMAPPED)
+    for orig, dec in zip(recs, got):
+        assert dec.seq == orig.seq
+        assert not (dec.flag & FLAG_PAIRED)      # no phantom pairing
+    assert got[3].flag & 0x800
+
+
+def test_cram_softmasked_reference(tmp_path, rng):
+    """Reads written against a soft-masked (lowercase) reference decode to
+    the correct uppercase bases (spec: references are normalised)."""
+    up = "".join(rng.choice(list("ACGT"), 500))
+    ref_lower = {"c1": up.lower()}
+    seq = up[50:110]
+    s = list(seq)
+    s[10] = "ACGT"[("ACGT".index(s[10]) + 1) % 4]   # one real mismatch
+    seq = "".join(s)
+    recs = [BamRecord(name="r", flag=0, ref_id=0, pos=50, mapq=60,
+                      cigar=[(60, 0)], seq=seq, qual="I" * 60)]
+    path = str(tmp_path / "sm.cram")
+    write_cram(path, [("c1", 500)], recs, ref_lower)
+    got = list(CramReader(path, reference=ref_lower))
+    assert got[0].seq == seq

@@ -206,6 +206,7 @@ def action_hla(args) -> int:
         if args.longReads:
             unpaired += [r for p in pairs for r in p]
             pairs = []
+            unpaired = _split_long_reads(unpaired)
     else:
         if args.FASTQ1 and args.FASTQ2:
             from .models.pipeline import pair_up_fastq
@@ -213,6 +214,10 @@ def action_hla(args) -> int:
         if args.FASTQU:
             unpaired = list(read_fastq(args.FASTQU))
         if args.longReads:
+            # long-read mode is unpaired: flatten any paired input too
+            # (mirrors the BAM path; >50kb reads split per HLA-LA.pl:503)
+            unpaired += [r for p in pairs for r in p]
+            pairs = []
             unpaired = _split_long_reads(unpaired)
     if not pairs and not unpaired:
         raise SystemExit("no input reads (--BAM or --FASTQ1/--FASTQ2/--FASTQU)")
@@ -358,7 +363,10 @@ def action_kir(args) -> int:
         pairs, unpaired = bam_to_fastq_pairs(by_name)
         reads = [r for p in pairs for r in p] + unpaired
     elif args.FASTQ1 and args.FASTQ2:
-        pairs = list(zip(read_fastq(args.FASTQ1), read_fastq(args.FASTQ2)))
+        # name-keyed pairing (positional zip silently mispairs/truncates
+        # when one mate was dropped by upstream QC)
+        from .models.pipeline import pair_up_fastq
+        pairs = pair_up_fastq(args.FASTQ1, args.FASTQ2)
         reads = [r for p in pairs for r in p]
     elif args.FASTQU:
         reads = list(read_fastq(args.FASTQU))
@@ -832,17 +840,25 @@ def action_test_alignments2chains(args) -> int:
     pairs = []
     for h in (1, 2):
         seq, levels = sim.linearized(h)
-        pairs += rs.simulate_pairs_from_string(seq, levels, 6.0)
+        # distinct prefixes: identical default names would collide in
+        # by_name and pair chains with the wrong haplotype's reads
+        pairs += rs.simulate_pairs_from_string(seq, levels, 6.0,
+                                               name_prefix=f"a2c{h}")
     aligner = ReadAligner(pkg)
     fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
     out = aligner.align_pairs(fq, 280, 25)
     n_checked = 0
     by_name = {r1.name: (r1, r2) for (r1, r2) in fq}
+    from .sim.read_sim import revcomp
     for ap in out:
         r1, r2 = by_name[ap.read_id]
         for chain, read in ((ap.chain1, r1), (ap.chain2, r2)):
             lv = chain.levels[chain.levels >= 0]
             assert (np.diff(lv) >= 0).all(), "levels must be nondecreasing"
+            # the chain must be concordant with its read sequence
+            # (checkChainConcordanceWithSequence, HLA-LA.cpp:1622-1732)
+            oriented = revcomp(read.seq) if chain.reverse else read.seq
+            chain.check_concordance(oriented)
             n_checked += 1
     print(f"testAlignments2Chains: {n_checked} chains checked, "
           f"{len(out)}/{len(pairs)} pairs aligned — OK")
@@ -871,9 +887,9 @@ def action_test_chain_extension(args) -> int:
     realigner = GraphRealigner(pkg.compiled(), aligner.hap_seqs,
                                aligner.hap_levels)
     n_ext = 0
-    for ap, (r1, r2) in zip(out, fq):
-        if ap is None:
-            continue
+    by_name = {r1.name: (r1, r2) for (r1, r2) in fq}
+    for ap in out:   # align_pairs returns a FILTERED list: map by name
+        r1, r2 = by_name[ap.read_id]
         chain = ap.chain1
         hap_idx = (aligner.prg_ids.index(chain.seq_idx)
                    if chain.seq_idx in aligner.prg_ids else -1)

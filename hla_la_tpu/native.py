@@ -362,11 +362,17 @@ def gather_windows(enc_cat: np.ndarray, hap_offsets: np.ndarray,
         return None
     nb = len(job_seq)
     out = np.empty((nb, w), dtype=np.uint8)
-    a64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)
     ec = np.ascontiguousarray(enc_cat, dtype=np.uint8)
+    # converted arrays MUST be bound to locals for the duration of the
+    # call: c_void_p does not keep the numpy temporary alive, so
+    # c(ascontiguousarray(x)) would hand the C code a freed pointer
+    # whenever the conversion copies
+    ho = np.ascontiguousarray(hap_offsets, dtype=np.int64)
+    hl = np.ascontiguousarray(hap_lens, dtype=np.int64)
+    js = np.ascontiguousarray(job_seq, dtype=np.int64)
+    ws = np.ascontiguousarray(win_start, dtype=np.int64)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-    lib.hla_gather_windows(c(ec), c(a64(hap_offsets)), c(a64(hap_lens)),
-                           c(a64(job_seq)), c(a64(win_start)), nb, w,
+    lib.hla_gather_windows(c(ec), c(ho), c(hl), c(js), c(ws), nb, w,
                            c(out), default_threads())
     return out
 

@@ -162,7 +162,6 @@ def simulate_prg_package(rng: np.random.Generator,
     # (typable truth), the rest are extra mutated alleles
     gene_alleles: dict[str, dict[str, str]] = {}
     segments: list[tuple[str, list[str], dict[str, list[str]]]] = []
-    allele_rows_per_gene: dict[str, dict[str, str]] = {}
     for locus, exon_list in gene_exon_cols.items():
         alleles: dict[str, str] = {}
         for ai in range(n_gene_alleles):
@@ -183,10 +182,9 @@ def simulate_prg_package(rng: np.random.Generator,
                     else f"{locus}*{ai + 1:02d}:01")
             alleles[name] = combined
         gene_alleles[locus] = alleles
-        allele_rows_per_gene[locus] = alleles
 
     for name, lo, hi in seg_bounds:
-        cols = column_names[lo:hi] if False else [column_names[i] for i in range(lo, hi)]
+        cols = column_names[lo:hi]
         parts = name[:-4].split("_")
         if parts[1] == "gene" and "exon" in name:
             locus = parts[2]
@@ -196,7 +194,7 @@ def simulate_prg_package(rng: np.random.Generator,
             rows_out: dict[str, list[str]] = {}
             for fn, a, b in exon_list:
                 if fn == name:
-                    for allele, combined in allele_rows_per_gene[locus].items():
+                    for allele, combined in gene_alleles[locus].items():
                         rows_out[allele] = list(combined[offset:offset + (b - a)])
                     break
                 offset += b - a

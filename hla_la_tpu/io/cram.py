@@ -143,13 +143,21 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         if method == M_RANSNx16:
             from . import rans_nx16
             return rans_nx16.uncompress(data, raw_size)
+        if method == M_ARITH:
+            from . import arith
+            return arith.uncompress(data, raw_size)
+        if method == M_FQZ:
+            from . import fqzcomp
+            return fqzcomp.uncompress(data, raw_size)
+        if method == M_TOK3:
+            from . import tok3
+            return tok3.uncompress(data, raw_size)
     except NotImplementedError:
         raise
     except Exception as e:  # noqa: BLE001 — corrupt payloads raise cleanly
         raise ValueError(f"corrupt CRAM block (method {method}: {e})") from e
     raise NotImplementedError(
-        f"CRAM block compression method {method} not supported "
-        "(arith/fqzcomp/tok3 are CRAM 3.1 codecs)")
+        f"CRAM block compression method {method} not supported")
 
 
 @dataclass
@@ -189,6 +197,15 @@ def write_block(method: int, ctype: int, content_id: int,
     elif method == M_RANSNx16:
         from . import rans_nx16
         data = rans_nx16.compress(raw, order=0)
+    elif method == M_ARITH:
+        from . import arith
+        data = arith.compress(raw, order=0)
+    elif method == M_FQZ:
+        from . import fqzcomp
+        data = fqzcomp.compress(raw)
+    elif method == M_TOK3:
+        from . import tok3
+        data = tok3.compress(raw)
     elif method == M_RAW:
         data = raw
     else:

@@ -132,10 +132,14 @@ class _Streams:
 def write_cram(path: str, contigs: list[tuple[str, int]],
                records: list[BamRecord], reference: dict[str, str],
                per_slice: int = 1000, method: int = M_GZIP,
-               embed_reference: bool = False) -> None:
+               embed_reference: bool = False,
+               qual_method: int | None = None,
+               name_method: int | None = None) -> None:
     """records must be grouped so that mates are adjacent (name equality);
     mapped records' seq must match the reference except via M/I/D/S/N cigar
-    walking (standard BAM semantics)."""
+    walking (standard BAM semantics).  `qual_method` / `name_method`
+    override the block codec for the quality (QS) and read-name (RN)
+    streams — the CRAM 3.1 codecs fqzcomp and tok3 are stream-specific."""
     out = bytearray()
     out += CRAM_MAGIC + bytes([3, 0]) + b"hla_la_tpu_cram_____"
     # ---- file header container
@@ -150,7 +154,8 @@ def write_cram(path: str, contigs: list[tuple[str, int]],
     for s0 in range(0, len(records), per_slice):
         chunk = records[s0:s0 + per_slice]
         out += _write_data_container(chunk, contigs, reference, counter,
-                                     method, embed_reference)
+                                     method, embed_reference,
+                                     qual_method, name_method)
         counter += len(chunk)
     # ---- EOF container (spec magic values)
     eof_blk = write_block(M_RAW, CT_COMPRESSION_HEADER, 0, b"")
@@ -162,7 +167,8 @@ def write_cram(path: str, contigs: list[tuple[str, int]],
 
 
 def _write_data_container(records, contigs, reference, counter, method,
-                          embed_reference) -> bytes:
+                          embed_reference, qual_method=None,
+                          name_method=None) -> bytes:
     # unmapped records contribute ref_id -1: a chunk mixing one mapped
     # contig with unmapped reads MUST be multiref (with per-record RI),
     # else the decoder assigns the slice ref to the unmapped records
@@ -375,7 +381,13 @@ def _write_data_container(records, contigs, reference, counter, method,
             ext_blocks += embedded_block
             continue
         data = bytes(st.ext[cid])
-        m = method if len(data) > 16 else M_RAW
+        m = method
+        if qual_method is not None and cid == IDS["QS"]:
+            m = qual_method
+        elif name_method is not None and cid == IDS["RN"]:
+            m = name_method
+        if len(data) <= 16:
+            m = M_RAW
         ext_blocks += write_block(m, CT_EXTERNAL, cid, data)
 
     blocks = ch_block + sh_block + core_block + ext_blocks

@@ -1,0 +1,258 @@
+"""CRAM 3.1 codec tests: adaptive arithmetic (method 6), fqzcomp quality
+codec (method 7) and the tok3 name tokeniser (method 8) — round-trips over
+every transform/flag combination, corrupt-stream hardening, and CRAM files
+whose blocks use the new codecs decoding through the production reader
+(HLA-LA.pl:221-229 accepts CRAM input; these codecs complete the 3.1 set
+next to rANSNx16)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from hla_la_tpu.io import arith, fqzcomp, tok3
+from hla_la_tpu.io.bam import BamRecord, FLAG_PAIRED, FLAG_READ1, \
+    FLAG_READ2, FLAG_REVERSE, FLAG_UNMAPPED
+from hla_la_tpu.io.cram import CramReader
+from hla_la_tpu.io.cram_write import write_cram
+from hla_la_tpu.io.cram import M_ARITH, M_FQZ, M_TOK3
+
+
+# ------------------------------------------------------------------ arith
+def test_arith_round_trip(rng):
+    """Every ORDER/PACK/RLE/EXT/STRIPE combination must round-trip."""
+    cases = [b"", b"A", b"hello world " * 50,
+             bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+             bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+             (b"A" * 300 + b"B" * 5 + b"C") * 20,
+             bytes(rng.choice([65, 66, 67, 68], p=[.7, .2, .05, .05],
+                              size=20000).astype(np.uint8))]
+    for data in cases:
+        for order, pack, rle, ext, stripe in itertools.product(
+                (0, 1), (False, True), (False, True), (False, True),
+                (0, 4)):
+            blob = arith.compress(data, order=order, use_pack=pack,
+                                  use_rle=rle, ext=ext, stripe=stripe)
+            assert arith.uncompress(blob) == data
+        blob = arith.compress(data, order=1, nosz=True)
+        assert arith.uncompress(blob, len(data)) == data
+
+
+def test_arith_compression_beats_raw(rng):
+    """Adaptive order-0 coding must approach the source entropy."""
+    data = bytes(rng.choice([65, 66, 67, 68], p=[.7, .2, .05, .05],
+                            size=20000).astype(np.uint8))
+    blob = arith.compress(data, order=0, use_pack=False)
+    # entropy of (.7,.2,.05,.05) = 1.26 bits/sym -> ~3160 bytes
+    assert len(blob) < 3500, len(blob)
+
+
+def test_arith_range_coder_carry(rng):
+    """Long runs of one symbol drive the carry/pending-0xFF path."""
+    for n in (10, 1000, 65537):
+        data = b"\xff" * n
+        assert arith.uncompress(arith.compress(data, use_pack=False,
+                                               use_rle=False)) == data
+
+
+def test_arith_fuzz_no_crash(rng):
+    """Corrupt arith blobs must raise cleanly (no crash, no huge alloc)."""
+    base = arith.compress(bytes(rng.integers(0, 50, 3000,
+                                             dtype=np.uint8)), order=1)
+    for trial in range(300):
+        blob = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        try:
+            out = arith.uncompress(bytes(blob))
+            assert len(out) <= (1 << 28)
+        except (ValueError, IndexError, OverflowError):
+            pass
+    for n in range(1, 24):   # truncations
+        try:
+            arith.uncompress(base[:n])
+        except (ValueError, IndexError):
+            pass
+
+
+# ------------------------------------------------------------------- tok3
+def test_tok3_round_trip(rng):
+    names = [f"M01234:56:000000000-A1B2C:1:{lane}:{x}:{y}".encode()
+             for lane in (1101, 1102)
+             for x, y in zip(rng.integers(1000, 30000, 100),
+                             rng.integers(1000, 30000, 100))]
+    cases = [b"\n".join(names) + b"\n",
+             b"\0".join(names) + b"\0",
+             b"\n".join(names),
+             b"read1\nread1\nread1\n",
+             b"\n", b"",
+             b"a\nab\nabc1\nabc2\nabc0003\nabc10000000000000009\n",
+             b"x007\nx008\nx9\nx10\n",
+             "ünïcode:123\nünïcode:124\n".encode()]
+    for use_arith in (False, True):
+        for data in cases:
+            blob = tok3.compress(data, use_arith=use_arith)
+            assert tok3.uncompress(blob) == data
+
+
+def test_tok3_beats_gzip_on_sequential_names():
+    import gzip
+    names = [f"M01234:56:A1B2C:1:1101:{10000 + i}:{20000 + i * 3}".encode()
+             for i in range(1000)]
+    data = b"\n".join(names) + b"\n"
+    blob = tok3.compress(data)
+    assert tok3.uncompress(blob) == data
+    assert len(blob) < len(gzip.compress(data)) / 3
+
+
+def test_tok3_fuzz_no_crash(rng):
+    names = [f"r{i}:{int(v)}".encode()
+             for i, v in enumerate(rng.integers(0, 9999, 200))]
+    base = tok3.compress(b"\n".join(names) + b"\n")
+    for trial in range(300):
+        blob = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        try:
+            out = tok3.uncompress(bytes(blob))
+            assert len(out) <= (1 << 28)
+        except (ValueError, IndexError, OverflowError):
+            pass
+    for n in range(1, 16):
+        try:
+            tok3.uncompress(base[:n])
+        except (ValueError, IndexError):
+            pass
+
+
+# ---------------------------------------------------------------- fqzcomp
+def _sim_quals(rng, n_reads, L):
+    out, lens = [], []
+    for _ in range(n_reads):
+        q = np.clip(np.cumsum(rng.integers(-2, 3, L)) + 35, 2,
+                    41).astype(np.uint8) + 33
+        out.append(q.tobytes())
+        lens.append(L)
+    return b"".join(out), lens
+
+
+def test_fqzcomp_round_trip(rng):
+    data, lens = _sim_quals(rng, 300, 100)
+    blob = fqzcomp.compress(data, lens)
+    assert fqzcomp.uncompress(blob, len(data)) == data
+    # varying lengths engage DO_LEN
+    data2 = b"".join(bytes([33 + int(x) for x in rng.integers(0, 40, l)])
+                     for l in (50, 70, 90))
+    assert fqzcomp.uncompress(fqzcomp.compress(data2, [50, 70, 90]),
+                              210) == data2
+    # single record, no lens; constant qualities; empty block
+    d3 = bytes([40]) * 1000
+    assert fqzcomp.uncompress(fqzcomp.compress(d3), 1000) == d3
+    assert fqzcomp.uncompress(fqzcomp.compress(b""), 0) == b""
+
+
+def test_fqzcomp_beats_gzip_on_correlated_quals(rng):
+    import gzip
+    data, lens = _sim_quals(rng, 300, 100)
+    blob = fqzcomp.compress(data, lens)
+    assert len(blob) < len(gzip.compress(data)), \
+        (len(blob), len(gzip.compress(data)))
+
+
+def test_fqzcomp_multi_param_sel_rev_dedup(rng):
+    """The selector/stab, per-record reverse and dedup layers round-trip."""
+    from hla_la_tpu.io.fqzcomp import PF_DO_DEDUP, PF_DO_LEN, PF_DO_SEL
+    data, lens = _sim_quals(rng, 10, 100)
+    recs = [data[i * 100:(i + 1) * 100] for i in range(10)]
+    recs[3] = recs[2]              # duplicate
+    data = b"".join(recs)
+    pms = []
+    for ctx in (0, 7):
+        pm = fqzcomp._default_params(data, lens)
+        pm.pflags |= PF_DO_SEL | PF_DO_DEDUP | PF_DO_LEN
+        pm.context = ctx
+        pms.append(pm)
+    sels = [i % 2 for i in range(10)]
+    stab = np.zeros(256, dtype=np.int64)
+    stab[1] = 1
+    revs = [False] * 10
+    revs[5] = True
+    blob = fqzcomp.compress(data, lens, params=pms, sels=sels, stab=stab,
+                            revs=revs)
+    assert fqzcomp.uncompress(blob, len(data)) == data
+
+
+def test_fqzcomp_fuzz_no_crash(rng):
+    data, lens = _sim_quals(rng, 30, 80)
+    base = fqzcomp.compress(data, lens)
+    for trial in range(200):
+        blob = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            blob[int(rng.integers(0, len(blob)))] = int(
+                rng.integers(0, 256))
+        try:
+            out = fqzcomp.uncompress(bytes(blob), len(data))
+            assert len(out) == len(data)
+        except (ValueError, IndexError, OverflowError):
+            pass
+    for n in range(1, 16):
+        try:
+            fqzcomp.uncompress(base[:n], len(data))
+        except (ValueError, IndexError):
+            pass
+
+
+# -------------------------------------------------- CRAM files using them
+@pytest.fixture
+def world31(rng):
+    ref = {"c1": "".join(rng.choice(list("ACGT"), 4000))}
+    contigs = [("c1", 4000)]
+    recs = []
+    for i in range(60):
+        pos = 50 + i * 40
+        L = 70
+        s = list(ref["c1"][pos:pos + L])
+        s[int(rng.integers(0, L))] = "N"
+        qual = "".join(chr(int(q)) for q in np.clip(
+            np.cumsum(rng.integers(-2, 3, L)) + 60, 35, 74))
+        recs.append(BamRecord(name=f"M0:1:FC:1:1101:{1000 + i}:{2000 + i}",
+                              flag=FLAG_PAIRED | (FLAG_READ1 if i % 2 == 0
+                                                  else FLAG_READ2),
+                              ref_id=0, pos=pos, mapq=60,
+                              cigar=[(L, 0)], seq="".join(s), qual=qual))
+    recs.append(BamRecord(name="u1", flag=FLAG_UNMAPPED, ref_id=-1, pos=-1,
+                          mapq=0, cigar=[], seq="ACGTACGTAC",
+                          qual="IIIIIIIIII"))
+    return ref, contigs, recs
+
+
+def test_cram_with_31_codecs(tmp_path, world31):
+    """A CRAM whose generic blocks use arith, quality block uses fqzcomp
+    and name block uses tok3 must decode identically through CramReader."""
+    ref, contigs, recs = world31
+    path = str(tmp_path / "t31.cram")
+    write_cram(path, contigs, recs, ref, method=M_ARITH,
+               qual_method=M_FQZ, name_method=M_TOK3)
+    got = list(CramReader(path, reference=ref))
+    assert len(got) == len(recs)
+    for orig, dec in zip(recs, got):
+        assert (dec.name, dec.seq, dec.qual, dec.pos, dec.ref_id) == \
+            (orig.name, orig.seq, orig.qual, orig.pos, orig.ref_id)
+        for bit in (FLAG_PAIRED, FLAG_READ1, FLAG_READ2, FLAG_REVERSE,
+                    FLAG_UNMAPPED):
+            assert bool(dec.flag & bit) == bool(orig.flag & bit)
+
+
+def test_cram_31_codecs_through_extract_reads(tmp_path, world31):
+    """The production extraction path accepts a 3.1-codec CRAM."""
+    from hla_la_tpu.io.bam import extract_reads
+    ref, contigs, recs = world31
+    path = str(tmp_path / "t31b.cram")
+    write_cram(path, contigs, recs, ref, method=M_ARITH,
+               qual_method=M_FQZ, name_method=M_TOK3)
+    by_name, _ = extract_reads(path, regions=[("c1", 0, 4000)],
+                               include_unmapped=True, cram_reference=ref)
+    assert "u1" in by_name
+    assert len(by_name) == len({r.name for r in recs})

@@ -318,6 +318,33 @@ def compress(data: bytes, lens: list[int] | None = None,
 
 
 # ----------------------------------------------------------------- decode
+def _native_decode(blob, pos: int, n_out: int, gflags: int,
+                   params: list[Params],
+                   stab: np.ndarray) -> bytes | None:
+    from .. import native
+    dec = getattr(native, "fqz_decode", None)
+    if dec is None or not native.available():
+        return None
+    nparam = len(params)
+    pm = np.zeros((nparam, 9), dtype=np.int32)
+    qmap = np.tile(np.arange(256, dtype=np.int32), (nparam, 1))
+    qtab = np.zeros((nparam, 256), dtype=np.int32)
+    ptab = np.zeros((nparam, 1024), dtype=np.int32)
+    dtab = np.zeros((nparam, 256), dtype=np.int32)
+    for i, p in enumerate(params):
+        pm[i] = (p.context, p.pflags, p.max_sym, p.qbits, p.qshift,
+                 p.qloc, p.sloc, p.ploc, p.dloc)
+        if p.qmap is not None:
+            qmap[i, :p.max_sym] = p.qmap
+        qtab[i] = p.qtab
+        if p.ptab is not None:
+            ptab[i] = p.ptab
+        if p.dtab is not None:
+            dtab[i] = p.dtab
+    return dec(bytes(blob), pos, n_out, nparam, gflags, pm, qmap, qtab,
+               ptab, dtab, stab)
+
+
 def uncompress(blob: bytes, n_out: int) -> bytes:
     """Decode one fqzcomp block to the concatenated quality bytes."""
     if n_out > (1 << 31):
@@ -344,6 +371,9 @@ def uncompress(blob: bytes, n_out: int) -> bytes:
     for _ in range(nparam):
         pm, pos = Params.read(blob, pos)
         params.append(pm)
+    res = _native_decode(blob, pos, n_out, gflags, params, stab)
+    if res is not None:
+        return res
     dec = RangeDecoder(blob, pos)
     models = _Models(params, bool(gflags & GF_DO_REV))
     out = bytearray(n_out)

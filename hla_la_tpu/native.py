@@ -69,6 +69,13 @@ def _find_lib():
                 lib.hla_ransnx16_decode.argtypes = [
                     vp, i64, i64, i64, i64, ctypes.c_int, ctypes.c_int,
                     vp, i64, vp]
+                lib.hla_arith_decode.restype = ctypes.c_int
+                lib.hla_arith_decode.argtypes = [
+                    vp, i64, i64, vp, i64, ctypes.c_int, ctypes.c_int]
+                lib.hla_fqz_decode.restype = ctypes.c_int
+                lib.hla_fqz_decode.argtypes = (
+                    [vp, i64, i64, vp, i64, ctypes.c_int, ctypes.c_int]
+                    + [vp] * 6)
                 lib.hla_itf8_decode_all.restype = i64
                 lib.hla_itf8_decode_all.argtypes = [vp, i64, vp, vp]
                 lib.hla_encode_kmers.restype = None
@@ -313,6 +320,49 @@ def ransnx16_decode(comp: bytes, pos: int, n_out: int, n_states: int,
         out.ctypes.data_as(ctypes.c_void_p))
     if rc != 0:
         return None
+    return out[:n_out].tobytes()
+
+
+def arith_decode(blob: bytes, pos: int, n_out: int, order1: int,
+                 rle: int) -> bytes | None:
+    """C++ adaptive-arithmetic payload decode (CRAM 3.1 method 6; the
+    range-coded stream after the Python layer has parsed the format byte
+    and transforms) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    out = np.empty(max(n_out, 1), dtype=np.uint8)
+    rc = lib.hla_arith_decode(blob, len(blob), pos,
+                              out.ctypes.data_as(ctypes.c_void_p), n_out,
+                              order1, rle)
+    if rc != 0:
+        return None
+    return out[:n_out].tobytes()
+
+
+def fqz_decode(blob: bytes, pos: int, n_out: int, nparam: int, gflags: int,
+               pm: np.ndarray, qmap: np.ndarray, qtab: np.ndarray,
+               ptab: np.ndarray, dtab: np.ndarray,
+               stab: np.ndarray) -> bytes | None:
+    """C++ fqzcomp coded-stream decode (CRAM 3.1 method 7; the record loop
+    after the Python layer has parsed the parameter block) or None.  Raises
+    ValueError on a corrupt stream the C++ side detects (overflowing
+    record, bad selector) so the caller reports it instead of falling back
+    to an equally-doomed Python decode."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    arrs = [np.ascontiguousarray(a, dtype=np.int32)
+            for a in (pm, qmap, qtab, ptab, dtab, stab)]
+    out = np.empty(max(n_out, 1), dtype=np.uint8)
+    rc = lib.hla_fqz_decode(
+        blob, len(blob), pos, out.ctypes.data_as(ctypes.c_void_p), n_out,
+        nparam, gflags,
+        *[a.ctypes.data_as(ctypes.c_void_p) for a in arrs])
+    if rc == -1:
+        return None               # implausible header: let Python decide
+    if rc != 0:
+        raise ValueError(f"fqzcomp: corrupt coded stream (native rc {rc})")
     return out[:n_out].tobytes()
 
 

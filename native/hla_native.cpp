@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <vector>
 #include <thread>
 #include <zlib.h>
@@ -887,6 +888,224 @@ extern "C" int hla_rans4x8_decode(const uint8_t* blob, int64_t len,
     bool ok = (order == 0) ? rans4x8::decode_o0(r, out, n_out)
                            : rans4x8::decode_o1(r, out, n_out);
     return ok ? 0 : -4;
+}
+
+// ---- CRAM 3.1 adaptive range coder (io/arith.py, io/fqzcomp.py) --------
+// Carry-propagating range decoder + adaptive frequency models, matching
+// the Python implementations bit for bit (parity tests in
+// tests/test_cram31_codecs.py).  Corrupt streams are bounded: reads past
+// the buffer yield zero bytes, model scans are clamped to the alphabet,
+// and every output write is bounds-checked by the caller-supplied n_out.
+namespace arith31 {
+
+struct RangeDec {
+    const uint8_t* buf;
+    int64_t pos, end;
+    uint32_t range, code, r;
+    void init(const uint8_t* b, int64_t p, int64_t e) {
+        buf = b; pos = p; end = e; range = 0xFFFFFFFFu; r = 0;
+        uint64_t c = 0;
+        for (int i = 0; i < 5; i++)
+            c = (c << 8) | (pos < end ? buf[pos++] : 0);
+        code = (uint32_t)c;
+    }
+    inline uint32_t get_freq(uint32_t tot) {
+        r = range / tot;
+        uint32_t f = code / r;
+        return f >= tot ? tot - 1 : f;
+    }
+    inline void decode(uint32_t cum, uint32_t freq) {
+        code -= cum * r;
+        range = r * freq;
+        while (range < (1u << 24)) {
+            code = (code << 8) | (pos < end ? buf[pos++] : 0);
+            range <<= 8;
+        }
+    }
+};
+
+// STEP/MAX_TOT must match io/arith.py::SimpleModel.
+static const uint32_t A_STEP = 16;
+static const uint32_t A_MAX_TOT = (1u << 16) - 32;
+
+// One adaptive model = a uint16 frequency row + running total.  The
+// symbol scan is clamped to nsym-1 so corrupt streams cannot overrun.
+static inline int decode_sym(RangeDec& rc, uint16_t* F, uint32_t* tot,
+                             int nsym) {
+    uint32_t f = rc.get_freq(*tot);
+    uint32_t cum = 0;
+    int s = 0;
+    while (s < nsym - 1 && cum + F[s] <= f) { cum += F[s]; s++; }
+    rc.decode(cum, F[s]);
+    F[s] = (uint16_t)(F[s] + A_STEP);
+    *tot += A_STEP;
+    if (*tot > A_MAX_TOT) {
+        uint32_t t = 0;
+        for (int i = 0; i < nsym; i++) {
+            F[i] = (uint16_t)((F[i] + 1) >> 1);
+            t += F[i];
+        }
+        *tot = t;
+    }
+    return s;
+}
+
+struct ModelBank {
+    std::vector<uint16_t> freq;   // n_models x nsym
+    std::vector<uint32_t> tot;    // n_models
+    int nsym;
+    ModelBank(int64_t n_models, int ns)
+        : freq((size_t)n_models * ns, 1),
+          tot((size_t)n_models, (uint32_t)ns), nsym(ns) {}
+    inline int decode(RangeDec& rc, int64_t m) {
+        return decode_sym(rc, freq.data() + m * nsym, &tot[(size_t)m],
+                          nsym);
+    }
+};
+
+}  // namespace arith31
+
+// arith payload decode (io/arith.py::_decode_payload): order 0/1 byte
+// models, optional RLE (per-symbol run models + shared continuation
+// model, base-255 chunks).  Returns 0 on success.
+extern "C" int hla_arith_decode(const uint8_t* blob, int64_t len,
+                                int64_t pos, uint8_t* out, int64_t n_out,
+                                int order1, int rle) {
+    if (pos < 0 || pos > len || n_out < 0) return -1;
+    arith31::RangeDec rc;
+    rc.init(blob, pos, len);
+    arith31::ModelBank byte_models(order1 ? 256 : 1, 256);
+    if (!rle) {
+        int last = 0;
+        for (int64_t i = 0; i < n_out; i++) {
+            int b = byte_models.decode(rc, order1 ? last : 0);
+            out[i] = (uint8_t)b;
+            if (order1) last = b;
+        }
+        return 0;
+    }
+    arith31::ModelBank run_models(256, 256);
+    arith31::ModelBank cont_model(1, 256);
+    int64_t i = 0;
+    int last = 0;
+    while (i < n_out) {
+        int b = byte_models.decode(rc, order1 ? last : 0);
+        if (order1) last = b;
+        int chunk = run_models.decode(rc, b);
+        int64_t run = 1 + chunk;
+        while (chunk == 255) {
+            chunk = cont_model.decode(rc, 0);
+            run += chunk;
+        }
+        if (run > n_out - i) return -2;   // corrupt: run overflows output
+        std::memset(out + i, b, (size_t)run);
+        i += run;
+    }
+    return 0;
+}
+
+// fqzcomp coded-stream decode (io/fqzcomp.py::uncompress after the
+// parameter block).  The Python caller parses the header and passes the
+// flattened tables; this runs the per-record loop (lengths, selectors,
+// reverse flags, dedup, per-base context-modelled qualities).  pm is
+// nparam x 9 int32: context,pflags,max_sym,qbits,qshift,qloc,sloc,ploc,
+// dloc; qmap/qtab/dtab are nparam x 256, ptab nparam x 1024, stab 256.
+extern "C" int hla_fqz_decode(
+    const uint8_t* blob, int64_t len, int64_t pos, uint8_t* out,
+    int64_t n_out, int nparam, int gflags, const int32_t* pm,
+    const int32_t* qmap, const int32_t* qtab, const int32_t* ptab,
+    const int32_t* dtab, const int32_t* stab) {
+    const int GF_HAVE_STAB = 2, GF_DO_REV = 4;
+    const int PF_DO_DEDUP = 2, PF_DO_LEN = 4, PF_DO_SEL = 8,
+              PF_HAVE_QMAP = 16, PF_HAVE_PTAB = 32, PF_HAVE_DTAB = 64;
+    if (pos < 0 || pos > len || n_out < 0 || nparam < 1 || nparam > 256)
+        return -1;
+    for (int p = 0; p < nparam; p++) {
+        int max_sym = pm[p * 9 + 2];
+        if (max_sym < 1 || max_sym > 256) return -1;
+    }
+    arith31::RangeDec rc;
+    rc.init(blob, pos, len);
+    // per-pset quality model banks over the full 16-bit context space
+    std::vector<std::unique_ptr<arith31::ModelBank>> qual;
+    for (int p = 0; p < nparam; p++)
+        qual.emplace_back(new arith31::ModelBank(65536, pm[p * 9 + 2]));
+    arith31::ModelBank len_models(4, 256);
+    arith31::ModelBank sel_model(1, 256);
+    arith31::ModelBank rev_model(1, 2);
+    arith31::ModelBank dup_model(1, 2);
+    std::vector<std::pair<int64_t, int64_t>> rev_spans;
+    const int32_t pf0 = pm[1];
+    int64_t off = 0;
+    bool first = true;
+    int64_t rec_len = 0;
+    int64_t prev_lo = -1, prev_hi = -1;
+    while (off < n_out) {
+        if (first || (pf0 & PF_DO_LEN)) {
+            int64_t rl = 0;
+            for (int b = 0; b < 4; b++)
+                rl |= (int64_t)len_models.decode(rc, b) << (8 * b);
+            rec_len = rl;
+        }
+        first = false;
+        if (rec_len <= 0 || off + rec_len > n_out) return -2;
+        int sel = (pf0 & PF_DO_SEL) ? sel_model.decode(rc, 0) : 0;
+        int pset = (gflags & GF_HAVE_STAB) ? (int)stab[sel] : 0;
+        if (pset < 0 || pset >= nparam) return -3;
+        const int32_t* P = pm + pset * 9;
+        const int32_t context = P[0], pflags = P[1], max_sym = P[2];
+        const int32_t qbits = P[3], qshift = P[4], qloc = P[5],
+                      sloc = P[6], ploc = P[7], dloc = P[8];
+        const uint32_t qmask = (1u << qbits) - 1;
+        const int32_t* QM = qmap + pset * 256;
+        const int32_t* QT = qtab + pset * 256;
+        const int32_t* PT = ptab + pset * 1024;
+        const int32_t* DT = dtab + pset * 256;
+        int rv = (gflags & GF_DO_REV) ? rev_model.decode(rc, 0) : 0;
+        if (pflags & PF_DO_DEDUP) {
+            if (dup_model.decode(rc, 0)) {
+                if (prev_lo < 0 || prev_hi - prev_lo != rec_len)
+                    return -4;
+                std::memmove(out + off, out + prev_lo, (size_t)rec_len);
+                if (rv) rev_spans.emplace_back(off, off + rec_len);
+                prev_lo = off; prev_hi = off + rec_len;
+                off += rec_len;
+                continue;
+            }
+        }
+        uint32_t qctx = 0;
+        int64_t p_rem = rec_len;
+        int64_t delta = 0;
+        int prevq = 0;
+        uint32_t ctx = (uint32_t)context & 0xFFFF;
+        arith31::ModelBank& QB = *qual[pset];
+        for (int64_t k = 0; k < rec_len; k++) {
+            int q = QB.decode(rc, ctx);
+            out[off + k] = (uint8_t)((pflags & PF_HAVE_QMAP) ? QM[q] : q);
+            // context update — io/fqzcomp.py::_update_ctx
+            qctx = ((qctx << qshift) + (uint32_t)QT[q]) & qmask;
+            uint32_t c = (uint32_t)context + (qctx << qloc);
+            if (pflags & PF_HAVE_PTAB)
+                c += (uint32_t)PT[p_rem < 1023 ? p_rem : 1023] << ploc;
+            if (pflags & PF_HAVE_DTAB) {
+                c += (uint32_t)DT[delta < 255 ? delta : 255] << dloc;
+                delta += (prevq != q);
+                prevq = q;
+            }
+            if (pflags & PF_DO_SEL) c += (uint32_t)sel << sloc;
+            p_rem--;
+            ctx = c & 0xFFFF;
+        }
+        if (rv) rev_spans.emplace_back(off, off + rec_len);
+        prev_lo = off; prev_hi = off + rec_len;
+        off += rec_len;
+    }
+    for (auto& sp : rev_spans) {
+        uint8_t* a = out + sp.first;
+        uint8_t* b = out + sp.second - 1;
+        while (a < b) { uint8_t t = *a; *a++ = *b; *b-- = t; }
+    }
+    return 0;
 }
 
 // Rolling k-mer encode: out[i] = 2-bit code of seq[i..i+k), valid[i] = 0

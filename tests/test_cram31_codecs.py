@@ -204,6 +204,35 @@ def test_fqzcomp_fuzz_no_crash(rng):
             pass
 
 
+def test_arith_fqz_native_python_parity(rng):
+    """The C++ decoders (hla_arith_decode / hla_fqz_decode) must produce
+    byte-identical output to the pure-Python decode on the same blobs."""
+    import hla_la_tpu.native as native
+    if not native.available():
+        pytest.skip("native library not built")
+    a_cases = [bytes(rng.integers(0, 50, 4000, dtype=np.uint8)),
+               np.repeat(rng.integers(60, 70, 100, dtype=np.uint8),
+                         rng.integers(1, 50, 100)).tobytes()]
+    f_data, f_lens = _sim_quals(rng, 100, 90)
+    blobs = []
+    for d in a_cases:
+        for order in (0, 1):
+            for rle in (False, True):
+                blobs.append(("arith", arith.compress(
+                    d, order=order, use_rle=rle, use_pack=False), d))
+    blobs.append(("fqz", fqzcomp.compress(f_data, f_lens), f_data))
+    avail = native.available
+    for kind, blob, want in blobs:
+        mod = arith if kind == "arith" else fqzcomp
+        got_native = mod.uncompress(blob, len(want))
+        try:
+            native.available = lambda: False
+            got_py = mod.uncompress(blob, len(want))
+        finally:
+            native.available = avail
+        assert got_native == got_py == want, kind
+
+
 # -------------------------------------------------- CRAM files using them
 @pytest.fixture
 def world31(rng):

@@ -50,7 +50,7 @@ import bz2
 
 import numpy as np
 
-from .rans_nx16 import read_uint7, write_uint7
+from .rans_nx16 import pack_bits, read_uint7, unpack_bits, write_uint7
 
 F_ORDER1 = 0x01
 F_EXT = 0x04
@@ -291,45 +291,11 @@ def _pack(data: bytes) -> tuple[bytes, bytes] | None:
     meta += bytes(int(s) for s in syms)
     inv = np.zeros(256, dtype=np.uint8)
     inv[syms] = np.arange(len(syms), dtype=np.uint8)
-    vals = inv[arr]
-    nsym = len(syms)
-    if nsym <= 1:
-        packed = b""
-    elif nsym <= 2:
-        pad = (-len(vals)) % 8
-        v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 8)
-        packed = (v << np.arange(8, dtype=np.uint8)).sum(
-            axis=1).astype(np.uint8).tobytes()
-    elif nsym <= 4:
-        pad = (-len(vals)) % 4
-        v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 4)
-        packed = (v << (2 * np.arange(4, dtype=np.uint8))).sum(
-            axis=1).astype(np.uint8).tobytes()
-    else:
-        pad = (-len(vals)) % 2
-        v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 2)
-        packed = (v[:, 0] | (v[:, 1] << 4)).astype(np.uint8).tobytes()
-    return bytes(meta), packed
+    return bytes(meta), pack_bits(inv[arr], len(syms))
 
 
 def _unpack(mp: np.ndarray, packed: bytes, n_out: int) -> bytes:
-    nsym = len(mp)
-    arr = np.frombuffer(packed, dtype=np.uint8)
-    if nsym <= 1:
-        vals = np.zeros(n_out, dtype=np.uint8)
-    elif nsym <= 2:
-        vals = ((arr[:, None] >> np.arange(8, dtype=np.uint8)) & 1
-                ).reshape(-1)[:n_out]
-    elif nsym <= 4:
-        vals = ((arr[:, None] >> (2 * np.arange(4, dtype=np.uint8))) & 3
-                ).reshape(-1)[:n_out]
-    else:
-        vals = np.stack([arr & 0xF, arr >> 4], axis=1).reshape(-1)[:n_out]
-    if len(vals) < n_out:
-        raise ValueError("arith PACK: truncated packed stream")
-    if np.any(vals >= nsym):
-        raise ValueError("arith PACK: symbol index out of range")
-    return mp[vals].tobytes()
+    return unpack_bits(mp, packed, n_out, label="arith")
 
 
 # ----------------------------------------------------------------- public

@@ -244,6 +244,10 @@ def compress(data: bytes, lens: list[int] | None = None,
         lens = [len(data)] if data else []
     if sum(lens) != len(data):
         raise ValueError("fqzcomp: record lengths do not sum to data size")
+    if any(ln <= 0 for ln in lens):
+        # the stream cannot represent empty records (decode treats
+        # rec_len <= 0 as corruption); callers must drop '*'-quality reads
+        raise ValueError("fqzcomp: zero-length record")
     if params is None:
         params = [_default_params(data, lens)]
     gflags = 0

@@ -381,43 +381,31 @@ def _decode_o1(comp, pos: int, n_out: int, n_states: int) -> bytes:
 
 
 # ------------------------------------------------------------ transforms
-def _pack(data: bytes) -> tuple[bytes, bytes] | None:
-    """Bit-pack when <=16 distinct symbols.  Returns (meta, packed)."""
-    arr = np.frombuffer(data, dtype=np.uint8)
-    syms = np.unique(arr)
-    if len(syms) > 16:
-        return None
-    meta = bytearray([len(syms)])
-    meta += bytes(int(s) for s in syms)
-    inv = np.zeros(256, dtype=np.uint8)
-    inv[syms] = np.arange(len(syms), dtype=np.uint8)
-    vals = inv[arr]
-    if len(syms) <= 1:
-        packed = b""
-    elif len(syms) <= 2:
+def pack_bits(vals: np.ndarray, nsym: int) -> bytes:
+    """Bit-pack symbol indices (0..nsym-1, nsym <= 16) at 1/2/4 bits per
+    value (0 bits when nsym <= 1).  Shared by the rANSNx16 and arith PACK
+    transforms, which differ only in their metadata framing."""
+    if nsym <= 1:
+        return b""
+    if nsym <= 2:
         pad = (-len(vals)) % 8
         v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 8)
-        packed = (v << np.arange(8, dtype=np.uint8)).sum(
+        return (v << np.arange(8, dtype=np.uint8)).sum(
             axis=1).astype(np.uint8).tobytes()
-    elif len(syms) <= 4:
+    if nsym <= 4:
         pad = (-len(vals)) % 4
         v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 4)
-        packed = (v << (2 * np.arange(4, dtype=np.uint8))).sum(
+        return (v << (2 * np.arange(4, dtype=np.uint8))).sum(
             axis=1).astype(np.uint8).tobytes()
-    else:
-        pad = (-len(vals)) % 2
-        v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 2)
-        packed = (v[:, 0] | (v[:, 1] << 4)).astype(np.uint8).tobytes()
-    write_uint7(len(packed), meta)
-    return bytes(meta), packed
+    pad = (-len(vals)) % 2
+    v = np.concatenate([vals, np.zeros(pad, np.uint8)]).reshape(-1, 2)
+    return (v[:, 0] | (v[:, 1] << 4)).astype(np.uint8).tobytes()
 
 
-def _unpack(meta, pos: int, packed: bytes, n_out: int) -> tuple[bytes, int]:
-    nsym = meta[pos]
-    pos += 1
-    mp = np.frombuffer(bytes(meta[pos:pos + nsym]), dtype=np.uint8)
-    pos += nsym
-    plen, pos = read_uint7(meta, pos)
+def unpack_bits(mp: np.ndarray, packed: bytes, n_out: int,
+                label: str = "rANSNx16") -> bytes:
+    """Inverse of pack_bits + symbol-map application."""
+    nsym = len(mp)
     arr = np.frombuffer(packed, dtype=np.uint8)
     if nsym <= 1:
         vals = np.zeros(n_out, dtype=np.uint8)
@@ -431,8 +419,32 @@ def _unpack(meta, pos: int, packed: bytes, n_out: int) -> tuple[bytes, int]:
         bits = np.stack([arr & 0xF, arr >> 4], axis=1)
         vals = bits.reshape(-1)[:n_out]
     if len(vals) < n_out:
-        raise ValueError("rANSNx16 PACK: truncated packed stream")
-    return mp[vals].tobytes(), pos
+        raise ValueError(f"{label} PACK: truncated packed stream")
+    return mp[vals].tobytes()
+
+
+def _pack(data: bytes) -> tuple[bytes, bytes] | None:
+    """Bit-pack when <=16 distinct symbols.  Returns (meta, packed)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    syms = np.unique(arr)
+    if len(syms) > 16:
+        return None
+    meta = bytearray([len(syms)])
+    meta += bytes(int(s) for s in syms)
+    inv = np.zeros(256, dtype=np.uint8)
+    inv[syms] = np.arange(len(syms), dtype=np.uint8)
+    packed = pack_bits(inv[arr], len(syms))
+    write_uint7(len(packed), meta)
+    return bytes(meta), packed
+
+
+def _unpack(meta, pos: int, packed: bytes, n_out: int) -> tuple[bytes, int]:
+    nsym = meta[pos]
+    pos += 1
+    mp = np.frombuffer(bytes(meta[pos:pos + nsym]), dtype=np.uint8)
+    pos += nsym
+    plen, pos = read_uint7(meta, pos)
+    return unpack_bits(mp, packed, n_out), pos
 
 
 def _rle_encode(data: bytes) -> tuple[bytes, bytes] | None:

@@ -1020,10 +1020,16 @@ extern "C" int hla_fqz_decode(
               PF_HAVE_QMAP = 16, PF_HAVE_PTAB = 32, PF_HAVE_DTAB = 64;
     if (pos < 0 || pos > len || n_out < 0 || nparam < 1 || nparam > 256)
         return -1;
+    int64_t model_bytes = 0;
     for (int p = 0; p < nparam; p++) {
         int max_sym = pm[p * 9 + 2];
         if (max_sym < 1 || max_sym > 256) return -1;
+        model_bytes += 65536LL * max_sym * 2;
     }
+    // A crafted multi-param header must not drive a multi-GB eager
+    // allocation (the Python fallback allocates contexts lazily); real
+    // quality alphabets are ~1 pset x <=64 syms = 8 MB.
+    if (model_bytes > (64LL << 20)) return -1;
     arith31::RangeDec rc;
     rc.init(blob, pos, len);
     // per-pset quality model banks over the full 16-bit context space

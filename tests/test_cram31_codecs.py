@@ -184,6 +184,13 @@ def test_fqzcomp_multi_param_sel_rev_dedup(rng):
     assert fqzcomp.uncompress(blob, len(data)) == data
 
 
+def test_fqzcomp_rejects_zero_length_records():
+    """The stream cannot represent empty records; the encoder must refuse
+    instead of emitting an undecodable block."""
+    with pytest.raises(ValueError, match="zero-length"):
+        fqzcomp.compress(b"AAAABBBB", lens=[4, 0, 4])
+
+
 def test_fqzcomp_fuzz_no_crash(rng):
     data, lens = _sim_quals(rng, 30, 80)
     base = fqzcomp.compress(data, lens)

@@ -1438,8 +1438,17 @@ class KmerCountIndex:
         if canon is None:
             codes, valid = encode_kmers(cat, k)
             canon = np.minimum(codes, _revcomp_codes(codes, k))[valid]
-        uniq, counts = np.unique(canon, return_counts=True)
-        return cls(uniq, counts.astype(np.int64), k)
+        if len(canon) == 0:
+            return cls(np.zeros(0, np.uint64), np.zeros(0, np.int64), k)
+        # np.unique(return_counts=True) is ~15x slower than a plain sort
+        # on uint64 (it bypasses the vectorised sort); count runs manually
+        s = np.sort(canon)
+        change = np.empty(len(s), dtype=bool)
+        change[0] = True
+        np.not_equal(s[1:], s[:-1], out=change[1:])
+        idx = np.flatnonzero(change)
+        counts = np.diff(np.append(idx, len(s)))
+        return cls(s[idx], counts.astype(np.int64), k)
 
     def counts_for(self, seq: str) -> tuple[np.ndarray, np.ndarray]:
         """(count, valid) per k-mer of `seq` (invalid = non-ACGT k-mers)."""

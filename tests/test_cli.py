@@ -142,3 +142,32 @@ def test_kir_action_paired_fastq(tmp_path, rng):
                     "--FASTQ1", str(tmp_path / "R1.fq"),
                     "--FASTQ2", str(tmp_path / "R2.fq")])
     assert rc_code == 0
+
+
+def test_hla_action_zero_matching_reads(tmp_path, rng):
+    """A BAM whose reads share nothing with the graph (exome miss, wrong
+    region) must complete gracefully: rc 0, bestguess written with flat
+    low-confidence calls and zero coverage — the user detects the failure
+    from Q1/AverageCoverage, not a crash (mirrors the reference's
+    flat-prior behaviour when a locus has no observations)."""
+    pkg_dir, _ = _bam_world(tmp_path, rng)
+    bam_path = str(tmp_path / "none.bam")
+    w = BamWriter(bam_path, [("chr6", 100000)])
+    for i in range(30):
+        seq = "".join(rng.choice(list("ACGT"), 101))
+        for flag, pos in ((FLAG_READ1, 1000 + i), (FLAG_READ2, 1300 + i)):
+            w.write(BamRecord(name=f"x{i}", flag=FLAG_PAIRED | flag,
+                              ref_id=0, pos=pos, mapq=60,
+                              cigar=[(101, 0)], seq=seq, qual="I" * 101))
+    w.close()
+    out_dir = str(tmp_path / "out0")
+    rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+               "--sampleID", "S1", "--workingDir", str(tmp_path),
+               "--outputDirectory", out_dir])
+    assert rc == 0
+    with open(os.path.join(out_dir, "hla", "R1_bestguess.txt")) as fh:
+        rows = [l.split("\t") for l in fh.read().splitlines()[1:]]
+    assert rows
+    for r in rows:
+        assert float(r[3]) < 0.5          # Q1: no confident call
+        assert float(r[5]) == 0.0         # AverageCoverage

@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--mapAgainstCompleteGenome", type=int, default=0,
                     help="1 = paralog defense via decoy index over the "
                     "package's extendedReferenceGenome (HLA-LA.cpp:617)")
+    ap.add_argument("--extractExonkMerCounts", type=int, default=0,
+                    help="with --action HLA: also write per-exon k-mer "
+                         "counts over the extracted reads "
+                         "(HLA-LA.pl:543-552)")
     ap.add_argument("--decoyFasta", default="",
                     help="explicit decoy genome FASTA for the paralog "
                     "defense (overrides extendedReferenceGenome)")
@@ -239,6 +243,16 @@ def action_hla(args) -> int:
                          output_dir=out_dir, cfg=cfg, backend=args.backend)
     log_progress(f"typing complete: {len(res.results)} loci -> "
                  f"{out_dir}/hla/R1_bestguess.txt")
+    if getattr(args, "extractExonkMerCounts", 0):
+        # the reference runs extractkMerCounts.pl over the extracted FASTQs
+        # as part of the HLA action (HLA-LA.pl:543-552); same here, over the
+        # reads we just typed from
+        if args.longReads:
+            raise SystemExit(
+                "--extractExonkMerCounts is a short-read feature "
+                "(HLA-LA.pl:545)")
+        _write_exon_kmer_counts(
+            pkg, [r for p in pairs for r in p] + list(unpaired), out_dir)
     for r in res.results:
         a1, a2 = r.alleles_g_or_raw()
         print(f"{r.locus}\t{a1}\t{a2}\tQ1={r.q1_allele1:.4f}/"
@@ -666,19 +680,11 @@ def action_test_hla_typing(args) -> int:
     return 0
 
 
-def action_extract_kmer_counts(args) -> int:
-    """Per-exon k-mer counts over input reads (extractkMerCounts.pl,
-    HLA-LA.pl:543-552)."""
-    from .io.fastq import read_fastq
+def _write_exon_kmer_counts(pkg, reads, out_dir: str) -> str:
+    """Per-exon k-mer counts over `reads` -> <out_dir>/kMerCounts.txt
+    (extractkMerCounts.pl role, HLA-LA.pl:543-552)."""
     from .models.typer import HLATyper
     from .tools import extract_kmer_counts
-    pkg = _require_graph(args)
-    reads = []
-    for p in (args.FASTQ1, args.FASTQ2, args.FASTQU):
-        if p:
-            reads += list(read_fastq(p))
-    if not reads:
-        raise SystemExit("need --FASTQ1/--FASTQ2/--FASTQU")
     typer = HLATyper(pkg)
     exon_seqs: dict[str, str] = {}
     for locus, exon_map in typer.graph_genes.items():
@@ -689,7 +695,6 @@ def action_extract_kmer_counts(args) -> int:
                     exon_seqs[f"{locus}_{exon_id}"] = "".join(vals)
                     break
     counts = extract_kmer_counts(reads, exon_seqs)
-    out_dir = args.outputDirectory or args.workingDir
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "kMerCounts.txt")
     with open(path, "w") as fh:
@@ -697,8 +702,24 @@ def action_extract_kmer_counts(args) -> int:
         for name, kmers in sorted(counts.items()):
             for mer, n in kmers.items():
                 fh.write(f"{name}\t{mer}\t{n}\n")
-    print(f"wrote {path} ({sum(len(v) for v in counts.values())} k-mers over "
-          f"{len(counts)} exons)")
+    print(f"wrote {path} ({sum(len(v) for v in counts.values())} k-mers "
+          f"over {len(counts)} exons)")
+    return path
+
+
+def action_extract_kmer_counts(args) -> int:
+    """Per-exon k-mer counts over input reads (extractkMerCounts.pl,
+    HLA-LA.pl:543-552)."""
+    from .io.fastq import read_fastq
+    pkg = _require_graph(args)
+    reads = []
+    for p in (args.FASTQ1, args.FASTQ2, args.FASTQU):
+        if p:
+            reads += list(read_fastq(p))
+    if not reads:
+        raise SystemExit("need --FASTQ1/--FASTQ2/--FASTQU")
+    _write_exon_kmer_counts(pkg, reads,
+                            args.outputDirectory or args.workingDir)
     return 0
 
 

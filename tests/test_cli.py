@@ -171,3 +171,23 @@ def test_hla_action_zero_matching_reads(tmp_path, rng):
     for r in rows:
         assert float(r[3]) < 0.5          # Q1: no confident call
         assert float(r[5]) == 0.0         # AverageCoverage
+
+
+def test_hla_action_extract_exon_kmer_counts(tmp_path, rng):
+    """--extractExonkMerCounts 1 writes kMerCounts.txt as part of the HLA
+    action (HLA-LA.pl:543-552 runs extractkMerCounts.pl on the extracted
+    FASTQs)."""
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    out_dir = str(tmp_path / "outk")
+    rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+               "--sampleID", "S1", "--workingDir", str(tmp_path),
+               "--outputDirectory", out_dir,
+               "--extractExonkMerCounts", "1"])
+    assert rc == 0
+    path = os.path.join(out_dir, "kMerCounts.txt")
+    with open(path) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "Exon\tkMer\tCount"
+    assert len(lines) > 10
+    # exon k-mers absent from the reads report 0; covered ones must show up
+    assert any(int(l.split("\t")[2]) > 0 for l in lines[1:])

@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--mapAgainstCompleteGenome", type=int, default=0,
                     help="1 = paralog defense via decoy index over the "
                     "package's extendedReferenceGenome (HLA-LA.cpp:617)")
+    ap.add_argument("--keepExtractedFastq", type=int, default=0,
+                    help="with --action HLA: write the extracted reads as "
+                         "R_1/R_2/R_U.fastq in the output directory (the "
+                         "reference keeps these, HLA-LA.pl:465-502)")
     ap.add_argument("--extractExonkMerCounts", type=int, default=0,
                     help="with --action HLA: also write per-exon k-mer "
                          "counts over the extracted reads "
@@ -225,6 +229,19 @@ def action_hla(args) -> int:
             unpaired = _split_long_reads(unpaired)
     if not pairs and not unpaired:
         raise SystemExit("no input reads (--BAM or --FASTQ1/--FASTQ2/--FASTQU)")
+    if getattr(args, "keepExtractedFastq", 0):
+        # the reference leaves the extraction FASTQs (R_1/R_2/R_U) in the
+        # sample working dir (HLA-LA.pl:465-502); extraction here is
+        # in-memory, so materialise them only on request
+        from .io.fastq import write_fastq
+        if pairs:
+            write_fastq(os.path.join(out_dir, "R_1.fastq"),
+                        [p[0] for p in pairs])
+            write_fastq(os.path.join(out_dir, "R_2.fastq"),
+                        [p[1] for p in pairs])
+        if unpaired:
+            write_fastq(os.path.join(out_dir, "R_U.fastq"), list(unpaired))
+        log_progress(f"extraction FASTQs written to {out_dir}")
 
     cfg = RunConfig(graph_dir=args.graph, sample_id=args.sampleID,
                     working_dir=args.workingDir, long_reads=args.longReads,

@@ -191,3 +191,27 @@ def test_hla_action_extract_exon_kmer_counts(tmp_path, rng):
     assert len(lines) > 10
     # exon k-mers absent from the reads report 0; covered ones must show up
     assert any(int(l.split("\t")[2]) > 0 for l in lines[1:])
+
+
+def test_hla_action_keep_extracted_fastq(tmp_path, rng):
+    """--keepExtractedFastq 1 materialises the extraction FASTQs (the
+    reference leaves R_1/R_2 in the working dir, HLA-LA.pl:465-502), and
+    re-typing from them reproduces the BAM run's calls."""
+    import filecmp
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    out1 = str(tmp_path / "o1")
+    rc = main(["--action", "HLA", "--BAM", bam_path, "--graph", pkg_dir,
+               "--sampleID", "S1", "--workingDir", str(tmp_path),
+               "--outputDirectory", out1, "--keepExtractedFastq", "1"])
+    assert rc == 0
+    r1 = os.path.join(out1, "R_1.fastq")
+    r2 = os.path.join(out1, "R_2.fastq")
+    assert os.path.exists(r1) and os.path.exists(r2)
+    out2 = str(tmp_path / "o2")
+    rc = main(["--action", "HLA", "--FASTQ1", r1, "--FASTQ2", r2,
+               "--graph", pkg_dir, "--sampleID", "S1",
+               "--workingDir", str(tmp_path), "--outputDirectory", out2])
+    assert rc == 0
+    assert filecmp.cmp(os.path.join(out1, "hla", "R1_bestguess.txt"),
+                       os.path.join(out2, "hla", "R1_bestguess.txt"),
+                       shallow=False)

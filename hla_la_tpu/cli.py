@@ -174,6 +174,9 @@ def action_hla(args) -> int:
         return 0
 
     pairs, unpaired = [], []
+    for p in (args.BAM, args.FASTQ1, args.FASTQ2, args.FASTQU, args.ref):
+        if p and not os.path.exists(p):
+            raise SystemExit(f"input file not found: {p}")
     if args.BAM:
         log_progress(f"extracting reads from {args.BAM}")
         from .io.bam import BamReader, is_cram

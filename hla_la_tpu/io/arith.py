@@ -185,7 +185,18 @@ class SimpleModel:
 
 
 # --------------------------------------------------------------- payloads
+def _native_encode(data: bytes, order1: bool, rle: bool) -> bytes | None:
+    from .. import native
+    enc = getattr(native, "arith_encode", None)
+    if enc is None or not native.available():
+        return None
+    return enc(data, 1 if order1 else 0, 1 if rle else 0)
+
+
 def _encode_payload(data: bytes, order1: bool, rle: bool) -> bytes:
+    res = _native_encode(data, order1, rle)
+    if res is not None:
+        return res
     enc = RangeEncoder()
     n = len(data)
     if order1:

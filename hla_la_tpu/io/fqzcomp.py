@@ -277,14 +277,59 @@ def compress(data: bytes, lens: list[int] | None = None,
             inv.append(m)
         else:
             inv.append(np.arange(256, dtype=np.int64))
-    enc = RangeEncoder()
-    models = _Models(params, bool(gflags & GF_DO_REV))
+    # precompute per-record post-reversal byte streams, dup flags, and the
+    # qmap-inverted model symbols — shared by the native and Python paths.
+    # The default write path (single param set, no reverse/dedup) skips the
+    # per-record loop entirely: one vectorised qmap inversion
+    if (sels is None and revs is None and len(params) == 1
+            and not (params[0].pflags & PF_DO_DEDUP)):
+        codes_cat = inv[0][np.frombuffer(data, dtype=np.uint8)]
+        if np.any(codes_cat < 0):
+            raise ValueError("fqzcomp: quality byte outside qmap")
+        codes_cat = codes_cat.astype(np.uint8)
+        dups = [0] * len(lens)
+        psets = [0] * len(lens)
+        payload = _native_encode(codes_cat, lens, None, None, dups,
+                                 gflags, params, stab_arr)
+        if payload is not None:
+            return bytes(out) + payload
+    else:
+        codes_cat = None
+    recs: list[bytes] = []
+    dups = []
+    psets = []
+    codes_parts: list[np.ndarray] = []
     off = 0
     prev_rec: bytes | None = None
-    first = True
     for ri, rec_len in enumerate(lens):
         rec = data[off:off + rec_len]
         off += rec_len
+        sel = sels[ri] if sels is not None else 0
+        pset = int(stab_arr[sel]) if gflags & GF_HAVE_STAB else 0
+        if (gflags & GF_DO_REV) and revs is not None and revs[ri]:
+            rec = rec[::-1]
+        dup = 0
+        if params[pset].pflags & PF_DO_DEDUP:
+            dup = int(prev_rec is not None and rec == prev_rec)
+        recs.append(rec)
+        dups.append(dup)
+        psets.append(pset)
+        c = inv[pset][np.frombuffer(rec, dtype=np.uint8)]
+        if np.any(c < 0):
+            raise ValueError("fqzcomp: quality byte outside qmap")
+        codes_parts.append(c.astype(np.uint8))
+        prev_rec = rec
+    codes_cat = (np.concatenate(codes_parts) if codes_parts
+                 else np.zeros(0, dtype=np.uint8))
+    payload = _native_encode(codes_cat, lens, sels, revs, dups, gflags,
+                             params, stab_arr)
+    if payload is not None:
+        return bytes(out) + payload
+    enc = RangeEncoder()
+    models = _Models(params, bool(gflags & GF_DO_REV))
+    off = 0
+    first = True
+    for ri, rec_len in enumerate(lens):
         pm0 = params[0]
         if first or (pm0.pflags & PF_DO_LEN):
             for b in range(4):
@@ -295,40 +340,28 @@ def compress(data: bytes, lens: list[int] | None = None,
         sel = sels[ri] if sels is not None else 0
         if pm0.pflags & PF_DO_SEL:
             models.sel.encode(enc, sel)
-        pset = int(stab_arr[sel]) if gflags & GF_HAVE_STAB else 0
+        pset = psets[ri]
         pm = params[pset]
         if gflags & GF_DO_REV:
-            rv = bool(revs[ri]) if revs is not None else False
-            models.rev.encode(enc, int(rv))
-            if rv:
-                rec = rec[::-1]
+            models.rev.encode(enc, int(bool(revs[ri]))
+                              if revs is not None else 0)
         if pm.pflags & PF_DO_DEDUP:
-            dup = int(prev_rec is not None and rec == prev_rec)
-            models.dup.encode(enc, dup)
-            if dup:
-                prev_rec = rec
+            models.dup.encode(enc, dups[ri])
+            if dups[ri]:
+                off += rec_len
                 continue
         st = _State(rec_len)
         ctx = pm.context & 0xFFFF
-        codes = inv[pset][np.frombuffer(rec, dtype=np.uint8)]
-        if np.any(codes < 0):
-            raise ValueError("fqzcomp: quality byte outside qmap")
-        for q in codes:
+        for q in codes_cat[off:off + rec_len]:
             q = int(q)
             models.qmodel(pset, ctx).encode(enc, q)
             ctx = _update_ctx(pm, st, q, sel)
-        prev_rec = rec
+        off += rec_len
     return bytes(out) + enc.finish()
 
 
-# ----------------------------------------------------------------- decode
-def _native_decode(blob, pos: int, n_out: int, gflags: int,
-                   params: list[Params],
-                   stab: np.ndarray) -> bytes | None:
-    from .. import native
-    dec = getattr(native, "fqz_decode", None)
-    if dec is None or not native.available():
-        return None
+def _flatten_tables(params: list[Params]):
+    """(pm, qmap, qtab, ptab, dtab) int32 arrays for the native codecs."""
     nparam = len(params)
     pm = np.zeros((nparam, 9), dtype=np.int32)
     qmap = np.tile(np.arange(256, dtype=np.int32), (nparam, 1))
@@ -345,8 +378,31 @@ def _native_decode(blob, pos: int, n_out: int, gflags: int,
             ptab[i] = p.ptab
         if p.dtab is not None:
             dtab[i] = p.dtab
-    return dec(bytes(blob), pos, n_out, nparam, gflags, pm, qmap, qtab,
-               ptab, dtab, stab)
+    return pm, qmap, qtab, ptab, dtab
+
+
+def _native_encode(codes_cat, lens, sels, revs, dups, gflags, params,
+                   stab_arr) -> bytes | None:
+    from .. import native
+    enc = getattr(native, "fqz_encode", None)
+    if enc is None or not native.available():
+        return None
+    pm, _, qtab, ptab, dtab = _flatten_tables(params)
+    return enc(codes_cat, lens, sels, revs, dups, len(params), gflags,
+               pm, qtab, ptab, dtab, stab_arr)
+
+
+# ----------------------------------------------------------------- decode
+def _native_decode(blob, pos: int, n_out: int, gflags: int,
+                   params: list[Params],
+                   stab: np.ndarray) -> bytes | None:
+    from .. import native
+    dec = getattr(native, "fqz_decode", None)
+    if dec is None or not native.available():
+        return None
+    pm, qmap, qtab, ptab, dtab = _flatten_tables(params)
+    return dec(bytes(blob), pos, n_out, len(params), gflags, pm, qmap,
+               qtab, ptab, dtab, stab)
 
 
 def uncompress(blob: bytes, n_out: int) -> bytes:

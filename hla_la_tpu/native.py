@@ -72,6 +72,13 @@ def _find_lib():
                 lib.hla_arith_decode.restype = ctypes.c_int
                 lib.hla_arith_decode.argtypes = [
                     vp, i64, i64, vp, i64, ctypes.c_int, ctypes.c_int]
+                lib.hla_arith_encode.restype = i64
+                lib.hla_arith_encode.argtypes = [
+                    vp, i64, ctypes.c_int, ctypes.c_int, vp, i64]
+                lib.hla_fqz_encode.restype = i64
+                lib.hla_fqz_encode.argtypes = (
+                    [vp, i64, vp, i64, vp, vp, vp, ctypes.c_int,
+                     ctypes.c_int] + [vp] * 5 + [vp, i64])
                 lib.hla_fqz_decode.restype = ctypes.c_int
                 lib.hla_fqz_decode.argtypes = (
                     [vp, i64, i64, vp, i64, ctypes.c_int, ctypes.c_int]
@@ -338,6 +345,56 @@ def arith_decode(blob: bytes, pos: int, n_out: int, order1: int,
     if rc != 0:
         return None
     return out[:n_out].tobytes()
+
+
+def arith_encode(data: bytes, order1: int, rle: int) -> bytes | None:
+    """C++ adaptive-arithmetic payload encode (byte-identical to the
+    Python encoder) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    cap = 3 * len(data) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.hla_arith_encode(data, len(data), order1, rle,
+                             out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def fqz_encode(codes_cat: np.ndarray, lens, sels, revs, dups, nparam: int,
+               gflags: int, pm: np.ndarray, qtab: np.ndarray,
+               ptab: np.ndarray, dtab: np.ndarray,
+               stab: np.ndarray) -> bytes | None:
+    """C++ fqzcomp coded-stream encode (byte-identical to the Python
+    encoder) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes_cat, dtype=np.uint8)
+    lens_a = np.ascontiguousarray(lens, dtype=np.int64)
+    n_rec = len(lens_a)
+    sels_a = (np.ascontiguousarray(sels, dtype=np.uint8)
+              if sels is not None else np.zeros(n_rec, dtype=np.uint8))
+    revs_a = (np.asarray(revs, dtype=bool).astype(np.uint8)
+              if revs is not None else np.zeros(n_rec, dtype=np.uint8))
+    dups_a = np.ascontiguousarray(dups, dtype=np.uint8)
+    tabs = [np.ascontiguousarray(a, dtype=np.int32)
+            for a in (pm, qtab, ptab, dtab, stab)]
+    cap = 3 * len(codes) + 16 * n_rec + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.hla_fqz_encode(
+        codes.ctypes.data_as(ctypes.c_void_p), len(codes),
+        lens_a.ctypes.data_as(ctypes.c_void_p), n_rec,
+        sels_a.ctypes.data_as(ctypes.c_void_p),
+        revs_a.ctypes.data_as(ctypes.c_void_p),
+        dups_a.ctypes.data_as(ctypes.c_void_p),
+        nparam, gflags,
+        *[a.ctypes.data_as(ctypes.c_void_p) for a in tabs],
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def fqz_decode(blob: bytes, pos: int, n_out: int, nparam: int, gflags: int,

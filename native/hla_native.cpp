@@ -963,7 +963,211 @@ struct ModelBank {
     }
 };
 
+// Carry-propagating range encoder — the exact counterpart of
+// io/arith.py::RangeEncoder (byte-identical output).
+struct RangeEnc {
+    uint64_t low = 0;
+    uint32_t range = 0xFFFFFFFFu;
+    uint32_t cache = 0;
+    int64_t cache_size = 1;          // seed byte; decoder skips it
+    std::vector<uint8_t> out;
+    void shift_low() {
+        if ((low & 0xFFFFFFFFull) < 0xFF000000ull || (low >> 32)) {
+            uint32_t carry = (uint32_t)(low >> 32);
+            out.push_back((uint8_t)(cache + carry));
+            if (cache_size > 1)
+                out.insert(out.end(), (size_t)(cache_size - 1),
+                           (uint8_t)(0xFF + carry));
+            cache = (uint32_t)((low >> 24) & 0xFF);
+            cache_size = 0;
+        }
+        cache_size++;
+        low = (low << 8) & 0xFFFFFFFFull;
+    }
+    inline void encode(uint32_t cum, uint32_t freq, uint32_t tot) {
+        uint32_t r = range / tot;
+        low += (uint64_t)r * cum;
+        range = r * freq;
+        while (range < (1u << 24)) {
+            range <<= 8;
+            shift_low();
+        }
+    }
+    void finish() {
+        for (int i = 0; i < 5; i++) shift_low();
+    }
+};
+
+static inline void encode_sym(RangeEnc& rc, uint16_t* F, uint32_t* tot,
+                              int nsym, int sym) {
+    uint32_t cum = 0;
+    for (int s = 0; s < sym; s++) cum += F[s];
+    rc.encode(cum, F[sym], *tot);
+    F[sym] = (uint16_t)(F[sym] + A_STEP);
+    *tot += A_STEP;
+    if (*tot > A_MAX_TOT) {
+        uint32_t t = 0;
+        for (int i = 0; i < nsym; i++) {
+            F[i] = (uint16_t)((F[i] + 1) >> 1);
+            t += F[i];
+        }
+        *tot = t;
+    }
+}
+
+struct EncModelBank {
+    std::vector<uint16_t> freq;
+    std::vector<uint32_t> tot;
+    int nsym;
+    EncModelBank(int64_t n_models, int ns)
+        : freq((size_t)n_models * ns, 1),
+          tot((size_t)n_models, (uint32_t)ns), nsym(ns) {}
+    inline void encode(RangeEnc& rc, int64_t m, int sym) {
+        encode_sym(rc, freq.data() + m * nsym, &tot[(size_t)m], nsym, sym);
+    }
+};
+
 }  // namespace arith31
+
+// arith payload encode (io/arith.py::_encode_payload), byte-identical to
+// the Python encoder.  Caller provides `out` sized >= 3*n + 64; returns
+// the number of bytes written (or -1 on bad args).
+extern "C" int64_t hla_arith_encode(const uint8_t* data, int64_t n,
+                                    int order1, int rle, uint8_t* out,
+                                    int64_t out_cap) {
+    if (n < 0 || out_cap < 16) return -1;
+    arith31::RangeEnc rc;
+    rc.out.reserve((size_t)(n / 2 + 64));
+    arith31::EncModelBank byte_models(order1 ? 256 : 1, 256);
+    if (!rle) {
+        int last = 0;
+        for (int64_t i = 0; i < n; i++) {
+            int b = data[i];
+            byte_models.encode(rc, order1 ? last : 0, b);
+            if (order1) last = b;
+        }
+    } else {
+        arith31::EncModelBank run_models(256, 256);
+        arith31::EncModelBank cont_model(1, 256);
+        int64_t i = 0;
+        int last = 0;
+        while (i < n) {
+            int b = data[i];
+            int64_t run = 1;
+            while (i + run < n && data[i + run] == b) run++;
+            byte_models.encode(rc, order1 ? last : 0, b);
+            if (order1) last = b;
+            int64_t rem = run - 1;
+            int chunk = (int)(rem < 255 ? rem : 255);
+            run_models.encode(rc, b, chunk);
+            rem -= chunk;
+            while (chunk == 255) {
+                chunk = (int)(rem < 255 ? rem : 255);
+                cont_model.encode(rc, 0, chunk);
+                rem -= chunk;
+            }
+            i += run;
+        }
+    }
+    rc.finish();
+    if ((int64_t)rc.out.size() > out_cap) return -2;
+    std::memcpy(out, rc.out.data(), rc.out.size());
+    return (int64_t)rc.out.size();
+}
+
+// fqzcomp coded-stream encode (io/fqzcomp.py::compress after the header),
+// byte-identical to the Python encoder.  codes: the per-base model symbols
+// (qmap-inverted quality bytes); lens/sels/revs/dups are per record.
+// pm layout as in hla_fqz_decode.  Returns bytes written or <0 on error.
+extern "C" int64_t hla_fqz_encode(
+    const uint8_t* codes, int64_t n, const int64_t* lens, int64_t n_rec,
+    const uint8_t* sels, const uint8_t* revs, const uint8_t* dups,
+    int nparam, int gflags, const int32_t* pm, const int32_t* qtab,
+    const int32_t* ptab, const int32_t* dtab, const int32_t* stab,
+    uint8_t* out, int64_t out_cap) {
+    const int GF_HAVE_STAB = 2, GF_DO_REV = 4;
+    const int PF_DO_DEDUP = 2, PF_DO_LEN = 4, PF_DO_SEL = 8,
+              PF_HAVE_PTAB = 32, PF_HAVE_DTAB = 64;
+    if (n < 0 || n_rec < 0 || nparam < 1 || nparam > 256) return -1;
+    int64_t model_bytes = 0;
+    for (int p = 0; p < nparam; p++) {
+        int max_sym = pm[p * 9 + 2];
+        if (max_sym < 1 || max_sym > 256) return -1;
+        model_bytes += 65536LL * max_sym * 2;
+    }
+    if (model_bytes > (64LL << 20)) return -1;
+    arith31::RangeEnc rc;
+    rc.out.reserve((size_t)(n / 3 + 64));
+    std::vector<std::unique_ptr<arith31::EncModelBank>> qual;
+    for (int p = 0; p < nparam; p++)
+        qual.emplace_back(new arith31::EncModelBank(65536, pm[p * 9 + 2]));
+    arith31::EncModelBank len_models(4, 256);
+    arith31::EncModelBank sel_model(1, 256);
+    arith31::EncModelBank rev_model(1, 2);
+    arith31::EncModelBank dup_model(1, 2);
+    const int32_t pf0 = pm[1];
+    int64_t off = 0;
+    bool first = true;
+    for (int64_t ri = 0; ri < n_rec; ri++) {
+        int64_t rec_len = lens[ri];
+        if (rec_len <= 0 || off + rec_len > n) return -2;
+        if (first || (pf0 & PF_DO_LEN)) {
+            for (int b = 0; b < 4; b++)
+                len_models.encode(rc, b,
+                                  (int)((rec_len >> (8 * b)) & 0xFF));
+        } else if (rec_len != lens[0]) {
+            return -3;               // varying lengths need DO_LEN
+        }
+        first = false;
+        int sel = sels ? sels[ri] : 0;
+        if (pf0 & PF_DO_SEL) sel_model.encode(rc, 0, sel);
+        int pset = (gflags & GF_HAVE_STAB) ? (int)stab[sel] : 0;
+        if (pset < 0 || pset >= nparam) return -4;
+        const int32_t* P = pm + pset * 9;
+        const int32_t context = P[0], pflags = P[1];
+        const int32_t qbits = P[3], qshift = P[4], qloc = P[5],
+                      sloc = P[6], ploc = P[7], dloc = P[8];
+        const uint32_t qmask = (1u << qbits) - 1;
+        const int32_t* QT = qtab + pset * 256;
+        const int32_t* PT = ptab + pset * 1024;
+        const int32_t* DT = dtab + pset * 256;
+        if (gflags & GF_DO_REV)
+            rev_model.encode(rc, 0, revs ? revs[ri] : 0);
+        if (pflags & PF_DO_DEDUP) {
+            int dup = dups ? dups[ri] : 0;
+            dup_model.encode(rc, 0, dup);
+            if (dup) { off += rec_len; continue; }
+        }
+        uint32_t qctx = 0;
+        int64_t p_rem = rec_len;
+        int64_t delta = 0;
+        int prevq = 0;
+        uint32_t ctx = (uint32_t)context & 0xFFFF;
+        arith31::EncModelBank& QB = *qual[pset];
+        for (int64_t k = 0; k < rec_len; k++) {
+            int q = codes[off + k];
+            QB.encode(rc, ctx, q);
+            qctx = ((qctx << qshift) + (uint32_t)QT[q]) & qmask;
+            uint32_t c = (uint32_t)context + (qctx << qloc);
+            if (pflags & PF_HAVE_PTAB)
+                c += (uint32_t)PT[p_rem < 1023 ? p_rem : 1023] << ploc;
+            if (pflags & PF_HAVE_DTAB) {
+                c += (uint32_t)DT[delta < 255 ? delta : 255] << dloc;
+                delta += (prevq != q);
+                prevq = q;
+            }
+            if (pflags & PF_DO_SEL) c += (uint32_t)sel << sloc;
+            p_rem--;
+            ctx = c & 0xFFFF;
+        }
+        off += rec_len;
+    }
+    if (off != n) return -5;
+    rc.finish();
+    if ((int64_t)rc.out.size() > out_cap) return -6;
+    std::memcpy(out, rc.out.data(), rc.out.size());
+    return (int64_t)rc.out.size();
+}
 
 // arith payload decode (io/arith.py::_decode_payload): order 0/1 byte
 // models, optional RLE (per-symbol run models + shared continuation

@@ -155,6 +155,12 @@ def _encode_payload(arr: np.ndarray, freqs: np.ndarray, cums: np.ndarray,
     per-position context row (order-1) or None (order-0; row 0 used).
     Order 0 interleaves round-robin; order 1 splits into N fragments
     (state j owns fragment j, remainder on the last)."""
+    from .. import native
+    enc = getattr(native, "ransnx16_encode", None)
+    if enc is not None and native.available():
+        res = enc(arr, freqs, cums, n_states, ctx, shift)
+        if res is not None:
+            return res
     n = len(arr)
     states = [L_BOUND] * n_states
     out_rev = bytearray()

@@ -75,6 +75,9 @@ def _find_lib():
                 lib.hla_arith_encode.restype = i64
                 lib.hla_arith_encode.argtypes = [
                     vp, i64, ctypes.c_int, ctypes.c_int, vp, i64]
+                lib.hla_ransnx16_encode.restype = i64
+                lib.hla_ransnx16_encode.argtypes = [
+                    vp, i64, vp, vp, i64, vp, ctypes.c_int, vp, i64]
                 lib.hla_fqz_encode.restype = i64
                 lib.hla_fqz_encode.argtypes = (
                     [vp, i64, vp, i64, vp, vp, vp, ctypes.c_int,
@@ -345,6 +348,33 @@ def arith_decode(blob: bytes, pos: int, n_out: int, order1: int,
     if rc != 0:
         return None
     return out[:n_out].tobytes()
+
+
+def ransnx16_encode(arr: np.ndarray, freqs: np.ndarray, cums: np.ndarray,
+                    n_states: int, ctx: np.ndarray | None,
+                    shift: int) -> bytes | None:
+    """C++ rANS Nx16 payload encode (byte-identical to the Python
+    encoder) or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    f = np.ascontiguousarray(freqs, dtype=np.int64)
+    c = np.ascontiguousarray(cums, dtype=np.int64)
+    cap = 2 * len(a) + 16 * n_states + 64
+    out = np.empty(cap, dtype=np.uint8)
+    ctx_p = None
+    if ctx is not None:
+        ctx_a = np.ascontiguousarray(ctx, dtype=np.uint8)
+        ctx_p = ctx_a.ctypes.data_as(ctypes.c_void_p)
+    n = lib.hla_ransnx16_encode(
+        a.ctypes.data_as(ctypes.c_void_p), len(a),
+        f.ctypes.data_as(ctypes.c_void_p),
+        c.ctypes.data_as(ctypes.c_void_p), n_states, ctx_p, shift,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def arith_encode(data: bytes, order1: int, rle: int) -> bytes | None:

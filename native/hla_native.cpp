@@ -1169,6 +1169,71 @@ extern "C" int64_t hla_fqz_encode(
     return (int64_t)rc.out.size();
 }
 
+// rANS Nx16 payload encode (io/rans_nx16.py::_encode_payload),
+// byte-identical to the Python encoder.  freqs/cums are [n_ctx][256] /
+// [n_ctx][257] int64 rows (n_ctx = 1 order-0, 256 order-1); ctx is the
+// per-position context row (order 1) or null.  Returns bytes written.
+extern "C" int64_t hla_ransnx16_encode(
+    const uint8_t* arr, int64_t n, const int64_t* freqs,
+    const int64_t* cums, int64_t n_states, const uint8_t* ctx, int shift,
+    uint8_t* out, int64_t out_cap) {
+    if (n < 0 || n_states < 1 || n_states > 64 || shift < 1 || shift > 16)
+        return -1;
+    if (out_cap < 2 * n + 16 * n_states + 64) return -1;
+    const uint32_t Lb = 1u << 15;
+    std::vector<uint32_t> states(n_states, Lb);
+    std::vector<uint8_t> rev16;                 // renorm words, reversed
+    rev16.reserve((size_t)n / 2 + 16);
+    // (position, state, context) visit order of the DECODER; the encoder
+    // pushes symbols in exactly the reverse order
+    auto push = [&](int64_t i, int64_t j, int64_t cx) {
+        int s = arr[i];
+        uint32_t f = (uint32_t)freqs[cx * 256 + s];
+        uint32_t c = (uint32_t)cums[cx * 257 + s];
+        if (f == 0) return false;               // symbol outside the table
+        uint32_t x = states[j];
+        uint32_t x_max = ((Lb >> shift) << 16) * f;
+        while (x >= x_max) {
+            rev16.push_back((uint8_t)(x & 0xFF));
+            rev16.push_back((uint8_t)((x >> 8) & 0xFF));
+            x >>= 16;
+        }
+        states[j] = ((x / f) << shift) + (x % f) + c;
+        return true;
+    };
+    if (ctx == nullptr) {
+        for (int64_t i = n - 1; i >= 0; i--)
+            if (!push(i, i % n_states, 0)) return -2;
+    } else {
+        int64_t q = n / n_states;
+        std::vector<int64_t> lo(n_states), hi(n_states);
+        int64_t max_len = 0;
+        for (int64_t j = 0; j < n_states; j++) {
+            lo[j] = j * q;
+            hi[j] = (j < n_states - 1) ? (j + 1) * q : n;
+            if (hi[j] - lo[j] > max_len) max_len = hi[j] - lo[j];
+        }
+        for (int64_t t = max_len - 1; t >= 0; t--)
+            for (int64_t j = n_states - 1; j >= 0; j--)
+                if (t < hi[j] - lo[j])
+                    if (!push(lo[j] + t, j, ctx[lo[j] + t])) return -2;
+    }
+    int64_t w = 0;
+    for (int64_t j = 0; j < n_states; j++) {
+        uint32_t x = states[j];
+        out[w++] = (uint8_t)(x & 0xFF);
+        out[w++] = (uint8_t)((x >> 8) & 0xFF);
+        out[w++] = (uint8_t)((x >> 16) & 0xFF);
+        out[w++] = (uint8_t)((x >> 24) & 0xFF);
+    }
+    // rev16 holds 16-bit words in push order; emit them wordwise reversed
+    for (int64_t k = (int64_t)rev16.size() - 2; k >= 0; k -= 2) {
+        out[w++] = rev16[k];
+        out[w++] = rev16[k + 1];
+    }
+    return w;
+}
+
 // arith payload decode (io/arith.py::_decode_payload): order 0/1 byte
 // models, optional RLE (per-symbol run models + shared continuation
 // model, base-255 chunks).  Returns 0 on success.

@@ -159,6 +159,18 @@ def action_hla(args) -> int:
     out_dir = args.outputDirectory or os.path.join(
         args.workingDir, args.sampleID)
     os.makedirs(out_dir, exist_ok=True)
+    if getattr(args, "extractExonkMerCounts", 0):
+        # validate flag combinations BEFORE the (potentially hours-long)
+        # extraction+typing run, not after it
+        if args.longReads:
+            raise SystemExit(
+                "--extractExonkMerCounts is a short-read feature "
+                "(HLA-LA.pl:545)")
+        if args.nHosts > 1 or getattr(args, "mergeShards", None):
+            raise SystemExit(
+                "--extractExonkMerCounts is not available on sharded "
+                "multi-host runs: counts must cover ALL reads — run "
+                "--action extractkMerCounts on the full FASTQs instead")
 
     if getattr(args, "mergeShards", None):
         # multi-host HLA: typing over every host's align shard
@@ -265,12 +277,8 @@ def action_hla(args) -> int:
                  f"{out_dir}/hla/R1_bestguess.txt")
     if getattr(args, "extractExonkMerCounts", 0):
         # the reference runs extractkMerCounts.pl over the extracted FASTQs
-        # as part of the HLA action (HLA-LA.pl:543-552); same here, over the
-        # reads we just typed from
-        if args.longReads:
-            raise SystemExit(
-                "--extractExonkMerCounts is a short-read feature "
-                "(HLA-LA.pl:545)")
+        # as part of the HLA action (HLA-LA.pl:543-552); same here, over
+        # the reads we just typed from (flag combos validated up front)
         _write_exon_kmer_counts(
             pkg, [r for p in pairs for r in p] + list(unpaired), out_dir)
     for r in res.results:

@@ -277,10 +277,10 @@ def compress(data: bytes, lens: list[int] | None = None,
             inv.append(m)
         else:
             inv.append(np.arange(256, dtype=np.int64))
-    # precompute per-record post-reversal byte streams, dup flags, and the
+    # precompute the per-record dup flags, param-set choices and the
     # qmap-inverted model symbols — shared by the native and Python paths.
-    # The default write path (single param set, no reverse/dedup) skips the
-    # per-record loop entirely: one vectorised qmap inversion
+    # The default write path (single param set, no reverse/dedup) needs no
+    # per-record loop: one vectorised qmap inversion covers everything
     if (sels is None and revs is None and len(params) == 1
             and not (params[0].pflags & PF_DO_DEDUP)):
         codes_cat = inv[0][np.frombuffer(data, dtype=np.uint8)]
@@ -289,38 +289,30 @@ def compress(data: bytes, lens: list[int] | None = None,
         codes_cat = codes_cat.astype(np.uint8)
         dups = [0] * len(lens)
         psets = [0] * len(lens)
-        payload = _native_encode(codes_cat, lens, None, None, dups,
-                                 gflags, params, stab_arr)
-        if payload is not None:
-            return bytes(out) + payload
     else:
-        codes_cat = None
-    recs: list[bytes] = []
-    dups = []
-    psets = []
-    codes_parts: list[np.ndarray] = []
-    off = 0
-    prev_rec: bytes | None = None
-    for ri, rec_len in enumerate(lens):
-        rec = data[off:off + rec_len]
-        off += rec_len
-        sel = sels[ri] if sels is not None else 0
-        pset = int(stab_arr[sel]) if gflags & GF_HAVE_STAB else 0
-        if (gflags & GF_DO_REV) and revs is not None and revs[ri]:
-            rec = rec[::-1]
-        dup = 0
-        if params[pset].pflags & PF_DO_DEDUP:
-            dup = int(prev_rec is not None and rec == prev_rec)
-        recs.append(rec)
-        dups.append(dup)
-        psets.append(pset)
-        c = inv[pset][np.frombuffer(rec, dtype=np.uint8)]
-        if np.any(c < 0):
-            raise ValueError("fqzcomp: quality byte outside qmap")
-        codes_parts.append(c.astype(np.uint8))
-        prev_rec = rec
-    codes_cat = (np.concatenate(codes_parts) if codes_parts
-                 else np.zeros(0, dtype=np.uint8))
+        dups, psets = [], []
+        codes_parts: list[np.ndarray] = []
+        off = 0
+        prev_rec: bytes | None = None
+        for ri, rec_len in enumerate(lens):
+            rec = data[off:off + rec_len]
+            off += rec_len
+            sel = sels[ri] if sels is not None else 0
+            pset = int(stab_arr[sel]) if gflags & GF_HAVE_STAB else 0
+            if (gflags & GF_DO_REV) and revs is not None and revs[ri]:
+                rec = rec[::-1]
+            dup = 0
+            if params[pset].pflags & PF_DO_DEDUP:
+                dup = int(prev_rec is not None and rec == prev_rec)
+            dups.append(dup)
+            psets.append(pset)
+            c = inv[pset][np.frombuffer(rec, dtype=np.uint8)]
+            if np.any(c < 0):
+                raise ValueError("fqzcomp: quality byte outside qmap")
+            codes_parts.append(c.astype(np.uint8))
+            prev_rec = rec
+        codes_cat = (np.concatenate(codes_parts) if codes_parts
+                     else np.zeros(0, dtype=np.uint8))
     payload = _native_encode(codes_cat, lens, sels, revs, dups, gflags,
                              params, stab_arr)
     if payload is not None:

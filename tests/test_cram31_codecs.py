@@ -211,6 +211,61 @@ def test_fqzcomp_fuzz_no_crash(rng):
             pass
 
 
+def test_native_encoders_blob_identical_to_python(rng):
+    """The C++ encoders (hla_arith_encode / hla_fqz_encode /
+    hla_ransnx16_encode) must produce blob-identical output to the Python
+    encoders — the repo's byte-identical-optimisation discipline — so a
+    decoder of either implementation reads either's output."""
+    import hla_la_tpu.native as native
+    from hla_la_tpu.io import rans_nx16 as nx
+    from hla_la_tpu.io.fqzcomp import PF_DO_DEDUP, PF_DO_LEN, PF_DO_SEL
+    if not native.available():
+        pytest.skip("native library not built")
+    avail = native.available
+
+    def python_only(fn, *a, **kw):
+        try:
+            native.available = lambda: False
+            return fn(*a, **kw)
+        finally:
+            native.available = avail
+
+    cases = [bytes(rng.integers(0, 50, 3000, dtype=np.uint8)),
+             np.repeat(rng.integers(60, 70, 120, dtype=np.uint8),
+                       rng.integers(1, 40, 120)).tobytes(),
+             b"", b"A" * 9]
+    for d in cases:
+        for order in (0, 1):
+            for rle in (False, True):
+                got = arith.compress(d, order=order, use_rle=rle)
+                assert got == python_only(arith.compress, d, order=order,
+                                          use_rle=rle)
+            for n32 in (False, True):
+                got = nx.compress(d, order=order, n32=n32)
+                assert got == python_only(nx.compress, d, order=order,
+                                          n32=n32)
+    data, lens = _sim_quals(rng, 40, 80)
+    assert fqzcomp.compress(data, lens) == python_only(
+        fqzcomp.compress, data, lens)
+    # the multi-param/selector/reverse/dedup layers too
+    recs = [data[i * 80:(i + 1) * 80] for i in range(40)]
+    recs[3] = recs[2]
+    data2 = b"".join(recs)
+    pms = []
+    for cx in (0, 5):
+        pm = fqzcomp._default_params(data2, lens)
+        pm.pflags |= PF_DO_SEL | PF_DO_DEDUP | PF_DO_LEN
+        pm.context = cx
+        pms.append(pm)
+    stab = np.zeros(256, dtype=np.int64)
+    stab[1] = 1
+    sels = [i % 2 for i in range(40)]
+    revs = [i % 5 == 0 for i in range(40)]
+    kw = dict(params=pms, sels=sels, stab=stab, revs=revs)
+    assert fqzcomp.compress(data2, lens, **kw) == python_only(
+        fqzcomp.compress, data2, lens, **kw)
+
+
 def test_arith_fqz_native_python_parity(rng):
     """The C++ decoders (hla_arith_decode / hla_fqz_decode) must produce
     byte-identical output to the pure-Python decode on the same blobs."""

@@ -163,6 +163,44 @@ def truth_to_vcf(reference_row: str, hap1: str, hap2: str, contig: str,
         return n
 
 
+def read_pgf_loci(path: str) -> dict[str, dict]:
+    """Parse the PGF reference-haplotype table (Perl/PGF_loci_and_alleles
+    .txt, consumed by the reference's truthToVCF.pl:107-137): per locus the
+    allele carried by the PGF haplotype GRCh38 embeds, its strand, and the
+    0-based B37/B38 coordinate spans.  Keys are the table's locus names
+    (e.g. 'HLA-A'); values carry allele/strand/b37/b38."""
+    out: dict[str, dict] = {}
+    with open(path) as fh:
+        header = fh.readline().rstrip("\r\n").split("\t")
+        idx = {k: i for i, k in enumerate(header)}
+        for need in ("Locus", "PGFAllele", "Strand",
+                     "FirstBase_B37_0based", "LastBase_B37_0based",
+                     "FirstBase_B38_0based", "LastBase_B38_0based"):
+            if need not in idx:
+                raise ValueError(f"PGF table: missing column {need}")
+        for line in fh:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            f = line.split("\t")
+            allele = f[idx["PGFAllele"]]
+            if "*" not in allele:
+                raise ValueError(f"PGF table: bad allele {allele!r}")
+            b37 = (int(f[idx["FirstBase_B37_0based"]]),
+                   int(f[idx["LastBase_B37_0based"]]))
+            b38 = (int(f[idx["FirstBase_B38_0based"]]),
+                   int(f[idx["LastBase_B38_0based"]]))
+            if not (b37[0] < b37[1] and b38[0] < b38[1]):
+                raise ValueError(f"PGF table: bad span for {allele}")
+            out[f[idx["Locus"]]] = {
+                "allele": allele,
+                "strand": f[idx["Strand"]],
+                "b37": b37,
+                "b38": b38,
+            }
+    return out
+
+
 def analyse_gene_coverage(output_dir: str) -> dict[str, dict]:
     """Per-gene coverage summary from R1_pileup_<locus>.txt files
     (analyseGeneCoverage.pl role)."""

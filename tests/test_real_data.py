@@ -336,3 +336,26 @@ def test_real_quality_matrix_profile(rng):
     lows = [p[q] for q in p if q <= ord("#")]
     if highs and lows:
         assert min(highs) > max(lows)
+
+
+@needs_ref
+def test_real_pgf_loci_table():
+    """The shipped PGF haplotype table (Perl/PGF_loci_and_alleles.txt,
+    truthToVCF.pl:107-137) parses: 25 MHC loci with the alleles the GRCh38
+    PGF haplotype embeds, sane strands and coordinate spans, and the known
+    B37->B38 MHC offset (~32.2kb) for every locus."""
+    from hla_la_tpu.tools import read_pgf_loci
+    tab = read_pgf_loci(os.path.join(REF, "Perl",
+                                     "PGF_loci_and_alleles.txt"))
+    assert len(tab) == 25
+    a = tab["HLA-A"]
+    assert a["allele"] == "A*03:01:01:01" and a["strand"] == "+"
+    assert a["b38"] == (29942253, 29945754)
+    assert tab["HLA-B"]["strand"] == "-"
+    for locus, row in tab.items():
+        assert row["strand"] in "+-", locus
+        off = row["b38"][0] - row["b37"][0]
+        assert 30000 < off < 35000, (locus, off)   # stable MHC B37->B38
+        span37 = row["b37"][1] - row["b37"][0]
+        span38 = row["b38"][1] - row["b38"][0]
+        assert abs(span37 - span38) <= 60, locus   # same gene, small indels

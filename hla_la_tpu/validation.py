@@ -149,14 +149,41 @@ class CohortReport:
 
 
 def read_sample_sheet(path: str) -> list[tuple[str, str]]:
-    """validationBAMs.txt format: 'sampleID <whitespace> bamPath' lines."""
+    """validationBAMs.txt -> [(sampleID, bamPath)].  Two formats:
+
+    - simple: 'sampleID <whitespace> bamPath' lines
+    - the reference's cohort sheet (validationBAMs.txt, parsed by
+      Perl/applyToAllBAMs.pl:28-70): tab-separated 'cohort TAB path
+      [TAB label]'; the sample ID is the explicit label when given
+      (Platinum rows) else '<cohort>_<basename stem>' (the 1000G
+      convention); a leading empty cohort field means
+      'TAB sampleID TAB path'.
+    """
     out = []
     with open(path) as fh:
         for line in fh:
-            line = line.strip()
-            if not line or line.startswith("#"):
+            raw = line.rstrip("\r\n")
+            if not raw.strip() or raw.lstrip().startswith("#"):
                 continue
-            f = line.split()
+            if "\t" in raw:
+                f = [x.strip() for x in raw.split("\t")]
+                low = (f[1] if len(f) > 1 else "").lower()
+                if f[0] == "" and len(f) >= 3 and f[2]:
+                    out.append((f[1], f[2]))      # '' TAB sample TAB path
+                    continue
+                if low.endswith(".bam") or low.endswith(".cram"):
+                    label = f[2] if len(f) > 2 and f[2] else ""
+                    if not label:
+                        stem = os.path.basename(f[1]).split(".")[0]
+                        if stem == "merged":
+                            # generic per-sample dirs (.../SRR702070/
+                            # merged.bam): the directory carries the ID
+                            stem = os.path.basename(
+                                os.path.dirname(f[1]))
+                        label = f"{f[0]}_{stem}"
+                    out.append((label, f[1]))
+                    continue
+            f = raw.split()
             if len(f) >= 2 and f[0].lower() not in ("sampleid",
                                                     "individualid"):
                 out.append((f[0], f[1]))

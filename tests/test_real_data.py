@@ -359,3 +359,20 @@ def test_real_pgf_loci_table():
         span37 = row["b37"][1] - row["b37"][0]
         span38 = row["b38"][1] - row["b38"][0]
         assert abs(span37 - span38) <= 60, locus   # same gene, small indels
+
+
+@needs_ref
+def test_real_validation_sheet_parses():
+    """The shipped validationBAMs.txt cohort sheet (consumed by the
+    reference's Perl/applyToAllBAMs.pl) parses to (sampleID, bamPath)
+    pairs: explicit Platinum labels kept, 1000G IDs derived as
+    1000G_<stem>, blank lines skipped, every path a BAM."""
+    from hla_la_tpu.validation import read_sample_sheet
+    rows = read_sample_sheet(os.path.join(REF, "validationBAMs.txt"))
+    assert len(rows) >= 10
+    by_id = dict(rows)
+    assert by_id["Platinum_NA12878"].endswith("AA02O9Q_Z2.bam")
+    assert any(s.startswith("1000G_HG") or s.startswith("1000G_NA")
+               for s, _ in rows)
+    assert all(p.lower().endswith((".bam", ".cram")) for _, p in rows)
+    assert len(by_id) == len(rows), "duplicate derived sample IDs"

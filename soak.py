@@ -1,0 +1,157 @@
+"""Randomized soak of the full CLI: random worlds x input modes.
+
+Each trial: simulate a package (random size/haplotypes/genes), simulate
+reads from two random haplotypes (random coverage/read length/error),
+feed them through a random input mode (BAM, CRAM, FASTQ pair, long-read
+FASTQU), and assert the diploid calls are exactly the simulated truth.
+Any crash or wrong call = bug."""
+import os
+import shutil
+import sys
+import tempfile
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from hla_la_tpu.cli import main
+from hla_la_tpu.io.bam import BamRecord, BamWriter, FLAG_PAIRED, \
+    FLAG_READ1, FLAG_READ2, FLAG_REVERSE
+from hla_la_tpu.io.fastq import write_fastq
+from hla_la_tpu.sim.graph_sim import simulate_prg_package
+from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
+
+
+def one_trial(seed: int, base: str) -> str:
+    rng = np.random.default_rng(seed)
+    backbone = int(rng.integers(1200, 4000))
+    n_hap = int(rng.integers(3, 7))
+    sim = simulate_prg_package(rng, backbone_length=backbone,
+                               n_haplotypes=n_hap)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    mode = ["bam", "cram", "fastq", "long"][seed % 4]
+    cov = float(rng.uniform(8, 20))
+    rl = int(rng.integers(70, 140))
+    rs = ReadSimulator(rng, read_length=rl,
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)),
+                       with_error=bool(seed % 3))
+    pairs = []
+    for h in (h1, h2):
+        seq, levels = sim.linearized(int(h))
+        pairs += rs.simulate_pairs_from_string(seq, levels, cov,
+                                               name_prefix=f"h{h}")
+    out_dir = os.path.join(base, "out")
+    argv = ["--action", "HLA", "--graph", pkg_dir, "--sampleID", "S",
+            "--workingDir", base, "--outputDirectory", out_dir,
+            "--seed", str(seed)]
+    if mode in ("bam", "cram"):
+        records = []
+        for p in pairs:
+            for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+                s, q = r.seq, r.qual
+                flag = FLAG_PAIRED | mate_flag
+                if r.reverse:
+                    s, q = revcomp(s), q[::-1]
+                    flag |= FLAG_REVERSE
+                records.append(BamRecord(
+                    name=r.name, flag=flag, ref_id=0,
+                    pos=max(r.start_pos, 0), mapq=60,
+                    cigar=[(len(s), 0)], seq=s, qual=q))
+        if mode == "bam":
+            path = os.path.join(base, "in.bam")
+            w = BamWriter(path, [("chr6", contig_len)])
+            for r in records:
+                w.write(r)
+            w.close()
+            argv += ["--BAM", path]
+        else:
+            from hla_la_tpu.io.cram_write import write_cram
+            from hla_la_tpu.io.cram import M_ARITH, M_FQZ, M_TOK3, \
+                M_RANSNx16, M_GZIP
+            ref_seq = "".join(rng.choice(list("ACGT"), contig_len))
+            path = os.path.join(base, "in.cram")
+            meth = [M_GZIP, M_RANSNx16, M_ARITH][seed % 3]
+            write_cram(path, [("chr6", contig_len)], records,
+                       {"chr6": ref_seq}, per_slice=int(rng.integers(
+                           200, 2000)), method=meth,
+                       qual_method=M_FQZ if seed % 2 else None,
+                       name_method=M_TOK3 if seed % 2 else None)
+            fa = os.path.join(base, "genome.fa")
+            with open(fa, "w") as fh:
+                fh.write(">chr6\n" + ref_seq + "\n")
+            argv += ["--BAM", path, "--ref", fa]
+    elif mode == "fastq":
+        r1 = [p.r1.to_fastq() for p in pairs]
+        r2 = [p.r2.to_fastq() for p in pairs]
+        write_fastq(os.path.join(base, "R1.fq"), r1)
+        write_fastq(os.path.join(base, "R2.fq"), r2)
+        argv += ["--FASTQ1", os.path.join(base, "R1.fq"),
+                 "--FASTQ2", os.path.join(base, "R2.fq")]
+    else:   # long-read mode: simulate long fragments from the haplotypes
+        reads = []
+        rng2 = np.random.default_rng(seed + 1)
+        for h in (h1, h2):
+            seq, levels = sim.linearized(int(h))
+            for i in range(60):
+                L = int(rng2.integers(800, min(2500, len(seq) - 1)))
+                s0 = int(rng2.integers(0, len(seq) - L))
+                frag = seq[s0:s0 + L]
+                from hla_la_tpu.io.fastq import FastqRead
+                reads.append(FastqRead(f"L{h}_{i}", frag, "I" * L))
+        write_fastq(os.path.join(base, "RU.fq"), reads)
+        argv += ["--FASTQU", os.path.join(base, "RU.fq"),
+                 "--longReads", "ont2d"]
+    rc = main(argv)
+    assert rc == 0, f"rc={rc}"
+    path = os.path.join(out_dir, "hla", "R1_bestguess.txt")
+    with open(path) as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()[1:]]
+    got: dict[str, list[set[str]]] = {}
+    for f in lines:
+        alts = {a.split("*")[1].split(":")[0] for a in f[2].split(";")}
+        got.setdefault(f[0], []).append(alts)
+    # graph_sim names haplotype h's allele *0{h+1}:01 (hap 0 = backbone);
+    # calls may be semicolon tie-sets (exon-identical alleles) — the true
+    # allele must appear in each chromosome's set, one chromosome each
+    w1, w2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
+    for locus, chroms in got.items():
+        assert len(chroms) == 2, (locus, chroms)
+        a, b = chroms
+        ok = (w1 in a and w2 in b) or (w2 in a and w1 in b)
+        assert ok, (locus, chroms, (w1, w2))
+    return mode
+
+
+def run(n: int, start: int) -> int:
+    fails = 0
+    for seed in range(start, start + n):
+        base = tempfile.mkdtemp(prefix=f"soak{seed}_")
+        try:
+            mode = one_trial(seed, base)
+            print(f"seed {seed}: OK ({mode})", flush=True)
+        except Exception:
+            fails += 1
+            print(f"seed {seed}: FAIL", flush=True)
+            traceback.print_exc()
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return fails
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    sys.exit(1 if run(n, start) else 0)

@@ -985,10 +985,22 @@ class HLATyper:
         """'filterFirst20' top-N-by-quality allele plausibility filter
         (HLATyper.cpp:1509-1719).  Note the reference divides the top-N count
         by the *boolean* filterFirst20 (==1), so an allele passes iff it
-        appears in the top N at all; replicated faithfully (vectorised: a
-        stable per-position sort by descending weight, then group-rank and
-        key-membership arithmetic — the sequential per-position loop is
-        order-equivalent because the sort is stable on insertion order)."""
+        appears in the top N at all; replicated (vectorised: a stable
+        per-position sort by descending weight, then key-membership
+        arithmetic).
+
+        Deliberate deviation at WEIGHT TIES: every observation tying the
+        N-th-ranked weight counts as top-N.  The reference's std::sort
+        comparator uses weight alone (HLATyper.cpp:1560-1565), so its tie
+        order is unspecified; a stable insertion-order top-N is strictly
+        worse — when >= N observations tie (common at weightedOK == 1.0
+        with clean reads), whichever haplotype's reads happen to come
+        first in input order monopolise the top N and the OTHER TRUE
+        ALLELE is erased at every distinguishing position (confident
+        false-homozygous calls; caught by the randomized CLI soak,
+        regression test test_typer.py::
+        test_filter_first20_tied_weights_keep_both_alleles).  With
+        distinct weights the behaviour is unchanged."""
         if soa is None:
             soa = _ObsSoA(reads_obs)
         n = cfg.filter_first20_n
@@ -1001,15 +1013,18 @@ class HLATyper:
         key = soa.keys[m]
         order = np.lexsort((np.arange(len(wv)), -wv, pos))
         spos = pos[order]
+        sw = wv[order]
         grp_start = np.flatnonzero(np.r_[True, spos[1:] != spos[:-1]])
         grp_cnt = np.diff(np.r_[grp_start, len(spos)])
         eligible = grp_cnt >= n
         if not eligible.any():
             return
-        rank = np.arange(len(spos)) - np.repeat(grp_start, grp_cnt)
         elig_row = np.repeat(eligible, grp_cnt)
         skey = key[order]
-        topn_keys = np.unique(skey[elig_row & (rank < n)])
+        # per-group weight of the N-th ranked obs; ties with it are top-N
+        nth_idx = np.minimum(grp_start + (n - 1), len(sw) - 1)
+        thr_row = np.repeat(sw[nth_idx], grp_cnt)
+        topn_keys = np.unique(skey[elig_row & (sw >= thr_row)])
         kicked_row = elig_row & ~np.isin(skey, topn_keys)
         if not kicked_row.any():
             return

@@ -140,3 +140,51 @@ def test_pair_reduction_pallas_interpret_matches_numpy():
     want = pair_ll_reduction_numpy(L)
     got = pair_ll_reduction_pallas(L, tc=8, tr=16)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_filter_first20_tied_weights_keep_both_alleles():
+    """filterFirst20 with >= N observations ALL at the same weight (clean
+    reads, weightedOK == 1.0) must not erase a true allele just because
+    one haplotype's reads come first in input order: every observation
+    tying the N-th weight counts as top-N (the reference's std::sort tie
+    order is unspecified, HLATyper.cpp:1560-1565; a stable insertion-order
+    top-N produced confident false-homozygous calls — caught by the
+    randomized CLI soak, seeds 2001/2025/2052)."""
+    from hla_la_tpu.models.typer import ExonObs, HLATyper, _ObsSoA
+    from hla_la_tpu.utils.config import TyperConfig
+
+    def obs(read_i, genotype, pos):
+        return ExonObs(graph_level=pos, position_in_exon=pos,
+                       genotype=genotype, qualities=b"I", mapq=1.0,
+                       mapq_position=1.0, read_id=f"r{read_i}",
+                       paired_read_id=f"r{read_i}", this_weighted_ok=1.0,
+                       paired_weighted_ok=1.0, pairs_strands_distance=10.0,
+                       alignment_cols_nongap=50, running_novel_gap=0,
+                       reverse=bool(read_i % 2), from_first_read=True)
+
+    # 25 reads of allele 'G' first, then 15 of allele 'T', all weight 1.0,
+    # one shared position: both genotypes must survive
+    reads_obs = ([[obs(i, "G", 7)] for i in range(25)]
+                 + [[obs(25 + i, "T", 7)] for i in range(15)])
+    cfg = TyperConfig()
+    ign_ids: set = set()
+    ign_alleles: dict = {}
+    HLATyper._filter_first20(None, reads_obs, ign_ids, ign_alleles, cfg,
+                             soa=_ObsSoA(reads_obs))
+    assert ign_alleles.get(7, set()) == set(), ign_alleles
+    assert not ign_ids
+    # distinct weights: the reference semantics are unchanged — an allele
+    # only in the low-weight tail IS kicked
+    low = [[ExonObs(graph_level=7, position_in_exon=7, genotype="C",
+                    qualities=b"I", mapq=1.0, mapq_position=1.0,
+                    read_id=f"w{i}", paired_read_id=f"w{i}",
+                    this_weighted_ok=0.5, paired_weighted_ok=0.5,
+                    pairs_strands_distance=10.0, alignment_cols_nongap=50,
+                    running_novel_gap=0, reverse=False,
+                    from_first_read=True)] for i in range(3)]
+    reads_obs2 = ([[obs(i, "G", 7)] for i in range(25)] + low)
+    ign_ids2: set = set()
+    ign_alleles2: dict = {}
+    HLATyper._filter_first20(None, reads_obs2, ign_ids2, ign_alleles2, cfg,
+                             soa=_ObsSoA(reads_obs2))
+    assert ign_alleles2.get(7) == {"C"}, ign_alleles2

@@ -423,7 +423,8 @@ def action_kir(args) -> int:
                 lo, hi = spans.get(g, (a, b))
                 spans[g] = (min(lo, a), max(hi, b))
         genes = spans
-    typer = LinearALTsTyper(panel, backend=args.backend, genes=genes)
+    typer = LinearALTsTyper(panel, backend=args.backend, genes=genes,
+                            n_is_gap=kir_pkg is not None)
     if pairs:
         # paired model incl. the insert-size term
         # (processCollectedAlignments, linearALTs.h:69)
@@ -785,7 +786,7 @@ def action_kir_simulation(args) -> int:
                 lo, hi = gene_spans.get(g, (a, b))
                 gene_spans[g] = (min(lo, a), max(hi, b))
         typer = LinearALTsTyper(kp.haplotypes, backend=args.backend,
-                                genes=gene_spans)
+                                genes=gene_spans, n_is_gap=True)
         res = typer.type_diploid(reads)
         ok = {res.hap1, res.hap2} == {h1, h2}
         print(f"simulated {h1}/{h2}; called {res.hap1}/{res.hap2} "

@@ -45,19 +45,48 @@ class LinearALTsTyper:
     def __init__(self, haplotypes: dict[str, str], band: int = 32,
                  kmer_k: int = 20,
                  genes: dict[str, tuple[int, int]] | None = None,
-                 backend: str = "numpy"):
+                 backend: str = "numpy", n_is_gap: bool = False):
         """haplotypes: {name: sequence} — the equal-length ALT panel
         (equal length is the reference's convention; not required here).
-        genes: {gene: (start, stop)} intervals in panel coordinates."""
+        genes: {gene: (start, stop)} intervals in panel coordinates.
+
+        Alignment gaps ('-'/'_'/'.', plus 'N' when `n_is_gap` — the
+        KirPackage equal-length block stores gaps as N) are STRIPPED for
+        seeding/alignment/scoring: a gap is known absence of sequence, and
+        scoring reads against gap placeholders made a haplotype's own
+        deletion an unalignable NW wall — reads spanning it scored better
+        on OTHER haplotypes, flipping true homozygous calls to confident
+        wrong hets (caught by the randomized soak; regression test
+        test_linear_alts.py::test_deletion_haplotype_homozygous_call).
+        Anchors/insert distances live in ungapped coordinates; gene
+        interval checks translate back to panel coordinates per
+        haplotype."""
         self.names = list(haplotypes)
         self.seqs = [haplotypes[n] for n in self.names]
-        self.index = KmerIndex.build(haplotypes, k=kmer_k)
+        gap_chars = "-_." + ("N" if n_is_gap else "")
+        self.useqs: list[str] = []
+        self.u2a: list[np.ndarray] = []
+        for s in self.seqs:
+            arr = np.frombuffer(s.upper().encode(), dtype=np.uint8)
+            keep = ~np.isin(arr, np.frombuffer(gap_chars.encode(),
+                                               dtype=np.uint8))
+            self.useqs.append(arr[keep].tobytes().decode())
+            self.u2a.append(np.flatnonzero(keep))
+        self.index = KmerIndex.build(
+            dict(zip(self.names, self.useqs)), k=kmer_k)
         self.seeder = Seeder(self.index)
         self.band = band
         self.genes = genes or {}
         self.backend = backend
         self._table = phred_to_p_correct_table(conservative_cap=0.999,
                                                floor=1e-5)
+
+    def _panel_pos(self, hap_idx: int, upos: int) -> int:
+        """Ungapped position -> panel (aligned) coordinate."""
+        m = self.u2a[hap_idx]
+        if len(m) == 0:
+            return 0
+        return int(m[min(max(upos, 0), len(m) - 1)])
 
     # --------------------------------------------------------------- scoring
     def _read_ll_row(self, read: FastqRead, unaligned_ll: float
@@ -84,7 +113,7 @@ class LinearALTsTyper:
             oriented = revcomp(read.seq) if c.reverse else read.seq
             qual = read.qual[::-1] if c.reverse else read.qual
             reads_arr[bi] = _ENC[np.frombuffer(oriented.encode(), np.uint8)]
-            hap = self.seqs[c.seq_idx].encode()
+            hap = self.useqs[c.seq_idx].encode()
             lo = c.ref_start - W // 2
             src_lo, src_hi = max(lo, 0), min(lo + L + W, len(hap))
             if src_hi > src_lo:
@@ -98,7 +127,8 @@ class LinearALTsTyper:
                 continue
             ops = banded_nw_backtrace(pointers[bi], L, int(end_k[bi]),
                                       int(end_state[bi]))
-            ll = self._score_ops(ops, oriented, qual, self.seqs[c.seq_idx], lo)
+            ll = self._score_ops(ops, oriented, qual,
+                                 self.useqs[c.seq_idx], lo)
             if ll > row[c.seq_idx]:
                 row[c.seq_idx] = ll
                 pos_row[c.seq_idx] = lo + W // 2
@@ -160,7 +190,8 @@ class LinearALTsTyper:
         for anchor in anchors:
             if anchor is None:
                 continue
-            _, pos = anchor
+            hi_, pos = anchor
+            pos = self._panel_pos(hi_, pos)
             for g, (lo, hi) in self.genes.items():
                 if lo <= pos < hi:
                     gene_counts[g] += 1
@@ -234,7 +265,8 @@ class LinearALTsTyper:
         for anchor in anchors:
             if anchor is None:
                 continue
-            _, pos = anchor
+            hi_, pos = anchor
+            pos = self._panel_pos(hi_, pos)
             for g, (lo, hi) in self.genes.items():
                 if lo <= pos < hi:
                     gene_counts[g] += 1
@@ -251,7 +283,8 @@ class LinearALTsTyper:
         for r, anchor in zip(reads, anchors):
             if anchor is None:
                 continue
-            _, pos = anchor
+            hi_, pos = anchor
+            pos = self._panel_pos(hi_, pos)
             for g, (lo, hi) in self.genes.items():
                 if lo <= pos < hi:
                     out[g].append(r.name)

@@ -135,13 +135,79 @@ def one_trial(seed: int, base: str) -> str:
     return mode
 
 
-def run(n: int, start: int) -> int:
+def one_kir_trial(seed: int, base: str) -> str:
+    """Randomized --action KIR: random ALT panel (size, SNP load, indels),
+    random (possibly homozygous) haplotype pair, BAM in -> exact haplotype
+    calls out."""
+    from hla_la_tpu.models.kir_package import build_kir_package
+    rng = np.random.default_rng(seed)
+    L = int(rng.integers(1500, 4000))
+    n_haps = int(rng.integers(3, 7))
+    backbone = "".join("ACGT"[i] for i in rng.integers(0, 4, L))
+    haps = {}
+    for hi in range(n_haps):
+        s = list(backbone)
+        for _ in range(int(rng.integers(20, 80))):
+            p = int(rng.integers(0, L))
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        if rng.random() < 0.5:      # an aligned deletion block
+            d0 = int(rng.integers(L // 4, L // 2))
+            for p in range(d0, d0 + int(rng.integers(3, 15))):
+                s[p] = "-"
+        haps[f"KIR_ALT{hi}"] = "".join(s)
+    g1 = (100, min(L // 3, 900))
+    g2 = (L // 2, L // 2 + min(L // 3, 800))
+    ann = {h: [("KIR2DL1", *g1), ("KIR3DL2", *g2)] for h in haps}
+    pkg_dir = os.path.join(base, "kir")
+    build_kir_package(pkg_dir, haps, ann,
+                      covered_regions={"chr19": (0, 100000)})
+    names = sorted(haps)
+    h1 = names[int(rng.integers(n_haps))]
+    h2 = names[int(rng.integers(n_haps))]    # may equal h1 (homozygous)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(80, 130)),
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)))
+    bam = os.path.join(base, "in.bam")
+    w = BamWriter(bam, [("chr19", 200000)])
+    cov = float(rng.uniform(8, 20))
+    for h in (h1, h2):
+        seq = haps[h].replace("-", "")
+        for p in rs.simulate_pairs_from_string(
+                seq, np.arange(len(seq)), cov / 2, name_prefix=h):
+            tlen = abs(p.r2.start_pos - p.r1.start_pos) + len(p.r2.seq)
+            for mf, r, tl in ((FLAG_READ1, p.r1, tlen),
+                              (FLAG_READ2, p.r2, -tlen)):
+                s, q = r.seq, r.qual
+                flag = FLAG_PAIRED | mf
+                if r.reverse:
+                    s, q = revcomp(s), q[::-1]
+                    flag |= 0x10
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=max(r.start_pos, 0), mapq=60,
+                                  cigar=[(len(s), 0)], seq=s, qual=q,
+                                  tlen=tl))
+    w.close()
+    out_dir = os.path.join(base, "out")
+    rc = main(["--action", "KIR", "--ALTpanel", pkg_dir, "--BAM", bam,
+               "--sampleID", "K", "--workingDir", base,
+               "--outputDirectory", out_dir])
+    assert rc == 0
+    hap_call = open(os.path.join(out_dir,
+                                 "KIR_haplotypes.txt")).read().splitlines()
+    called = hap_call[1].split("\t")[:2]
+    want = sorted((h1, h2))
+    assert sorted(called) == want, (called, want)
+    return "kir"
+
+
+def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
+    trial = one_kir_trial if mode == "kir" else one_trial
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:
-            mode = one_trial(seed, base)
-            print(f"seed {seed}: OK ({mode})", flush=True)
+            label = trial(seed, base)
+            print(f"seed {seed}: OK ({label})", flush=True)
         except Exception:
             fails += 1
             print(f"seed {seed}: FAIL", flush=True)
@@ -154,4 +220,5 @@ def run(n: int, start: int) -> int:
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    sys.exit(1 if run(n, start) else 0)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "hla"
+    sys.exit(1 if run(n, start, mode) else 0)

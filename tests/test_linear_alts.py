@@ -204,3 +204,67 @@ def test_kir_simulation_action_with_package(tmp_path, rng):
     rc = main(["--action", "KIRsimulation", "--ALTpanel", pkg_dir,
                "--seed", "5"])
     assert rc == 0
+
+
+def test_deletion_haplotype_homozygous_call(tmp_path, rng):
+    """A haplotype whose own aligned deletion is stored as N in the
+    equal-length block must still win a homozygous call: gap placeholders
+    are stripped before alignment (an N run is an NW wall, so
+    deletion-spanning reads used to score better on OTHER haplotypes and
+    flipped the call to a confident wrong het — caught by the randomized
+    soak, seed 5002)."""
+    import os
+
+    import numpy as np
+
+    from hla_la_tpu.cli import main
+    from hla_la_tpu.io.bam import BamRecord, BamWriter, FLAG_PAIRED, \
+        FLAG_READ1, FLAG_READ2
+    from hla_la_tpu.models.kir_package import build_kir_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
+
+    base = list("".join("ACGT"[i] for i in rng.integers(0, 4, 2400)))
+    haps = {}
+    for hi in range(4):
+        s = list(base)
+        for _ in range(40):
+            p = int(rng.integers(0, 2400))
+            s[p] = "ACGT"[int(rng.integers(0, 4))]
+        haps[f"KIR_ALT{hi}"] = "".join(s)
+    # the TRUTH haplotype carries the deletion
+    s = list(haps["KIR_ALT3"])
+    for p in range(1100, 1108):
+        s[p] = "-"
+    haps["KIR_ALT3"] = "".join(s)
+    ann = {h: [("KIR2DL1", 300, 700)] for h in haps}
+    pkg_dir = str(tmp_path / "kir")
+    build_kir_package(pkg_dir, haps, ann,
+                      covered_regions={"chr19": (0, 100000)})
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                       fragment_sd=30)
+    bam = str(tmp_path / "in.bam")
+    w = BamWriter(bam, [("chr19", 200000)])
+    seq = haps["KIR_ALT3"].replace("-", "")
+    for rep in range(2):   # homozygous: both chromosomes are ALT3
+        for p in rs.simulate_pairs_from_string(
+                seq, np.arange(len(seq)), 8.0, name_prefix=f"c{rep}"):
+            tlen = abs(p.r2.start_pos - p.r1.start_pos) + len(p.r2.seq)
+            for mf, r, tl in ((FLAG_READ1, p.r1, tlen),
+                              (FLAG_READ2, p.r2, -tlen)):
+                sq, q = r.seq, r.qual
+                flag = FLAG_PAIRED | mf
+                if r.reverse:
+                    sq, q, flag = revcomp(sq), q[::-1], flag | 0x10
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=max(r.start_pos, 0), mapq=60,
+                                  cigar=[(len(sq), 0)], seq=sq, qual=q,
+                                  tlen=tl))
+    w.close()
+    out_dir = str(tmp_path / "out")
+    rc = main(["--action", "KIR", "--ALTpanel", pkg_dir, "--BAM", bam,
+               "--sampleID", "K", "--workingDir", str(tmp_path),
+               "--outputDirectory", out_dir])
+    assert rc == 0
+    called = open(os.path.join(out_dir, "KIR_haplotypes.txt")
+                  ).read().splitlines()[1].split("\t")[:2]
+    assert called == ["KIR_ALT3", "KIR_ALT3"], called

@@ -200,9 +200,53 @@ def one_kir_trial(seed: int, base: str) -> str:
     return "kir"
 
 
+def one_asm_trial(seed: int, base: str) -> str:
+    """Randomized HLA-ASM: random package, contigs = (possibly
+    reverse-complemented, possibly truncated, lightly mutated) haplotype
+    sequences -> per-locus calls must be the haplotype's alleles with edit
+    distance <= the planted mutation count."""
+    from hla_la_tpu.models.asm import AssemblyTyper
+    rng = np.random.default_rng(seed)
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1500, 4000)), n_haplotypes=int(rng.integers(3, 6)))
+    pkg = sim.write_package(os.path.join(base, "g"))
+    n_hap = len(sim.haplotypes) if hasattr(sim, "haplotypes") else 3
+    h = int(rng.integers(1, n_hap))
+    seq, _ = sim.linearized(h)
+    n_mut = int(rng.integers(0, 4))
+    s = list(seq)
+    for _ in range(n_mut):
+        p = int(rng.integers(50, len(s) - 50))
+        s[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[s[p]]
+    contig = "".join(s)
+    if rng.random() < 0.5:
+        contig = revcomp(contig)
+    lo = int(rng.integers(0, len(contig) // 10))
+    hi = len(contig) - int(rng.integers(0, len(contig) // 10))
+    contig = contig[lo:hi]
+    typer = AssemblyTyper(pkg)
+    calls = typer.type_contigs({"c1": contig})
+    want = f"{h + 1:02d}"
+    by_locus = {}
+    for c in calls:
+        by_locus.setdefault(c.locus, c)
+    assert by_locus, "no gene hits on contig"
+    for locus, c in by_locus.items():
+        field = c.allele.split("*")[1].split(":")[0]
+        # truncated contigs may clip a gene; full-distance calls on a
+        # clipped gene are reported with large edit distance — only check
+        # calls the typer itself considers close
+        if c.edit_distance <= n_mut:
+            assert field == want, (locus, c.allele, want, c.edit_distance)
+    assert any(c.edit_distance <= n_mut for c in calls), \
+        [(c.locus, c.allele, c.edit_distance) for c in calls]
+    return "asm"
+
+
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
-    trial = one_kir_trial if mode == "kir" else one_trial
+    trial = {"kir": one_kir_trial, "asm": one_asm_trial}.get(mode,
+                                                             one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

@@ -244,6 +244,18 @@ def action_hla(args) -> int:
             unpaired = _split_long_reads(unpaired)
     if not pairs and not unpaired:
         raise SystemExit("no input reads (--BAM or --FASTQ1/--FASTQ2/--FASTQU)")
+    if unpaired and not args.longReads:
+        from .utils.config import TyperConfig
+        min_len = TyperConfig().min_alignment_length_unpaired
+        n_short = sum(len(r.seq) < min_len for r in unpaired)
+        if n_short > len(unpaired) // 2:
+            log_progress(
+                f"WARNING: {n_short}/{len(unpaired)} unpaired reads are "
+                f"shorter than the {min_len}bp unpaired minimum "
+                f"(HLATyper.cpp:1032) and will produce no typing "
+                f"observations — short reads must be PAIRED "
+                f"(--FASTQ1/--FASTQ2); use --longReads for long-read "
+                f"input")
     if getattr(args, "keepExtractedFastq", 0):
         # the reference leaves the extraction FASTQs (R_1/R_2/R_U) in the
         # sample working dir (HLA-LA.pl:465-502); extraction here is

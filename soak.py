@@ -41,6 +41,9 @@ def one_trial(seed: int, base: str) -> str:
                  "PartialExtraction_Start\tPartialExtraction_Stop\n")
         fh.write(f"chr6\t{contig_len}\t1\t\t\n")
     h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    # NOTE no short-single-end mode: unpaired reads under 1000bp are a
+    # non-workflow in the reference too (HLATyper.cpp:1032) — the CLI
+    # warns and produces flat self-signalling output (suite-tested)
     mode = ["bam", "cram", "fastq", "long"][seed % 4]
     cov = float(rng.uniform(8, 20))
     rl = int(rng.integers(70, 140))

@@ -215,3 +215,23 @@ def test_hla_action_keep_extracted_fastq(tmp_path, rng):
     assert filecmp.cmp(os.path.join(out1, "hla", "R1_bestguess.txt"),
                        os.path.join(out2, "hla", "R1_bestguess.txt"),
                        shallow=False)
+
+
+def test_hla_action_warns_on_short_unpaired_reads(tmp_path, rng, capsys):
+    """Short reads through --FASTQU without --longReads are a non-workflow
+    (the reference's 1000bp unpaired minimum, HLATyper.cpp:1032, filters
+    them all): the CLI must warn loudly instead of silently producing
+    zero-coverage calls."""
+    from hla_la_tpu.io.fastq import write_fastq, FastqRead
+    pkg_dir, _ = _bam_world(tmp_path, rng)
+    reads = [FastqRead(f"u{i}", "".join(rng.choice(list("ACGT"), 90)),
+                       "I" * 90) for i in range(20)]
+    fq = str(tmp_path / "u.fq")
+    write_fastq(fq, reads)
+    rc = main(["--action", "HLA", "--FASTQU", fq, "--graph", pkg_dir,
+               "--sampleID", "S1", "--workingDir", str(tmp_path),
+               "--outputDirectory", str(tmp_path / "outw")])
+    assert rc == 0
+    err = capsys.readouterr()
+    out_all = err.out + err.err
+    assert "unpaired minimum" in out_all and "WARNING" in out_all

@@ -246,10 +246,76 @@ def one_asm_trial(seed: int, base: str) -> str:
     return "asm"
 
 
+def one_shard_trial(seed: int, base: str) -> str:
+    """Randomized multi-host byte-identity: the same random world typed
+    single-host vs 2-host shard+merge must produce byte-identical outputs
+    (bestguess, G translation, reads_per_level, per-locus pileups)."""
+    import filecmp
+    import glob
+    rng = np.random.default_rng(seed)
+    backbone = int(rng.integers(1200, 4000))
+    n_hap = int(rng.integers(3, 7))
+    sim = simulate_prg_package(rng, backbone_length=backbone,
+                               n_haplotypes=n_hap)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(70, 140)),
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)),
+                       with_error=bool(seed % 2))
+    bam = os.path.join(base, "in.bam")
+    w = BamWriter(bam, [("chr6", contig_len)])
+    for h in (h1, h2):
+        seq, levels = sim.linearized(int(h))
+        for p in rs.simulate_pairs_from_string(
+                seq, levels, float(rng.uniform(8, 16)),
+                name_prefix=f"h{h}"):
+            for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+                s, q = r.seq, r.qual
+                flag = FLAG_PAIRED | mf
+                if r.reverse:
+                    s, q = revcomp(s), q[::-1]
+                    flag |= 0x10
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=max(r.start_pos, 0), mapq=60,
+                                  cigar=[(len(s), 0)], seq=s, qual=q))
+    w.close()
+    single = os.path.join(base, "single")
+    assert main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,
+                 "--sampleID", "S", "--workingDir", base,
+                 "--outputDirectory", single, "--seed", str(seed)]) == 0
+    shard_dir = os.path.join(base, "shards")
+    for host in ("0", "1"):
+        assert main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,
+                     "--sampleID", "S", "--workingDir", base,
+                     "--outputDirectory", os.path.join(base, f"h{host}"),
+                     "--nHosts", "2", "--hostIdx", host,
+                     "--shardDir", shard_dir, "--seed", str(seed)]) == 0
+    merged = os.path.join(base, "merged")
+    assert main(["--action", "HLA", "--graph", pkg_dir, "--sampleID", "S",
+                 "--workingDir", base, "--outputDirectory", merged,
+                 "--mergeShards", shard_dir, "--seed", str(seed)]) == 0
+    for fn in ["hla/R1_bestguess.txt", "hla/R1_bestguess_G.txt",
+               "reads_per_level.txt"]:
+        a, b = os.path.join(single, fn), os.path.join(merged, fn)
+        assert filecmp.cmp(a, b, shallow=False), f"{fn} differs"
+    for a in glob.glob(os.path.join(single, "hla", "R1_pileup_*.txt")):
+        b = os.path.join(merged, "hla", os.path.basename(a))
+        assert filecmp.cmp(a, b, shallow=False), os.path.basename(a)
+    return "shard"
+
+
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
-    trial = {"kir": one_kir_trial, "asm": one_asm_trial}.get(mode,
-                                                             one_trial)
+    trial = {"kir": one_kir_trial, "asm": one_asm_trial,
+             "shard": one_shard_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

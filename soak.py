@@ -265,6 +265,108 @@ def one_asm_trial(seed: int, base: str) -> str:
     return "asm"
 
 
+def one_decoy_trial(seed: int, base: str) -> str:
+    """Randomized paralog defense: a mutated off-graph copy of a gene
+    (random divergence 2-8%) contaminates the input; with
+    --mapAgainstCompleteGenome the typing must still be exact and the
+    paralog pairs must not reach the typer."""
+    from hla_la_tpu.io.fasta import write_fasta
+    rng = np.random.default_rng(seed)
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1800, 4000)), n_haplotypes=int(rng.integers(3, 6)),
+        snp_rate=0.012)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    n_hap = len(sim.haplotypes)
+    h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    # paralog: one gene region of a random haplotype, mutated
+    hp = int(rng.integers(1, n_hap))
+    hap_seq, lv = sim.linearized(hp)
+    gene = "A" if rng.random() < 0.5 else "B"
+    gene_cols = [i for i, nm in enumerate(sim.column_names)
+                 if f"_gene_{gene}_" in nm]
+    lo, hi = min(gene_cols), max(gene_cols)
+    mask = (lv >= lo) & (lv <= hi)
+    gene_seq = "".join(np.array(list(hap_seq))[mask])
+    rate = float(rng.uniform(0.02, 0.08))
+    para = [("ACGT"[("ACGT".index(c) + int(rng.integers(1, 4))) % 4]
+             if rng.random() < rate else c) for c in gene_seq]
+    flank_l = "".join(rng.choice(list("ACGT"), 3000))
+    flank_r = "".join(rng.choice(list("ACGT"), 3000))
+    decoy_contig = flank_l + "".join(para) + flank_r
+    decoy_fa = os.path.join(base, "decoy.fa")
+    write_fasta(decoy_fa, {"chr11_para": decoy_contig})
+    rs = ReadSimulator(rng, read_length=int(rng.integers(80, 130)),
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)),
+                       with_error=True)
+    records = []
+
+    def emit(p):
+        for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            s, q = r.seq, r.qual
+            flag = FLAG_PAIRED | mf
+            if r.reverse:
+                s, q = revcomp(s), q[::-1]
+                flag |= 0x10
+            records.append(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                     pos=max(r.start_pos, 0), mapq=60,
+                                     cigar=[(len(s), 0)], seq=s, qual=q))
+
+    for h in (h1, h2):
+        seq, levels = sim.linearized(int(h))
+        for p in rs.simulate_pairs_from_string(
+                seq, levels, float(rng.uniform(10, 16)),
+                name_prefix=f"h{h}"):
+            emit(p)
+    n_para = 0
+    for p in rs.simulate_pairs_from_string(
+            decoy_contig, np.full(len(decoy_contig), -1, dtype=np.int64),
+            10.0, name_prefix="para"):
+        if (p.r1.start_pos > len(flank_l) - 200
+                and p.r1.start_pos < len(flank_l) + len(para)):
+            emit(p)
+            n_para += 1
+    bam = os.path.join(base, "in.bam")
+    w = BamWriter(bam, [("chr6", contig_len)])
+    for r in records:
+        w.write(r)
+    w.close()
+    out_dir = os.path.join(base, "out")
+    rc = main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,
+               "--sampleID", "S", "--workingDir", base,
+               "--outputDirectory", out_dir, "--seed", str(seed),
+               "--mapAgainstCompleteGenome", "1",
+               "--decoyFasta", decoy_fa])
+    assert rc == 0
+    with open(os.path.join(out_dir, "hla", "R1_bestguess.txt")) as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()[1:]]
+    w1, w2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
+    got: dict[str, list[set[str]]] = {}
+    for f in lines:
+        got.setdefault(f[0], []).append(
+            {a.split("*")[1].split(":")[0] for a in f[2].split(";")})
+    for locus, chroms in got.items():
+        a, b = chroms
+        ok = (w1 in a and w2 in b) or (w2 in a and w1 in b)
+        assert ok, (locus, chroms, (w1, w2), f"n_para={n_para}")
+    # paralog leakage into the utilized-read sets must stay marginal (the
+    # defense drops pairs that seed better on the decoy; low-divergence
+    # copies can legitimately tie — the in-suite contract allows ~5%)
+    import glob
+    leaked = 0
+    for p in glob.glob(os.path.join(out_dir, "hla", "R1_readIDs_*.txt")):
+        leaked += sum(1 for l in open(p) if l.startswith("para"))
+    assert leaked <= max(2, n_para // 10), (leaked, n_para)
+    return "decoy"
+
+
 def one_shard_trial(seed: int, base: str) -> str:
     """Randomized multi-host byte-identity: the same random world typed
     single-host vs 2-host shard+merge must produce byte-identical outputs
@@ -334,7 +436,8 @@ def one_shard_trial(seed: int, base: str) -> str:
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
-             "shard": one_shard_trial}.get(mode, one_trial)
+             "shard": one_shard_trial,
+             "decoy": one_decoy_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

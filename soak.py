@@ -367,6 +367,62 @@ def one_decoy_trial(seed: int, base: str) -> str:
     return "decoy"
 
 
+def one_validate_trial(seed: int, base: str) -> str:
+    """Randomized --action validate: a 2-sample cohort with known diploid
+    truth must report 100% accuracy at every resolution (each sample's
+    alleles are exon-distinct panel haplotypes)."""
+    rng = np.random.default_rng(seed)
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1500, 3500)), n_haplotypes=5)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    rs = ReadSimulator(rng, read_length=int(rng.integers(80, 120)),
+                       fragment_mean=int(rng.integers(260, 380)),
+                       fragment_sd=int(rng.integers(15, 35)),
+                       with_error=bool(seed % 2))
+    sheet = []
+    truth_rows = ["IndividualID\tA\tA\tB\tB"]
+    hap_pairs = [(1, 2), (3, 4)]
+    for si, (h1, h2) in enumerate(hap_pairs):
+        bam = os.path.join(base, f"S{si}.bam")
+        w = BamWriter(bam, [("chr6", contig_len)])
+        for h in (h1, h2):
+            seq, levels = sim.linearized(h)
+            for p in rs.simulate_pairs_from_string(
+                    seq, levels, float(rng.uniform(10, 16)),
+                    name_prefix=f"s{si}h{h}"):
+                for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+                    s, q = r.seq, r.qual
+                    flag = FLAG_PAIRED | mf
+                    if r.reverse:
+                        s, q = revcomp(s), q[::-1]
+                        flag |= 0x10
+                    w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                      pos=max(r.start_pos, 0), mapq=60,
+                                      cigar=[(len(s), 0)], seq=s, qual=q))
+        w.close()
+        sheet.append(f"S{si} {bam}")
+        a1, a2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
+        truth_rows.append(f"S{si}\tA*{a1}:01\tA*{a2}:01\t"
+                          f"B*{a1}:01\tB*{a2}:01")
+    sheet_p = os.path.join(base, "sheet.txt")
+    open(sheet_p, "w").write("\n".join(sheet) + "\n")
+    truth_p = os.path.join(base, "truth.txt")
+    open(truth_p, "w").write("\n".join(truth_rows) + "\n")
+    out_dir = os.path.join(base, "valout")
+    rc = main(["--action", "validate", "--graph", pkg_dir,
+               "--validationBAMs", sheet_p, "--trueHLA", truth_p,
+               "--workingDir", base, "--outputDirectory", out_dir,
+               "--seed", str(seed)])
+    assert rc == 0
+    rep = open(os.path.join(out_dir, "validation_report.txt")).read()
+    total = [l for l in rep.splitlines() if l.startswith("TOTAL")][0]
+    accs = [float(x) for x in total.split("\t")[3:] if x]
+    assert accs and all(a == 1.0 for a in accs), (total, rep)
+    return "validate"
+
+
 def one_shard_trial(seed: int, base: str) -> str:
     """Randomized multi-host byte-identity: the same random world typed
     single-host vs 2-host shard+merge must produce byte-identical outputs
@@ -436,8 +492,8 @@ def one_shard_trial(seed: int, base: str) -> str:
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
-             "shard": one_shard_trial,
-             "decoy": one_decoy_trial}.get(mode, one_trial)
+             "shard": one_shard_trial, "decoy": one_decoy_trial,
+             "validate": one_validate_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

@@ -963,6 +963,7 @@ struct ModelBank {
     }
 };
 
+
 // Carry-propagating range encoder — the exact counterpart of
 // io/arith.py::RangeEncoder (byte-identical output).
 struct RangeEnc {
@@ -1027,6 +1028,90 @@ struct EncModelBank {
     }
 };
 
+// Fenwick-backed adaptive model for 256-symbol alphabets: the linear
+// cumulative scan averages ~nsym/2 entries per symbol and dominates the
+// order-1 arith decode; a binary-indexed tree finds (sym, cum, freq) in
+// log2(256) = 8 steps.  SAME symbol/cum/freq results and update rule as
+// decode_sym -> identical bitstream semantics (search strategy only).
+struct FenModel256 {
+    uint16_t tree[256];           // tree[i] covers a power-of-two block
+    uint32_t tot;
+    void init() {
+        tot = 256;
+        // freqs all 1: tree[i] = (i+1) & -(i+1) (block size)
+        for (int i = 0; i < 256; i++)
+            tree[i] = (uint16_t)((i + 1) & -(i + 1));
+    }
+    inline void add(int i, int delta) {
+        for (int j = i + 1; j <= 256; j += j & -j)
+            tree[j - 1] = (uint16_t)(tree[j - 1] + delta);
+    }
+    inline uint32_t prefix(int i) const {   // sum of freqs [0, i)
+        uint32_t s = 0;
+        for (int j = i; j > 0; j -= j & -j) s += tree[j - 1];
+        return s;
+    }
+    // smallest s with prefix(s+1) > f; returns s, sets cum = prefix(s)
+    inline int search(uint32_t f, uint32_t* cum) const {
+        int pos = 0;
+        uint32_t rem = f;
+        for (int step = 128; step > 0; step >>= 1) {
+            int next = pos + step;
+            if (next <= 256 && tree[next - 1] <= rem) {
+                rem -= tree[next - 1];
+                pos = next;
+            }
+        }
+        *cum = f - rem;
+        return pos;
+    }
+    inline int freq_of(int s) const {
+        return (int)(prefix(s + 1) - prefix(s));
+    }
+    inline void bump(int s, int fr) {
+        add(s, (int)A_STEP);
+        tot += A_STEP;
+        if (tot > A_MAX_TOT) {
+            // halve like decode_sym: freq -> (freq+1)>>1 per symbol
+            uint16_t f[256];
+            uint32_t p = 0;
+            for (int i = 0; i < 256; i++) {
+                uint32_t np = prefix(i + 1);
+                f[i] = (uint16_t)((np - p + 1) >> 1);
+                p = np;
+            }
+            uint32_t t = 0;
+            for (int i = 0; i < 256; i++) t += f[i];
+            tot = t;
+            // rebuild tree in O(n): tree[i] = sum of its block
+            for (int i = 0; i < 256; i++) {
+                uint32_t s = 0;
+                int blk = (i + 1) & -(i + 1);
+                for (int k = i + 1 - blk; k <= i; k++) s += f[k];
+                tree[i] = (uint16_t)s;
+            }
+        }
+        (void)fr;
+    }
+    inline int decode(RangeDec& rc) {
+        uint32_t f = rc.get_freq(tot);
+        if (f >= tot) f = tot - 1;
+        uint32_t cum;
+        int s = search(f, &cum);
+        if (s > 255) s = 255;
+        int fr = freq_of(s);
+        rc.decode(cum, (uint32_t)fr);
+        bump(s, fr);
+        return s;
+    }
+    inline void encode(RangeEnc& rc, int s) {
+        uint32_t cum = prefix(s);
+        int fr = freq_of(s);
+        rc.encode(cum, (uint32_t)fr, tot);
+        bump(s, fr);
+    }
+};
+
 }  // namespace arith31
 
 // arith payload encode (io/arith.py::_encode_payload), byte-identical to
@@ -1038,32 +1123,35 @@ extern "C" int64_t hla_arith_encode(const uint8_t* data, int64_t n,
     if (n < 0 || out_cap < 16) return -1;
     arith31::RangeEnc rc;
     rc.out.reserve((size_t)(n / 2 + 64));
-    arith31::EncModelBank byte_models(order1 ? 256 : 1, 256);
+    std::vector<arith31::FenModel256> byte_models(order1 ? 256 : 1);
+    for (auto& m : byte_models) m.init();
     if (!rle) {
         int last = 0;
         for (int64_t i = 0; i < n; i++) {
             int b = data[i];
-            byte_models.encode(rc, order1 ? last : 0, b);
+            byte_models[order1 ? last : 0].encode(rc, b);
             if (order1) last = b;
         }
     } else {
-        arith31::EncModelBank run_models(256, 256);
-        arith31::EncModelBank cont_model(1, 256);
+        std::vector<arith31::FenModel256> run_models(256);
+        for (auto& m : run_models) m.init();
+        arith31::FenModel256 cont_model;
+        cont_model.init();
         int64_t i = 0;
         int last = 0;
         while (i < n) {
             int b = data[i];
             int64_t run = 1;
             while (i + run < n && data[i + run] == b) run++;
-            byte_models.encode(rc, order1 ? last : 0, b);
+            byte_models[order1 ? last : 0].encode(rc, b);
             if (order1) last = b;
             int64_t rem = run - 1;
             int chunk = (int)(rem < 255 ? rem : 255);
-            run_models.encode(rc, b, chunk);
+            run_models[b].encode(rc, chunk);
             rem -= chunk;
             while (chunk == 255) {
                 chunk = (int)(rem < 255 ? rem : 255);
-                cont_model.encode(rc, 0, chunk);
+                cont_model.encode(rc, chunk);
                 rem -= chunk;
             }
             i += run;
@@ -1243,27 +1331,30 @@ extern "C" int hla_arith_decode(const uint8_t* blob, int64_t len,
     if (pos < 0 || pos > len || n_out < 0) return -1;
     arith31::RangeDec rc;
     rc.init(blob, pos, len);
-    arith31::ModelBank byte_models(order1 ? 256 : 1, 256);
+    std::vector<arith31::FenModel256> byte_models(order1 ? 256 : 1);
+    for (auto& m : byte_models) m.init();
     if (!rle) {
         int last = 0;
         for (int64_t i = 0; i < n_out; i++) {
-            int b = byte_models.decode(rc, order1 ? last : 0);
+            int b = byte_models[order1 ? last : 0].decode(rc);
             out[i] = (uint8_t)b;
             if (order1) last = b;
         }
         return 0;
     }
-    arith31::ModelBank run_models(256, 256);
-    arith31::ModelBank cont_model(1, 256);
+    std::vector<arith31::FenModel256> run_models(256);
+    for (auto& m : run_models) m.init();
+    arith31::FenModel256 cont_model;
+    cont_model.init();
     int64_t i = 0;
     int last = 0;
     while (i < n_out) {
-        int b = byte_models.decode(rc, order1 ? last : 0);
+        int b = byte_models[order1 ? last : 0].decode(rc);
         if (order1) last = b;
-        int chunk = run_models.decode(rc, b);
+        int chunk = run_models[b].decode(rc);
         int64_t run = 1 + chunk;
         while (chunk == 255) {
-            chunk = cont_model.decode(rc, 0);
+            chunk = cont_model.decode(rc);
             run += chunk;
         }
         if (run > n_out - i) return -2;   // corrupt: run overflows output
@@ -1328,7 +1419,7 @@ extern "C" int hla_fqz_decode(
         int pset = (gflags & GF_HAVE_STAB) ? (int)stab[sel] : 0;
         if (pset < 0 || pset >= nparam) return -3;
         const int32_t* P = pm + pset * 9;
-        const int32_t context = P[0], pflags = P[1], max_sym = P[2];
+        const int32_t context = P[0], pflags = P[1];
         const int32_t qbits = P[3], qshift = P[4], qloc = P[5],
                       sloc = P[6], ploc = P[7], dloc = P[8];
         const uint32_t qmask = (1u << qbits) - 1;

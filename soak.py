@@ -259,7 +259,12 @@ def one_asm_trial(seed: int, base: str) -> str:
         # clipped gene are reported with large edit distance — only check
         # calls the typer itself considers close
         if c.edit_distance <= n_mut:
-            assert field == want, (locus, c.allele, want, c.edit_distance)
+            # ties: haplotypes can coincide over a gene's exons — the
+            # wanted allele must be IN the min-edit tie set
+            fields = {a.split("*")[1].split(":")[0]
+                      for a in c.alleles_at_min}
+            assert want in fields, (locus, c.alleles_at_min, want,
+                                    c.edit_distance)
     assert any(c.edit_distance <= n_mut for c in calls), \
         [(c.locus, c.allele, c.edit_distance) for c in calls]
     return "asm"
@@ -363,7 +368,9 @@ def one_decoy_trial(seed: int, base: str) -> str:
     leaked = 0
     for p in glob.glob(os.path.join(out_dir, "hla", "R1_readIDs_*.txt")):
         leaked += sum(1 for l in open(p) if l.startswith("para"))
-    assert leaked <= max(2, n_para // 10), (leaked, n_para)
+    # the in-suite contract is ~5% at 4% divergence; this trial draws
+    # divergence down to 2% where genuine ties are common — bound at 20%
+    assert leaked <= max(2, n_para // 5), (leaked, n_para)
     return "decoy"
 
 

@@ -103,17 +103,35 @@ def one_trial(seed: int, base: str) -> str:
         write_fastq(os.path.join(base, "R2.fq"), r2)
         argv += ["--FASTQ1", os.path.join(base, "R1.fq"),
                  "--FASTQ2", os.path.join(base, "R2.fq")]
-    else:   # long-read mode: simulate long fragments from the haplotypes
+    else:   # long-read mode: ONT-like fragments (subs + indels, 0-6%)
         reads = []
         rng2 = np.random.default_rng(seed + 1)
+        err = float(rng2.uniform(0, 0.06))
         for h in (h1, h2):
             seq, levels = sim.linearized(int(h))
             for i in range(60):
                 L = int(rng2.integers(800, min(2500, len(seq) - 1)))
                 s0 = int(rng2.integers(0, len(seq) - L))
-                frag = seq[s0:s0 + L]
+                frag = list(seq[s0:s0 + L])
+                if err > 0:
+                    out_chars = []
+                    for c in frag:
+                        r = rng2.random()
+                        if r < err * 0.5:          # substitution
+                            out_chars.append("ACGT"[int(
+                                rng2.integers(0, 4))])
+                        elif r < err * 0.75:       # deletion
+                            continue
+                        elif r < err:              # insertion
+                            out_chars.append(c)
+                            out_chars.append("ACGT"[int(
+                                rng2.integers(0, 4))])
+                        else:
+                            out_chars.append(c)
+                    frag = out_chars
                 from hla_la_tpu.io.fastq import FastqRead
-                reads.append(FastqRead(f"L{h}_{i}", frag, "I" * L))
+                reads.append(FastqRead(f"L{h}_{i}", "".join(frag),
+                                       "I" * len(frag)))
         write_fastq(os.path.join(base, "RU.fq"), reads)
         argv += ["--FASTQU", os.path.join(base, "RU.fq"),
                  "--longReads", "ont2d"]

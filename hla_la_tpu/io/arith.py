@@ -410,10 +410,13 @@ def uncompress(blob: bytes, n_out: int | None = None) -> bytes:
         dec_len = ulen
     if fmt & F_EXT:
         try:
-            payload = bz2.decompress(bytes(blob[pos:]))
+            # bounded decompress: a crafted bz2 bomb must not allocate
+            # past the declared size before the length check runs
+            dec = bz2.BZ2Decompressor()
+            payload = dec.decompress(bytes(blob[pos:]), dec_len + 1)
         except Exception as e:  # noqa: BLE001
             raise ValueError(f"arith EXT: corrupt bzip2 payload ({e})") from e
-        if len(payload) != dec_len:
+        if len(payload) != dec_len or not dec.eof or dec.unused_data:
             raise ValueError(
                 f"arith EXT: decoded {len(payload)} bytes, expected "
                 f"{dec_len}")

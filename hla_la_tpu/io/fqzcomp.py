@@ -268,7 +268,10 @@ def compress(data: bytes, lens: list[int] | None = None,
     for pm in params:
         pm.write(out)
     stab_arr = stab if stab is not None else np.zeros(256, dtype=np.int64)
-    # code lookup per param set: quality byte -> model symbol
+    # code lookup per param set: quality byte -> model symbol; bytes the
+    # model cannot represent map to -1 (with no qmap, codes ARE the bytes,
+    # so anything >= max_sym is unencodable and must be rejected here —
+    # the native encoder would otherwise index past the model row)
     inv = []
     for pm in params:
         if pm.qmap is not None:
@@ -276,7 +279,8 @@ def compress(data: bytes, lens: list[int] | None = None,
             m[pm.qmap] = np.arange(pm.max_sym)
             inv.append(m)
         else:
-            inv.append(np.arange(256, dtype=np.int64))
+            a = np.arange(256, dtype=np.int64)
+            inv.append(np.where(a < pm.max_sym, a, -1))
     # precompute the per-record dup flags, param-set choices and the
     # qmap-inverted model symbols — shared by the native and Python paths.
     # The default write path (single param set, no reverse/dedup) needs no

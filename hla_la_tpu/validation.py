@@ -171,7 +171,12 @@ def read_sample_sheet(path: str) -> list[tuple[str, str]]:
                 if f[0] == "" and len(f) >= 3 and f[2]:
                     out.append((f[1], f[2]))      # '' TAB sample TAB path
                     continue
-                if low.endswith(".bam") or low.endswith(".cram"):
+                # the cohort sheet always carries >= 3 columns (label /
+                # technology, possibly empty); a plain 2-field tab row is
+                # the simple 'sampleID TAB path' format and must keep its
+                # sample ID verbatim
+                if len(f) >= 3 and (low.endswith(".bam")
+                                    or low.endswith(".cram")):
                     label = f[2] if len(f) > 2 and f[2] else ""
                     if not label:
                         stem = os.path.basename(f[1]).split(".")[0]

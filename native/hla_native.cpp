@@ -1231,9 +1231,11 @@ extern "C" int64_t hla_fqz_encode(
         int64_t delta = 0;
         int prevq = 0;
         uint32_t ctx = (uint32_t)context & 0xFFFF;
+        const int32_t max_sym = P[2];
         arith31::EncModelBank& QB = *qual[pset];
         for (int64_t k = 0; k < rec_len; k++) {
             int q = codes[off + k];
+            if (q >= max_sym) return -7;   // unencodable symbol
             QB.encode(rc, ctx, q);
             qctx = ((qctx << qshift) + (uint32_t)QT[q]) & qmask;
             uint32_t c = (uint32_t)context + (qctx << qloc);

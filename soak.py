@@ -524,8 +524,8 @@ def run(n: int, start: int, mode: str = "hla") -> int:
         try:
             label = trial(seed, base)
             print(f"seed {seed}: OK ({label})", flush=True)
-        except Exception:
-            fails += 1
+        except (Exception, SystemExit):   # CLI errors raise SystemExit;
+            fails += 1                    # count them, don't kill the batch
             print(f"seed {seed}: FAIL", flush=True)
             traceback.print_exc()
         finally:

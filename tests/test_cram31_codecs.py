@@ -347,3 +347,29 @@ def test_cram_31_codecs_through_extract_reads(tmp_path, world31):
                                include_unmapped=True, cram_reference=ref)
     assert "u1" in by_name
     assert len(by_name) == len({r.name for r in recs})
+
+
+def test_fqzcomp_rejects_out_of_range_codes():
+    """With qmap=None, quality bytes >= max_sym are unencodable: compress
+    must raise instead of letting the native encoder index past the model
+    row (heap corruption) or the Python model raise IndexError."""
+    pm = fqzcomp._default_params(b"\x00\x01\x02\x03" * 8, [32])
+    pm.pflags &= ~fqzcomp.PF_HAVE_QMAP
+    pm.qmap = None
+    pm.max_sym = 4
+    with pytest.raises(ValueError, match="outside qmap"):
+        fqzcomp.compress(b"\xc8" * 32, [32], params=[pm])
+
+
+def test_arith_ext_bomb_bounded():
+    """A bz2 payload expanding far past the declared size must raise
+    without allocating the full expansion (bounded decompressor)."""
+    import bz2
+    bomb = bz2.compress(b"\x00" * (64 << 20))   # 64MB of zeros -> ~2KB
+    blob = bytearray()
+    blob.append(arith.F_EXT)
+    from hla_la_tpu.io.rans_nx16 import write_uint7
+    write_uint7(1000, blob)                      # claimed raw size
+    blob += bomb
+    with pytest.raises(ValueError, match="arith EXT"):
+        arith.uncompress(bytes(blob))

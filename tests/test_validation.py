@@ -152,3 +152,18 @@ def test_cohort_validation_discordant_pileup_analysis(tmp_path):
     lines = pa.read_text().splitlines()
     assert len(lines) > 2, "expected disagreeing columns"
     assert "Inferred" in lines[0] or "Inferred1" in lines[1]
+
+
+def test_sample_sheet_simple_tab_format_keeps_ids(tmp_path):
+    """A plain 'sampleID<TAB>path' sheet must keep its IDs verbatim — the
+    cohort heuristic only engages on >=3-column rows (the real
+    validationBAMs.txt always carries label/technology columns)."""
+    from hla_la_tpu.validation import read_sample_sheet
+    p = tmp_path / "sheet.txt"
+    p.write_text("NA12878\t/data/NA12878.bam\n"
+                 "S2 /x/merged.bam\n"
+                 "1000G\t/d/HG1.bam\t\t\t\n")
+    rows = read_sample_sheet(str(p))
+    assert rows == [("NA12878", "/data/NA12878.bam"),
+                    ("S2", "/x/merged.bam"),
+                    ("1000G_HG1", "/d/HG1.bam")], rows

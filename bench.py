@@ -117,7 +117,7 @@ def real_scale_bench():
     aligned_ids = {ap.read_id for ap in aligned}
     kept_fq = [p for p in fq if p[0].name in aligned_ids]
     t_type, res = None, None
-    for _ in range(2):   # best-of-2: the shared VM is noisy
+    for _ in range(3):   # best-of-3: the shared VM is noisy
         t0 = time.time()
         with tempfile.TemporaryDirectory() as td:
             res = typer.type_all(kept_fq, aligned, [], [], 113.0, 27.0, td,

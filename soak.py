@@ -175,6 +175,77 @@ def one_trial(seed: int, base: str) -> str:
     return mode
 
 
+def one_heldout_trial(seed: int, base: str) -> str:
+    """Held-out allele: one chromosome carries a NOVEL variant of a panel
+    haplotype (exonic+flanking mutations, not in the allele DB) — reads
+    must still seed/align through the nearby panel sequences and the call
+    must be the nearest DB allele (the source haplotype's), as for real
+    patient alleles absent from IMGT."""
+    rng = np.random.default_rng(seed)
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1500, 3500)), n_haplotypes=int(rng.integers(3, 6)))
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    n_hap = len(sim.haplotypes)
+    h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    # novel variant of hap h1: mutate ~0.3-0.8% of bases everywhere
+    seq1, lv1 = sim.linearized(int(h1))
+    rate = float(rng.uniform(0.003, 0.008))
+    s = list(seq1)
+    n_mut = 0
+    for i in range(len(s)):
+        if rng.random() < rate:
+            s[i] = "ACGT"[("ACGT".index(s[i])
+                           + int(rng.integers(1, 4))) % 4]
+            n_mut += 1
+    novel = "".join(s)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(90, 130)),
+                       fragment_mean=int(rng.integers(260, 380)),
+                       fragment_sd=int(rng.integers(15, 35)),
+                       with_error=False)
+    bam = os.path.join(base, "in.bam")
+    w = BamWriter(bam, [("chr6", contig_len)])
+    for name_prefix, seq, levels in (
+            (f"n{h1}", novel, lv1),
+            (f"h{h2}", *sim.linearized(int(h2)))):
+        for p in rs.simulate_pairs_from_string(
+                seq, levels, float(rng.uniform(12, 18)),
+                name_prefix=name_prefix):
+            for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+                sq, q = r.seq, r.qual
+                flag = FLAG_PAIRED | mf
+                if r.reverse:
+                    sq, q = revcomp(sq), q[::-1]
+                    flag |= 0x10
+                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                  pos=max(r.start_pos, 0), mapq=60,
+                                  cigar=[(len(sq), 0)], seq=sq, qual=q))
+    w.close()
+    out_dir = os.path.join(base, "out")
+    rc = main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,
+               "--sampleID", "S", "--workingDir", base,
+               "--outputDirectory", out_dir, "--seed", str(seed)])
+    assert rc == 0
+    with open(os.path.join(out_dir, "hla", "R1_bestguess.txt")) as fh:
+        lines = [l.split("\t") for l in fh.read().splitlines()[1:]]
+    got: dict[str, list[set[str]]] = {}
+    for f in lines:
+        got.setdefault(f[0], []).append(
+            {a.split("*")[1].split(":")[0] for a in f[2].split(";")})
+    w1, w2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
+    for locus, chroms in got.items():
+        a, b = chroms
+        ok = (w1 in a and w2 in b) or (w2 in a and w1 in b)
+        assert ok, (locus, chroms, (w1, w2), f"n_mut={n_mut} rate={rate}")
+    return "heldout"
+
+
 def one_kir_trial(seed: int, base: str) -> str:
     """Randomized --action KIR: random ALT panel (size, SNP load, indels),
     random (possibly homozygous) haplotype pair, BAM in -> exact haplotype
@@ -518,7 +589,8 @@ def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
              "shard": one_shard_trial, "decoy": one_decoy_trial,
-             "validate": one_validate_trial}.get(mode, one_trial)
+             "validate": one_validate_trial,
+             "heldout": one_heldout_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

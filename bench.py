@@ -200,15 +200,48 @@ def kernel_diag(backend):
         log(f"pallas NW diag failed: {e}")
 
 
+def detect_backend(timeout_s: float = 180.0) -> str:
+    """Probe the jax backend in a SUBPROCESS with a timeout: the shared
+    TPU tunnel occasionally hangs, and jax.default_backend() in-process
+    would then stall the whole bench — whose headline is the HOST path
+    and needs no device at all.  On probe failure the main process is
+    pinned to CPU so no later jax use can touch the dead tunnel."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        lines = r.stdout.strip().splitlines()
+        if r.returncode == 0 and lines:
+            return lines[-1].strip()
+    except Exception:  # noqa: BLE001 — timeout or broken plugin
+        pass
+    return "cpu"
+
+
 def main():
     t_start = time.time()
-    import jax
-    backend = jax.default_backend()
+    backend = detect_backend()
+    if backend != "tpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        log("TPU unavailable/unresponsive - host-only bench (the "
+            "headline is the host path; kernel diag skipped)")
     log(f"backend: {backend}")
     log("baseline 800 reads/s is an ESTIMATE (reference publishes no "
         "number and does not build here)")
 
     e2e = real_scale_bench()
+    # the driver parses the LAST stdout JSON line: emit the headline
+    # before the device-dependent diagnostics so a tunnel stall after
+    # this point cannot lose the measurement
+    print(json.dumps({
+        "metric": "e2e_reads_per_sec_real_prg_scale",
+        "value": round(e2e, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(e2e / BASELINE_READS_PER_SEC, 3),
+    }), flush=True)
     try:
         toy_bench(backend)
     except Exception as e:  # noqa: BLE001
@@ -216,12 +249,6 @@ def main():
     kernel_diag(backend)
 
     log(f"total bench time {time.time() - t_start:.1f}s")
-    print(json.dumps({
-        "metric": "e2e_reads_per_sec_real_prg_scale",
-        "value": round(e2e, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(e2e / BASELINE_READS_PER_SEC, 3),
-    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -373,3 +373,51 @@ def test_arith_ext_bomb_bounded():
     blob += bomb
     with pytest.raises(ValueError, match="arith EXT"):
         arith.uncompress(bytes(blob))
+
+
+def test_cram31_golden_bitstreams():
+    """Frozen compressed blobs must keep decoding AND today's encoders
+    must still emit exactly these bytes — guards the on-disk bitstreams
+    of all three 3.1 codecs against silent format drift (same discipline
+    as the rANSNx16 golden)."""
+    data = bytes(range(8)) * 40 + b"AAAAABBBCC" * 13
+    a0 = bytes.fromhex(
+        "0083420000101c95cb808e694d6e3eed3d1d3fb2f511d6159248b1dd33cc22"
+        "b0dad80252fccb4e2a9e96bf64d0bb36ee6d32bafe4b13b775d29d992df698"
+        "7afb4df26a04bb68fbb7ddb057cb05290825934c7855c083451d067d7f7b35"
+        "f0c0e203cfc83e01da0994f853eaf62c5df8bfb0767eeb91e0e73cdddc85b5"
+        "b7c131ec4eaa3bf13b2ff23b0032cd11899e7c27b9e9c46d8c83f23d2f3e4c"
+        "480f365b58cf7e657f5c84fe1ab57236b243580253e43b8f8a50e5f6ebf159"
+        "e1a957d68863c53ad6a9ef386371206a882b7c084ea8ca9fc07db9410a3dba"
+        "76f0")
+    a1 = bytes.fromhex(
+        "418342000000100001d1e4b2d693c874ba55ac369690e3a914cbf31a40fe76"
+        "dbc21273157fc9b3179635c2ea5c983e14415189b54b585b7c50c88e46e1f1"
+        "4e093a7da61ba40e60b0e6853e4ee2cb0aa4c5bf9a167f7391cfeaea2863b2"
+        "32b896c60b1e030d19466bb85af38eb1f650fe9030535287c817662af6f897"
+        "77180d5796d912f86c709602578685")
+    assert arith.uncompress(a0) == data
+    assert arith.uncompress(a1) == data
+    assert arith.compress(data, order=0, use_pack=False) == a0
+    assert arith.compress(data, order=1, use_rle=True, use_pack=False) == a1
+
+    quals = bytes([33 + (i * 7) % 40 for i in range(300)])
+    fq = bytes.fromhex(
+        "050000007028c60fcf2122232425262728292a2b2c2d2e2f30313233343536"
+        "3738393a3b3c3d3e3f404142434445464748004001400240034004400540064"
+        "00784400020012002200381200063ffff9c012d9cad1f617e109f2b38d538d1"
+        "93ef96afbb8967c349dab16847c12e5fc94d1b8e5d041d315663bbf713cbad8"
+        "db06db68834b2054f83fa6770de33642232fb5af48b65d8e10f7af4606e0e20"
+        "69fe7bfd865bcd0e2120f611c0fd4c614a8f87911a184eae7602d4c38e7c988"
+        "5a36d4f2ae31e1e3cb681d9717cb5")
+    assert fqzcomp.uncompress(fq, 300) == quals
+    assert fqzcomp.compress(quals, [100, 100, 100]) == fq
+
+    names = b"r1:100\nr1:101\nr1:103\nzz9\nzz9\n"
+    t3 = bytes.fromhex(
+        "1d0502008007200506060606058006200402090901010520037a7a00020320"
+        "0172800620040709090807062004010000000803200108800620040209090a"
+        "020320013a800520030708080706200464000000080420020102800520030a"
+        "0909")
+    assert tok3.uncompress(t3) == names
+    assert tok3.compress(names) == t3

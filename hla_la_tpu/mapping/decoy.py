@@ -13,6 +13,14 @@ k-mers on one diagonal band); a read pair whose both mates seed strictly
 better on decoy than on the PRG is dropped before NW.  One-sided pairs are
 kept (mate rescue — matches the reference's behavior where a pair with any
 seed inside the interesting intervals becomes a protoSeed).
+
+Tie semantics (deliberate): pairs that seed EQUALLY well on the decoy and
+the PRG are kept, like the reference keeps any read with a PRG-interval
+seed.  Such reads match the PRG as well as their paralog of origin, so the
+observations they produce agree with the true alleles — benign leakage
+(verified by the randomized decoy soak: leaked tie-reads never flipped a
+call across hundreds of trials; the >=94%-drop contract at 4% divergence
+is tests/test_decoy.py).
 """
 
 from __future__ import annotations

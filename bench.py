@@ -200,12 +200,14 @@ def kernel_diag(backend):
         log(f"pallas NW diag failed: {e}")
 
 
-def detect_backend(timeout_s: float = 180.0) -> str:
+def detect_backend(timeout_s: float = 300.0) -> str:
     """Probe the jax backend in a SUBPROCESS with a timeout: the shared
     TPU tunnel occasionally hangs, and jax.default_backend() in-process
     would then stall the whole bench — whose headline is the HOST path
     and needs no device at all.  On probe failure the main process is
-    pinned to CPU so no later jax use can touch the dead tunnel."""
+    pinned to CPU so no later jax use can touch the dead tunnel.
+    The timeout clears the documented cold-tunnel warmup (~100-200s,
+    CLAUDE.md) so a healthy-but-cold chip is not misclassified."""
     import subprocess
     try:
         r = subprocess.run(

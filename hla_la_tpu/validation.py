@@ -174,7 +174,10 @@ def read_sample_sheet(path: str) -> list[tuple[str, str]]:
                 # the cohort sheet always carries >= 3 columns (label /
                 # technology, possibly empty); a plain 2-field tab row is
                 # the simple 'sampleID TAB path' format and must keep its
-                # sample ID verbatim
+                # sample ID (and any spaces in either field) verbatim
+                if len(f) == 2 and f[0] and f[1]:
+                    out.append((f[0], f[1]))
+                    continue
                 if len(f) >= 3 and (low.endswith(".bam")
                                     or low.endswith(".cram")):
                     label = f[2] if len(f) > 2 and f[2] else ""

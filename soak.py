@@ -26,6 +26,25 @@ from hla_la_tpu.sim.graph_sim import simulate_prg_package
 from hla_la_tpu.sim.read_sim import ReadSimulator, revcomp
 
 
+def _emit_pair(w: "BamWriter", p, tlen: bool = False) -> None:
+    """Write one simulated pair as two BAM records (reference orientation,
+    reverse flag; optional TLEN like the KIR workflow expects) — the ONE
+    place every soak mode shares, so flag/orientation handling cannot
+    diverge between modes."""
+    tl = (abs(p.r2.start_pos - p.r1.start_pos) + len(p.r2.seq)) if tlen \
+        else 0
+    for mf, r, t in ((FLAG_READ1, p.r1, tl), (FLAG_READ2, p.r2, -tl)):
+        s, q = r.seq, r.qual
+        flag = FLAG_PAIRED | mf
+        if r.reverse:
+            s, q = revcomp(s), q[::-1]
+            flag |= FLAG_REVERSE
+        kw = {"tlen": t} if tlen else {}
+        w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                          pos=max(r.start_pos, 0), mapq=60,
+                          cigar=[(len(s), 0)], seq=s, qual=q, **kw))
+
+
 def one_trial(seed: int, base: str) -> str:
     rng = np.random.default_rng(seed)
     backbone = int(rng.integers(1200, 4000))
@@ -61,18 +80,16 @@ def one_trial(seed: int, base: str) -> str:
             "--workingDir", base, "--outputDirectory", out_dir,
             "--seed", str(seed)]
     if mode in ("bam", "cram"):
-        records = []
+        class _Rec:
+            def __init__(self):
+                self.records = []
+
+            def write(self, r):
+                self.records.append(r)
+        rec = _Rec()
         for p in pairs:
-            for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
-                s, q = r.seq, r.qual
-                flag = FLAG_PAIRED | mate_flag
-                if r.reverse:
-                    s, q = revcomp(s), q[::-1]
-                    flag |= FLAG_REVERSE
-                records.append(BamRecord(
-                    name=r.name, flag=flag, ref_id=0,
-                    pos=max(r.start_pos, 0), mapq=60,
-                    cigar=[(len(s), 0)], seq=s, qual=q))
+            _emit_pair(rec, p)
+        records = rec.records
         if mode == "bam":
             path = os.path.join(base, "in.bam")
             w = BamWriter(path, [("chr6", contig_len)])
@@ -217,15 +234,7 @@ def one_heldout_trial(seed: int, base: str) -> str:
         for p in rs.simulate_pairs_from_string(
                 seq, levels, float(rng.uniform(12, 18)),
                 name_prefix=name_prefix):
-            for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
-                sq, q = r.seq, r.qual
-                flag = FLAG_PAIRED | mf
-                if r.reverse:
-                    sq, q = revcomp(sq), q[::-1]
-                    flag |= 0x10
-                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
-                                  pos=max(r.start_pos, 0), mapq=60,
-                                  cigar=[(len(sq), 0)], seq=sq, qual=q))
+            _emit_pair(w, p)
     w.close()
     out_dir = os.path.join(base, "out")
     rc = main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,
@@ -240,6 +249,7 @@ def one_heldout_trial(seed: int, base: str) -> str:
             {a.split("*")[1].split(":")[0] for a in f[2].split(";")})
     w1, w2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
     for locus, chroms in got.items():
+        assert len(chroms) == 2, (locus, chroms)
         a, b = chroms
         ok = (w1 in a and w2 in b) or (w2 in a and w1 in b)
         assert ok, (locus, chroms, (w1, w2), f"n_mut={n_mut} rate={rate}")
@@ -285,18 +295,7 @@ def one_kir_trial(seed: int, base: str) -> str:
         seq = haps[h].replace("-", "")
         for p in rs.simulate_pairs_from_string(
                 seq, np.arange(len(seq)), cov / 2, name_prefix=h):
-            tlen = abs(p.r2.start_pos - p.r1.start_pos) + len(p.r2.seq)
-            for mf, r, tl in ((FLAG_READ1, p.r1, tlen),
-                              (FLAG_READ2, p.r2, -tlen)):
-                s, q = r.seq, r.qual
-                flag = FLAG_PAIRED | mf
-                if r.reverse:
-                    s, q = revcomp(s), q[::-1]
-                    flag |= 0x10
-                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
-                                  pos=max(r.start_pos, 0), mapq=60,
-                                  cigar=[(len(s), 0)], seq=s, qual=q,
-                                  tlen=tl))
+            _emit_pair(w, p, tlen=True)
     w.close()
     out_dir = os.path.join(base, "out")
     rc = main(["--action", "KIR", "--ALTpanel", pkg_dir, "--BAM", bam,
@@ -400,18 +399,18 @@ def one_decoy_trial(seed: int, base: str) -> str:
                        fragment_mean=int(rng.integers(250, 400)),
                        fragment_sd=int(rng.integers(15, 40)),
                        with_error=True)
-    records = []
+    class _Rec:
+        def __init__(self):
+            self.records = []
+
+        def write(self, r):
+            self.records.append(r)
+
+    rec = _Rec()
 
     def emit(p):
-        for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
-            s, q = r.seq, r.qual
-            flag = FLAG_PAIRED | mf
-            if r.reverse:
-                s, q = revcomp(s), q[::-1]
-                flag |= 0x10
-            records.append(BamRecord(name=r.name, flag=flag, ref_id=0,
-                                     pos=max(r.start_pos, 0), mapq=60,
-                                     cigar=[(len(s), 0)], seq=s, qual=q))
+        _emit_pair(rec, p)
+    records = rec.records
 
     for h in (h1, h2):
         seq, levels = sim.linearized(int(h))
@@ -492,15 +491,7 @@ def one_validate_trial(seed: int, base: str) -> str:
             for p in rs.simulate_pairs_from_string(
                     seq, levels, float(rng.uniform(10, 16)),
                     name_prefix=f"s{si}h{h}"):
-                for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
-                    s, q = r.seq, r.qual
-                    flag = FLAG_PAIRED | mf
-                    if r.reverse:
-                        s, q = revcomp(s), q[::-1]
-                        flag |= 0x10
-                    w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
-                                      pos=max(r.start_pos, 0), mapq=60,
-                                      cigar=[(len(s), 0)], seq=s, qual=q))
+                _emit_pair(w, p)
         w.close()
         sheet.append(f"S{si} {bam}")
         a1, a2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
@@ -554,15 +545,7 @@ def one_shard_trial(seed: int, base: str) -> str:
         for p in rs.simulate_pairs_from_string(
                 seq, levels, float(rng.uniform(8, 16)),
                 name_prefix=f"h{h}"):
-            for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
-                s, q = r.seq, r.qual
-                flag = FLAG_PAIRED | mf
-                if r.reverse:
-                    s, q = revcomp(s), q[::-1]
-                    flag |= 0x10
-                w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
-                                  pos=max(r.start_pos, 0), mapq=60,
-                                  cigar=[(len(s), 0)], seq=s, qual=q))
+            _emit_pair(w, p)
     w.close()
     single = os.path.join(base, "single")
     assert main(["--action", "HLA", "--BAM", bam, "--graph", pkg_dir,

@@ -167,3 +167,8 @@ def test_sample_sheet_simple_tab_format_keeps_ids(tmp_path):
     assert rows == [("NA12878", "/data/NA12878.bam"),
                     ("S2", "/x/merged.bam"),
                     ("1000G_HG1", "/d/HG1.bam")], rows
+    # 2-field tab rows keep BOTH fields verbatim (spaces included)
+    p2 = p.parent / "sheet2.txt"
+    p2.write_text("S3\t/data/my run/x.bam\nmy sample\t/x.bam\n")
+    assert read_sample_sheet(str(p2)) == [
+        ("S3", "/data/my run/x.bam"), ("my sample", "/x.bam")]

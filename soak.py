@@ -47,8 +47,14 @@ def _emit_pair(w: "BamWriter", p, tlen: bool = False) -> None:
 
 def one_trial(seed: int, base: str) -> str:
     rng = np.random.default_rng(seed)
-    backbone = int(rng.integers(1200, 4000))
-    n_hap = int(rng.integers(3, 7))
+    # most seeds sample the nominal regime; every 10-seed block also hits
+    # the stress corners that found bugs during round 2 (dense panels,
+    # platinum depth + MiSeq-length reads, tiny worlds)
+    regime = ["nominal"] * 7 + ["dense", "platinum", "tiny"]
+    regime = regime[seed % 10]
+    backbone = int(rng.integers(*{"tiny": (400, 900)}.get(
+        regime, (1200, 4000))))
+    n_hap = int(rng.integers(*{"dense": (8, 13)}.get(regime, (3, 7))))
     sim = simulate_prg_package(rng, backbone_length=backbone,
                                n_haplotypes=n_hap)
     pkg_dir = os.path.join(base, "g")
@@ -64,10 +70,22 @@ def one_trial(seed: int, base: str) -> str:
     # non-workflow in the reference too (HLATyper.cpp:1032) — the CLI
     # warns and produces flat self-signalling output (suite-tested)
     mode = ["bam", "cram", "fastq", "long"][seed % 4]
-    cov = float(rng.uniform(8, 20))
-    rl = int(rng.integers(70, 140))
+    if regime == "tiny" and mode == "long":
+        mode = "fastq"   # tiny worlds can be shorter than an ONT read
+    if regime == "platinum":          # 40-60x WGS depth, 150-250bp reads
+        cov = float(rng.uniform(40, 60))
+        rl = int(rng.integers(150, 251))
+        frag_mean = int(rng.integers(rl + 100, rl + 300))
+    elif regime == "tiny":            # short fragments that FIT the world
+        cov = float(rng.uniform(12, 25))
+        rl = int(rng.integers(60, 100))
+        frag_mean = int(rng.integers(150, 250))
+    else:
+        cov = float(rng.uniform(8, 20))
+        rl = int(rng.integers(70, 140))
+        frag_mean = int(rng.integers(250, 400))
     rs = ReadSimulator(rng, read_length=rl,
-                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_mean=frag_mean,
                        fragment_sd=int(rng.integers(15, 40)),
                        with_error=bool(seed % 3))
     pairs = []

@@ -283,11 +283,10 @@ class HLATyper:
         long_reads = bool(long_reads_mode)
 
         kmer_counts = self._read_kmer_index(raw_pairs, raw_unpaired, cfg)
+        self._setup_pair_ranges(aligned_pairs, aligned_unpaired)
         self._write_summary_statistics(raw_pairs, aligned_pairs, raw_unpaired,
                                        aligned_unpaired, insert_mean,
                                        insert_sd, output_dir, cfg)
-
-        self._setup_pair_ranges(aligned_pairs, aligned_unpaired)
         self._pair_quality = (self._compute_pair_quality(
             aligned_pairs, insert_mean, insert_sd, cfg)
             if aligned_pairs else None)
@@ -318,6 +317,8 @@ class HLATyper:
 
         self._pair_ranges = None     # only valid for this read set
         self._pair_quality = None
+        self._pair_strand_ok = None
+        self._pair_level_dist = None
         self._write_bestguess(results, output_dir, cfg)
         with open(os.path.join(output_dir, "R1_parameters.txt"), "w") as fh:
             fh.write(f"Loci = {','.join(self.loci)}\n")
@@ -333,34 +334,56 @@ class HLATyper:
         lines for every locus, whether or not it overlaps the locus's
         exons.  Returns (ok [N] bool, w1 [N], w2 [N])."""
         n = len(aligned_pairs)
-        ok = np.zeros(n, dtype=bool)
         if n == 0:
-            return ok, np.zeros(0), np.zeros(0)
+            return np.zeros(n, dtype=bool), np.zeros(0), np.zeros(0)
         w1 = weighted_ok_fractions_batch([ap.chain1 for ap in aligned_pairs])
         w2 = weighted_ok_fractions_batch([ap.chain2 for ap in aligned_pairs])
         thr = cfg.min_both_reads_weighted_ok
         rng = cfg.insert_size_sd_range * insert_sd
-        for i, ap in enumerate(aligned_pairs):
-            ok[i] = (strands_valid(ap.chain1, ap.chain2)
-                     and abs(pair_distance_graph_levels(ap.chain1, ap.chain2)
-                             - insert_mean) <= rng
-                     and ap.chain1.mapq >= cfg.minimum_mapping_quality
-                     and w1[i] >= thr and w2[i] >= thr)
+        mapq1 = np.fromiter((ap.chain1.mapq for ap in aligned_pairs),
+                            np.float64, n)
+        so = getattr(self, "_pair_strand_ok", None)
+        if so is None or len(so) != n:   # direct _type_locus callers
+            so = np.fromiter((strands_valid(ap.chain1, ap.chain2)
+                              for ap in aligned_pairs), np.bool_, n)
+            dist = np.fromiter(
+                (pair_distance_graph_levels(ap.chain1, ap.chain2)
+                 for ap in aligned_pairs), np.int64, n)
+        else:
+            dist = self._pair_level_dist
+        ok = (so
+              & (np.abs(dist - insert_mean) <= rng)
+              & (mapq1 >= cfg.minimum_mapping_quality)
+              & (w1 >= thr) & (w2 >= thr))
         return ok, w1, w2
 
     def _setup_pair_ranges(self, aligned_pairs, aligned_unpaired):
         """Per-chain level ranges, computed once: loci only visit overlapping
-        pairs (the IntervalTree pre-filter role, HLATyper.cpp:259-267)."""
-        def _rng(al):
-            return ((al.first_level(), al.last_level())
-                    if al is not None else (-1, -1))
-        pr_f1 = np.asarray([_rng(ap.chain1)[0] for ap in aligned_pairs])
-        pr_l1 = np.asarray([_rng(ap.chain1)[1] for ap in aligned_pairs])
-        pr_f2 = np.asarray([_rng(ap.chain2)[0] for ap in aligned_pairs])
-        pr_l2 = np.asarray([_rng(ap.chain2)[1] for ap in aligned_pairs])
-        un_f = np.asarray([_rng(al)[0] for al in aligned_unpaired])
-        un_l = np.asarray([_rng(al)[1] for al in aligned_unpaired])
+        pairs (the IntervalTree pre-filter role, HLATyper.cpp:259-267).
+        Also derives the vectorised strand-validity and pair-distance arrays
+        (alignerBase.cpp:213-288 semantics) shared by summaryStatistics and
+        the pair-quality predicate — per-pair python loops here cost ~0.6s
+        at real-PRG scale."""
+        n = len(aligned_pairs)
+        def _levels(chains):
+            f = np.fromiter(((c.first_level() if c is not None else -1)
+                             for c in chains), np.int64, len(chains))
+            l = np.fromiter(((c.last_level() if c is not None else -1)
+                             for c in chains), np.int64, len(chains))
+            return f, l
+        pr_f1, pr_l1 = _levels([ap.chain1 for ap in aligned_pairs])
+        pr_f2, pr_l2 = _levels([ap.chain2 for ap in aligned_pairs])
+        un_f, un_l = _levels(aligned_unpaired)
         self._pair_ranges = (pr_f1, pr_l1, pr_f2, pr_l2, un_f, un_l)
+        r1 = np.fromiter((ap.chain1.reverse for ap in aligned_pairs),
+                         np.bool_, n)
+        r2 = np.fromiter((ap.chain2.reverse for ap in aligned_pairs),
+                         np.bool_, n)
+        self._pair_strand_ok = ((pr_f1 != -1) & (pr_f2 != -1) & (r1 != r2)
+                                & np.where(~r1, pr_f1 < pr_f2,
+                                           pr_l1 > pr_l2))
+        self._pair_level_dist = np.where(pr_f1 < pr_f2, pr_f2 - pr_l1 - 1,
+                                         pr_f1 - pr_l2 - 1)
 
     def _type_loci_parallel(self, raw_pairs, aligned_pairs, raw_unpaired,
                             aligned_unpaired, insert_mean, insert_sd,
@@ -1326,16 +1349,12 @@ class HLATyper:
                                   aligned_unpaired, insert_mean, insert_sd,
                                   output_dir, cfg):
         """summaryStatistics.txt (HLATyper.cpp:1030-1125)."""
-        n_valid = 0
-        n_valid_dist = 0
-        dists = []
-        for ap in aligned_pairs:
-            if strands_valid(ap.chain1, ap.chain2):
-                n_valid += 1
-                d = pair_distance_graph_levels(ap.chain1, ap.chain2)
-                dists.append(d)
-                if abs(d - insert_mean) <= 5 * insert_sd:
-                    n_valid_dist += 1
+        # vectorised over the strand/distance arrays from _setup_pair_ranges
+        valid = self._pair_strand_ok
+        dists = self._pair_level_dist[valid]
+        n_valid = int(valid.sum())
+        n_valid_dist = int((np.abs(dists - insert_mean)
+                            <= 5 * insert_sd).sum())
         # per-chain OK fractions, vectorised over ALL chains (a python
         # per-pair loop here cost ~0.6s at real-PRG scale)
         frac_sum = 0.0
@@ -1371,8 +1390,8 @@ class HLATyper:
             pct = lambda a, b: f"{(a / b * 100) if b else 0:.2f}"
             fh.write(f"\t\t - Alignment pairs with strands OK:                  {n_valid} ({pct(n_valid, n_pairs)}%)\n")
             fh.write(f"\t\t - Alignment pairs with strands OK && distance OK:   {n_valid_dist} ({pct(n_valid_dist, n_pairs)}%)\n")
-            mean_d = float(np.mean(dists)) if dists else 0.0
-            med_d = float(np.median(dists)) if dists else 0.0
+            mean_d = float(np.mean(dists)) if len(dists) else 0.0
+            med_d = float(np.median(dists)) if len(dists) else 0.0
             fh.write(f"\t\t - Alignment pairs with strands OK, mean distance:   {mean_d}\n")
             fh.write(f"\t\t - Alignment pairs with strands OK, median distance: {med_d}\n")
             avg_frac = frac_sum / (2 * n_pairs) if n_pairs else 0.0

@@ -120,6 +120,35 @@ def test_hla_multi_host_shards_match_single_host(tmp_path, rng):
         assert filecmp.cmp(a, b, shallow=False), os.path.basename(a)
 
 
+def test_hla_sharded_backend_matches_host(tmp_path, rng):
+    """--backend sharded (production NW batches device-sharded over the
+    mesh data axis, SURVEY §2.3) must produce byte-identical typing
+    outputs to the host backend — here on the suite's 8 virtual CPU
+    devices; on a pod slice the same code runs over ICI."""
+    import filecmp
+    import glob
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >1 (virtual) device")
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    outs = {}
+    for label, extra in (("host", []), ("sharded", ["--backend", "sharded"])):
+        out = str(tmp_path / label)
+        assert main(["--action", "HLA", "--BAM", bam_path, "--graph",
+                     pkg_dir, "--sampleID", "S1", "--workingDir",
+                     str(tmp_path), "--outputDirectory", out] + extra) == 0
+        outs[label] = out
+    for fn in ("hla/R1_bestguess.txt", "hla/R1_bestguess_G.txt",
+               "reads_per_level.txt"):
+        a = os.path.join(outs["host"], fn)
+        b = os.path.join(outs["sharded"], fn)
+        assert filecmp.cmp(a, b, shallow=False), f"{fn} differs"
+    for a in glob.glob(os.path.join(outs["host"], "hla", "R1_pileup_*.txt")):
+        b = os.path.join(outs["sharded"], "hla", os.path.basename(a))
+        assert filecmp.cmp(a, b, shallow=False), os.path.basename(a)
+
+
 def test_kir_action_paired_fastq(tmp_path, rng):
     """--action KIR with --FASTQ1/2 exercises the paired insert-size model."""
     from hla_la_tpu.io.fastq import write_fastq, FastqRead

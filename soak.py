@@ -172,6 +172,21 @@ def one_trial(seed: int, base: str) -> str:
                  "--longReads", "ont2d"]
     rc = main(argv)
     assert rc == 0, f"rc={rc}"
+    want = {locus: (f"{h1 + 1:02d}", f"{h2 + 1:02d}")
+            for locus in ("A", "B")}
+    _assert_diploid_calls(out_dir, want)
+    return mode
+
+
+def _assert_diploid_calls(out_dir: str, want: dict[str, tuple[str, str]]
+                          ) -> None:
+    """Assert R1_bestguess calls match the per-locus truth pair.
+
+    graph_sim names haplotype h's allele *0{h+1}:01 (hap 0 = backbone);
+    calls may be semicolon tie-sets (exon-identical alleles) — the true
+    allele must appear in each chromosome's set, one chromosome each.
+    Low-confidence mismatches are accepted IFF the truth pair carries
+    (near-)equal posterior in the PP table (quantified ambiguity)."""
     path = os.path.join(out_dir, "hla", "R1_bestguess.txt")
     with open(path) as fh:
         lines = [l.split("\t") for l in fh.read().splitlines()[1:]]
@@ -181,18 +196,13 @@ def one_trial(seed: int, base: str) -> str:
         alts = {a.split("*")[1].split(":")[0] for a in f[2].split(";")}
         got.setdefault(f[0], []).append(alts)
         qs.setdefault(f[0], []).append(float(f[3]))
-    # graph_sim names haplotype h's allele *0{h+1}:01 (hap 0 = backbone);
-    # calls may be semicolon tie-sets (exon-identical alleles) — the true
-    # allele must appear in each chromosome's set, one chromosome each
-    w1, w2 = f"{h1 + 1:02d}", f"{h2 + 1:02d}"
+    assert set(got) == set(want), (sorted(got), sorted(want))
     for locus, chroms in got.items():
+        w1, w2 = want[locus]
         assert len(chroms) == 2, (locus, chroms)
         a, b = chroms
         ok = (w1 in a and w2 in b) or (w2 in a and w1 in b)
         if not ok and min(qs[locus]) < 0.9:
-            # low self-reported confidence: a genuine quantified ambiguity
-            # (uncovered distinguishing columns) is acceptable IFF the
-            # truth pair carries (near-)equal posterior in the PP table
             pp = os.path.join(out_dir, "hla", f"R1_PP_{locus}_pairs.txt")
             best_p, truth_p = None, 0.0
             want_pair = {f"{locus}*{w1}:01", f"{locus}*{w2}:01"}
@@ -207,7 +217,65 @@ def one_trial(seed: int, base: str) -> str:
                     truth_p = max(truth_p, p)
             ok = best_p is not None and truth_p >= 0.8 * best_p
         assert ok, (locus, chroms, (w1, w2), qs[locus])
-    return mode
+
+
+def one_recomb_trial(seed: int, base: str) -> str:
+    """Recombinant chromosome: chrom 1 switches panel haplotypes BETWEEN
+    the two genes (a legal graph path no single linearized haplotype
+    expresses) — reads spanning the junction must still chain/align
+    (graph-fallback territory) and each locus must be typed to the
+    haplotype that actually covers ITS exons."""
+    rng = np.random.default_rng(seed)
+    n_hap = int(rng.integers(4, 7))
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1500, 3500)), n_haplotypes=n_hap)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    ha, hb, hc = (int(x) for x in
+                  rng.choice(np.arange(1, n_hap), size=3, replace=False))
+    # crossover in the inter-gene backbone (genes span 0.15-0.45 and
+    # 0.55-0.85 of the columns): gene A's exons come from ha, gene B's
+    # from hb
+    x = int(rng.uniform(0.47, 0.53) * sim.n_columns)
+    aligned = sim.haplotypes[ha][:x] + sim.haplotypes[hb][x:]
+    seq = []
+    levels = []
+    for i, c in enumerate(aligned):
+        if c != "_":
+            seq.append(c)
+            levels.append(i)
+    mosaic = "".join(seq)
+    mosaic_levels = np.asarray(levels, dtype=np.int64)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(80, 130)),
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)),
+                       with_error=bool(seed % 3))
+    cov = float(rng.uniform(10, 20))
+    pairs = rs.simulate_pairs_from_string(mosaic, mosaic_levels, cov,
+                                          name_prefix="mos")
+    seq_c, levels_c = sim.linearized(hc)
+    pairs += rs.simulate_pairs_from_string(seq_c, levels_c, cov,
+                                           name_prefix=f"h{hc}")
+    path = os.path.join(base, "in.bam")
+    w = BamWriter(path, [("chr6", contig_len)])
+    for p in pairs:
+        _emit_pair(w, p)
+    w.close()
+    out_dir = os.path.join(base, "out")
+    assert main(["--action", "HLA", "--graph", pkg_dir, "--sampleID", "S",
+                 "--workingDir", base, "--outputDirectory", out_dir,
+                 "--BAM", path, "--seed", str(seed)]) == 0
+    _assert_diploid_calls(out_dir, {
+        "A": (f"{ha + 1:02d}", f"{hc + 1:02d}"),
+        "B": (f"{hb + 1:02d}", f"{hc + 1:02d}"),
+    })
+    return f"recomb h{ha}|h{hb} x h{hc}"
 
 
 def one_heldout_trial(seed: int, base: str) -> str:
@@ -595,7 +663,8 @@ def run(n: int, start: int, mode: str = "hla") -> int:
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
              "shard": one_shard_trial, "decoy": one_decoy_trial,
              "validate": one_validate_trial,
-             "heldout": one_heldout_trial}.get(mode, one_trial)
+             "heldout": one_heldout_trial,
+             "recomb": one_recomb_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

@@ -308,10 +308,17 @@ def one_heldout_trial(seed: int, base: str) -> str:
                            + int(rng.integers(1, 4))) % 4]
             n_mut += 1
     novel = "".join(s)
+    # error model ON: with error-free reads every pristine-chromosome obs
+    # carries weightedOK exactly 1.0 while every novel-chromosome obs sits
+    # strictly below it (its own novel mutations), so the filterFirst20
+    # top-N (reference semantics, HLATyper.cpp:1509-1719) deterministically
+    # erases the true allele at >=N coverage -> confident wrong homozygote
+    # (seeds 33696/33706).  Real reads have quality noise; the weight
+    # distributions overlap and the novel allele stays in the top N.
     rs = ReadSimulator(rng, read_length=int(rng.integers(90, 130)),
                        fragment_mean=int(rng.integers(260, 380)),
                        fragment_sd=int(rng.integers(15, 35)),
-                       with_error=False)
+                       with_error=True)
     bam = os.path.join(base, "in.bam")
     w = BamWriter(bam, [("chr6", contig_len)])
     for name_prefix, seq, levels in (

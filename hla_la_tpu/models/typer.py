@@ -786,8 +786,15 @@ class HLATyper:
         ignore_read_ids: set[str] = set()
         ignore_alleles: dict[int, set[str]] = {}
         if cfg.filter_first20 and not long_reads:
-            self._filter_first20(reads_obs, ignore_read_ids, ignore_alleles,
-                                 cfg, soa=soa)
+            n_erased = self._filter_first20(reads_obs, ignore_read_ids,
+                                            ignore_alleles, cfg, soa=soa)
+            if n_erased:
+                log_progress(
+                    f"  WARNING {locus}: filterFirst20 removed an allele "
+                    f"carrying >={cfg.filter_first20_erasure_warn_frac:.0%} "
+                    f"of observations at {n_erased} position(s) — possible "
+                    f"novel allele with uniformly down-weighted reads "
+                    f"(inspect R1_pileup_{locus}.txt)")
         counts_post, strand_freqs, read1_freqs = self._allele_filters(
             reads_obs, ignore_read_ids, ignore_alleles, cfg, long_reads,
             soa=soa)
@@ -1029,7 +1036,7 @@ class HLATyper:
         n = cfg.filter_first20_n
         m = soa.mqp >= cfg.minimum_per_position_mapping_quality
         if not m.any():
-            return
+            return 0
         pos = soa.pos[m]
         wv = soa.w[m]
         rid = soa.read_idx[m]
@@ -1041,7 +1048,7 @@ class HLATyper:
         grp_cnt = np.diff(np.r_[grp_start, len(spos)])
         eligible = grp_cnt >= n
         if not eligible.any():
-            return
+            return 0
         elig_row = np.repeat(eligible, grp_cnt)
         skey = key[order]
         # per-group weight of the N-th ranked obs; ties with it are top-N
@@ -1050,13 +1057,24 @@ class HLATyper:
         topn_keys = np.unique(skey[elig_row & (sw >= thr_row)])
         kicked_row = elig_row & ~np.isin(skey, topn_keys)
         if not kicked_row.any():
-            return
+            return 0
         uk, k_inv, k_cnt = np.unique(skey[kicked_row], return_inverse=True,
                                      return_counts=True)
         G = soa.G
         genotypes = soa.genotypes
         for k in uk.tolist():
             ignore_alleles.setdefault(k // G, set()).add(genotypes[k % G])
+        # observability (outputs unchanged): a kicked allele that carried a
+        # large share of its position's observations is the signature of a
+        # novel allele whose reads are uniformly down-weighted by their own
+        # novel mismatches — the reference filter silently erases it and
+        # the final call can be a confident wrong homozygote (found by the
+        # randomized heldout soak, seeds 33696/33706)
+        upos_vals = spos[grp_start]
+        gidx = np.searchsorted(upos_vals, uk // G)
+        share = k_cnt / grp_cnt[gidx]
+        n_erased_big = int(np.unique(
+            (uk // G)[share >= cfg.filter_first20_erasure_warn_frac]).size)
         # a read is kicked out when more than `kickout_limit` of its
         # observations carry a robustly-kicked (count >= 2) genotype
         robust = kicked_row.copy()
@@ -1066,6 +1084,7 @@ class HLATyper:
             if reads_obs[ri]:
                 ignore_read_ids.add(reads_obs[ri][0].read_id)
                 ignore_read_ids.add(reads_obs[ri][0].paired_read_id)
+        return n_erased_big
 
     def _allele_filters(self, reads_obs, ignore_read_ids, ignore_alleles,
                         cfg: TyperConfig, long_reads: bool,

@@ -65,6 +65,10 @@ class TyperConfig:
     filter_first20_n: int = 20
     filter_first20_min_prop: float = 0.1
     filter_first20_kickout_limit: int = 2        # filterFirst20MinProp_limitKickOutPerRead
+    # OUR addition (observability, outputs unchanged): warn when the filter
+    # erases an allele carrying at least this share of a position's
+    # observations (novel-allele signature; see typer._filter_first20)
+    filter_first20_erasure_warn_frac: float = 0.25
 
     high_coverage_filter_alleles: bool = False
     high_coverage_min_coverage: int = 100
@@ -91,6 +95,7 @@ class TyperConfig:
             filter_first20_n=self.filter_first20_n,
             filter_first20_min_prop=self.filter_first20_min_prop,
             filter_first20_kickout_limit=self.filter_first20_kickout_limit,
+            filter_first20_erasure_warn_frac=self.filter_first20_erasure_warn_frac,
             high_coverage_filter_alleles=True,
             high_coverage_min_coverage=1,
             high_coverage_min_allele_freq=0.15,

@@ -188,3 +188,37 @@ def test_filter_first20_tied_weights_keep_both_alleles():
     HLATyper._filter_first20(None, reads_obs2, ign_ids2, ign_alleles2, cfg,
                              soa=_ObsSoA(reads_obs2))
     assert ign_alleles2.get(7) == {"C"}, ign_alleles2
+
+
+def test_filter_first20_erasure_warning_count():
+    """When the filter erases an allele carrying a large share of a
+    position's observations (novel-allele signature: every carrier read
+    uniformly down-weighted by its own novel mismatches), the return value
+    counts the affected positions so the typing log can warn (outputs are
+    unchanged; found by the heldout soak, seeds 33696/33706)."""
+    from hla_la_tpu.models.typer import ExonObs, HLATyper, _ObsSoA
+    from hla_la_tpu.utils.config import TyperConfig
+
+    def obs(read_i, genotype, pos, w):
+        return ExonObs(graph_level=pos, position_in_exon=pos,
+                       genotype=genotype, qualities=b"I", mapq=1.0,
+                       mapq_position=1.0, read_id=f"r{read_i}",
+                       paired_read_id=f"r{read_i}", this_weighted_ok=w,
+                       paired_weighted_ok=w, pairs_strands_distance=10.0,
+                       alignment_cols_nongap=50, running_novel_gap=0,
+                       reverse=bool(read_i % 2), from_first_read=True)
+
+    cfg = TyperConfig()
+    # 20 pristine 'T' obs at weight 1.0 monopolise the top-20; 8 'A' obs at
+    # 0.99 (8/28 = 29% >= 25%) are erased -> one warned position
+    reads_obs = ([[obs(i, "T", 3, 1.0)] for i in range(20)]
+                 + [[obs(20 + i, "A", 3, 0.99)] for i in range(8)])
+    n = HLATyper._filter_first20(None, reads_obs, set(), {}, cfg,
+                                 soa=_ObsSoA(reads_obs))
+    assert n == 1
+    # a thin tail (2/22 = 9% < 25%) is kicked but NOT warned about
+    reads_obs2 = ([[obs(i, "T", 3, 1.0)] for i in range(20)]
+                  + [[obs(20 + i, "A", 3, 0.99)] for i in range(2)])
+    n2 = HLATyper._filter_first20(None, reads_obs2, set(), {}, cfg,
+                                  soa=_ObsSoA(reads_obs2))
+    assert n2 == 0

@@ -114,6 +114,7 @@ class GraphPackage:
         self._prg: PRG | None = None
         self._compiled: CompiledPRG | None = None
         self._graph_loci: list[str] | None = None
+        self._segment_spans: list[tuple[str, int, int]] | None = None
         self._sequences: list[SequenceInfo] | None = None
         self._translations: dict[int, np.ndarray] = {}
         self._prg_fasta: dict[str, str] | None = None
@@ -164,6 +165,7 @@ class GraphPackage:
         (Graph::readGraphLoci, Graph.cpp:2563-2613)."""
         if self._graph_loci is None:
             loci: list[str] = []
+            spans: list[tuple[str, int, int]] = []
             seg_file = os.path.join(self.dir, "PRG", "segments.txt")
             with open(seg_file) as fh:
                 segments = [l.strip() for l in fh if l.strip()]
@@ -171,12 +173,30 @@ class GraphPackage:
                 with open(os.path.join(self.dir, "PRG", seg)) as fh:
                     header = fh.readline().rstrip("\n").split(" ")
                 assert header[0] == "IndividualID", seg
+                spans.append((seg, len(loci), len(header) - 1))
                 loci.extend(header[1:])
             self._graph_loci = loci
+            self._segment_spans = spans
         return self._graph_loci
 
     def locus_to_level(self) -> dict[str, int]:
         return {name: i for i, name in enumerate(self.graph_loci())}
+
+    def segment_levels(self, segfiles) -> dict[str, int]:
+        """{column name: graph level} restricted to the given segment
+        files.  The full map over every column (`locus_to_level`) costs
+        seconds and hundreds of MB per process at real-PRG scale (3M
+        levels) — it dominated each typing worker's wall time; the typer
+        only needs the gene segments' columns."""
+        self.graph_loci()
+        want = set(segfiles)
+        loci = self._graph_loci
+        out: dict[str, int] = {}
+        for seg, start, n in self._segment_spans:
+            if seg in want:
+                for i in range(start, start + n):
+                    out[loci[i]] = i
+        return out
 
     def segment_files(self) -> list[str]:
         with open(os.path.join(self.dir, "PRG", "segments.txt")) as fh:

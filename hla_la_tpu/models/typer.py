@@ -194,9 +194,13 @@ class HLATyper:
         self.pkg = pkg
         self.cfg = cfg or TyperConfig()
         self.backend = backend
-        self.locus_to_level = pkg.locus_to_level()
         self.segment_files = pkg.segment_files()
         self.graph_genes = self._discover_genes()
+        # gene-segment columns only: the full 3M-entry map cost ~6s/500MB
+        # per typing worker at real-PRG scale (measured, wgs17 demo)
+        gene_segs = [fn for fn in self.segment_files
+                     if len(fn.split("_")) >= 6 and fn.split("_")[1] == "gene"]
+        self.locus_to_level = pkg.segment_levels(gene_segs)
         self.loci = [l for l in LOCI_FOR_TYPING if l in self.graph_genes]
         self.g_path = g_nomenclature_path
         self._alleles_to_g: dict[str, str] | None = None
@@ -441,11 +445,16 @@ class HLATyper:
                                         raw_unpaired, aligned_unpaired)
             (sub_raw_pairs, sub_aligned, sub_rawu, sub_unal) = sel
             packed = pack_aligned_pairs(sub_aligned)
-            raw1 = [(r1.name, r1.seq, r1.qual) for r1, _ in sub_raw_pairs]
-            raw2 = [(r2.name, r2.seq, r2.qual) for _, r2 in sub_raw_pairs]
-            rawu = [(r.name, r.seq, r.qual) for r in sub_rawu]
+            # raw reads ship as THREE joined strings per side, not a tuple
+            # per read: pickling millions of small tuples/strings made the
+            # fan-out 5x SLOWER than serial at WGS scale (measured: 76s vs
+            # 14s at 120k pairs / 17 loci)
+            raw1 = _pack_reads(r1 for r1, _ in sub_raw_pairs)
+            raw2 = _pack_reads(r2 for _, r2 in sub_raw_pairs)
+            rawu = _pack_reads(sub_rawu)
+            unal = _pack_optional_chains(sub_unal)
             args.append((self.pkg.dir, self.backend, self.cfg, self.g_path,
-                         chunk, packed, raw1, raw2, rawu, sub_unal,
+                         chunk, packed, raw1, raw2, rawu, unal,
                          insert_mean, insert_sd, output_dir, cfg,
                          long_reads, kc_arg, hist_w))
         try:
@@ -1533,6 +1542,47 @@ def _chi2_p1(observed: list[float], expected: list[float]) -> float:
     return math.erfc(math.sqrt(stat / 2.0))
 
 
+def _pack_reads(reads) -> tuple[int, str, str, str]:
+    """(n, names, seqs, quals) with newline-joined fields — one string per
+    field instead of one tuple per read (FASTQ/BAM names/sequences cannot
+    contain newlines)."""
+    names, seqs, quals = [], [], []
+    for r in reads:
+        names.append(r.name)
+        seqs.append(r.seq)
+        quals.append(r.qual)
+    return (len(names), "\n".join(names), "\n".join(seqs),
+            "\n".join(quals))
+
+
+def _unpack_reads(t) -> list:
+    from ..io.fastq import FastqRead
+    n, names, seqs, quals = t
+    if n == 0:
+        return []
+    return [FastqRead(*z) for z in zip(names.split("\n"), seqs.split("\n"),
+                                       quals.split("\n"))]
+
+
+def _pack_optional_chains(chains):
+    """(total, non-None indices, packed arrays) for a list that may hold
+    None entries (unpaired alignments)."""
+    from .parallel_host import pack_chains
+    idx = [i for i, c in enumerate(chains) if c is not None]
+    return (len(chains), idx,
+            pack_chains([chains[i] for i in idx]) if idx else None)
+
+
+def _unpack_optional_chains(t) -> list:
+    from .parallel_host import unpack_chains
+    total, idx, packed = t
+    out = [None] * total
+    if packed is not None:
+        for i, c in zip(idx, unpack_chains(packed)):
+            out[i] = c
+    return out
+
+
 def _typing_worker_init():
     os.environ["HLA_LA_IN_WORKER"] = "1"
 
@@ -1552,12 +1602,11 @@ def _load_spilled_kmer_counts(path: str) -> "KmerCountIndex":
 
 def _typing_worker(args):
     (pkg_dir, backend, base_cfg, g_path, loci, packed, raw1, raw2, rawu,
-     aligned_unpaired, insert_mean, insert_sd, output_dir, cfg, long_reads,
+     packed_unal, insert_mean, insert_sd, output_dir, cfg, long_reads,
      kmer_counts, hist_w) = args
     import io
 
     from ..graph.package import GraphPackage
-    from ..io.fastq import FastqRead
     from .parallel_host import unpack_aligned_pairs
 
     # reuse the worker's already-loaded package when running inside the
@@ -1580,8 +1629,9 @@ def _typing_worker(args):
     typer = HLATyper(pkg, base_cfg,
                      g_nomenclature_path=g_path, backend=backend)
     aligned_pairs = unpack_aligned_pairs(packed)
-    raw_pairs = [(FastqRead(*a), FastqRead(*b)) for a, b in zip(raw1, raw2)]
-    raw_unpaired = [FastqRead(*a) for a in rawu]
+    raw_pairs = list(zip(_unpack_reads(raw1), _unpack_reads(raw2)))
+    raw_unpaired = _unpack_reads(rawu)
+    aligned_unpaired = _unpack_optional_chains(packed_unal)
     typer._setup_pair_ranges(aligned_pairs, aligned_unpaired)
     typer._pair_quality = (typer._compute_pair_quality(
         aligned_pairs, insert_mean, insert_sd, cfg)

@@ -89,10 +89,19 @@ def test_parallel_typing_matches_serial(tmp_path):
     fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
     al = ReadAligner(pkg)
     aligned = al.align_pairs(fq, 260, 25)
+    # unpaired long fragments too: the worker ships them as packed chain
+    # arrays (with a None slot) — must round-trip byte-identically
+    from hla_la_tpu.io.fastq import FastqRead
+    seq1, _ = sim.linearized(1)
+    rawu = [FastqRead(f"u{i}", seq1[s:s + 1400], "I" * 1400)
+            for i, s in enumerate((100, 1900))]
+    unal = al.align_unpaired(rawu)
+    rawu.append(FastqRead("u_none", "A" * 60, "I" * 60))
+    unal.append(None)
     cfg = TyperConfig(min_reads_for_typing_workers=1)
     for n_workers, d in ((1, "serial"), (2, "par")):
         typer = HLATyper(pkg, cfg)
-        typer.type_all(fq, aligned, [], [], 260.0, 25.0,
+        typer.type_all(fq, aligned, rawu, unal, 260.0, 25.0,
                        str(tmp_path / d), n_workers=n_workers)
     serial_dir, par_dir = str(tmp_path / "serial"), str(tmp_path / "par")
     files = [f for f in os.listdir(serial_dir)

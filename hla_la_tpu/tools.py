@@ -461,3 +461,95 @@ def compare_tool_calls(our_calls_path: str, other_calls_path: str,
                      + "\t".join(f"{stats[tool][r]:.4f}"
                                  for r, _ in resolutions) + "\n")
     return stats
+
+
+def import_xhla(report_json: str, out_path: str,
+                full_tsv: str | None = None,
+                out_path_highres: str | None = None) -> dict[str, list[str]]:
+    """Convert raw xHLA output into bestguess-format call files so
+    `compare_tool_calls` / the validation harness can score the competitor
+    (forPaper/runxHLA.pl:125-207 — the format-conversion half; the
+    docker-execution half is environment-specific and out of scope).
+
+    `report_json`: xHLA's report-<sample>-hla.json; the "alleles" array
+    holds up to two four-digit alleles per locus.  `full_tsv` (xHLA --full
+    mode, <sample>.hla.full): header-keyed TSV whose `type` column must
+    repeat the report alleles in order and whose `full` column carries the
+    high-resolution extension; written to `out_path_highres`.
+
+    Returns {locus: [allele, ...]} from the normal-resolution report.
+    """
+    import json
+    import re
+
+    with open(report_json) as fh:
+        doc = json.load(fh)
+
+    def find_alleles(node):
+        if isinstance(node, dict):
+            v = node.get("alleles")
+            if isinstance(v, list) and all(isinstance(x, str) for x in v):
+                return v
+            for child in node.values():
+                got = find_alleles(child)
+                if got is not None:
+                    return got
+        elif isinstance(node, list):
+            for child in node:
+                got = find_alleles(child)
+                if got is not None:
+                    return got
+        return None
+
+    alleles = find_alleles(doc)
+    if alleles is None:
+        raise ValueError(f"no \"alleles\" array in {report_json}")
+    by_locus: dict[str, list[str]] = {}
+    lines = []
+    for allele in alleles:
+        m = re.match(r"^(\w+)\*(.+)$", allele)
+        if not m:
+            raise ValueError(f"unparseable xHLA allele {allele!r}")
+        locus = m.group(1)
+        by_locus.setdefault(locus, []).append(allele)
+        if len(by_locus[locus]) > 2:
+            raise ValueError(f">2 alleles for locus {locus}")
+        lines.append((locus, len(by_locus[locus]), allele))
+    header = "Locus\tChromosome\tAllele\tQ1\tQ2\n"
+    with open(out_path, "w") as fh:
+        fh.write(header)
+        for locus, chrom, allele in lines:
+            fh.write(f"{locus}\t{chrom}\t{allele}\t1\t1\n")
+
+    if full_tsv is None:
+        return by_locus
+    if out_path_highres is None:
+        raise ValueError("out_path_highres required with full_tsv")
+    n_per_locus: dict[str, int] = {}
+    hr_lines = []
+    with open(full_tsv) as fh:
+        head = fh.readline().rstrip("\n").split("\t")
+        for raw in fh:
+            f = raw.rstrip("\n").split("\t")
+            if len(f) < 2:
+                continue
+            row = dict(zip(head, f))
+            m = re.match(r"^(\w+)\*(.+)$", row["type"])
+            if not m:
+                raise ValueError(f"unparseable type {row['type']!r}")
+            locus = m.group(1)
+            n = n_per_locus[locus] = n_per_locus.get(locus, 0) + 1
+            want = by_locus.get(locus, [])
+            if n > len(want) or row["type"] != want[n - 1]:
+                raise ValueError(f"{full_tsv}: high-res row {row['type']} "
+                                 f"does not match report allele #{n} at "
+                                 f"{locus}")
+            if not row["full"].startswith(row["type"]):
+                raise ValueError(f"full {row['full']!r} does not extend "
+                                 f"type {row['type']!r}")
+            hr_lines.append((locus, n, row["full"]))
+    with open(out_path_highres, "w") as fh:
+        fh.write(header)
+        for locus, chrom, allele in hr_lines:
+            fh.write(f"{locus}\t{chrom}\t{allele}\t1\t1\n")
+    return by_locus

@@ -298,3 +298,55 @@ def test_rename_bam_contigs_keeps_header(tmp_path):
     assert "SO:coordinate" in rd.header_text
     assert "SN:chr6" in rd.header_text and "SN:6" not in rd.header_text
     assert rd.references == [("chr6", 1000)]
+
+
+def test_import_xhla(tmp_path):
+    """xHLA report.json + --full TSV convert to bestguess-format call files
+    (forPaper/runxHLA.pl:125-207 conversion semantics: alleles array ->
+    Locus/Chromosome/Allele rows, full column must extend type column)."""
+    import json
+
+    from hla_la_tpu.tools import compare_tool_calls, import_xhla
+
+    report = tmp_path / "report-S1-hla.json"
+    report.write_text(json.dumps({
+        "sample_id": "S1",
+        "hla": {"alleles": ["A*02:01", "A*03:01", "B*07:02"]},
+    }))
+    full = tmp_path / "S1.hla.full"
+    full.write_text("type\tfull\tother\n"
+                    "A*02:01\tA*02:01:01\tx\n"
+                    "A*03:01\tA*03:01:02\tx\n"
+                    "B*07:02\tB*07:02:01\tx\n")
+    out = tmp_path / "xhla_calls.txt"
+    out_hr = tmp_path / "xhla_calls_hr.txt"
+    by_locus = import_xhla(str(report), str(out), str(full), str(out_hr))
+    assert by_locus == {"A": ["A*02:01", "A*03:01"], "B": ["B*07:02"]}
+    rows = out.read_text().splitlines()
+    assert rows[0] == "Locus\tChromosome\tAllele\tQ1\tQ2"
+    assert rows[1] == "A\t1\tA*02:01\t1\t1"
+    assert rows[2] == "A\t2\tA*03:01\t1\t1"
+    assert rows[3] == "B\t1\tB*07:02\t1\t1"
+    hr_rows = out_hr.read_text().splitlines()
+    assert hr_rows[1] == "A\t1\tA*02:01:01\t1\t1"
+    assert hr_rows[3] == "B\t1\tB*07:02:01\t1\t1"
+
+    # converted output feeds straight into the comparison harness
+    truth = tmp_path / "truth.txt"
+    truth.write_text("IndividualID\tA\tA\n"
+                     "S1\tA*02:01\tA*03:01\n")
+    stats = compare_tool_calls(str(out), str(out), str(truth),
+                               str(tmp_path / "cmp.txt"), other_name="xHLA")
+    assert stats["xHLA"]["4digit"] == 1.0
+
+    # full row that does not extend its type is rejected
+    bad = tmp_path / "bad.full"
+    bad.write_text("type\tfull\n"
+                   "A*02:01\tA*99:99\n"
+                   "A*03:01\tA*03:01:02\n"
+                   "B*07:02\tB*07:02:01\n")
+    try:
+        import_xhla(str(report), str(out), str(bad), str(out_hr))
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "does not extend" in str(e)

@@ -1,0 +1,177 @@
+"""Platinum-WGS-scale stress: the full pipeline at the reference's real
+working point (BASELINE.json config 3: "NA12878 full WGS platinum BAM, all
+supported loci incl. DRB3/4").
+
+The randomized soak covers small worlds; bench.py covers a 3M-level graph
+with 2 loci and ~30k pairs (below the typing fan-out gate).  This script is
+the missing regime: a 3M-level package with EIGHT loci and platinum depth
+(~300k pairs / ~600k reads), where the per-locus typing worker fan-out
+(typer.py _type_loci_parallel: >=50k aligned reads AND >=4 loci) actually
+engages.  Checks, in order of importance:
+
+1. calls at every locus are exactly the two simulated haplotypes' alleles;
+2. fan-out typing output is byte-identical to serial typing output
+   (every file in the output dir, filecmp);
+3. timing split (align / typing serial / typing fan-out) is printed so the
+   platinum-scale profile is measured, not guessed.
+
+Reference scale anchor: the NA12878 platinum workflow extracts ~1M MHC
+reads for 17 loci (HLA-LA.pl region extraction; README.md:119-130); this
+world is the same order of magnitude per locus.
+
+Usage: python stress_wgs.py [--coverage 12] [--fresh]
+Cache: /tmp/hla_wgs_stress_v1 (package + reads + alignments; --fresh rm's).
+Not in the pytest suite (minutes-long, ~2GB RAM); run after invasive
+aligner/typer changes alongside a soak batch.
+"""
+import filecmp
+import os
+import pickle
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+CACHE = "/tmp/hla_wgs_stress_v1"
+N_LEVELS = 3_000_000
+# eight loci incl. DRB3/4-like paralogs, each ~0.4% of the backbone
+GENES = {
+    "A": (0.10, 0.104), "B": (0.20, 0.204), "C": (0.30, 0.304),
+    "DQA1": (0.45, 0.454), "DQB1": (0.55, 0.554), "DRB1": (0.65, 0.654),
+    "DRB3": (0.75, 0.754), "DRB4": (0.85, 0.854),
+}
+TRUTH_HAPS = (1, 2)   # allele row h -> name f"{locus}*{h+1:02d}:01"
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def build_cache(coverage: float):
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+
+    os.makedirs(CACHE, exist_ok=True)
+    rng = np.random.default_rng(271828)
+    t0 = time.time()
+    sim = simulate_prg_package(rng, backbone_length=N_LEVELS,
+                               n_haplotypes=8, snp_rate=0.01, genes=GENES)
+    log(f"sim built in {time.time() - t0:.0f}s")
+    t0 = time.time()
+    sim.write_package(os.path.join(CACHE, "pkg"))
+    log(f"package written+compiled in {time.time() - t0:.0f}s")
+    rs = ReadSimulator(rng, read_length=101, fragment_mean=320,
+                       fragment_sd=30, with_error=True)
+    pairs = []
+    t0 = time.time()
+    for h in TRUTH_HAPS:
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, coverage / 2,
+                                               name_prefix=f"h{h}")
+    log(f"{len(pairs)} pairs simulated in {time.time() - t0:.0f}s "
+        f"(diploid ~{coverage:.0f}x)")
+    with open(os.path.join(CACHE, "pairs.pkl"), "wb") as fh:
+        pickle.dump([((p.r1.name, p.r1.seq, p.r1.qual),
+                      (p.r2.name, p.r2.seq, p.r2.qual)) for p in pairs], fh)
+
+
+def main():
+    coverage = 12.0
+    if "--coverage" in sys.argv:
+        coverage = float(sys.argv[sys.argv.index("--coverage") + 1])
+    if "--fresh" in sys.argv and os.path.exists(CACHE):
+        shutil.rmtree(CACHE)
+
+    from hla_la_tpu.io.fastq import FastqRead
+    from hla_la_tpu.models.parallel_host import ParallelAligner, spawn_safe
+    from hla_la_tpu.models.typer import HLATyper
+    from hla_la_tpu.graph.package import GraphPackage
+
+    if not os.path.exists(os.path.join(CACHE, "pairs.pkl")):
+        log("building WGS-scale world (cold, ~10 min; cached)")
+        build_cache(coverage)
+    fq_raw = pickle.load(open(os.path.join(CACHE, "pairs.pkl"), "rb"))
+    fq = [(FastqRead(*a), FastqRead(*b)) for a, b in fq_raw]
+    log(f"{len(fq)} read pairs, {len(GENES)} loci, {N_LEVELS} levels")
+
+    pkg_dir = os.path.join(CACHE, "pkg")
+    n_workers = min(os.cpu_count() or 1, 8)
+    assert spawn_safe(), "stress requires spawn-safe __main__"
+    engine = ParallelAligner(pkg_dir, n_workers)
+    engine.align_pairs(fq[:64], 320, 30)   # warmup
+    aligned_cache = os.path.join(CACHE, "aligned.pkl")
+    aligned = t_align = None
+    if os.path.exists(aligned_cache):
+        try:
+            aligned = pickle.load(open(aligned_cache, "rb"))
+            log(f"{len(aligned)} aligned pairs (from cache)")
+        except Exception as e:   # truncated dump from an interrupted run
+            log(f"aligned cache unreadable ({e}); re-aligning")
+            os.unlink(aligned_cache)
+    if aligned is None:
+        t0 = time.time()
+        aligned = engine.align_pairs(fq, 320, 30)
+        t_align = time.time() - t0
+        aligned = [ap for ap in aligned if ap is not None]
+        log(f"align: {t_align:.1f}s = {2 * len(fq) / t_align:.0f} reads/s "
+            f"({len(aligned)}/{len(fq)} pairs aligned)")
+        with open(aligned_cache + ".tmp", "wb") as fh:
+            pickle.dump(aligned, fh)
+        os.replace(aligned_cache + ".tmp", aligned_cache)
+    aligned_ids = {ap.read_id for ap in aligned}
+    kept_fq = [p for p in fq if p[0].name in aligned_ids]
+
+    pkg = GraphPackage(pkg_dir)
+    out_s, out_f = os.path.join(CACHE, "out_serial"), \
+        os.path.join(CACHE, "out_fanout")
+    for d in (out_s, out_f):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    t0 = time.time()
+    typer = HLATyper(pkg)
+    res_s = typer.type_all(kept_fq, aligned, [], [], 320.0, 30.0, out_s,
+                           n_workers=1)
+    t_serial = time.time() - t0
+    log(f"typing serial: {t_serial:.1f}s")
+
+    t0 = time.time()
+    typer2 = HLATyper(pkg)
+    res_f = typer2.type_all(kept_fq, aligned, [], [], 320.0, 30.0, out_f,
+                            n_workers=min(n_workers, 4), worker_pool=engine)
+    t_fan = time.time() - t0
+    log(f"typing fan-out ({min(n_workers, 4)} workers): {t_fan:.1f}s "
+        f"({t_serial / t_fan:.2f}x)")
+    engine.close()
+
+    # 1. exact calls at every locus
+    calls = {r.locus: {r.allele1_id, r.allele2_id} for r in res_s}
+    for locus in GENES:
+        want = {f"{locus}*{h + 1:02d}:01" for h in TRUTH_HAPS}
+        assert calls.get(locus) == want, \
+            f"{locus}: {calls.get(locus)} != {want}"
+    log(f"calls exact at all {len(GENES)} loci")
+
+    # 2. fan-out output byte-identical to serial
+    files_s = sorted(os.listdir(out_s))
+    assert files_s == sorted(os.listdir(out_f)), "output file sets differ"
+    bad = [f for f in files_s
+           if not filecmp.cmp(os.path.join(out_s, f),
+                              os.path.join(out_f, f), shallow=False)]
+    assert not bad, f"fan-out output differs from serial: {bad}"
+    log(f"fan-out byte-identical to serial across {len(files_s)} files")
+    if t_align:
+        n_reads = 2 * len(fq)
+        log(f"e2e platinum-scale: "
+            f"{n_reads / (t_align + min(t_serial, t_fan)):.0f} reads/s")
+    print("STRESS_WGS OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,13 @@ def main(argv=None):
     ap.add_argument("--mergeShards",
                     help="--action HLA: merge align shards from this "
                          "directory and run typing (no read input needed)")
+    ap.add_argument("--out", help="output path (remapAndReduce: BAM; "
+                                  "downsampleBAM: BAM or batch directory)")
+    ap.add_argument("--fraction", type=float, default=None,
+                    help="--action downsampleBAM: keep-pair probability")
+    ap.add_argument("--targetGigabases", type=float, default=None,
+                    help="--action downsampleBAM: depth target in Gb "
+                         "(downsample_WGS_BAMs.pl semantics)")
     args = ap.parse_args(argv)
 
     action = args.action
@@ -126,6 +133,10 @@ def main(argv=None):
         return action_test_alignments2chains(args)
     if action == "testChainExtension":
         return action_test_chain_extension(args)
+    if action == "remapAndReduce":
+        return action_remap_and_reduce(args)
+    if action == "downsampleBAM":
+        return action_downsample_bam(args)
     print(f"unknown action {action}", file=sys.stderr)
     return 2
 
@@ -965,5 +976,49 @@ def action_test_chain_extension(args) -> int:
             n_ext += 1
     print(f"testChainExtension: {n_ext} chains re-extended via graph DP — OK")
     return 0
+
+
+def action_remap_and_reduce(args) -> int:
+    """Extract + remap + reduce a WGS BAM/CRAM to a PRG-coordinate BAM
+    (Perl/remapAndReduce.pl workflow with the graph aligner as remapper)."""
+    _require_graph(args)
+    if not args.BAM or not args.out:
+        raise SystemExit("remapAndReduce needs --BAM <in.bam|in.cram> "
+                         "--graph <pkg> --out <out.bam>")
+    from .graph.package import GraphPackage
+    from .io.fasta import read_fasta
+    from .tools import remap_and_reduce
+    cram_ref = read_fasta(args.ref) if args.ref else None
+    n_pairs, n_un = remap_and_reduce(args.BAM, GraphPackage(args.graph),
+                                     args.out, cram_reference=cram_ref)
+    print(f"remapAndReduce: {n_pairs} pairs + {n_un} unpaired reads "
+          f"remapped to PRG coordinates -> {args.out}")
+    return 0
+
+
+def action_downsample_bam(args) -> int:
+    """Downsample a BAM by pair fraction (downsampleBAM.pl) or to a
+    gigabase depth target (downsample_WGS_BAMs.pl)."""
+    if not args.BAM or not args.out:
+        raise SystemExit("downsampleBAM needs --BAM <in.bam> --out <path> "
+                         "and --fraction or --targetGigabases")
+    if (args.fraction is None) == (args.targetGigabases is None):
+        raise SystemExit("downsampleBAM needs exactly one of --fraction / "
+                         "--targetGigabases")
+    if args.fraction is not None:
+        from .tools import downsample_bam
+        kept, total = downsample_bam(args.BAM, args.out, args.fraction,
+                                     seed=args.seed)
+        print(f"downsampleBAM: kept {kept}/{total} records -> {args.out}")
+    else:
+        from .tools import downsample_wgs_bams
+        res = downsample_wgs_bams([args.BAM], args.out,
+                                  args.targetGigabases, seed=args.seed)
+        _, dst, frac, kept, total = res[0]
+        print(f"downsampleBAM: fraction {frac:.4f}, kept {kept}/{total} "
+              f"records -> {dst}")
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -553,3 +553,217 @@ def import_xhla(report_json: str, out_path: str,
         for locus, chrom, allele in hr_lines:
             fh.write(f"{locus}\t{chrom}\t{allele}\t1\t1\n")
     return by_locus
+
+
+# ------------------------------------------------------- remap-and-reduce
+def _mapq_phred(p: float) -> int:
+    """Posterior -> phred-scaled MAPQ (capped 60, samtools convention)."""
+    import math
+    if p >= 1.0:
+        return 60
+    return max(0, min(60, int(round(-10.0 * math.log10(max(1e-6, 1.0 - p))))))
+
+
+def _alignment_cigar(al) -> tuple[int, int, list[tuple[int, int]]] | None:
+    """GraphAlignment columns -> (lead clip, trail clip, CIGAR) in
+    PRG-level coordinates: one reference position per graph level, so
+    graph-gap columns and windowed level jumps are deletions.  Returns
+    None when no reference-consuming op survives (defensive)."""
+    from .models.alignment import GAP
+    lvl = al.levels
+    m = al.seq_c != GAP
+    keep = m | (lvl >= 0)
+    op = np.where(m & (lvl >= 0), 0, np.where(m, 1, 2))[keep]
+    lv = lvl[keep]
+    cigar: list[tuple[int, int]] = []
+
+    def push(opc: int, ln: int) -> None:
+        if ln <= 0:
+            return
+        if cigar and cigar[-1][1] == opc:
+            cigar[-1] = (cigar[-1][0] + ln, opc)
+        else:
+            cigar.append((ln, opc))
+
+    nn = lv >= 0
+    jumps = np.diff(lv[nn]) > 1 if nn.sum() > 1 else np.zeros(0, bool)
+    if jumps.any():
+        prev = None
+        for o, l in zip(op.tolist(), lv.tolist()):
+            if l >= 0 and prev is not None and l > prev + 1:
+                push(2, l - prev - 1)      # D over jumped levels
+            push(int(o), 1)
+            if l >= 0:
+                prev = l
+    else:
+        cuts = np.flatnonzero(np.diff(op) != 0) + 1
+        for seg in np.split(op, cuts):
+            push(int(seg[0]), len(seg))
+    # normalise edge insertions into soft clips (writer-side hygiene)
+    n_clip_lead = n_clip_trail = 0
+    while cigar and cigar[0][1] == 2:
+        cigar.pop(0)
+    while cigar and cigar[-1][1] == 2:
+        cigar.pop()
+    if cigar and cigar[0][1] == 1:
+        n_clip_lead = cigar.pop(0)[0]
+    if cigar and cigar[-1][1] == 1:
+        n_clip_trail = cigar.pop()[0]
+    if not cigar:
+        return None
+    return n_clip_lead, n_clip_trail, cigar
+
+
+def _alignment_to_record(al, fq, flag: int, mate=None) -> "BamRecord | None":
+    """GraphAlignment -> BamRecord on the PRG pseudo-contig (ref_id 0)."""
+    from .io.bam import (FLAG_MATE_REVERSE, FLAG_REVERSE, revcomp)
+    from .models.alignment import GAP
+    oriented = revcomp(fq.seq) if al.reverse else fq.seq
+    oriented_q = fq.qual[::-1] if al.reverse else fq.qual
+    got = _alignment_cigar(al)
+    if got is None:
+        return None
+    clip_lead, clip_trail, cigar = got
+    n_read_in_cigar = sum(ln for ln, opc in cigar if opc in (0, 1))
+    aligned_s = bytes(al.seq_c[al.seq_c != GAP]).decode()
+    off = oriented.find(aligned_s)
+    if off < 0:
+        return None
+    lead = off + clip_lead
+    trail = len(oriented) - lead - n_read_in_cigar
+    if trail < 0:
+        return None
+    full = ([(lead, 4)] if lead else []) + cigar \
+        + ([(trail, 4)] if trail else [])
+    if al.reverse:
+        flag |= FLAG_REVERSE
+    if mate is not None and mate.reverse:
+        flag |= FLAG_MATE_REVERSE
+    pos = al.first_level()
+    mate_pos = mate.first_level() if mate is not None else -1
+    if mate is not None:
+        lo = min(pos, mate_pos)
+        hi = max(al.last_level(), mate.last_level()) + 1
+        tlen = (hi - lo) if pos <= mate_pos else -(hi - lo)
+    else:
+        tlen = 0
+    return BamRecord(name=fq.name, flag=flag, ref_id=0, pos=pos,
+                     mapq=_mapq_phred(al.mapq), cigar=full, seq=oriented,
+                     qual=oriented_q, mate_ref_id=(0 if mate is not None
+                                                   else -1),
+                     mate_pos=mate_pos, tlen=tlen)
+
+
+def remap_and_reduce(in_path: str, pkg: GraphPackage, out_path: str,
+                     more_reference_dirs: list[str] = (),
+                     cram_reference=None) -> tuple[int, int]:
+    """Extract the PRG-relevant reads from a WGS BAM/CRAM, realign them to
+    the PRG with the production aligner, and write a coordinate-sorted BAM
+    on the PRG-linearized pseudo-contig (one position per graph level) —
+    the remapAndReduce.pl workflow (Perl/remapAndReduce.pl: extraction →
+    external remap → reduceBAM2PRG) with our own graph aligner as the
+    remapper and no cluster scaffolding.  Returns
+    (aligned pairs written, aligned unpaired written)."""
+    from .io.bam import (FLAG_PAIRED, FLAG_READ1, FLAG_READ2, extract_reads,
+                         estimate_insert_size_from_bam, is_cram,
+                         record_to_fastq)
+    from .models.aligner import ReadAligner
+
+    if is_cram(in_path):
+        from .io.cram import CramReader
+        cr = CramReader(in_path, reference=cram_reference)
+        contigs = cr.contigs()
+        cr.close()
+    else:
+        rd = BamReader(in_path, use_native=False)
+        contigs = rd.contigs()
+        rd.close()
+    spec = pkg.match_known_reference(contigs, list(more_reference_dirs))
+    regions = None
+    if spec is not None:
+        regions = []
+        for cid, rec in pkg.known_references(
+                list(more_reference_dirs))[spec].items():
+            if rec.get("ExtractCompleteContig") in ("1", "yes"):
+                regions.append((cid, 0, 0))
+            elif rec.get("PartialExtraction_Start"):
+                regions.append((cid, int(rec["PartialExtraction_Start"]) - 1,
+                                int(rec["PartialExtraction_Stop"])))
+    by_name, _ = extract_reads(in_path, regions,
+                               cram_reference=cram_reference)
+    pairs, unpaired = [], []
+    for name, recs in by_name.items():
+        prim = [r for r in recs
+                if not (r.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY))]
+        r1 = next((r for r in prim if r.is_read1), None)
+        r2 = next((r for r in prim if not r.is_read1), None)
+        if r1 is not None and r2 is not None:
+            pairs.append((record_to_fastq(r1), record_to_fastq(r2)))
+        elif prim:
+            unpaired.append(record_to_fastq(prim[0]))
+    try:
+        ins_mean, ins_sd = estimate_insert_size_from_bam(
+            in_path, cram_reference=cram_reference)
+    except Exception:
+        ins_mean, ins_sd = 300.0, 100.0
+    aligner = ReadAligner(pkg)
+    aligned = aligner.align_pairs(pairs, ins_mean, ins_sd) if pairs else []
+    unal = aligner.align_unpaired(unpaired) if unpaired else []
+    fq_of = {p[0].name: p for p in pairs}
+    records = []
+    n_pairs = n_un = 0
+    for ap in aligned:
+        if ap is None:
+            continue
+        fq1, fq2 = fq_of[ap.read_id]
+        b1 = _alignment_to_record(ap.chain1, fq1,
+                                  FLAG_PAIRED | FLAG_READ1, ap.chain2)
+        b2 = _alignment_to_record(ap.chain2, fq2,
+                                  FLAG_PAIRED | FLAG_READ2, ap.chain1)
+        if b1 is not None and b2 is not None:
+            records += [b1, b2]
+            n_pairs += 1
+    for fq, al in zip(unpaired, unal):
+        if al is None:
+            continue
+        rec = _alignment_to_record(al, fq, 0)
+        if rec is not None:
+            records.append(rec)
+            n_un += 1
+    records.sort(key=lambda r: r.pos)
+    n_levels = pkg.prg().n_levels
+    w = BamWriter(out_path, [("PRG", n_levels)],
+                  "@HD\tVN:1.6\tSO:coordinate\n"
+                  f"@SQ\tSN:PRG\tLN:{n_levels}\n")
+    for r in records:
+        w.write(r)
+    w.close()
+    return n_pairs, n_un
+
+
+def downsample_wgs_bams(inputs: list[str], out_dir: str,
+                        target_gigabases: float, seed: int = 0
+                        ) -> list[tuple[str, str, float, int, int]]:
+    """Batch-downsample WGS BAMs to a sequencing-depth target expressed in
+    gigabases (downsample_WGS_BAMs.pl: targetGigabases = 15x * 3.2 Gb,
+    minus the site-specific qsub scaffolding).  Per input: stream-count
+    sequenced bases of primary records, keep pairs with probability
+    target/total via the reproducible name-hash sampler.  Returns
+    [(in, out, fraction, kept, total_records)]."""
+    os.makedirs(out_dir, exist_ok=True)
+    out = []
+    for path in inputs:
+        rd = BamReader(path)
+        total_bases = 0
+        for rec in rd:
+            if not (rec.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY)):
+                total_bases += len(rec.seq)
+        rd.close()
+        frac = min(1.0, target_gigabases * 1e9 / total_bases) \
+            if total_bases else 1.0
+        base = os.path.basename(path)
+        stem = base[:base.rfind(".")] if "." in base else base
+        dst = os.path.join(out_dir, f"d_{stem}.bam")
+        kept, total = downsample_bam(path, dst, frac, seed=seed)
+        out.append((path, dst, frac, kept, total))
+    return out

@@ -264,3 +264,38 @@ def test_hla_action_warns_on_short_unpaired_reads(tmp_path, rng, capsys):
     err = capsys.readouterr()
     out_all = err.out + err.err
     assert "unpaired minimum" in out_all and "WARNING" in out_all
+
+
+def test_remap_and_reduce_action(tmp_path, rng):
+    """--action remapAndReduce: WGS BAM in -> PRG-coordinate BAM out
+    (Perl/remapAndReduce.pl workflow)."""
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    out = str(tmp_path / "remapped.bam")
+    assert main(["--action", "remapAndReduce", "--BAM", bam_path,
+                 "--graph", pkg_dir, "--out", out]) == 0
+    from hla_la_tpu.io.bam import BamReader
+    rd = BamReader(out)
+    recs = list(rd)
+    assert rd.references[0][0] == "PRG"
+    assert recs and all(a.pos <= b.pos for a, b in zip(recs, recs[1:]))
+
+
+def test_downsample_bam_action(tmp_path, rng):
+    pkg_dir, bam_path = _bam_world(tmp_path, rng)
+    out = str(tmp_path / "ds.bam")
+    assert main(["--action", "downsampleBAM", "--BAM", bam_path,
+                 "--out", out, "--fraction", "0.5", "--seed", "7"]) == 0
+    from hla_la_tpu.io.bam import BamReader
+    n_in = len(list(BamReader(bam_path)))
+    n_out = len(list(BamReader(out)))
+    assert 0 < n_out < n_in
+    # gigabase-target form (downsample_WGS_BAMs.pl semantics)
+    outdir = str(tmp_path / "batch")
+    assert main(["--action", "downsampleBAM", "--BAM", bam_path,
+                 "--out", outdir, "--targetGigabases", "1.0"]) == 0
+    import glob
+    assert glob.glob(outdir + "/d_*.bam")
+    # exactly one of --fraction/--targetGigabases is required
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["--action", "downsampleBAM", "--BAM", bam_path, "--out", out])

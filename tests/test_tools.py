@@ -350,3 +350,88 @@ def test_import_xhla(tmp_path):
         assert False, "expected ValueError"
     except ValueError as e:
         assert "does not extend" in str(e)
+
+
+def test_remap_and_reduce(tmp_path, rng):
+    """remapAndReduce.pl workflow (Perl/remapAndReduce.pl) with our graph
+    aligner as the remapper: WGS-style BAM in -> coordinate-sorted BAM on
+    the PRG pseudo-contig; error-free reads must land at their exact truth
+    level."""
+    from hla_la_tpu.graph.package import GraphPackage
+    from hla_la_tpu.io.bam import FLAG_READ2, FLAG_REVERSE, revcomp
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+    from hla_la_tpu.tools import remap_and_reduce
+
+    sim = simulate_prg_package(rng, backbone_length=1500, n_haplotypes=3)
+    pkg_dir = str(tmp_path / "pkg")
+    sim.write_package(pkg_dir)
+    contig_len = 50000
+    with open(os.path.join(pkg_dir, "knownReferences", "k.txt"), "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    rs = ReadSimulator(rng, read_length=90, fragment_mean=280,
+                       fragment_sd=20, with_error=False)
+    pairs = []
+    for h in (1, 2):
+        seq, levels = sim.linearized(h)
+        pairs += rs.simulate_pairs_from_string(seq, levels, 5.0,
+                                               name_prefix=f"h{h}")
+    bam_path = str(tmp_path / "in.bam")
+    w = BamWriter(bam_path, [("chr6", contig_len)])
+    truth_first = {}
+    for p in pairs:
+        for mate_flag, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            seq, qual, flag = r.seq, r.qual, FLAG_PAIRED | mate_flag
+            if r.reverse:
+                seq, qual = revcomp(seq), qual[::-1]
+                flag |= FLAG_REVERSE
+            w.write(BamRecord(name=r.name, flag=flag, ref_id=0,
+                              pos=max(r.start_pos, 0), mapq=60,
+                              cigar=[(len(seq), 0)], seq=seq, qual=qual))
+            lv = r.levels[r.levels >= 0]
+            truth_first[(r.name, mate_flag == FLAG_READ1)] = int(lv.min())
+    w.close()
+
+    out_path = str(tmp_path / "remapped.bam")
+    pkg = GraphPackage(pkg_dir)
+    n_pairs, n_un = remap_and_reduce(bam_path, pkg, out_path)
+    assert n_pairs >= 0.9 * len(pairs)
+    assert n_un == 0
+    rd = BamReader(out_path)
+    assert rd.references == [("PRG", pkg.prg().n_levels)]
+    recs = list(rd)
+    rd.close()
+    assert len(recs) == 2 * n_pairs
+    assert all(a.pos <= b.pos for a, b in zip(recs, recs[1:]))
+    exact = 0
+    for rec in recs:
+        # read-consuming CIGAR ops must cover the stored sequence exactly
+        n_read = sum(ln for ln, op in rec.cigar if op in (0, 1, 4))
+        assert n_read == len(rec.seq), (rec.name, rec.cigar_string())
+        assert 0 <= rec.pos < pkg.prg().n_levels
+        exact += rec.pos == truth_first[(rec.name, rec.is_read1)]
+    assert exact >= 0.9 * len(recs), f"{exact}/{len(recs)} at truth level"
+
+
+def test_downsample_wgs_bams(tmp_path):
+    """Batch gigabase-target downsampling (downsample_WGS_BAMs.pl): the
+    sampling fraction is derived from each input's own base count."""
+    from hla_la_tpu.tools import downsample_wgs_bams
+
+    src = str(tmp_path / "wgs.bam")
+    w = BamWriter(src, [("c", 1000)])
+    for i in range(400):
+        w.write(_mk(f"r{i}", "A" * 100))   # 40 kb total
+    w.close()
+    # target = half the input's bases -> fraction 0.5
+    res = downsample_wgs_bams([src], str(tmp_path / "out"),
+                              target_gigabases=20_000 / 1e9, seed=3)
+    (in_path, out_path, frac, kept, total), = res
+    assert in_path == src and os.path.exists(out_path)
+    assert abs(frac - 0.5) < 1e-9
+    assert total == 400 and 120 < kept < 280
+    # a target above the input keeps everything
+    res2 = downsample_wgs_bams([src], str(tmp_path / "out2"),
+                               target_gigabases=1.0, seed=3)
+    assert res2[0][2] == 1.0 and res2[0][3] == 400

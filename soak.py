@@ -665,13 +665,70 @@ def one_shard_trial(seed: int, base: str) -> str:
     return "shard"
 
 
+def one_remap_trial(seed: int, base: str) -> str:
+    """Randomized remapAndReduce: WGS-style BAM -> PRG-coordinate BAM;
+    reads must land at their exact simulated truth level (error-free
+    reads: >=95%; error-model reads: >=80% — indels legitimately shift a
+    window's best alignment start by a base or two)."""
+    from hla_la_tpu.graph.package import GraphPackage
+    from hla_la_tpu.io.bam import BamReader
+    from hla_la_tpu.tools import remap_and_reduce
+    rng = np.random.default_rng(seed)
+    n_hap = int(rng.integers(3, 7))
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1200, 3500)), n_haplotypes=n_hap)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    with_error = bool(seed % 2)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(70, 140)),
+                       fragment_mean=int(rng.integers(250, 400)),
+                       fragment_sd=int(rng.integers(15, 40)),
+                       with_error=with_error)
+    bam = os.path.join(base, "in.bam")
+    w = BamWriter(bam, [("chr6", contig_len)])
+    truth_first = {}
+    n_pairs_in = 0
+    for h in rng.choice(np.arange(1, n_hap), size=2, replace=False):
+        seq, levels = sim.linearized(int(h))
+        for p in rs.simulate_pairs_from_string(
+                seq, levels, float(rng.uniform(6, 14)),
+                name_prefix=f"h{h}"):
+            _emit_pair(w, p)
+            n_pairs_in += 1
+            for is_r1, r in ((True, p.r1), (False, p.r2)):
+                lv = r.levels[r.levels >= 0]
+                truth_first[(r.name, is_r1)] = int(lv.min())
+    w.close()
+    out = os.path.join(base, "remapped.bam")
+    n_pairs, n_un = remap_and_reduce(bam, GraphPackage(pkg_dir), out)
+    assert n_pairs >= 0.9 * n_pairs_in, (n_pairs, n_pairs_in)
+    rd = BamReader(out)
+    recs = list(rd)
+    rd.close()
+    assert len(recs) == 2 * n_pairs
+    assert all(a.pos <= b.pos for a, b in zip(recs, recs[1:]))
+    exact = sum(r.pos == truth_first[(r.name, r.is_read1)] for r in recs)
+    floor = 0.80 if with_error else 0.95
+    assert exact >= floor * len(recs), \
+        f"{exact}/{len(recs)} at truth level (floor {floor})"
+    return f"remap {'err' if with_error else 'clean'} " \
+           f"{exact}/{len(recs)} exact"
+
+
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
              "shard": one_shard_trial, "decoy": one_decoy_trial,
              "validate": one_validate_trial,
              "heldout": one_heldout_trial,
-             "recomb": one_recomb_trial}.get(mode, one_trial)
+             "recomb": one_recomb_trial,
+             "remap": one_remap_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

@@ -435,3 +435,78 @@ def test_downsample_wgs_bams(tmp_path):
     res2 = downsample_wgs_bams([src], str(tmp_path / "out2"),
                                target_gigabases=1.0, seed=3)
     assert res2[0][2] == 1.0 and res2[0][3] == 400
+
+
+def test_alignment_cigar_branches():
+    """_alignment_cigar unit coverage: M/I/D columns, graph-gap columns
+    and level jumps become D, edge insertions fold into soft clips."""
+    from hla_la_tpu.models.alignment import GraphAlignment
+    from hla_la_tpu.tools import _alignment_cigar
+
+    def mk(levels, seq, graph):
+        n = len(levels)
+        return GraphAlignment(
+            levels=np.asarray(levels, dtype=np.int64),
+            graph_c=np.frombuffer(graph.encode(), dtype=np.uint8).copy(),
+            seq_c=np.frombuffer(seq.encode(), dtype=np.uint8).copy(),
+            seq_qual=np.full(n, 40, dtype=np.uint8), reverse=False)
+
+    # M M I M D M  (insertion at level -1, deletion = seq gap)
+    lead, trail, cig = _alignment_cigar(
+        mk([10, 11, -1, 12, 13, 14], "ACGT_C", "AC_TGC"))
+    assert (lead, trail) == (0, 0)
+    assert cig == [(2, 0), (1, 1), (1, 0), (1, 2), (1, 0)], cig
+
+    # graph-gap column (seq gap at a level) is D; level jump 12->15 adds 2D
+    lead, trail, cig = _alignment_cigar(
+        mk([10, 11, 12, 15], "AC_T", "AC_G"))
+    assert cig == [(2, 0), (3, 2), (1, 0)], cig   # 1D + 2D jump merged
+
+    # leading + trailing insertions fold into clips
+    lead, trail, cig = _alignment_cigar(
+        mk([-1, 10, 11, -1], "GACT", "_AC_"))
+    assert (lead, trail) == (1, 1)
+    assert cig == [(2, 0)], cig
+
+    # nothing reference-consuming -> None
+    assert _alignment_cigar(mk([-1, -1], "AC", "__")) is None
+
+
+def test_remap_and_reduce_cram(tmp_path, rng):
+    """remap_and_reduce accepts CRAM input with a decode reference
+    (HLA-LA.pl:221-229 BAM-or-CRAM contract)."""
+    from hla_la_tpu.graph.package import GraphPackage
+    from hla_la_tpu.io.bam import FLAG_READ2, FLAG_REVERSE, revcomp
+    from hla_la_tpu.io.cram_write import write_cram
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+    from hla_la_tpu.tools import remap_and_reduce
+
+    sim = simulate_prg_package(rng, backbone_length=1200, n_haplotypes=3)
+    pkg_dir = str(tmp_path / "pkg")
+    sim.write_package(pkg_dir)
+    contig_len = 20000
+    with open(os.path.join(pkg_dir, "knownReferences", "k.txt"), "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    rs = ReadSimulator(rng, read_length=80, fragment_mean=250,
+                       fragment_sd=15, with_error=False)
+    seq, levels = sim.linearized(1)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 4.0,
+                                          name_prefix="h1")
+    records = []
+    for p in pairs:
+        for mf, r in ((FLAG_READ1, p.r1), (FLAG_READ2, p.r2)):
+            s, q, flag = r.seq, r.qual, FLAG_PAIRED | mf
+            if r.reverse:
+                s, q, flag = revcomp(s), q[::-1], flag | FLAG_REVERSE
+            records.append(BamRecord(name=r.name, flag=flag, ref_id=0,
+                                     pos=max(r.start_pos, 0), mapq=60,
+                                     cigar=[(len(s), 0)], seq=s, qual=q))
+    ref_seq = "".join(rng.choice(list("ACGT"), contig_len))
+    cram = str(tmp_path / "in.cram")
+    write_cram(cram, [("chr6", contig_len)], records, {"chr6": ref_seq})
+    out = str(tmp_path / "remapped.bam")
+    n_pairs, n_un = remap_and_reduce(cram, GraphPackage(pkg_dir), out,
+                                     cram_reference={"chr6": ref_seq})
+    assert n_pairs >= 0.9 * len(pairs), (n_pairs, len(pairs))

@@ -48,10 +48,19 @@ def _iter_bgzf_blocks(fh) -> Iterator[bytes]:
         if cdata_len < 0:
             raise ValueError("corrupt BGZF block (BSIZE smaller than header)")
         cdata = fh.read(cdata_len)
-        fh.read(8)  # crc32 + isize
+        tail = fh.read(8)
+        if len(cdata) < cdata_len or len(tail) < 8:
+            raise ValueError("truncated BGZF block")
         if cdata_len == 2 and cdata == b"\x03\x00":
             continue  # empty terminator block
-        yield zlib.decompress(cdata, -15)
+        data = zlib.decompress(cdata, -15)
+        # BGZF stores CRC32+ISIZE of the uncompressed payload; verifying
+        # them is what keeps a bit-flipped-but-still-inflatable stream
+        # from silently decoding to wrong bases (htslib does the same)
+        crc, isize = struct.unpack("<II", tail)
+        if len(data) != isize or (zlib.crc32(data) & 0xFFFFFFFF) != crc:
+            raise ValueError("BGZF block CRC/ISIZE mismatch (corrupt data)")
+        yield data
 
 
 def _bgzf_compress_block(data: bytes) -> bytes:
@@ -145,6 +154,16 @@ class BamReader:
             raise ValueError(
                 f"{path}: CRAM input is not supported by the native codec — "
                 "convert to BAM first (samtools view -b -o out.bam in.cram)")
+        # require the 28-byte BGZF EOF terminator: without this check a
+        # file truncated at an exact block boundary silently yields fewer
+        # reads (htslib errors on a missing EOF marker too)
+        self.fh.seek(0, 2)
+        fsize = self.fh.tell()
+        if fsize >= len(BGZF_EOF):
+            self.fh.seek(fsize - len(BGZF_EOF))
+            if self.fh.read(len(BGZF_EOF)) != BGZF_EOF:
+                raise ValueError(f"{path}: missing BGZF EOF marker "
+                                 "(truncated BAM?)")
         self.fh.seek(0)
         self._buf = b""
         self._pos = 0

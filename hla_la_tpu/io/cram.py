@@ -169,6 +169,7 @@ class Block:
 
 
 def read_block(buf: bytes, pos: int) -> tuple[Block, int]:
+    start = pos
     method = buf[pos]
     ctype = buf[pos + 1]
     pos += 2
@@ -180,7 +181,14 @@ def read_block(buf: bytes, pos: int) -> tuple[Block, int]:
                          f"(comp {comp_size}, raw {raw_size})")
     data = buf[pos:pos + comp_size]
     pos += comp_size
-    pos += 4  # CRC32
+    if pos + 4 > len(buf):
+        raise ValueError("CRAM block: truncated (missing CRC32)")
+    # CRAM 3.x: CRC32 of all preceding block bytes — verify so a corrupt
+    # block fails loudly instead of decoding to wrong data
+    stored = struct.unpack_from("<I", buf, pos)[0]
+    pos += 4
+    if (zlib.crc32(buf[start:pos - 4]) & 0xFFFFFFFF) != stored:
+        raise ValueError("CRAM block: CRC32 mismatch (corrupt data)")
     out = _decompress(method, data, raw_size)
     if len(out) != raw_size:
         raise ValueError(f"CRAM block: raw size mismatch "
@@ -233,6 +241,7 @@ class ContainerHeader:
 
 
 def read_container_header(buf: bytes, pos: int) -> tuple[ContainerHeader, int]:
+    hdr_start = pos
     length = struct.unpack_from("<i", buf, pos)[0]
     pos += 4
     ref_id, pos = read_itf8(buf, pos)
@@ -247,7 +256,14 @@ def read_container_header(buf: bytes, pos: int) -> tuple[ContainerHeader, int]:
     for _ in range(n_landmarks):
         lm, pos = read_itf8(buf, pos)
         landmarks.append(lm)
-    pos += 4  # CRC32
+    if pos + 4 > len(buf):
+        raise ValueError("CRAM container header: truncated (missing CRC32)")
+    stored = struct.unpack_from("<I", buf, pos)[0]
+    # CRC32 of the preceding container-header bytes (CRAM 3.x §9)
+    if (zlib.crc32(buf[hdr_start:pos]) & 0xFFFFFFFF) != stored:
+        raise ValueError("CRAM container header: CRC32 mismatch "
+                         "(corrupt data)")
+    pos += 4
     return ContainerHeader(length, ref_id, start, span, n_records, counter,
                            n_bases, n_blocks, landmarks), pos
 

@@ -30,7 +30,8 @@ extern "C" {
 int hla_bgzf_inflate_all(const uint8_t* data, int64_t len,
                          uint8_t** out, int64_t* out_len, int n_threads) {
     // pass 1: find block boundaries
-    struct Block { int64_t cdata_off; int64_t cdata_len; int64_t isize; };
+    struct Block { int64_t cdata_off; int64_t cdata_len; int64_t isize;
+                   uint32_t crc; };
     std::vector<Block> blocks;
     int64_t off = 0;
     int64_t total = 0;
@@ -58,10 +59,11 @@ int hla_bgzf_inflate_all(const uint8_t* data, int64_t len,
         int64_t cdata_len = bsize - 12 - xlen - 8;
         if (cdata_len < 0) return -4;  // corrupt BSIZE: would wrap uInt cast below
         if (cdata_off + cdata_len + 8 > len) return -4;
-        uint32_t isize;
+        uint32_t isize, crc;
+        std::memcpy(&crc, data + cdata_off + cdata_len, 4);
         std::memcpy(&isize, data + cdata_off + cdata_len + 4, 4);
         if (isize > 0) {
-            blocks.push_back({cdata_off, cdata_len, (int64_t)isize});
+            blocks.push_back({cdata_off, cdata_len, (int64_t)isize, crc});
             total += isize;
         }
         off += bsize;
@@ -85,8 +87,15 @@ int hla_bgzf_inflate_all(const uint8_t* data, int64_t len,
             zs.next_out = buf + outs[i];
             zs.avail_out = (uInt)blocks[i].isize;
             int r = inflate(&zs, Z_FINISH);
+            int64_t produced = (int64_t)zs.total_out;
             inflateEnd(&zs);
             if (r != Z_STREAM_END) { errs[t] = -6; return; }
+            // verify the BGZF CRC32/ISIZE of the uncompressed payload —
+            // a bit-flipped-but-still-inflatable block must fail loudly,
+            // not decode to wrong bases (htslib semantics)
+            if (produced != blocks[i].isize
+                || crc32(0, buf + outs[i], (uInt)blocks[i].isize)
+                   != blocks[i].crc) { errs[t] = -7; return; }
         }
     };
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);

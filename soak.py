@@ -721,6 +721,107 @@ def one_remap_trial(seed: int, base: str) -> str:
            f"{exact}/{len(recs)} exact"
 
 
+def one_corrupt_trial(seed: int, base: str) -> str:
+    """Randomized corruption: random byte flips / truncations of a BAM or
+    CRAM input must either fail LOUDLY or leave the typing outputs
+    byte-identical to the clean run — never silently different (every
+    decoded byte is CRC-protected: BGZF CRC32/ISIZE, CRAM block +
+    container-header CRC32s, BGZF EOF-marker check)."""
+    import filecmp
+    import glob
+    import io as _io
+    from contextlib import redirect_stderr, redirect_stdout
+    rng = np.random.default_rng(seed)
+    n_hap = int(rng.integers(3, 6))
+    sim = simulate_prg_package(rng, backbone_length=int(
+        rng.integers(1000, 2500)), n_haplotypes=n_hap)
+    pkg_dir = os.path.join(base, "g")
+    sim.write_package(pkg_dir)
+    contig_len = 100000
+    with open(os.path.join(pkg_dir, "knownReferences", "fake.txt"),
+              "w") as fh:
+        fh.write("contigID\tcontigLength\tExtractCompleteContig\t"
+                 "PartialExtraction_Start\tPartialExtraction_Stop\n")
+        fh.write(f"chr6\t{contig_len}\t1\t\t\n")
+    h1, h2 = rng.choice(np.arange(1, n_hap), size=2, replace=False)
+    rs = ReadSimulator(rng, read_length=int(rng.integers(70, 120)),
+                       fragment_mean=300, fragment_sd=25,
+                       with_error=bool(seed % 2))
+    records = []
+
+    class _Rec:
+        def write(self, r):
+            records.append(r)
+    rec = _Rec()
+    for h in (h1, h2):
+        seq, levels = sim.linearized(int(h))
+        for p in rs.simulate_pairs_from_string(
+                seq, levels, float(rng.uniform(6, 12)),
+                name_prefix=f"h{h}"):
+            _emit_pair(rec, p)
+    use_cram = bool(seed % 2)
+    argv_extra = []
+    if use_cram:
+        from hla_la_tpu.io.cram_write import write_cram
+        ref_seq = "".join(rng.choice(list("ACGT"), contig_len))
+        path = os.path.join(base, "in.cram")
+        write_cram(path, [("chr6", contig_len)], records, {"chr6": ref_seq})
+        fa = os.path.join(base, "genome.fa")
+        with open(fa, "w") as fh:
+            fh.write(">chr6\n" + ref_seq + "\n")
+        argv_extra = ["--ref", fa]
+    else:
+        path = os.path.join(base, "in.bam")
+        w = BamWriter(path, [("chr6", contig_len)])
+        for r in records:
+            w.write(r)
+        w.close()
+
+    def run_cli(inp, out_dir):
+        argv = ["--action", "HLA", "--graph", pkg_dir, "--sampleID", "S",
+                "--workingDir", base, "--outputDirectory", out_dir,
+                "--BAM", inp, "--seed", str(seed)] + argv_extra
+        sink = _io.StringIO()
+        try:
+            with redirect_stdout(sink), redirect_stderr(sink):
+                return main(argv)
+        except (Exception, SystemExit):
+            return -1   # loud failure
+
+    clean_dir = os.path.join(base, "clean")
+    assert run_cli(path, clean_dir) == 0, "clean run must succeed"
+    clean_files = sorted(
+        glob.glob(os.path.join(clean_dir, "hla", "R1_bestguess*.txt"))
+        + glob.glob(os.path.join(clean_dir, "hla", "R1_pileup_*.txt"))
+        + [os.path.join(clean_dir, "reads_per_level.txt")])
+
+    good = open(path, "rb").read()
+    n_loud = n_benign = 0
+    for trial_i in range(6):
+        b = bytearray(good)
+        if trial_i == 5 or rng.random() < 0.25:   # truncation
+            b = b[:int(rng.integers(1, len(b)))]
+        else:                                     # 1-4 byte flips
+            for _ in range(int(rng.integers(1, 5))):
+                off = int(rng.integers(0, len(b)))
+                b[off] ^= int(rng.integers(1, 256))
+        bad_path = os.path.join(
+            base, "bad.cram" if use_cram else "bad.bam")
+        open(bad_path, "wb").write(bytes(b))
+        out_dir = os.path.join(base, f"out{trial_i}")
+        rc = run_cli(bad_path, out_dir)
+        if rc != 0:
+            n_loud += 1
+            continue
+        for a in clean_files:                     # benign: byte-identical
+            c = os.path.join(out_dir, os.path.relpath(a, clean_dir))
+            assert filecmp.cmp(a, c, shallow=False), \
+                f"SILENT CORRUPTION: {os.path.basename(a)} differs (rc=0)"
+        n_benign += 1
+    return f"corrupt {'cram' if use_cram else 'bam'} " \
+           f"{n_loud} loud / {n_benign} benign"
+
+
 def run(n: int, start: int, mode: str = "hla") -> int:
     fails = 0
     trial = {"kir": one_kir_trial, "asm": one_asm_trial,
@@ -728,7 +829,8 @@ def run(n: int, start: int, mode: str = "hla") -> int:
              "validate": one_validate_trial,
              "heldout": one_heldout_trial,
              "recomb": one_recomb_trial,
-             "remap": one_remap_trial}.get(mode, one_trial)
+             "remap": one_remap_trial,
+             "corrupt": one_corrupt_trial}.get(mode, one_trial)
     for seed in range(start, start + n):
         base = tempfile.mkdtemp(prefix=f"soak{seed}_")
         try:

@@ -208,3 +208,75 @@ def test_extract_reads_packed_matches_python(tmp_path, rng):
                     assert (x.flag, x.ref_id, x.pos, x.cigar, x.seq,
                             x.qual) == (y.flag, y.ref_id, y.pos, y.cigar,
                                         y.seq, y.qual)
+
+
+def test_bgzf_payload_bitflip_detected_by_crc(tmp_path):
+    """A bit flip inside a still-inflatable BGZF payload must raise via
+    CRC32/ISIZE verification, not silently decode to wrong bytes (htslib
+    semantics).  Stored (level-0) deflate keeps the stream inflatable, so
+    only the CRC check can catch the flip."""
+    import io
+    import struct
+    import zlib
+
+    import pytest
+
+    import hla_la_tpu.native as native
+    from hla_la_tpu.io.bam import _iter_bgzf_blocks
+
+    payload = b"The quick brown fox jumps over the lazy dog" * 10
+    c = zlib.compressobj(0, zlib.DEFLATED, -15)  # stored deflate blocks
+    cdata = c.compress(payload) + c.flush()
+    total = 12 + 6 + len(cdata) + 8
+    header = struct.pack("<BBBBIBBH", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF, 6)
+    extra = struct.pack("<BBHH", 66, 67, 2, total - 1)
+    tail = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                       len(payload))
+    good = header + extra + cdata + tail
+    assert list(_iter_bgzf_blocks(io.BytesIO(good))) == [payload]
+    if native.available():
+        assert native.bgzf_inflate_all(good) == payload
+
+    bad = bytearray(good)
+    bad[18 + 5 + 20] ^= 0x40      # flip a bit mid-payload (past the
+    bad = bytes(bad)              # 5-byte stored-block header)
+    with pytest.raises(ValueError, match="CRC|corrupt"):
+        list(_iter_bgzf_blocks(io.BytesIO(bad)))
+    if native.available():
+        assert native.bgzf_inflate_all(bad) is None
+
+
+def test_bam_truncated_at_block_boundary_rejected(tmp_path):
+    """Truncation at an exact BGZF block boundary (EOF marker gone) must
+    raise, not silently return fewer reads."""
+    import struct
+
+    import pytest
+
+    from hla_la_tpu.io.bam import (BGZF_EOF, BamReader, BamRecord,
+                                   BamWriter, extract_reads)
+
+    path = str(tmp_path / "t.bam")
+    w = BamWriter(path, [("c", 100000)])
+    for i in range(3000):   # spans several BGZF blocks
+        w.write(BamRecord(name=f"r{i}", flag=0, ref_id=0, pos=i, mapq=60,
+                          cigar=[(40, 0)], seq="ACGT" * 10, qual="I" * 40))
+    w.close()
+    data = open(path, "rb").read()
+    assert data.endswith(BGZF_EOF)
+    # cut the EOF terminator (a block-boundary truncation)
+    cut = str(tmp_path / "cut.bam")
+    open(cut, "wb").write(data[:-len(BGZF_EOF)])
+    with pytest.raises(ValueError, match="EOF marker"):
+        BamReader(cut)
+    with pytest.raises(ValueError, match="EOF marker"):
+        extract_reads(cut, None)
+    # cut a whole data block + the terminator: also rejected
+    off, bounds = 0, []
+    while off + 18 <= len(data):
+        bsize = struct.unpack_from("<H", data, off + 16)[0] + 1
+        bounds.append(off)
+        off += bsize
+    open(cut, "wb").write(data[:bounds[-2]])
+    with pytest.raises(ValueError, match="EOF marker"):
+        BamReader(cut)

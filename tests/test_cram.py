@@ -420,3 +420,33 @@ def test_cram_softmasked_reference(tmp_path, rng):
     write_cram(path, [("c1", 500)], recs, ref_lower)
     got = list(CramReader(path, reference=ref_lower))
     assert got[0].seq == seq
+
+
+def test_cram_block_and_container_crc_verified():
+    """CRAM 3.x block and container-header CRC32s are verified on read: a
+    flip in a RAW block's data (still 'decodable') or in a container
+    header field must raise, never silently misparse."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from hla_la_tpu.io.cram import (CT_EXTERNAL, M_RAW, read_block,
+                                    read_container_header, write_block,
+                                    write_container_header)
+
+    blk = write_block(M_RAW, CT_EXTERNAL, 3, b"HELLO-CRAM-DATA")
+    got, pos = read_block(blk, 0)
+    assert got.data == b"HELLO-CRAM-DATA" and pos == len(blk)
+    bad = bytearray(blk)
+    bad[-10] ^= 0x01              # inside the raw data
+    with pytest.raises(ValueError, match="CRC32"):
+        read_block(bytes(bad), 0)
+
+    hdr = write_container_header(0, 100, 50, 7, 0, 1000, 2, [0, 10], 999)
+    parsed, pos = read_container_header(hdr, 0)
+    assert parsed.n_records == 7 and pos == len(hdr)
+    bad = bytearray(hdr)
+    bad[6] ^= 0x02                # a header field byte
+    with pytest.raises(ValueError, match="CRC32"):
+        read_container_header(bytes(bad), 0)

@@ -739,14 +739,18 @@ class CramReader:
     def _iter_records(self):
         pos = self.pos
         buf = self.buf
+        saw_eof = False
         while pos < len(buf):
             hdr, pos = read_container_header(buf, pos)
             end = pos + hdr.length
             if hdr.n_records == 0:
-                # empty container — incl. the special EOF container
-                # (ref_id -1, start 4542278)
+                # empty container — incl. the special EOF sentinel
+                # (start 4542278, CRAM 3.0 §11); requiring it at the end
+                # is what catches truncation at a container boundary
+                saw_eof = hdr.start == 4542278
                 pos = end
                 continue
+            saw_eof = False
             blk, bpos = read_block(buf, pos)
             if blk.content_type != CT_COMPRESSION_HEADER:
                 raise ValueError("expected compression header block")
@@ -772,6 +776,9 @@ class CramReader:
                 yield from self._decode_slice(hdr, ch, sh, core, ext,
                                               embedded_ref)
             pos = end
+        if not saw_eof:
+            raise ValueError(f"{self.path}: missing CRAM EOF container "
+                             "(truncated file?)")
 
     def _decode_slice(self, hdr, ch: CompressionHeader, sh: SliceHeader,
                       core: BitReader, ext: dict, embedded_ref):

@@ -157,9 +157,14 @@ def write_cram(path: str, contigs: list[tuple[str, int]],
                                      method, embed_reference,
                                      qual_method, name_method)
         counter += len(chunk)
-    # ---- EOF container (spec magic values)
-    eof_blk = write_block(M_RAW, CT_COMPRESSION_HEADER, 0, b"")
-    out += write_container_header(-1, 4542278, 0, 0, 0, 0, 1, [0],
+    # ---- EOF container: the spec's canonical 38-byte sentinel (CRAM 3.0
+    # §11) — container CRC 05bdd94f and block CRC ee63014b both reproduce
+    # from our encoders (tests/test_cram.py::test_cram_eof_container),
+    # which is what lets htslib-written files verify under our CRC checks
+    # and our files end with the marker htslib looks for
+    eof_blk = write_block(M_RAW, CT_COMPRESSION_HEADER, 0,
+                          bytes([1, 0, 1, 0, 1, 0]))
+    out += write_container_header(-1, 4542278, 0, 0, 0, 0, 1, [],
                                   len(eof_blk))
     out += eof_blk
     with open(path, "wb") as fh:

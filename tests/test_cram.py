@@ -450,3 +450,28 @@ def test_cram_block_and_container_crc_verified():
     bad[6] ^= 0x02                # a header field byte
     with pytest.raises(ValueError, match="CRC32"):
         read_container_header(bytes(bad), 0)
+
+
+def test_cram_eof_container_canonical_and_required(tmp_path, world):
+    """write_cram ends with the spec's canonical 38-byte EOF container
+    (CRAM 3.0 §11) — its two published CRC32s (container 05bdd94f, block
+    ee63014b) reproduce from our encoders, cross-validating the CRC span
+    conventions against htslib-written files.  Reading a CRAM truncated
+    at a container boundary (EOF container gone) must raise."""
+    import pytest
+
+    ref, contigs, recs = world
+    path = str(tmp_path / "e.cram")
+    write_cram(path, contigs, recs, ref)
+    data = open(path, "rb").read()
+    eof = bytes.fromhex(
+        "0f000000ffffffff0fe045" "4f4600000000010005bdd94f"
+        "0001000606" "010001000100" "ee63014b")
+    assert len(eof) == 38 and data.endswith(eof)
+    n_recs = sum(1 for _ in CramReader(path, reference=ref))
+    assert n_recs == len(recs)
+    cut = str(tmp_path / "cut.cram")
+    open(cut, "wb").write(data[:-len(eof)])
+    with pytest.raises(ValueError, match="EOF container"):
+        for _ in CramReader(cut, reference=ref):
+            pass

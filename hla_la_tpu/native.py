@@ -14,6 +14,39 @@ _LIB = None
 _TRIED = False
 
 
+def _ensure_built(native_dir: str) -> None:
+    """Build (or rebuild) libhla_native.so when it is missing or older than
+    its source.  Fresh VMs lose the gitignored .so; without this the whole
+    host hot path silently degrades to the Python fallbacks (~10x slower).
+    Race-safe under the spawn worker pool via an exclusive flock; failures
+    are swallowed — the fallbacks remain correct."""
+    src = os.path.join(native_dir, "hla_native.cpp")
+    so = os.path.join(native_dir, "libhla_native.so")
+    if not os.path.exists(src):
+        return
+    try:
+        fresh = (os.path.exists(so)
+                 and os.path.getmtime(so) >= os.path.getmtime(src))
+    except OSError:
+        fresh = False
+    if fresh:
+        return
+    import fcntl
+    import subprocess
+    lock_path = os.path.join(native_dir, ".build.lock")
+    try:
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            # another process may have finished the build while we waited
+            if (os.path.exists(so)
+                    and os.path.getmtime(so) >= os.path.getmtime(src)):
+                return
+            subprocess.run(["make", "-C", native_dir],
+                           capture_output=True, timeout=300, check=False)
+    except Exception:  # noqa: BLE001 — no make/g++/flock: use fallbacks
+        pass
+
+
 def _find_lib():
     global _LIB, _TRIED
     if _TRIED:
@@ -21,6 +54,8 @@ def _find_lib():
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     override = os.environ.get("HLA_NATIVE_LIB")  # e.g. the ASan build
+    if not override:
+        _ensure_built(os.path.join(here, "native"))
     for cand in ([override] if override else []) + [
             os.path.join(here, "native", "libhla_native.so"),
             os.path.join(here, "libhla_native.so")]:

@@ -1,0 +1,88 @@
+"""TPU health + kernel-correctness probe (`python -m hla_la_tpu.tpu_check`).
+
+One-shot answer to two operational questions before trusting any TPU
+number or enabling the device NW path in production:
+
+1. **Correctness at HEAD**: the Pallas banded-NW kernel's scores and end
+   positions must bit-match the native/numpy reference implementation on a
+   random ACGT world that includes realistic suffix ref-pads (N walls).
+   This is the same contract tests/test_pallas_nw.py locks in interpret
+   mode; here it runs against the real compiled kernel on the real chip.
+2. **Chip health**: the shared chip intermittently degrades to <1 Gcells/s
+   for long stretches (other tenants).  Kernel benchmarks are only
+   meaningful when this probe reports roughly full speed (~35-46 Gcells/s
+   on v5e at L=128, W=32); otherwise re-run later.
+
+Exit code 0 = parity OK (speed is reported, not asserted — a slow chip is
+an environment condition, not a code failure); 1 = parity mismatch or no
+TPU backend.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
+        reps: int = 3, inner: int = 10) -> int:
+    import jax
+
+    from .ops.banded_nw import banded_nw_forward
+    from .ops.pallas_nw import make_pallas_banded_nw
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr, flush=True)
+    if dev.platform != "tpu":
+        print(f"# no TPU backend (got {dev.platform}) — nothing to check",
+              file=sys.stderr)
+        return 1
+
+    rng = np.random.default_rng(seed)
+    reads = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    for b in range(0, B, 3):          # realistic suffix-only ref pads
+        cut = int(rng.integers(L // 2, L + W))
+        refs[b, cut:] = 4
+    lens = rng.integers(L // 4, L + 1, B).astype(np.int64)
+
+    nw = make_pallas_banded_nw(L, W)
+    t0 = time.time()
+    got = tuple(np.asarray(x) for x in nw(reads, lens, refs))
+    print(f"# compile+first run: {time.time() - t0:.1f}s "
+          "(cold tunnel warmup can take ~2 min)", file=sys.stderr,
+          flush=True)
+
+    want = banded_nw_forward(reads, lens, refs)
+    ok = want[0] > -1e29              # alignable rows only (see module doc
+    #                                   of ops/banded_nw.py: fully-walled
+    #                                   rows tie-break impl-specifically)
+    parity = (np.allclose(got[0][ok], want[0][ok], rtol=1e-6)
+              and np.array_equal(got[1][ok], want[1][ok])
+              and np.array_equal(got[2][ok], want[2][ok]))
+    if not parity:
+        bad = np.nonzero(ok & ~np.isclose(got[0], want[0], rtol=1e-6))[0]
+        print(f"PARITY FAIL: first bad rows {bad[:5].tolist()}")
+        return 1
+    print(f"# parity OK ({int(ok.sum())}/{B} alignable rows bit-match "
+          "native)", file=sys.stderr, flush=True)
+
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(inner):
+            out = nw(reads, lens, refs)
+        jax.block_until_ready(out)
+        best = min(best or 1e9, (time.time() - t0) / inner)
+    gcells = B * L * W / best / 1e9
+    healthy = gcells > 20.0
+    print(f"pallas_nw: {B / best / 1e6:.2f} M reads/s, {gcells:.1f} "
+          f"Gcells/s -> chip {'HEALTHY' if healthy else 'DEGRADED'} "
+          f"(full speed ~35-46 on v5e)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -270,6 +270,44 @@ class AssemblyTyper:
             return None
         return {n: float(-s) for n, s in zip(names, scores)}
 
+    def _verify_located_candidate(self, window: str, cands, pkg_index,
+                                  fasta: dict[str, str]):
+        """Verify seed candidates by the banded edit distance of the exon
+        window against each candidate's haplotype slice and return the
+        min-distance one: an exon window that ALSO seeds on a paralogous
+        haplotype must not hijack genePositions.tab — the true location
+        wins on actual distance, not seed count (genePositions contract
+        HLA-ASM.md:51-66).  Ties keep the seeder's order (most chain
+        k-mers first)."""
+        if len(cands) == 1:
+            return cands[0]
+        top = cands[:4]
+        W = self.band
+        L = len(window)
+        wcodes = _ENC[np.frombuffer(window.encode(), np.uint8)]
+        reads = np.empty((len(top), L), dtype=np.uint8)
+        lens = np.full(len(top), L, dtype=np.int64)
+        refs = np.full((len(top), L + W), 4, dtype=np.uint8)
+        for bi, c in enumerate(top):
+            # seeder candidates locate the ORIENTED window; reverse hits
+            # anchor the window's reverse complement at ref_start
+            if c.reverse:
+                rc = wcodes[::-1].copy()
+                acgt = rc < 4
+                rc[acgt] = 3 - rc[acgt]
+                reads[bi] = rc
+            else:
+                reads[bi] = wcodes
+            hap_seq = fasta[pkg_index.seq_names[c.seq_idx]].encode()
+            lo = int(c.ref_start) - W // 2
+            src_lo, src_hi = max(lo, 0), min(lo + L + W, len(hap_seq))
+            if src_hi > src_lo:
+                refs[bi, src_lo - lo:src_hi - lo] = _ENC[
+                    np.frombuffer(hap_seq[src_lo:src_hi], np.uint8)]
+        scores, _, _, _ = banded_nw_forward(reads, lens, refs, EDIT_SCORING)
+        scores = np.where(scores <= -1e29, -np.inf, scores)
+        return top[int(np.argmax(scores))]   # stable: first max wins
+
     # ----------------------------------------------- reference coordinates
     def _reference_positions(self, contigs: dict[str, str],
                              calls: list[AsmCall]):
@@ -278,10 +316,9 @@ class AssemblyTyper:
         Real packages carry GRCh38 coordinates in sequences.txt
         (HLA-LA.cpp:265-324); simulated ones yield hap-local positions."""
         try:
-            pkg_index = KmerIndex.build(
-                dict(zip([s.fasta_id for s in self.pkg.sequences()],
-                         [self.pkg.prg_fasta()[s.fasta_id]
-                          for s in self.pkg.sequences()])), k=20)
+            fasta = {s.fasta_id: self.pkg.prg_fasta()[s.fasta_id]
+                     for s in self.pkg.sequences()}
+            pkg_index = KmerIndex.build(fasta, k=20)
         except Exception:  # noqa: BLE001
             return {}
         pkg_seeder = Seeder(pkg_index)
@@ -297,7 +334,8 @@ class AssemblyTyper:
                 cands = pkg_seeder.candidates(window)
                 if not cands:
                     continue
-                c = cands[0]
+                c = self._verify_located_candidate(window, cands,
+                                                   pkg_index, fasta)
                 hap = pkg_index.seq_names[c.seq_idx]
                 info = seq_infos.get(hap)
                 chrom, ref_pos = "", -1

@@ -49,8 +49,13 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
     lens = rng.integers(L // 4, L + 1, B).astype(np.int64)
 
     nw = make_pallas_banded_nw(L, W)
+    # put inputs on-device ONCE so both the first run and the timing loop
+    # measure the kernel, not the ~20 MB/s tunnel (CLAUDE.md: measure
+    # kernels with on-device data)
+    reads_d, lens_d, refs_d = (jax.device_put(x, dev)
+                               for x in (reads, lens, refs))
     t0 = time.time()
-    got = tuple(np.asarray(x) for x in nw(reads, lens, refs))
+    got = tuple(np.asarray(x) for x in nw(reads_d, lens_d, refs_d))
     print(f"# compile+first run: {time.time() - t0:.1f}s "
           "(cold tunnel warmup can take ~2 min)", file=sys.stderr,
           flush=True)
@@ -59,11 +64,15 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
     ok = want[0] > -1e29              # alignable rows only (see module doc
     #                                   of ops/banded_nw.py: fully-walled
     #                                   rows tie-break impl-specifically)
-    parity = (np.allclose(got[0][ok], want[0][ok], rtol=1e-6)
+    # scores are bit-stable across implementations on alignable rows (the
+    # test suite locks array_equal); ends likewise
+    parity = (np.array_equal(got[0][ok], want[0][ok])
               and np.array_equal(got[1][ok], want[1][ok])
               and np.array_equal(got[2][ok], want[2][ok]))
     if not parity:
-        bad = np.nonzero(ok & ~np.isclose(got[0], want[0], rtol=1e-6))[0]
+        bad_mask = ok & ((got[0] != want[0]) | (got[1] != want[1])
+                         | (got[2] != want[2]))
+        bad = np.nonzero(bad_mask)[0]
         print(f"PARITY FAIL: first bad rows {bad[:5].tolist()}")
         return 1
     print(f"# parity OK ({int(ok.sum())}/{B} alignable rows bit-match "
@@ -73,7 +82,7 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
     for _ in range(reps):
         t0 = time.time()
         for _ in range(inner):
-            out = nw(reads, lens, refs)
+            out = nw(reads_d, lens_d, refs_d)
         jax.block_until_ready(out)
         best = min(best or 1e9, (time.time() - t0) / inner)
     gcells = B * L * W / best / 1e9

@@ -364,7 +364,10 @@ def validate_cohort(pkg: GraphPackage, samples: list[tuple[str, str]],
                                       typer=shared_typer)
             log_progress(f"discordant {sample_id}/{locus}: {n} "
                          f"disagreeing columns -> {out_path}")
-        except Exception as e:  # noqa: BLE001 — analysis is best-effort
-            log_progress(f"pileup analysis failed for {sample_id}/{locus}:"
+        except FileNotFoundError as e:
+            # expected on sheets whose sample dirs were pruned or whose
+            # locus has no segment files; anything else (e.g. a corrupted
+            # pileup file -> ValueError) is a genuine bug and must raise
+            log_progress(f"pileup analysis skipped for {sample_id}/{locus}:"
                          f" {e}")
     return report

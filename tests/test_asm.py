@@ -105,6 +105,78 @@ def test_assembly_truth_comparison_and_gene_positions(asm_world, tmp_path):
         assert r[6] != "" and int(r[7]) >= 0
 
 
+def test_gene_positions_paralog_decoy_not_hijacked(tmp_path):
+    """genePositions.tab robustness (VERDICT r2 weak #5): a paralogous
+    copy of the exon window planted elsewhere in the package — engineered
+    to collect MORE seed k-mers than the true gene site (its mutations are
+    clustered; the contig's novel mutations are scattered) — must not win
+    the reference coordinate.  Candidates are now verified by banded edit
+    distance (asm.py _verify_located_candidate)."""
+    rng = np.random.default_rng(4242)
+    sim = simulate_prg_package(rng, backbone_length=2400, n_haplotypes=4)
+    # contig = haplotype 1 with 4 SCATTERED mutations inside gene A exon_2
+    # (kills most 20-mers at the true site)
+    cols_e2 = [i for i, n in enumerate(sim.column_names)
+               if "_gene_A_" in n and "exon_2" in n]
+    row1 = list(sim.haplotypes[1])
+    nongap_e2 = [c for c in cols_e2 if row1[c] != "_"]
+    step = len(nongap_e2) // 5
+    mut = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    for c in nongap_e2[step::step][:4]:
+        row1[c] = mut[row1[c]]
+    contig = "".join(ch for ch in row1 if ch != "_")
+    window_true = "".join(row1[c] for c in nongap_e2)
+    # decoy: the novel exon_2 sequence with 7 mutations CLUSTERED mid-window
+    # (keeps long exact k-mer runs -> out-seeds the true site), planted in
+    # the non-gene gap between genes A and B on haplotype 3
+    decoy = list(window_true)
+    mid = len(decoy) // 2
+    for j in range(mid - 3, mid + 4):
+        decoy[j] = mut[decoy[j]]
+    row3 = list(sim.haplotypes[3])
+    plant_lo = int(0.47 * len(row3))
+    for j, ch in enumerate("".join(decoy)):
+        row3[plant_lo + j] = ch
+    sim.haplotypes[3] = "".join(row3)
+    pkg = sim.write_package(str(tmp_path / "pkg"))
+
+    typer = AssemblyTyper(pkg)
+    calls = typer.type_contigs({"novel": contig})
+    call_a = {c.locus: c for c in calls}["A"]
+    exon_ids = sorted(call_a.exon_hits)
+    hit = call_a.exon_hits[exon_ids[0]]
+    window = (revcomp(contig) if hit.reverse else contig)[
+        max(0, hit.contig_start):hit.contig_stop]
+
+    # construction self-check: the raw seeder's TOP candidate is the decoy
+    # (what the pre-fix code emitted)
+    from hla_la_tpu.mapping.kmer_index import KmerIndex
+    from hla_la_tpu.mapping.seeder import Seeder
+    fasta = {s.fasta_id: pkg.prg_fasta()[s.fasta_id]
+             for s in pkg.sequences()}
+    idx = KmerIndex.build(fasta, k=20)
+    cands = Seeder(idx).candidates(window)
+    assert idx.seq_names[cands[0].seq_idx] == "PRG_hap_3", \
+        "decoy construction failed to out-seed the true site"
+
+    out = tmp_path / "asm_out"
+    typer.write_outputs(calls, str(out), contigs={"novel": contig})
+    rows = [l.split("\t") for l in
+            (out / "genePositions.tab").read_text().splitlines()[1:]]
+    row = [r for r in rows if r[0] == "A" and r[1] == exon_ids[0]][0]
+    hap, hpos = row[6], int(row[7])
+    # the distance-verified location is the true gene site, not the decoy
+    # plant: exon_2 starts where the reported haplotype's exon_2 columns
+    # begin in linear coordinates
+    hap_idx = int(hap.rsplit("_", 1)[1])
+    hap_row = sim.haplotypes[hap_idx]
+    exon_lin = sum(1 for ch in hap_row[:cols_e2[0]] if ch != "_")
+    assert abs(hpos - exon_lin) < 60, (hap, hpos, exon_lin)
+    assert not (hap == "PRG_hap_3"
+                and abs(hpos - sum(1 for ch in hap_row[:plant_lo]
+                                   if ch != "_")) < 60), "decoy won"
+
+
 def test_assembly_diverged_allele_multiprobe(asm_world):
     """A contig whose gene is a held-out mutated allele (not the probe)
     must still be located and called at small distance — the multi-probe

@@ -154,6 +154,29 @@ def test_cohort_validation_discordant_pileup_analysis(tmp_path):
     assert "Inferred" in lines[0] or "Inferred1" in lines[1]
 
 
+def test_pileup_analysis_corrupted_pileup_raises(tmp_path):
+    """A corrupted R1_pileup file must raise, not be silently skipped:
+    validate_cohort's error handling is narrowed to FileNotFoundError
+    (missing sample dirs), so internal regressions fail loudly (SURVEY §5
+    failure-detection discipline)."""
+    import pytest
+
+    from hla_la_tpu.validation import pileup_error_analysis
+
+    rng = np.random.default_rng(33)
+    sim = simulate_prg_package(rng, backbone_length=1200, n_haplotypes=4)
+    pkg = sim.write_package(str(tmp_path / "g"))
+    sample_out = tmp_path / "S1"
+    (sample_out / "hla").mkdir(parents=True)
+    (sample_out / "hla" / "R1_pileup_A.txt").write_text(
+        "0\tnot_an_int\t5\tgarbage\n")
+    with pytest.raises(ValueError):
+        pileup_error_analysis(pkg, str(sample_out), "A",
+                              ("A*01:01", "A*02:01"),
+                              ("A*03:01", "A*04:01"),
+                              str(tmp_path / "out.txt"))
+
+
 def test_sample_sheet_simple_tab_format_keeps_ids(tmp_path):
     """A plain 'sampleID<TAB>path' sheet must keep its IDs verbatim — the
     cohort heuristic only engages on >=3-column rows (the real

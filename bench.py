@@ -96,14 +96,23 @@ def real_scale_bench():
     engine.align_pairs(fq[:64], 113, 27)
     log(f"worker init/warmup: {time.time() - t0:.1f}s")
 
-    best_dt, aligned = None, []
-    for rep in range(4):   # noisy shared VM: reps climb as caches warm
+    # rep 0 is the cache-warmup ramp (observed up to 7x slower than steady
+    # state) and is EXCLUDED from the statistics; the headline is the
+    # median of the post-warmup reps (VERDICT r2 weak #2: best-of-N alone
+    # is not defensible on a VM with 2x noise), best-of kept as secondary
+    align_reps = []
+    aligned = []
+    for rep in range(6):
         t0 = time.time()
         aligned = engine.align_pairs(fq, 113, 27,
                                      truth=truth if rep == 0 else None)
         dt = time.time() - t0
-        log(f"align rep {rep}: {dt:.2f}s = {2 * len(fq) / dt:.0f} reads/s")
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        log(f"align rep {rep}{' (warmup)' if rep == 0 else ''}: "
+            f"{dt:.2f}s = {2 * len(fq) / dt:.0f} reads/s")
+        if rep > 0:
+            align_reps.append(dt)
+    med_align = float(np.median(align_reps))
+    best_align = min(align_reps)
     n_reads = 2 * len(fq)
     log(f"aligned {len(aligned)}/{len(fq)} pairs, truth accuracy "
         f"{truth.accuracy():.4f}")
@@ -116,17 +125,21 @@ def real_scale_bench():
     pool = engine if isinstance(engine, ParallelAligner) else None
     aligned_ids = {ap.read_id for ap in aligned}
     kept_fq = [p for p in fq if p[0].name in aligned_ids]
-    t_type, res = None, None
-    for _ in range(3):   # best-of-3: the shared VM is noisy
+    type_reps, res = [], None
+    for rep in range(6):   # rep 0 = warmup (same protocol as align)
         t0 = time.time()
         with tempfile.TemporaryDirectory() as td:
             res = typer.type_all(kept_fq, aligned, [], [], 113.0, 27.0, td,
                                  n_workers=min(n_workers, 4),
                                  worker_pool=pool)
         dt = time.time() - t0
-        t_type = dt if t_type is None else min(t_type, dt)
+        if rep > 0:
+            type_reps.append(dt)
+    med_type = float(np.median(type_reps))
+    best_type = min(type_reps)
     calls = {r.locus: (r.allele1_id, r.allele2_id) for r in res}
-    log(f"typing: {t_type:.1f}s, calls {calls}")
+    log(f"typing: median {med_type:.1f}s / best {best_type:.1f}s, "
+        f"calls {calls}")
     # correctness gates: perf numbers are meaningless for a broken pipeline
     assert truth.accuracy() > 0.95, \
         f"alignment truth accuracy regressed: {truth.accuracy():.4f}"
@@ -135,13 +148,18 @@ def real_scale_bench():
         assert set(calls.get(locus, ())) == want, \
             f"typing regression at {locus}: {calls.get(locus)} != {want}"
 
-    e2e = n_reads / (best_dt + t_type)
-    log(f"real-scale e2e (align best-of-3 + type): {e2e:.0f} reads/s")
-    align_only = n_reads / best_dt
-    log(f"real-scale align-only: {align_only:.0f} reads/s")
+    e2e = n_reads / (med_align + med_type)
+    e2e_best = n_reads / (best_align + best_type)
+    log(f"real-scale e2e: median {e2e:.0f} reads/s "
+        f"(best-of-{len(align_reps)}: {e2e_best:.0f})")
+    log(f"real-scale align-only: median {n_reads / med_align:.0f} reads/s "
+        f"(best {n_reads / best_align:.0f})")
     if hasattr(engine, "close"):
         engine.close()
-    return e2e
+    return {"e2e_median": e2e, "e2e_best": e2e_best,
+            "align_reps_s": [round(x, 3) for x in align_reps],
+            "type_reps_s": [round(x, 3) for x in type_reps],
+            "n_reads": n_reads}
 
 
 def toy_bench(backend):
@@ -234,15 +252,22 @@ def main():
     log("baseline 800 reads/s is an ESTIMATE (reference publishes no "
         "number and does not build here)")
 
-    e2e = real_scale_bench()
+    stats = real_scale_bench()
     # the driver parses the LAST stdout JSON line: emit the headline
     # before the device-dependent diagnostics so a tunnel stall after
-    # this point cannot lose the measurement
+    # this point cannot lose the measurement.  value = MEDIAN of the
+    # post-warmup reps; best-of + per-rep times are carried alongside
     print(json.dumps({
         "metric": "e2e_reads_per_sec_real_prg_scale",
-        "value": round(e2e, 1),
+        "value": round(stats["e2e_median"], 1),
         "unit": "reads/s",
-        "vs_baseline": round(e2e / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": round(stats["e2e_median"] / BASELINE_READS_PER_SEC,
+                             3),
+        "median": round(stats["e2e_median"], 1),
+        "best": round(stats["e2e_best"], 1),
+        "reps": {"align_s": stats["align_reps_s"],
+                 "type_s": stats["type_reps_s"],
+                 "n_reads": stats["n_reads"]},
     }), flush=True)
     try:
         toy_bench(backend)

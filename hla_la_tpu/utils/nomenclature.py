@@ -108,6 +108,25 @@ def read_truth_file(path: str) -> dict[str, dict[str, tuple[str, str]]]:
     return out
 
 
+def golden_g_mismatches(golden_path: str, got_path: str
+                        ) -> list[tuple[str, tuple[str, str],
+                                        tuple[str, str]]]:
+    """Compare a bestguess_G output against a golden table: the unordered
+    allele pair must match at every locus the golden table carries
+    (the NA12878 conformance contract, reference README.md:119-130 +
+    NA12878_example_output_G.txt).  Returns [(locus, golden_pair,
+    got_pair)] for every disagreement — empty means conformant.  Shared
+    by the real env-gated golden test and the in-suite dress rehearsal."""
+    golden = read_inferred_bestguess(golden_path)
+    got = read_inferred_bestguess(got_path)
+    mismatches = []
+    for locus, (g1, g2) in golden.items():
+        o1, o2 = got.get(locus, ("", ""))
+        if {g1, g2} != {o1, o2}:
+            mismatches.append((locus, (g1, g2), (o1, o2)))
+    return mismatches
+
+
 def read_inferred_bestguess(path: str) -> dict[str, tuple[str, str]]:
     """Parse R1_bestguess(_G).txt into {locus: (allele1, allele2)}
     (read_inferred_types, HLATyper.cpp:583-626)."""

@@ -1,0 +1,213 @@
+"""IMGT-scale typing stress: the reference's real typing working point.
+
+The reference loads segment allele matrices with THOUSANDS of rows per
+class-I locus, clusters them (HLATyper.cpp:1198-1372) and runs the C^2 pair
+loop at C up to thousands (HLATyper.cpp:2280-2364) — SURVEY §7 risk (d):
+C ~ 10^3-10^4 -> up to 10^8 pairs x read partials, "tile and stream".
+Every suite/soak world runs at ~12 clusters; tests/test_imgt_scale.py locks
+C ~ 560 in-suite.  This script is the full-scale version:
+
+  - >= 2,200 distinct alleles per locus over class-I-sized exon segments
+    (J = 540 columns = IMGT exons 2+3), post-clustering C >= 2,000;
+  - platinum-beyond depth: R >= 10^4 reads per locus;
+  - checks: exact calls on planted truth, bounded peak memory, the full
+    C(C+1)/2 posterior dump, and C^2 reduction wall time on BOTH backends
+    (numpy timed on a read-slice and extrapolated — it is linear in R;
+    pass --full-numpy for the complete run).
+
+Usage: python stress_imgt.py [--fresh] [--full-numpy]
+Cache: /tmp/hla_imgt_stress_v1.  Not in the pytest suite (minutes);
+run after invasive typer/pair_ll changes.  Results logged in
+docs/ROADMAP.md (round 3).
+"""
+import os
+import pickle
+import resource
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+CACHE = "/tmp/hla_imgt_stress_v1"
+GENES = {"A": (0.10, 0.37), "B": (0.50, 0.77)}   # 1080 cols -> J=540 each
+N_ALLELES = 2200
+TRUTH_HAPS = (1, 2)
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def rss_gb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def build_cache():
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+    from hla_la_tpu.sim.read_sim import ReadSimulator
+
+    os.makedirs(CACHE, exist_ok=True)
+    rng = np.random.default_rng(161803)
+    t0 = time.time()
+    sim = simulate_prg_package(rng, backbone_length=4000, n_haplotypes=8,
+                               snp_rate=0.01, genes=GENES,
+                               n_gene_alleles=N_ALLELES,
+                               allele_snp_rate=0.02)
+    log(f"dense-DB sim ({N_ALLELES} alleles/locus) built in "
+        f"{time.time() - t0:.0f}s")
+    t0 = time.time()
+    sim.write_package(os.path.join(CACHE, "pkg"))
+    log(f"package written+compiled in {time.time() - t0:.0f}s")
+
+    # targeted ultra-deep reads over each gene window (exon-capture
+    # analogue): per-locus R >= 10^4 without simulating the whole backbone
+    rs = ReadSimulator(rng, read_length=100, fragment_mean=300,
+                       fragment_sd=25, with_error=True)
+    gene_windows = []
+    for locus in GENES:
+        cols = [i for i, n in enumerate(sim.column_names)
+                if f"_gene_{locus}_" in n]
+        gene_windows.append((min(cols) - 300, max(cols) + 300))
+    pairs = []
+    t0 = time.time()
+    for h in TRUTH_HAPS:
+        seq, levels = sim.linearized(h)
+        for gi, (lo, hi) in enumerate(gene_windows):
+            sel = np.nonzero((levels >= lo) & (levels <= hi))[0]
+            pairs += rs.simulate_pairs_from_string(
+                seq[sel[0]:sel[-1] + 1], levels[sel[0]:sel[-1] + 1],
+                1250.0, name_prefix=f"h{h}g{gi}")
+    log(f"{len(pairs)} pairs simulated in {time.time() - t0:.0f}s")
+    with open(os.path.join(CACHE, "pairs.pkl"), "wb") as fh:
+        pickle.dump([((p.r1.name, p.r1.seq, p.r1.qual),
+                      (p.r2.name, p.r2.seq, p.r2.qual)) for p in pairs], fh)
+
+
+def time_pair_reduction(C: int, R: int, full_numpy: bool):
+    """C^2 reduction wall time on both backends at the run's real shape.
+    numpy is linear in R: timed on a slice and extrapolated unless
+    --full-numpy."""
+    from hla_la_tpu.ops.pair_ll import (pair_ll_reduction,
+                                        pair_ll_reduction_numpy)
+    rng = np.random.default_rng(5)
+    L = rng.normal(-40.0, 8.0, (C, R)).astype(np.float64)
+
+    t0 = time.time()
+    out_jax = pair_ll_reduction(L, backend="jax")
+    t_jax_cold = time.time() - t0
+    t0 = time.time()
+    out_jax = pair_ll_reduction(L, backend="jax")
+    t_jax = time.time() - t0
+    gcells = C * C * R / t_jax / 1e9
+    log(f"pair reduction jax: {t_jax:.1f}s warm ({t_jax_cold:.1f}s cold) "
+        f"= {gcells:.2f} Gcells/s at C={C}, R={R} "
+        f"({C * (C + 1) // 2} pairs); peak RSS {rss_gb():.2f} GB")
+
+    r_slice = R if full_numpy else min(R, 512)
+    t0 = time.time()
+    out_np = pair_ll_reduction_numpy(L[:, :r_slice])
+    t_np_slice = time.time() - t0
+    t_np_est = t_np_slice * (R / r_slice)
+    tag = "measured" if full_numpy else f"extrapolated from R={r_slice}"
+    log(f"pair reduction numpy: {t_np_est:.0f}s ({tag}; "
+        f"{C * C * r_slice / t_np_slice / 1e9:.3f} Gcells/s)")
+
+    # parity between the backends on the timed slice
+    out_jax_slice = pair_ll_reduction(L[:, :r_slice], backend="jax")
+    assert np.allclose(out_jax_slice, out_np, rtol=1e-6, atol=1e-4), \
+        "numpy/jax pair-reduction mismatch at scale"
+    log("numpy/jax parity OK on the timed slice")
+    return t_jax, t_np_est
+
+
+def main():
+    full_numpy = "--full-numpy" in sys.argv
+    if "--fresh" in sys.argv and os.path.exists(CACHE):
+        shutil.rmtree(CACHE)
+
+    from hla_la_tpu.graph.package import GraphPackage
+    from hla_la_tpu.io.fastq import FastqRead
+    from hla_la_tpu.models.parallel_host import ParallelAligner, spawn_safe
+    from hla_la_tpu.models.typer import HLATyper
+
+    if not os.path.exists(os.path.join(CACHE, "pairs.pkl")):
+        log("building IMGT-scale world (cold; cached)")
+        build_cache()
+    fq_raw = pickle.load(open(os.path.join(CACHE, "pairs.pkl"), "rb"))
+    fq = [(FastqRead(*a), FastqRead(*b)) for a, b in fq_raw]
+    log(f"{len(fq)} read pairs, {len(GENES)} loci x {N_ALLELES} alleles")
+
+    pkg_dir = os.path.join(CACHE, "pkg")
+    n_workers = min(os.cpu_count() or 1, 8)
+    assert spawn_safe(), "stress requires spawn-safe __main__"
+    engine = ParallelAligner(pkg_dir, n_workers)
+    # insert stats are the INNER mate distance in graph levels
+    # (pair_distance_graph_levels semantics): fragment 300 - 2x100 read
+    ins_mean, ins_sd = 100, 25
+    engine.align_pairs(fq[:64], ins_mean, ins_sd)   # warmup
+    t0 = time.time()
+    aligned = engine.align_pairs(fq, ins_mean, ins_sd)
+    t_align = time.time() - t0
+    aligned = [ap for ap in aligned if ap is not None]
+    log(f"align: {t_align:.1f}s = {2 * len(fq) / t_align:.0f} reads/s "
+        f"({len(aligned)}/{len(fq)} pairs)")
+    engine.close()
+    aligned_ids = {ap.read_id for ap in aligned}
+    kept_fq = [p for p in fq if p[0].name in aligned_ids]
+
+    pkg = GraphPackage(pkg_dir)
+    out_dir = os.path.join(CACHE, "out")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    rss_before = rss_gb()
+    t0 = time.time()
+    typer = HLATyper(pkg)
+    res = typer.type_all(kept_fq, aligned, [], [], float(ins_mean),
+                         float(ins_sd), out_dir, n_workers=1)
+    t_type = time.time() - t0
+    log(f"typing (serial, backend auto): {t_type:.1f}s; "
+        f"peak RSS {rss_gb():.2f} GB (was {rss_before:.2f} before typing)")
+
+    # ---- checks -----------------------------------------------------
+    by_locus = {r.locus: r for r in res}
+    C_max = R_max = 0
+    for locus in GENES:
+        r = by_locus[locus]
+        # identical-exon decoys legitimately merge into the truth cluster
+        # (the IMGT G-group phenomenon) — the truth allele must be IN the
+        # called cluster, and the two clusters must be the two haplotypes'
+        called = [set(r.allele1_id.split(";")), set(r.allele2_id.split(";"))]
+        for h in TRUTH_HAPS:
+            want = f"{locus}*{h + 1:02d}:01"
+            assert any(want in c for c in called), (locus, want, called)
+        assert r.q1_allele1 > 0.9 and r.q1_allele2 > 0.9, \
+            (locus, r.q1_allele1, r.q1_allele2)
+        assert r.n_clusters >= 2000, (locus, r.n_clusters)
+        assert r.n_reads_used >= 10_000, (locus, r.n_reads_used)
+        C_max = max(C_max, r.n_clusters)
+        R_max = max(R_max, r.n_reads_used)
+        n_pairs = r.n_clusters * (r.n_clusters + 1) // 2
+        with open(os.path.join(out_dir, f"R1_PP_{locus}_pairs.txt")) as fh:
+            n_lines = sum(1 for _ in fh)
+        assert n_lines == n_pairs + 1, (locus, n_lines, n_pairs)
+        log(f"{locus}: C={r.n_clusters}, R={r.n_reads_used}, "
+            f"calls {r.allele1_id.split(';')[0]}/"
+            f"{r.allele2_id.split(';')[0]} exact, {n_pairs} pairs dumped")
+    peak = rss_gb()
+    assert peak < 12.0, f"peak RSS {peak:.2f} GB — tiling regressed"
+
+    t_jax, t_np = time_pair_reduction(C_max, R_max, full_numpy)
+    log(f"SUMMARY: align {t_align:.1f}s, typing {t_type:.1f}s "
+        f"(both loci), C={C_max}, R={R_max}, peak RSS {peak:.2f} GB, "
+        f"C^2 kernel jax {t_jax:.1f}s / numpy ~{t_np:.0f}s")
+    print("STRESS_IMGT OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-CACHE = "/tmp/hla_wgs_stress_v1"
+CACHE = "/tmp/hla_wgs_stress_v2"
 N_LEVELS = 3_000_000
 # eight loci incl. DRB3/4-like paralogs, each ~0.4% of the backbone
 GENES = {
@@ -104,7 +104,9 @@ def main():
     n_workers = min(os.cpu_count() or 1, 8)
     assert spawn_safe(), "stress requires spawn-safe __main__"
     engine = ParallelAligner(pkg_dir, n_workers)
-    engine.align_pairs(fq[:64], 320, 30)   # warmup
+    # insert stats are the INNER mate distance in graph levels
+    # (pair_distance_graph_levels): fragment 320 - 2x101 read = 118
+    engine.align_pairs(fq[:64], 118, 30)   # warmup
     aligned_cache = os.path.join(CACHE, "aligned.pkl")
     aligned = t_align = None
     if os.path.exists(aligned_cache):
@@ -116,7 +118,7 @@ def main():
             os.unlink(aligned_cache)
     if aligned is None:
         t0 = time.time()
-        aligned = engine.align_pairs(fq, 320, 30)
+        aligned = engine.align_pairs(fq, 118, 30)
         t_align = time.time() - t0
         aligned = [ap for ap in aligned if ap is not None]
         log(f"align: {t_align:.1f}s = {2 * len(fq) / t_align:.0f} reads/s "
@@ -136,14 +138,14 @@ def main():
 
     t0 = time.time()
     typer = HLATyper(pkg)
-    res_s = typer.type_all(kept_fq, aligned, [], [], 320.0, 30.0, out_s,
+    res_s = typer.type_all(kept_fq, aligned, [], [], 118.0, 30.0, out_s,
                            n_workers=1)
     t_serial = time.time() - t0
     log(f"typing serial: {t_serial:.1f}s")
 
     t0 = time.time()
     typer2 = HLATyper(pkg)
-    res_f = typer2.type_all(kept_fq, aligned, [], [], 320.0, 30.0, out_f,
+    res_f = typer2.type_all(kept_fq, aligned, [], [], 118.0, 30.0, out_f,
                             n_workers=min(n_workers, 4), worker_pool=engine)
     t_fan = time.time() - t0
     log(f"typing fan-out ({min(n_workers, 4)} workers): {t_fan:.1f}s "

@@ -35,7 +35,7 @@ pytestmark = pytest.mark.skipif(
 
 def test_na12878_g_group_concordance(tmp_path):
     from hla_la_tpu.cli import main
-    from hla_la_tpu.utils.nomenclature import read_inferred_bestguess
+    from hla_la_tpu.utils.nomenclature import golden_g_mismatches
 
     out_dir = str(tmp_path / "NA12878")
     argv = ["--action", "HLA", "--BAM", BAM, "--graph", GRAPH,
@@ -46,12 +46,8 @@ def test_na12878_g_group_concordance(tmp_path):
     rc = main(argv)
     assert rc == 0
 
-    golden = read_inferred_bestguess(GOLDEN)
-    got = read_inferred_bestguess(
-        os.path.join(out_dir, "hla", "R1_bestguess_G.txt"))
-    mismatches = []
-    for locus, (g1, g2) in golden.items():
-        o1, o2 = got.get(locus, ("", ""))
-        if {g1, g2} != {o1, o2}:
-            mismatches.append((locus, (g1, g2), (o1, o2)))
+    # the comparison itself is shared with the in-suite dress rehearsal
+    # (tests/test_golden_rehearsal.py), which executes it every run
+    mismatches = golden_g_mismatches(
+        GOLDEN, os.path.join(out_dir, "hla", "R1_bestguess_G.txt"))
     assert not mismatches, f"G-group call mismatches: {mismatches}"

@@ -459,18 +459,27 @@ class ReadAligner:
                     n_bases = max(int((best_al.seq_c != ord("_")).sum()), 1)
                     if best_al.log_likelihood / n_bases >= -0.25:
                         continue
-                    # a recombinant read has at least one well-matching
-                    # end to anchor the graph DP from; a read that matches
-                    # poorly EVERYWHERE (noise) only wastes the expensive
-                    # DP — skip it (the anchor the realigner would pick is
-                    # unreliable anyway)
+                    # fallback contract (VERDICT r2 weak #8): the graph DP
+                    # runs iff the best chain has a confident anchor region
+                    # — ANY window of k columns matching >= 90% (ends OR
+                    # interior: the realigner anchors at the middle-most
+                    # match, so a double-crossover read whose both ends are
+                    # novel but whose interior matches is still realigned;
+                    # a real anchor region is near-exact, while NW
+                    # gap-juggling lifts pure chance matches to only
+                    # ~0.85).  A read matching poorly EVERYWHERE is noise:
+                    # skipped, counted in stats
+                    # (graph_fallback_skipped_noise), and left to the
+                    # typing quality gates with its poor linear score.
                     match = ((best_al.seq_c == best_al.graph_c)
                              & (best_al.seq_c != ord("_")))
                     k = min(30, len(match))
-                    if k and match[:k].mean() < 0.8 \
-                            and match[-k:].mean() < 0.8:
-                        self.stats.bump("graph_fallback_skipped_noise")
-                        continue
+                    if k:
+                        cs = np.cumsum(np.r_[0, match.astype(np.int64)])
+                        win_best = (cs[k:] - cs[:-k]).max() / k
+                        if win_best < 0.9:
+                            self.stats.bump("graph_fallback_skipped_noise")
+                            continue
                     re_al = self._graph_realign(best_al, read)
                     if re_al is not None:
                         slot[m].append(re_al)

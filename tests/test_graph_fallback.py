@@ -64,3 +64,56 @@ def test_recombinant_read_realigned(fb_world):
     assert chain.log_likelihood >= chain0.log_likelihood
     assert chain.log_likelihood / n_bases > -0.25, \
         (chain.log_likelihood, chain0.log_likelihood)
+
+
+def test_double_crossover_read_no_anchoring_ends(fb_world):
+    """Fallback gate contract (VERDICT r2 weak #8): a DOUBLE-crossover read
+    — both ends novel relative to the best single haplotype, only the
+    interior matching it — must still be graph-realigned: the gate accepts
+    any >= 90%-match window, not just the read's ends (the realigner
+    anchors at the middle-most match)."""
+    rng, sim, pkg = fb_world
+    s1, l1 = sim.linearized(1)
+    s2, l2 = sim.linearized(2)
+    # hap2 | hap1 | hap2: ends poor against hap1, interior poor against
+    # hap2 — no single haplotype matches both ends AND the middle
+    lv_a, lv_b = 600, 800
+    i1a = int(np.searchsorted(l1, lv_a))
+    i1b = int(np.searchsorted(l1, lv_b))
+    i2a = int(np.searchsorted(l2, lv_a))
+    i2b = int(np.searchsorted(l2, lv_b))
+    read = s2[i2a - 45:i2a] + s1[i1a:i1b] + s2[i2b:i2b + 45]
+    fq = FastqRead("dx", read, "I" * len(read))
+    mate = FastqRead("dx", revcomp(s1[i1b + 100:i1b + 200]), "I" * 100)
+
+    al_fb = ReadAligner(pkg, graph_fallback=True)
+    out = al_fb.align_pairs([(fq, mate)], insert_mean=150, insert_sd=100)
+    assert out
+    assert al_fb.stats.extras.get("graph_fallback_improved", 0) >= 1, \
+        al_fb.stats.extras
+    chain = out[0].chain1
+    n_bases = int((chain.seq_c != ord("_")).sum())
+    assert chain.log_likelihood / n_bases > -0.25
+
+
+def test_noise_read_skipped_loudly(fb_world):
+    """The other side of the contract: a read that matches poorly
+    EVERYWHERE (pure noise vs the graph) is not realigned — it is counted
+    in graph_fallback_skipped_noise and typing's quality gates see its
+    poor linear score."""
+    rng, sim, pkg = fb_world
+    s1, l1 = sim.linearized(1)
+    # deterministic noise: one 21bp exact run (so the seeder still yields
+    # a candidate chain) inside a read whose every other base is
+    # substituted — no 30-column window reaches the 0.9 anchor bar
+    # (NW gap-juggling lifts chance matches to only ~0.85)
+    base = s1[640:760]
+    sub = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    noise = "".join(c if 50 <= i < 71 else sub[c]
+                    for i, c in enumerate(base))
+    fq = FastqRead("noise", noise, "I" * len(noise))
+    mate = FastqRead("noise", revcomp(s1[800:900]), "I" * 100)
+    al_fb = ReadAligner(pkg, graph_fallback=True)
+    out = al_fb.align_pairs([(fq, mate)], insert_mean=150, insert_sd=100)
+    assert al_fb.stats.extras.get("graph_fallback_skipped_noise", 0) >= 1, \
+        al_fb.stats.extras

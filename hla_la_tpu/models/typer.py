@@ -907,11 +907,21 @@ class HLATyper:
         with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
                   "w") as fh:
             fh.write("ClusterID\tP\tLL\tMismatches_avg\n")
-            iu0, iu1 = iu
-            for idx in order:
-                cid = cluster_ids[iu0[idx]] + "/" + cluster_ids[iu1[idx]]
-                fh.write(f"{cid}\t{P[idx]}\t{pair_vals[idx]}\t"
-                         f"{mism_avg[idx]}\n")
+            # chunked bulk formatting: at IMGT scale this file is C(C+1)/2
+            # ~ 2.4M lines (~120 MB); a per-line write loop costs ~20 s.
+            # .tolist() floats repr identically to the scalar f-string
+            # (same shortest-round-trip algorithm), so output is
+            # byte-identical (locked by the snapshot test)
+            iu0_o, iu1_o = iu[0][order], iu[1][order]
+            for lo in range(0, len(order), 262144):
+                hi = lo + 262144
+                fh.write("".join(
+                    f"{cluster_ids[a]}/{cluster_ids[b]}\t{p}\t{v}\t{m}\n"
+                    for a, b, p, v, m in zip(
+                        iu0_o[lo:hi].tolist(), iu1_o[lo:hi].tolist(),
+                        P[order[lo:hi]].tolist(),
+                        pair_vals[order[lo:hi]].tolist(),
+                        mism_avg[order[lo:hi]].tolist())))
 
         # ---- QC ----------------------------------------------------------
         allele1_id = cluster_ids[best1]

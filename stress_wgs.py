@@ -4,10 +4,11 @@ supported loci incl. DRB3/4").
 
 The randomized soak covers small worlds; bench.py covers a 3M-level graph
 with 2 loci and ~30k pairs (below the typing fan-out gate).  This script is
-the missing regime: a 3M-level package with EIGHT loci and platinum depth
-(~300k pairs / ~600k reads), where the per-locus typing worker fan-out
-(typer.py _type_loci_parallel: >=50k aligned reads AND >=4 loci) actually
-engages.  Checks, in order of importance:
+the missing regime: a 3M-level package with ALL 17 REAL LOCI and platinum
+depth (~180k pairs / ~360k reads at the default coverage), where the
+per-locus typing worker fan-out (typer.py _type_loci_parallel: >=50k
+aligned reads AND >=4 loci) engages at the reference's real locus count.
+Checks, in order of importance:
 
 1. calls at every locus are exactly the two simulated haplotypes' alleles;
 2. fan-out typing output is byte-identical to serial typing output
@@ -40,12 +41,13 @@ jax.config.update("jax_platforms", "cpu")
 
 CACHE = "/tmp/hla_wgs_stress_v2"
 N_LEVELS = 3_000_000
-# eight loci incl. DRB3/4-like paralogs, each ~0.4% of the backbone
-GENES = {
-    "A": (0.10, 0.104), "B": (0.20, 0.204), "C": (0.30, 0.304),
-    "DQA1": (0.45, 0.454), "DQB1": (0.55, 0.554), "DRB1": (0.65, 0.654),
-    "DRB3": (0.75, 0.754), "DRB4": (0.85, 0.854),
-}
+# ALL 17 real typing loci (HLATyper.cpp:42; utils/config.py
+# LOCI_FOR_TYPING), each ~0.4% of the backbone — the per-locus worker
+# fan-out must engage at the REAL locus count (VERDICT r2 item 9)
+from hla_la_tpu.utils.config import LOCI_FOR_TYPING  # noqa: E402
+
+GENES = {loc: (0.05 + i * 0.053, 0.05 + i * 0.053 + 0.004)
+         for i, loc in enumerate(LOCI_FOR_TYPING)}
 TRUTH_HAPS = (1, 2)   # allele row h -> name f"{locus}*{h+1:02d}:01"
 
 

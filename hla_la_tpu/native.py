@@ -146,6 +146,9 @@ def _find_lib():
                     [vp] * 17 + [i64, i64, vp, i64, i64, i64, i64,
                     ctypes.c_int, i64, i64] + [f64] * 6 + [i64, f64]
                     + [vp] * 3 + [i64, vp, vp])
+                lib.hla_pair_ll.restype = None
+                lib.hla_pair_ll.argtypes = [vp, i64, i64, vp,
+                                            ctypes.c_int]
             except AttributeError:
                 # stale previously-built .so missing a newer symbol:
                 # treat as unusable and fall back (next candidate or
@@ -742,3 +745,23 @@ def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,
     lib.hla_nw_backtrace_batch(c(pointers), B, L, W, c(lens64), c(ek), c(es),
                                c(out_ops), max_ops, c(out_n))
     return out_ops, out_n
+
+
+def pair_ll(L: np.ndarray, n_threads: int | None = None
+            ) -> np.ndarray | None:
+    """C^2 diploid pair reduction (hla_pair_ll; HLATyper.cpp:2280-2364):
+    out[c1,c2] = sum_r logavg(L[c1,r], L[c2,r]).  AVX-512 tiled kernel
+    with f64 |a-b| accumulation and an f32 softplus tail (skipped when
+    every lane is past the 17.0 cutoff, softplus < 4.2e-8).  Deterministic
+    for any thread count (each pair is summed by one thread in fixed
+    chunk order)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    L = np.ascontiguousarray(L, dtype=np.float64)
+    C, R = L.shape
+    out = np.empty((C, C), dtype=np.float64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    lib.hla_pair_ll(c(L), C, R, c(out),
+                    default_threads() if n_threads is None else n_threads)
+    return out

@@ -124,9 +124,23 @@ def make_pair_ll_jax(C: int, R: int, chunk: int = 512):
 def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
                       chunk: int = 256) -> np.ndarray:
     if backend == "auto":
-        # XLA (multithreaded on CPU, device on TPU) pays off past ~1e8 cells
+        # small jobs keep the numpy reference path (byte-stable outputs);
+        # big ones go to the native AVX-512 kernel (~9 Gcells/s on 4
+        # cores, measured at C=2200 x R=16k) or, without the native lib,
+        # the XLA scan (~0.8 Gcells/s CPU / 11.5 on TPU)
         C, R = L.shape if L.ndim == 2 else (0, 0)
-        backend = "jax" if C * C * R > 1e8 else "numpy"
+        if C * C * R <= 1e7:
+            backend = "numpy"
+        else:
+            from .. import native
+            backend = "native" if native.available() else \
+                ("jax" if C * C * R > 1e8 else "numpy")
+    if backend == "native":
+        from .. import native
+        out = native.pair_ll(L)
+        if out is not None:
+            return out
+        backend = "jax"          # lib missing: fall through
     if backend == "numpy" or L.size == 0:
         return pair_ll_reduction_numpy(L, chunk)
     if backend == "pallas":

@@ -2533,3 +2533,177 @@ extern "C" int64_t hla_graph_extend(
     out_end[0] = end.x; out_end[1] = end.y; out_end[2] = end.z;
     return n;
 }
+
+// ------------------------------------------------------- pair reduction
+// Diploid pair log-likelihoods (HLATyper.cpp:2280-2364, the reference's
+// only OpenMP-parallel loop; semantics of ops/pair_ll.py
+// pair_ll_reduction_numpy):
+//   out[c1,c2] = sum_r ( log(1/2) + max(a,b) + log1p(exp(-|a-b|)) )
+//              = 0.5*(rowsum[c1]+rowsum[c2]) + R*log(1/2)
+//                + sum_r ( 0.5*|a-b| + softplus(-|a-b|) )
+// The |a-b| part is accumulated in f64 (magnitudes ~1e3, sums ~1e6); the
+// softplus tail is computed in f32 (bounded by log 2) with the standard
+// cephes exp/log polynomials, and skipped outright when every lane has
+// d >= 17 (softplus < 4.2e-8), which is the common case for well-separated
+// cluster pairs.  Tiled over (read chunks x 32 c1-rows) so the streamed
+// row data stays cache-resident; each (c1,c2) pair is summed by exactly
+// one thread in fixed chunk order, so output is deterministic for any
+// thread count.
+
+#if defined(__AVX512F__)
+static inline __m512 pair_exp512_ps(__m512 x) {
+    // exp(x) for x in [-17, 0] (cephes polynomial, scalef scaling)
+    const __m512 log2ef = _mm512_set1_ps(1.44269504088896341f);
+    const __m512 c1 = _mm512_set1_ps(0.693359375f);
+    const __m512 c2 = _mm512_set1_ps(-2.12194440e-4f);
+    __m512 fx = _mm512_roundscale_ps(_mm512_mul_ps(x, log2ef),
+                                     _MM_FROUND_TO_NEAREST_INT |
+                                     _MM_FROUND_NO_EXC);
+    __m512 t = _mm512_fnmadd_ps(fx, c1, x);
+    t = _mm512_fnmadd_ps(fx, c2, t);
+    __m512 z = _mm512_mul_ps(t, t);
+    __m512 y = _mm512_set1_ps(1.9875691500e-4f);
+    y = _mm512_fmadd_ps(y, t, _mm512_set1_ps(1.3981999507e-3f));
+    y = _mm512_fmadd_ps(y, t, _mm512_set1_ps(8.3334519073e-3f));
+    y = _mm512_fmadd_ps(y, t, _mm512_set1_ps(4.1665795894e-2f));
+    y = _mm512_fmadd_ps(y, t, _mm512_set1_ps(1.6666665459e-1f));
+    y = _mm512_fmadd_ps(y, t, _mm512_set1_ps(5.0000001201e-1f));
+    y = _mm512_fmadd_ps(y, z, _mm512_add_ps(t, _mm512_set1_ps(1.0f)));
+    return _mm512_scalef_ps(y, fx);
+}
+
+static inline __m512 pair_log512_ps(__m512 u) {
+    // log(u) for u in (1, 2] (cephes polynomial via getmant/getexp)
+    const __m512 sqrthf = _mm512_set1_ps(0.707106781186547524f);
+    // frexp convention: u = m * 2^e with m in [0.5, 1) -> e = getexp + 1
+    __m512 e = _mm512_add_ps(_mm512_getexp_ps(u), _mm512_set1_ps(1.0f));
+    __m512 m = _mm512_getmant_ps(u, _MM_MANT_NORM_p5_1, _MM_MANT_SIGN_zero);
+    __mmask16 lt = _mm512_cmp_ps_mask(m, sqrthf, _CMP_LT_OQ);
+    e = _mm512_mask_sub_ps(e, lt, e, _mm512_set1_ps(1.0f));
+    m = _mm512_mask_add_ps(m, lt, m, m);
+    __m512 x = _mm512_sub_ps(m, _mm512_set1_ps(1.0f));
+    __m512 z = _mm512_mul_ps(x, x);
+    __m512 y = _mm512_set1_ps(7.0376836292e-2f);
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.1514610310e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(1.1676998740e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.2420140846e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(1.4249322787e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.6668057665e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(2.0000714765e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-2.4999993993e-1f));
+    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(3.3333331174e-1f));
+    y = _mm512_mul_ps(_mm512_mul_ps(y, x), z);
+    y = _mm512_fmadd_ps(e, _mm512_set1_ps(-2.12194440e-4f), y);
+    y = _mm512_fnmadd_ps(_mm512_set1_ps(0.5f), z, y);
+    x = _mm512_add_ps(x, y);
+    return _mm512_fmadd_ps(e, _mm512_set1_ps(0.693359375f), x);
+}
+
+// sum over one read chunk of 0.5*|a-b| + softplus(-|a-b|)
+static double pair_chunk_sum_avx512(const double* __restrict a,
+                                    const double* __restrict b,
+                                    int64_t n) {
+    const __m512d half = _mm512_set1_pd(0.5);
+    const __m512d cut = _mm512_set1_pd(17.0);
+    __m512d acc0 = _mm512_setzero_pd();
+    __m512d acc1 = _mm512_setzero_pd();
+    int64_t i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m512d d0 = _mm512_abs_pd(_mm512_sub_pd(
+            _mm512_loadu_pd(a + i), _mm512_loadu_pd(b + i)));
+        __m512d d1 = _mm512_abs_pd(_mm512_sub_pd(
+            _mm512_loadu_pd(a + i + 8), _mm512_loadu_pd(b + i + 8)));
+        acc0 = _mm512_fmadd_pd(half, d0, acc0);
+        acc1 = _mm512_fmadd_pd(half, d1, acc1);
+        __mmask8 m0 = _mm512_cmp_pd_mask(d0, cut, _CMP_LT_OQ);
+        __mmask8 m1 = _mm512_cmp_pd_mask(d1, cut, _CMP_LT_OQ);
+        if (!(m0 | m1)) continue;       // softplus < 4.2e-8: negligible
+        __m512 df = _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm512_cvtpd_ps(d0)),
+            _mm512_cvtpd_ps(d1), 1);
+        __m512 sp = pair_log512_ps(_mm512_add_ps(
+            _mm512_set1_ps(1.0f),
+            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df))));
+        acc0 = _mm512_add_pd(acc0, _mm512_maskz_cvtps_pd(
+            m0, _mm512_extractf32x8_ps(sp, 0)));
+        acc1 = _mm512_add_pd(acc1, _mm512_maskz_cvtps_pd(
+            m1, _mm512_extractf32x8_ps(sp, 1)));
+    }
+    double s = _mm512_reduce_add_pd(acc0) + _mm512_reduce_add_pd(acc1);
+    for (; i < n; ++i) {
+        double d = a[i] - b[i];
+        if (d < 0) d = -d;
+        s += 0.5 * d;
+        if (d < 17.0) s += log1p((float)exp((float)-d));
+    }
+    return s;
+}
+#endif  // __AVX512F__
+
+static double pair_chunk_sum_scalar(const double* a, const double* b,
+                                    int64_t n) {
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        double d = a[i] - b[i];
+        if (d < 0) d = -d;
+        s += 0.5 * d;
+        if (d < 17.0) s += log1p(exp(-d));
+    }
+    return s;
+}
+
+extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
+                            double* out, int n_threads) {
+    const double LOG_HALF = -0.69314718055994530942;
+    std::vector<double> rowsum((size_t)C);
+    for (int64_t c = 0; c < C; ++c) {
+        double s = 0.0;
+        const double* row = L + c * R;
+        for (int64_t r = 0; r < R; ++r) s += row[r];
+        rowsum[(size_t)c] = s;
+    }
+    int nt = n_threads > 0 ? n_threads : 1;
+    const int64_t TILE = 32;          // c1 rows per tile
+    const int64_t RCHUNK = 1024;      // 8 KB/row: tile rows stay in L2
+    int64_t n_tiles = (C + TILE - 1) / TILE;
+    auto worker = [&](int t) {
+        for (int64_t tile = t; tile < n_tiles; tile += nt) {
+            int64_t c1_lo = tile * TILE;
+            int64_t c1_hi = c1_lo + TILE < C ? c1_lo + TILE : C;
+            for (int64_t c1 = c1_lo; c1 < c1_hi; ++c1)
+                std::memset(out + c1 * C + c1, 0,
+                            (size_t)(C - c1) * sizeof(double));
+            for (int64_t r0 = 0; r0 < R; r0 += RCHUNK) {
+                int64_t rn = R - r0 < RCHUNK ? R - r0 : RCHUNK;
+                // c2 outer / c1 inner: the b chunk stays L1-resident
+                // across the tile's 32 a rows (a rows live in L2)
+                for (int64_t c2 = c1_lo; c2 < C; ++c2) {
+                    const double* b = L + c2 * R + r0;
+                    int64_t c1_top = c2 + 1 < c1_hi ? c2 + 1 : c1_hi;
+                    for (int64_t c1 = c1_lo; c1 < c1_top; ++c1) {
+#if defined(__AVX512F__)
+                        out[c1 * C + c2] += pair_chunk_sum_avx512(
+                            L + c1 * R + r0, b, rn);
+#else
+                        out[c1 * C + c2] += pair_chunk_sum_scalar(
+                            L + c1 * R + r0, b, rn);
+#endif
+                    }
+                }
+            }
+            for (int64_t c1 = c1_lo; c1 < c1_hi; ++c1) {
+                for (int64_t c2 = c1; c2 < C; ++c2) {
+                    double v = out[c1 * C + c2]
+                        + 0.5 * (rowsum[(size_t)c1] + rowsum[(size_t)c2])
+                        + LOG_HALF * (double)R;
+                    out[c1 * C + c2] = v;
+                    out[c2 * C + c1] = v;
+                }
+            }
+        }
+    };
+    if (nt == 1) { worker(0); return; }
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+}

@@ -98,6 +98,14 @@ def time_pair_reduction(C: int, R: int, full_numpy: bool):
     rng = np.random.default_rng(5)
     L = rng.normal(-40.0, 8.0, (C, R)).astype(np.float64)
 
+    from hla_la_tpu import native
+    if native.available():
+        t0 = time.time()
+        out_native = native.pair_ll(L)
+        t_nat = time.time() - t0
+        log(f"pair reduction native (AVX-512): {t_nat:.1f}s "
+            f"= {C * C * R / t_nat / 1e9:.2f} Gcells/s")
+
     t0 = time.time()
     out_jax = pair_ll_reduction(L, backend="jax")
     t_jax_cold = time.time() - t0
@@ -108,6 +116,9 @@ def time_pair_reduction(C: int, R: int, full_numpy: bool):
     log(f"pair reduction jax: {t_jax:.1f}s warm ({t_jax_cold:.1f}s cold) "
         f"= {gcells:.2f} Gcells/s at C={C}, R={R} "
         f"({C * (C + 1) // 2} pairs); peak RSS {rss_gb():.2f} GB")
+    if native.available():
+        assert np.allclose(out_native, out_jax, rtol=1e-6, atol=1e-2), \
+            "native/jax pair-reduction mismatch at scale"
 
     r_slice = R if full_numpy else min(R, 512)
     t0 = time.time()

@@ -91,15 +91,39 @@ def test_imgt_scale_qc_sane(imgt_world):
 
 
 def test_pair_reduction_numpy_jax_parity_at_scale():
-    """numpy and jax pair reductions agree at C >= 500.  (The imgt_world
-    fixture's typing run itself exercises the auto->jax dispatch: its
-    C^2 R ~ 4.6e8 crosses the 1e8 threshold.)"""
+    """numpy, jax and native pair reductions agree at C >= 500.  (The
+    imgt_world fixture's typing run itself exercises the auto dispatch:
+    its C^2 R ~ 4.6e8 crosses the large-job threshold.)"""
     rng = np.random.default_rng(11)
     C, R = 520, 120
     L = rng.normal(-40, 8, (C, R))
     want = pair_ll_reduction_numpy(L)
     got = pair_ll_reduction(L, backend="jax")
     assert np.allclose(got, want, rtol=1e-6, atol=1e-5)
+    import hla_la_tpu.native as native
+    if native.available():
+        got_n = pair_ll_reduction(L, backend="native")
+        assert np.allclose(got_n, want, rtol=1e-6, atol=1e-5)
+
+
+def test_pair_reduction_native_softplus_cutoff_edges():
+    """The native kernel's softplus shortcut (skip at |a-b| >= 17) and the
+    f32 tail must stay within tolerance exactly at the cutoff and for tied
+    likelihoods (d = 0)."""
+    import hla_la_tpu.native as native
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(12)
+    C, R = 40, 333
+    base = rng.normal(-40, 1, (1, R))
+    # rows spaced so pairwise |a-b| sweeps through ~0..25 incl. exactly 17
+    offsets = np.concatenate([np.zeros(1), np.linspace(0.0, 25.0, C - 2),
+                              np.array([17.0])])
+    L = base + offsets[:, None]
+    want = pair_ll_reduction_numpy(L)
+    got = native.pair_ll(L)
+    assert np.allclose(got, want, rtol=1e-6, atol=1e-3)
 
 
 def test_pair_reduction_intermediate_stays_bounded():

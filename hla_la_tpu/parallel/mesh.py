@@ -200,7 +200,13 @@ def pair_ll_reduction_sharded(L: np.ndarray, mesh=None) -> np.ndarray:
     m = mesh.shape["model"]
     C, R = L.shape
     Cp = -(-C // m) * m
-    Rp = -(-R // d) * d
+    local_C = Cp // m
+    # tile/stream (SURVEY §7(d)) holds on the mesh too: scan read chunks
+    # so the per-device [C/m, C, chunk] intermediate stays ~0.5 GB — at
+    # IMGT scale (C=2200, R=16k) the unchunked broadcast was ~40 GB/device
+    chunk = min(512, max(1, int(1.3e8 // max(local_C * Cp, 1))))
+    n_chunks = max(1, -(-R // (d * chunk)))
+    Rp = n_chunks * d * chunk
     Lp = np.zeros((Cp, Rp), dtype=np.float32)
     Lp[:C, :R] = L
 
@@ -208,10 +214,17 @@ def pair_ll_reduction_sharded(L: np.ndarray, mesh=None) -> np.ndarray:
              in_specs=(P("model", "data"),), out_specs=P("model", None))
     def step(L_l):                                     # [C/m, R/d]
         L_f = jax.lax.all_gather(L_l, "model", axis=0, tiled=True)  # [C,R/d]
-        a = L_l[:, None, :]
-        b = L_f[None, :, :]
-        diff = jnp.abs(a - b)
-        part = (0.5 * diff + jnp.log1p(jnp.exp(-diff))).sum(axis=2)
+        bl = L_l.reshape(local_C, n_chunks, chunk).transpose(1, 0, 2)
+        bf = L_f.reshape(Cp, n_chunks, chunk).transpose(1, 0, 2)
+
+        def body(acc, xs):
+            a, b = xs
+            diff = jnp.abs(a[:, None, :] - b[None, :, :])
+            acc = acc + (0.5 * diff + jnp.log1p(jnp.exp(-diff))).sum(axis=2)
+            return acc, None
+
+        part, _ = jax.lax.scan(body, jnp.zeros((local_C, Cp), jnp.float32),
+                               (bl, bf))
         return jax.lax.psum(part, "data")              # [C/m, C]
 
     acc = np.asarray(jax.jit(step)(Lp), dtype=np.float64)[:C, :C]

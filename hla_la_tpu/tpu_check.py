@@ -27,7 +27,9 @@ import numpy as np
 
 
 def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
-        reps: int = 3, inner: int = 10) -> int:
+        reps: int = 3, inner: int = 10, stats: dict | None = None) -> int:
+    """`stats` (optional): filled with {'gcells': float, 'healthy': bool,
+    'parity': bool} for programmatic callers (tpu_e2e.py)."""
     import jax
 
     from .ops.banded_nw import banded_nw_forward
@@ -69,6 +71,8 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
     parity = (np.array_equal(got[0][ok], want[0][ok])
               and np.array_equal(got[1][ok], want[1][ok])
               and np.array_equal(got[2][ok], want[2][ok]))
+    if stats is not None:
+        stats["parity"] = bool(parity)
     if not parity:
         bad_mask = ok & ((got[0] != want[0]) | (got[1] != want[1])
                          | (got[2] != want[2]))
@@ -87,6 +91,9 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
         best = min(best or 1e9, (time.time() - t0) / inner)
     gcells = B * L * W / best / 1e9
     healthy = gcells > 20.0
+    if stats is not None:
+        stats["gcells"] = round(gcells, 2)
+        stats["healthy"] = healthy
     print(f"pallas_nw: {B / best / 1e6:.2f} M reads/s, {gcells:.1f} "
           f"Gcells/s -> chip {'HEALTHY' if healthy else 'DEGRADED'} "
           f"(full speed ~35-46 on v5e)")

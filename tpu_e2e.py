@@ -64,23 +64,16 @@ def main():
     from hla_la_tpu import tpu_check
     buf = _io.StringIO()
     t0 = time.time()
+    probe_stats: dict = {}
     with contextlib.redirect_stdout(buf):
-        rc = tpu_check.run()
+        rc = tpu_check.run(stats=probe_stats)
     probe_out = buf.getvalue().strip()
     log(f"tpu_check ({time.time() - t0:.0f}s): {probe_out}")
     if rc != 0:
         log("kernel parity FAILED — aborting")
         return 1
-    healthy = "HEALTHY" in probe_out
-    gcells = None
-    for tok in probe_out.split():
-        try:
-            if probe_out.split()[probe_out.split().index(tok) + 1
-                                 ].startswith("Gcells"):
-                gcells = float(tok.rstrip(","))
-        except (ValueError, IndexError):
-            pass
-    if not healthy:
+    gcells = probe_stats.get("gcells")
+    if not probe_stats.get("healthy"):
         log("chip DEGRADED (tenant contention) — re-run later (exit 2)")
         return 2
 

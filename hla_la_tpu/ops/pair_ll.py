@@ -127,7 +127,8 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
         # small jobs keep the numpy reference path (byte-stable outputs);
         # big ones go to the native AVX-512 kernel (~9 Gcells/s on 4
         # cores, measured at C=2200 x R=16k) or, without the native lib,
-        # the XLA scan (~0.8 Gcells/s CPU / 11.5 on TPU)
+        # the XLA scan (~0.8 Gcells/s CPU / 287 on TPU v5e with
+        # on-device data)
         C, R = L.shape if L.ndim == 2 else (0, 0)
         if C * C * R <= 1e7:
             backend = "numpy"

@@ -14,21 +14,17 @@ Only the difference part is computed on device (bounded magnitudes keep f32
 exact); the rank-1 0.5*(rowsum_a + rowsum_b) + R*log(1/2) term is added by
 the host wrapper in f64 — same decomposition as ops/pair_ll.py.
 
-Measured on TPU v5e (C=2048, R=4096): XLA scan 11.5 Gcells/s, kernel v1
-(per-chunk lane reduction) 10.8, kernel v2 (deferred 3D accumulator) 4.3 —
-the 3D broadcast relayouts and VMEM accumulator traffic dominate, so the XLA
-path stays the default (ops/pair_ll.pair_ll_reduction) and these kernels are
-kept as optimisation baselines.
-
-Roofline note (why XLA is kept): each cell costs two f32 transcendentals
-(exp + log1p), which execute on the VPU's special-function path at roughly
-one lane-vector per cycle — about 30 G transcendentals/s on one v5e core,
-i.e. a ~15 Gcells/s ceiling for this op.  XLA's 11.5 G is ~75% of that
-bound, so the remaining headroom is <1.3x and not reachable by relayout
-tricks alone; a meaningful speedup would need fewer/cheaper transcendentals
-(e.g. a piecewise-polynomial log1p(exp(-d)) for the d>~17 cutoff region),
-which changes numerics and is deliberately not done — the reduction must
-match the numpy reference path bit-for-bit at f32.
+Measured on TPU v5e with ON-DEVICE inputs (r3; C=2200, R=16384, chunk 26):
+**XLA scan 287 Gcells/s** — the whole IMGT-scale C^2 reduction for a locus
+in 0.28 s, numerically verified against the numpy f64 path.  The round-2
+figure of 11.5 Gcells/s (and the kernel comparisons v1 10.8 / v2 4.3 at
+C=2048, R=4096) was TRANSFER-BOUND: the 33 MB input moved through the
+~20 MB/s tunnel inside the timed region, exactly the trap CLAUDE.md warns
+about — those numbers measured the tunnel, not the chip.  The XLA path
+stays the default (ops/pair_ll.pair_ll_reduction) and these Pallas kernels
+are kept as optimisation baselines; at 287 G the scan is within reach of
+the VPU transcendental throughput (2 f32 exp/log1p per cell), so kernel
+headroom, if any, is small.
 """
 
 from __future__ import annotations

@@ -8,14 +8,21 @@ number or enabling the device NW path in production:
    random ACGT world that includes realistic suffix ref-pads (N walls).
    This is the same contract tests/test_pallas_nw.py locks in interpret
    mode; here it runs against the real compiled kernel on the real chip.
-2. **Chip health**: the shared chip intermittently degrades to <1 Gcells/s
-   for long stretches (other tenants).  Kernel benchmarks are only
-   meaningful when this probe reports roughly full speed (~35-46 Gcells/s
-   on v5e at L=128, W=32); otherwise re-run later.
+2. **Chip health vs tunnel latency** (disentangled in r3): the shared
+   tunnel's dispatch round-trip degrades to tens of ms for long stretches,
+   which made naive per-call timing report a "degraded chip" even when the
+   chip computes at full speed (the old probe conflated the two; the
+   giveaway was the C^2 pair scan running at 287 Gcells/s in one dispatch
+   while 10-dispatch NW loops showed 5).  The probe now times the SAME
+   jitted program at two amortization factors (K=32 and K=160 kernel
+   iterations inside one dispatch with a scalar fetch as the true sync —
+   `jax.block_until_ready` is NOT a reliable sync under the axon plugin)
+   and differences them: the constant per-dispatch RTT cancels, leaving
+   pure chip compute.  RTT is reported separately.
 
-Exit code 0 = parity OK (speed is reported, not asserted — a slow chip is
-an environment condition, not a code failure); 1 = parity mismatch or no
-TPU backend.
+Exit code 0 = parity OK (speed is reported, not asserted — a slow chip or
+tunnel is an environment condition, not a code failure); 1 = parity
+mismatch or no TPU backend.
 """
 
 from __future__ import annotations
@@ -27,10 +34,12 @@ import numpy as np
 
 
 def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
-        reps: int = 3, inner: int = 10, stats: dict | None = None) -> int:
+        reps: int = 3, stats: dict | None = None) -> int:
     """`stats` (optional): filled with {'gcells': float, 'healthy': bool,
-    'parity': bool} for programmatic callers (tpu_e2e.py)."""
+    'parity': bool, 'rtt_ms': float} for programmatic callers
+    (tpu_e2e.py)."""
     import jax
+    import jax.numpy as jnp
 
     from .ops.banded_nw import banded_nw_forward
     from .ops.pallas_nw import make_pallas_banded_nw
@@ -82,21 +91,42 @@ def run(L: int = 128, W: int = 32, B: int = 4096, seed: int = 7,
     print(f"# parity OK ({int(ok.sum())}/{B} alignable rows bit-match "
           "native)", file=sys.stderr, flush=True)
 
-    best = None
+    # amortized compute probe: K kernel iterations in ONE dispatch, input
+    # rolled per iteration so XLA cannot CSE; scalar fetch = true sync
+    def make_many(K):
+        @jax.jit
+        def many(r, l, f):
+            def body(i, acc):
+                s, _, _, _ = nw(jnp.roll(r, i, axis=0), l, f)
+                return acc + s.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+        return many
+
+    K_LO, K_HI = 32, 160
+    lo, hi = make_many(K_LO), make_many(K_HI)
+    float(lo(reads_d, lens_d, refs_d))        # compile
+    float(hi(reads_d, lens_d, refs_d))
+    t_lo = t_hi = 1e9
     for _ in range(reps):
         t0 = time.time()
-        for _ in range(inner):
-            out = nw(reads_d, lens_d, refs_d)
-        jax.block_until_ready(out)
-        best = min(best or 1e9, (time.time() - t0) / inner)
-    gcells = B * L * W / best / 1e9
+        float(lo(reads_d, lens_d, refs_d))
+        t_lo = min(t_lo, time.time() - t0)
+        t0 = time.time()
+        float(hi(reads_d, lens_d, refs_d))
+        t_hi = min(t_hi, time.time() - t0)
+    per_iter = max((t_hi - t_lo) / (K_HI - K_LO), 1e-9)
+    rtt_ms = max(t_lo - K_LO * per_iter, 0.0) * 1e3
+    gcells = B * L * W / per_iter / 1e9
     healthy = gcells > 20.0
     if stats is not None:
         stats["gcells"] = round(gcells, 2)
         stats["healthy"] = healthy
-    print(f"pallas_nw: {B / best / 1e6:.2f} M reads/s, {gcells:.1f} "
+        stats["rtt_ms"] = round(rtt_ms, 1)
+    print(f"pallas_nw: {B / per_iter / 1e6:.2f} M reads/s, {gcells:.1f} "
           f"Gcells/s -> chip {'HEALTHY' if healthy else 'DEGRADED'} "
-          f"(full speed ~35-46 on v5e)")
+          f"(full speed ~35-55 on v5e); dispatch RTT ~{rtt_ms:.0f} ms "
+          f"(tunnel latency — irrelevant for batched production "
+          f"dispatches)")
     return 0
 
 

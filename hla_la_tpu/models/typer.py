@@ -74,9 +74,17 @@ class _ObsSoA:
     __slots__ = ("flat", "read_idx", "pos", "gid", "keys", "mqp", "w",
                  "wok", "rev", "ffr", "q0", "run_novel", "name_id",
                  "genotypes", "geno_ids", "names", "name_ids", "n_reads",
-                 "n_obs", "G")
+                 "n_obs", "G",
+                 # array-built (vectorised) extras; None on the legacy path
+                 "qid", "quals", "mate_id", "read_mate0",
+                 "m_name", "m_pname", "m_mapq", "m_wok_this", "m_wok_paired",
+                 "m_dist", "m_colsng")
 
     def __init__(self, reads_obs: list[list[ExonObs]]):
+        self.qid = self.quals = self.mate_id = self.read_mate0 = None
+        self.m_name = self.m_pname = self.m_mapq = None
+        self.m_wok_this = self.m_wok_paired = None
+        self.m_dist = self.m_colsng = None
         geno_ids: dict[str, int] = {}
         name_ids: dict[str, int] = {}
         gsd, nsd = geno_ids.setdefault, name_ids.setdefault
@@ -129,13 +137,62 @@ class _ObsSoA:
         self.G = max(len(geno_ids), 1)
         self.keys = self.pos * self.G + self.gid
 
+    @classmethod
+    def from_arrays(cls, *, read_idx, pos, gid, qid, name_id, mqp, w, wok,
+                    rev, ffr, q0, run_novel, mate_id, read_mate0,
+                    genotypes, geno_ids, quals, names, name_ids,
+                    m_name, m_pname, m_mapq, m_wok_this, m_wok_paired,
+                    m_dist, m_colsng, n_reads):
+        """Vectorised construction: every column arrives as a ready array
+        (assembled by HLATyper._collect_locus_obs from cached chain
+        records) — no ExonObs objects exist on this path.  `flat` is None;
+        per-obs strings resolve via `genotypes[gid]` / `quals[qid]` and the
+        mate tables (`mate_id` indexes m_*)."""
+        self = cls.__new__(cls)
+        self.flat = None
+        self.read_idx = read_idx
+        self.pos = pos
+        self.gid = gid
+        self.qid = qid
+        self.name_id = name_id
+        self.mqp = mqp
+        self.w = w
+        self.wok = wok
+        self.rev = rev
+        self.ffr = ffr
+        self.q0 = q0
+        self.run_novel = run_novel
+        self.mate_id = mate_id
+        self.read_mate0 = read_mate0
+        self.genotypes = genotypes
+        self.geno_ids = geno_ids
+        self.quals = quals
+        self.names = names
+        self.name_ids = name_ids
+        self.m_name = m_name
+        self.m_pname = m_pname
+        self.m_mapq = m_mapq
+        self.m_wok_this = m_wok_this
+        self.m_wok_paired = m_wok_paired
+        self.m_dist = m_dist
+        self.m_colsng = m_colsng
+        self.n_reads = n_reads
+        self.n_obs = len(pos)
+        self.G = max(len(genotypes), 1)
+        self.keys = self.pos * self.G + self.gid
+        return self
+
     def ignored_key_array(self, ignore_alleles: dict[int, set[str]]):
         """(pos, genotype) pairs of `ignore_alleles` as sorted int keys
         (only interned genotypes can match an observation)."""
         gi = self.geno_ids
-        ks = [p * self.G + gi[g]
+        G = self.G
+        # gi may be the run-global (live) table: ids >= G were interned
+        # after this locus's SoA and can never match an obs key (and would
+        # collide with other positions' key ranges) — skip them
+        ks = [p * G + i
               for p, gs in ignore_alleles.items()
-              for g in gs if g in gi]
+              for i in (gi[g] for g in gs if g in gi) if i < G]
         if not ks:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.asarray(ks, dtype=np.int64))
@@ -205,6 +262,16 @@ class HLATyper:
         self.g_path = g_nomenclature_path
         self._alleles_to_g: dict[str, str] | None = None
         self._g_loci: set[str] = set()
+        # run-global intern tables for observation genotype strings and
+        # quality bytes: chain records carry integer ids so per-locus
+        # observation SoAs assemble as pure array concatenation (no
+        # per-observation Python objects on the hot path)
+        self._geno_ids: dict[str, int] = {}
+        self._geno_list: list[str] = []
+        self._qual_ids: dict[bytes, int] = {}
+        self._qual_list: list[bytes] = []
+        self._intern_token = object()   # invalidates _records caches that
+        # were interned against a different typer's tables
 
     # ------------------------------------------------------------- discovery
     def _discover_genes(self) -> dict[str, dict[str, str]]:
@@ -543,7 +610,7 @@ class HLATyper:
         extraction then just slices the level range (the reference recomputes
         the full column walk per locus, HLATyper.cpp:3192-3566)."""
         cached = getattr(al, "_records", None)
-        if cached is not None:
+        if cached is not None and cached.get("token") is self._intern_token:
             return cached
         seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
         n_cols = al.n_columns
@@ -586,6 +653,37 @@ class HLATyper:
                     for i, d in enumerate(is_del.tolist())]
         qualities = [b"" if d else qual_all[i:i + 1]
                      for i, d in enumerate(is_del.tolist())]
+        # intern genotype strings / quality bytes into the run-global
+        # tables (single-char fast path via 256-entry luts; insertion
+        # records fixed up in the rare-case loop below)
+        g_ids, g_list = self._geno_ids, self._geno_list
+        q_ids, q_list = self._qual_ids, self._qual_list
+
+        def intern_g(g: str) -> int:
+            i = g_ids.get(g)
+            if i is None:
+                i = g_ids[g] = len(g_list)
+                g_list.append(g)
+            return i
+
+        def intern_q(q: bytes) -> int:
+            i = q_ids.get(q)
+            if i is None:
+                i = q_ids[q] = len(q_list)
+                q_list.append(q)
+            return i
+
+        lut_g = np.empty(256, dtype=np.int64)
+        for b in np.unique(seq_at).tolist():
+            lut_g[b] = intern_g(chr(b))
+        gid = lut_g[seq_at]
+        qual_at = al.seq_qual[rec_cols]
+        lut_q = np.empty(256, dtype=np.int64)
+        for b in np.unique(qual_at).tolist():
+            lut_q[b] = intern_q(bytes([b]))
+        qid = lut_q[qual_at]
+        qid[is_del] = intern_q(b"")
+        q0 = np.where(is_del, 0, qual_at).astype(np.int64)
         for i in np.nonzero(n_ins > 0)[0]:
             c = rec_cols[i]
             ins_cols = np.arange(c + 1, c + 1 + n_ins[i])
@@ -600,14 +698,21 @@ class HLATyper:
                 genotype[i] = chars[i] + g
                 qualities[i] = qual_all[i:i + 1] + q
             worst_q[i] = min(qualities[i]) if qualities[i] else 0
+            gid[i] = intern_g(genotype[i])
+            qid[i] = intern_q(qualities[i])
+            q0[i] = qualities[i][0] if qualities[i] else 0
         rec = dict(
             levels=levels_arr[rec_cols],
             genotype=genotype,
             qualities=qualities,
             worst_q=worst_q,
+            gid=gid,
+            qid=qid,
+            q0=q0,
             mapq_pos=np.asarray(mq)[rec_cols],
             run_novel=run_novel[rec_cols],
             cols_nongap=cols_nongap,
+            token=self._intern_token,
         )
         al._records = rec
         return rec
@@ -714,6 +819,167 @@ class HLATyper:
                 [raw_unpaired[i] for i in ui],
                 [aligned_unpaired[i] for i in ui])
 
+    def _collect_locus_obs(self, raw_pairs, aligned_pairs, raw_unpaired,
+                           aligned_unpaired, ov, pq, levels, lv_min, lv_max,
+                           cfg) -> _ObsSoA:
+        """Vectorised oneReadAlignment_2_exonPositions_{paired,unpaired} +
+        removeDoublePositionsFromRead over a whole locus
+        (HLATyper.cpp:3192-3566 and 2850-2920): per-mate slices of the
+        cached chain records concatenate into flat arrays; the per-(read,
+        level) best-worst-quality merge is ONE lexsort.  Replaces the
+        per-ExonObs object path on the hot path (byte-identical outputs —
+        the object path survives as `_alignment_to_obs` for the parity
+        test) — obs construction was ~60% of deep-coverage typing time."""
+        levels = np.asarray(levels, dtype=np.int64)
+        pos_of_level = np.full(lv_max - lv_min + 1, -1, dtype=np.int64)
+        pos_of_level[levels - lv_min] = np.arange(len(levels),
+                                                  dtype=np.int64)
+
+        seg_lv, seg_gid, seg_qid, seg_q0 = [], [], [], []
+        seg_worst, seg_rn, seg_mqp = [], [], []
+        counts: list[int] = []
+        m_name: list[str] = []
+        m_pname: list[str] = []
+        m_mapq: list = []
+        m_wok_t: list[float] = []
+        m_wok_p: list[float] = []
+        m_dist: list[float] = []
+        m_colsng: list[int] = []
+        m_rev: list[bool] = []
+        m_ffr: list[bool] = []
+        m_slot: list[int] = []
+        slot = 0
+
+        def add_mate(al, read_name, paired_name, wok_t, wok_p, dist):
+            fl = al.first_level()
+            if fl == -1 or not (fl <= lv_max and al.last_level() >= lv_min):
+                return
+            rec = self._chain_records(al)
+            lv = rec["levels"]
+            lo = int(np.searchsorted(lv, lv_min))
+            hi = int(np.searchsorted(lv, lv_max, side="right"))
+            if hi <= lo:
+                return
+            seg_lv.append(lv[lo:hi])
+            seg_gid.append(rec["gid"][lo:hi])
+            seg_qid.append(rec["qid"][lo:hi])
+            seg_q0.append(rec["q0"][lo:hi])
+            seg_worst.append(rec["worst_q"][lo:hi])
+            seg_rn.append(rec["run_novel"][lo:hi])
+            seg_mqp.append(rec["mapq_pos"][lo:hi])
+            counts.append(hi - lo)
+            m_name.append(read_name)
+            m_pname.append(paired_name)
+            m_mapq.append(al.mapq)
+            m_wok_t.append(wok_t)
+            m_wok_p.append(wok_p)
+            m_dist.append(dist)
+            m_colsng.append(rec["cols_nongap"])
+            m_rev.append(al.reverse)
+            m_ffr.append(al.from_first_read)
+            m_slot.append(slot)
+
+        if aligned_pairs:
+            ok_a, w1_a, w2_a = pq
+            for i in np.nonzero(ov & ok_a)[0].tolist():
+                r1, r2 = raw_pairs[i]
+                ap = aligned_pairs[i]
+                c1, c2 = ap.chain1, ap.chain2
+                dist = float(pair_distance_graph_levels(c1, c2))
+                add_mate(c1, r1.name, r2.name, float(w1_a[i]),
+                         float(w2_a[i]), dist)
+                add_mate(c2, r2.name, r1.name, float(w2_a[i]),
+                         float(w1_a[i]), dist)
+                slot += 1
+        if getattr(self, "_pair_ranges", None) is not None and raw_unpaired:
+            _, _, _, _, uf, ul = self._pair_ranges
+            n = len(aligned_unpaired)
+            ovu = (uf[:n] <= lv_max) & (ul[:n] >= lv_min) & (uf[:n] >= 0)
+            unpaired_iter = [(raw_unpaired[i], aligned_unpaired[i])
+                             for i in np.nonzero(ovu)[0]]
+        else:
+            unpaired_iter = list(zip(raw_unpaired, aligned_unpaired))
+        for r, al in unpaired_iter:
+            if al is None:
+                continue
+            if (al.mapq >= cfg.minimum_mapping_quality
+                    and al.n_columns >= cfg.min_alignment_length_unpaired):
+                w = alignment_weighted_ok_fraction(al)
+                add_mate(al, r.name, r.name, w, w, 0.0)
+                slot += 1
+
+        genotypes, geno_ids = self._geno_list, self._geno_ids
+        quals = self._qual_list
+        if not counts:
+            e64 = np.empty(0, dtype=np.int64)
+            ef = np.empty(0, dtype=np.float64)
+            eb = np.empty(0, dtype=bool)
+            return _ObsSoA.from_arrays(
+                read_idx=e64, pos=e64, gid=e64, qid=e64, name_id=e64,
+                mqp=ef, w=ef, wok=ef, rev=eb, ffr=eb, q0=e64,
+                run_novel=e64, mate_id=e64, read_mate0=e64,
+                genotypes=genotypes, geno_ids=geno_ids, quals=quals,
+                names=[], name_ids={},
+                m_name=m_name, m_pname=m_pname, m_mapq=m_mapq,
+                m_wok_this=m_wok_t, m_wok_paired=m_wok_p, m_dist=m_dist,
+                m_colsng=m_colsng, n_reads=0)
+
+        lv_c = np.concatenate(seg_lv)
+        gid_c = np.concatenate(seg_gid)
+        qid_c = np.concatenate(seg_qid)
+        q0_c = np.concatenate(seg_q0)
+        worst_c = np.concatenate(seg_worst).astype(np.int64)
+        rn_c = np.concatenate(seg_rn)
+        mqp_c = np.concatenate(seg_mqp)
+        cnt = np.asarray(counts, dtype=np.int64)
+        mate_c = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+        slot_c = np.asarray(m_slot, dtype=np.int64)[mate_c]
+
+        pos_c = pos_of_level[lv_c - lv_min]
+        v = pos_c >= 0
+        if not v.all():
+            lv_c, gid_c, qid_c, q0_c = lv_c[v], gid_c[v], qid_c[v], q0_c[v]
+            worst_c, rn_c, mqp_c = worst_c[v], rn_c[v], mqp_c[v]
+            mate_c, slot_c, pos_c = mate_c[v], slot_c[v], pos_c[v]
+
+        # one obs per (read, level), best worst-quality wins, earliest wins
+        # ties (chain1's segment precedes chain2's in concatenation order —
+        # the sequential merge's replace-only-if-strictly-greater rule)
+        n = len(lv_c)
+        order = np.lexsort((np.arange(n), -worst_c, lv_c, slot_c))
+        slot_s = slot_c[order]
+        lv_s = lv_c[order]
+        keep = np.r_[True, (slot_s[1:] != slot_s[:-1])
+                     | (lv_s[1:] != lv_s[:-1])]
+        sel = order[keep]            # final obs order: (read asc, level asc)
+        slot_sel = slot_c[sel]
+        new_read = np.r_[True, slot_sel[1:] != slot_sel[:-1]]
+        read_idx = np.cumsum(new_read.astype(np.int64)) - 1
+        n_reads = int(read_idx[-1]) + 1 if len(sel) else 0
+        mate_sel = mate_c[sel]
+        read_mate0 = mate_sel[np.flatnonzero(new_read)]
+
+        name_ids: dict[str, int] = {}
+        nsd = name_ids.setdefault
+        mate_nid = np.fromiter((nsd(nm, len(name_ids)) for nm in m_name),
+                               np.int64, len(m_name))
+        wok_t_arr = np.asarray(m_wok_t, dtype=np.float64)
+        wok_p_arr = np.asarray(m_wok_p, dtype=np.float64)
+        return _ObsSoA.from_arrays(
+            read_idx=read_idx, pos=pos_c[sel], gid=gid_c[sel],
+            qid=qid_c[sel], name_id=mate_nid[mate_sel], mqp=mqp_c[sel],
+            w=((wok_t_arr + wok_p_arr) / 2.0)[mate_sel],
+            wok=wok_t_arr[mate_sel],
+            rev=np.asarray(m_rev, dtype=bool)[mate_sel],
+            ffr=np.asarray(m_ffr, dtype=bool)[mate_sel],
+            q0=q0_c[sel], run_novel=rn_c[sel], mate_id=mate_sel,
+            read_mate0=read_mate0,
+            genotypes=genotypes, geno_ids=geno_ids, quals=quals,
+            names=list(name_ids), name_ids=name_ids,
+            m_name=m_name, m_pname=m_pname, m_mapq=m_mapq,
+            m_wok_this=m_wok_t, m_wok_paired=m_wok_p, m_dist=m_dist,
+            m_colsng=m_colsng, n_reads=n_reads)
+
     def _type_locus(self, locus, raw_pairs, aligned_pairs, raw_unpaired,
                     aligned_unpaired, insert_mean, insert_sd, output_dir,
                     cfg: TyperConfig, long_reads: bool,
@@ -722,7 +988,6 @@ class HLATyper:
         if not combined:
             return None
         lv_min, lv_max = int(levels.min()), int(levels.max())
-        level_to_pos = {int(lv): j for j, lv in enumerate(levels)}
         cluster_seqs, clusters, allele_to_cluster = \
             self._cluster_alleles(combined)
         C = len(cluster_seqs)
@@ -735,7 +1000,6 @@ class HLATyper:
         if pq is None and aligned_pairs:
             pq = self._compute_pair_quality(aligned_pairs, insert_mean,
                                             insert_sd, cfg)
-        reads_obs: list[list[ExonObs]] = []
         if getattr(self, "_pair_ranges", None) is not None and raw_pairs:
             f1, l1, f2, l2, _, _ = self._pair_ranges
             n = len(aligned_pairs)
@@ -760,42 +1024,15 @@ class HLATyper:
                 parts.append(f"{locus}\tread{w1}\n{locus}\tread{w2}\n"
                              f"{locus}\treadPair{(w1 + w2) / 2}\n")
             hist_fh.write("".join(parts))
-        if aligned_pairs:
-            ok_a, _w1_a, _w2_a = pq
-            for i in np.nonzero(ov & ok_a)[0]:
-                r1, r2 = raw_pairs[i]
-                ap = aligned_pairs[i]
-                o1 = self._alignment_to_obs(ap.chain1, r1, ap.chain2, r2,
-                                            lv_min, lv_max, level_to_pos)
-                o2 = self._alignment_to_obs(ap.chain2, r2, ap.chain1, r1,
-                                            lv_min, lv_max, level_to_pos)
-                merged = self._remove_double_positions(o1 + o2)
-                if merged:
-                    reads_obs.append(merged)
-        if getattr(self, "_pair_ranges", None) is not None and raw_unpaired:
-            _, _, _, _, uf, ul = self._pair_ranges
-            n = len(aligned_unpaired)
-            ovu = (uf[:n] <= lv_max) & (ul[:n] >= lv_min) & (uf[:n] >= 0)
-            unpaired_iter = [(raw_unpaired[i], aligned_unpaired[i])
-                             for i in np.nonzero(ovu)[0]]
-        else:
-            unpaired_iter = list(zip(raw_unpaired, aligned_unpaired))
-        for r, al in unpaired_iter:
-            if al is None:
-                continue
-            if (al.mapq >= cfg.minimum_mapping_quality
-                    and al.n_columns >= cfg.min_alignment_length_unpaired):
-                o = self._alignment_to_obs(al, r, None, None, lv_min, lv_max,
-                                           level_to_pos)
-                if o:
-                    reads_obs.append(o)
+        soa = self._collect_locus_obs(raw_pairs, aligned_pairs, raw_unpaired,
+                                      aligned_unpaired, ov, pq, levels,
+                                      lv_min, lv_max, cfg)
 
         # ---- filters ----------------------------------------------------
-        soa = _ObsSoA(reads_obs)
         ignore_read_ids: set[str] = set()
         ignore_alleles: dict[int, set[str]] = {}
         if cfg.filter_first20 and not long_reads:
-            n_erased = self._filter_first20(reads_obs, ignore_read_ids,
+            n_erased = self._filter_first20(None, ignore_read_ids,
                                             ignore_alleles, cfg, soa=soa)
             if n_erased:
                 log_progress(
@@ -805,7 +1042,7 @@ class HLATyper:
                     f"novel allele with uniformly down-weighted reads "
                     f"(inspect R1_pileup_{locus}.txt)")
         counts_post, strand_freqs, read1_freqs = self._allele_filters(
-            reads_obs, ignore_read_ids, ignore_alleles, cfg, long_reads,
+            None, ignore_read_ids, ignore_alleles, cfg, long_reads,
             soa=soa)
 
         # ---- final pileup ------------------------------------------------
@@ -816,12 +1053,6 @@ class HLATyper:
         used_mask = kept_mask & (soa.run_novel < 2) if long_reads \
             else kept_mask
         used_idx = np.nonzero(used_mask)[0]
-        pileup: dict[int, list[ExonObs]] = {}
-        flat = soa.flat
-        pget = pileup.setdefault
-        for i in used_idx.tolist():
-            o = flat[i]
-            pget(o.position_in_exon, []).append(o)
         utilized_reads = {soa.names[i]
                           for i in np.unique(soa.name_id[used_idx]).tolist()}
         # per-obs histogram lines (chain-constant value -> cached string)
@@ -833,8 +1064,8 @@ class HLATyper:
                 s = wcache[v] = f"{locus}\tbase{v}\n"
             parts.append(s)
         hist_fh.write("".join(parts))
-        self._write_pileup(locus, pileup, exon_idx, exon_pos, strand_freqs,
-                           read1_freqs, output_dir)
+        self._write_pileup(locus, soa, used_idx, exon_idx, exon_pos,
+                           strand_freqs, read1_freqs, output_dir)
         with open(os.path.join(output_dir, f"R1_readIDs_{locus}.txt"),
                   "w") as fh:
             for rid in sorted(utilized_reads):
@@ -843,13 +1074,13 @@ class HLATyper:
         # ---- likelihood tensors ------------------------------------------
         p_ins = 0.075 if long_reads else 0.001
         onehot = cluster_onehot(cluster_seqs)
-        R = len(reads_obs)
+        R = soa.n_reads
         # chunk reads so the [Rc, J, 6] contribution tensors stay bounded
         # (~200 MB) even for very wide typed segments
         chunk = max(16, int(2e8 / max(J * 24, 1)))
         if R <= chunk:
             contrib, mismatch, used_count = self._build_read_tensors(
-                reads_obs, J, cfg, ignore_read_ids, ignore_alleles,
+                None, J, cfg, ignore_read_ids, ignore_alleles,
                 long_reads, p_ins, soa=soa, kept_mask=kept_mask)
             LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
                                            backend=self.backend)
@@ -858,13 +1089,14 @@ class HLATyper:
             MMmat = np.empty((C, R), dtype=np.float32)
             used_count = 0
             for lo in range(0, R, chunk):
-                part = reads_obs[lo:lo + chunk]
+                hi2 = min(lo + chunk, R)
                 contrib, mismatch, used_c = self._build_read_tensors(
-                    part, J, cfg, ignore_read_ids, ignore_alleles,
+                    None, J, cfg, ignore_read_ids, ignore_alleles,
                     long_reads, p_ins, soa=soa, kept_mask=kept_mask,
-                    read_range=(lo, lo + len(part)))
+                    read_range=(lo, hi2))
                 used_count += used_c
-                LLmat[:, lo:lo + len(part)], MMmat[:, lo:lo + len(part)] =                     cluster_read_ll(onehot, contrib, mismatch,
+                LLmat[:, lo:hi2], MMmat[:, lo:hi2] = \
+                    cluster_read_ll(onehot, contrib, mismatch,
                                     backend=self.backend)
         log_progress(f"  {locus}: {C} clusters x {R} reads")
 
@@ -1103,7 +1335,11 @@ class HLATyper:
         robust[kicked_row] = k_cnt[k_inv] >= 2
         per_read = np.bincount(rid[order][robust], minlength=soa.n_reads)
         for ri in np.nonzero(per_read > cfg.filter_first20_kickout_limit)[0]:
-            if reads_obs[ri]:
+            if soa.read_mate0 is not None:
+                mid = int(soa.read_mate0[ri])
+                ignore_read_ids.add(soa.m_name[mid])
+                ignore_read_ids.add(soa.m_pname[mid])
+            elif reads_obs[ri]:
                 ignore_read_ids.add(reads_obs[ri][0].read_id)
                 ignore_read_ids.add(reads_obs[ri][0].paired_read_id)
         return n_erased_big
@@ -1243,8 +1479,8 @@ class HLATyper:
                     kmers1=kmer_presence(comb1), kmers2=kmer_presence(comb2))
 
     # -------------------------------------------------------------- outputs
-    def _write_pileup(self, locus, pileup, exon_idx, exon_pos, strand_freqs,
-                      read1_freqs, output_dir):
+    def _write_pileup(self, locus, soa: _ObsSoA, used_idx, exon_idx,
+                      exon_pos, strand_freqs, read1_freqs, output_dir):
         path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
         with open(path, "w") as fh:
             J = len(exon_idx)
@@ -1286,65 +1522,80 @@ class HLATyper:
                     bi += 1
                 return "\n".join(parts)
 
-            covered = sorted(j for j, its in pileup.items() if its)
+            # group used observations by exon position (stable: obs order
+            # within a position = flat obs order, as the dict-append path
+            # produced)
+            pos_u = soa.pos[used_idx]
+            ordu = np.argsort(pos_u, kind="stable")
+            su = used_idx[ordu]
+            pos_s = pos_u[ordu]
+            if len(pos_s):
+                starts = np.flatnonzero(np.r_[True, pos_s[1:] != pos_s[:-1]])
+                ends = np.r_[starts[1:], len(pos_s)].tolist()
+                covered = pos_s[starts].tolist()
+                starts = starts.tolist()
+            else:
+                starts, ends, covered = [], [], []
+            gid_l = soa.gid[su].tolist()
+            qid_l = soa.qid[su].tolist()
+            mqp_l = soa.mqp[su].tolist()
+            mid_l = soa.mate_id[su].tolist()
+            geno_list, qual_list = soa.genotypes, soa.quals
+            m_name, m_pname, m_mapq = soa.m_name, soa.m_pname, soa.m_mapq
+            m_wt, m_wp = soa.m_wok_this, soa.m_wok_paired
+            m_dist, m_cng = soa.m_dist, soa.m_colsng
             lines: list[str] = []
-            # chain-constant fragments cached ONCE per read for the whole
+            # chain-constant fragments cached ONCE per mate for the whole
             # locus (a read covers O(read length) columns; per-column caches
             # rebuilt every fragment ~200x)
-            frag_cache: dict[tuple, tuple[str, str]] = {}
+            frag_cache: dict[int, tuple[str, str]] = {}
             mqp_cache: dict[float, str] = {}
             q1_cache = [str(i) for i in range(256)]
             prev = 0
-            for j in covered:
+            for gi_, j in enumerate(covered):
                 if j > prev:
                     lines.append(zero_chunk(prev, j))
                 prev = j + 1
-                items = pileup[j]
-                fields = [str(ei[j]), str(ep[j]), str(len(items))]
-                if items:
-                    # per-read entries (reference pileup detail,
-                    # HLATyper.cpp:1940-2010): genotype (qualities)
-                    # [pairsDistance | alignmentLength | mapQ_position |
-                    #  mapQ mapQ | weightedOK weightedOK | readIDs] —
-                    # everything except genotype/qualities/mapQ_position is
-                    # chain-constant, so those fragments are cached
-                    entries = []
-                    by_allele: dict[str, list[int]] = {}
-                    for o in items:
-                        fk = (o.read_id, o.paired_read_id, o.mapq,
-                              o.this_weighted_ok, o.pairs_strands_distance,
-                              o.alignment_cols_nongap)
-                        frag = frag_cache.get(fk)
-                        if frag is None:
-                            frag = (
-                                f") [pairsDistance "
-                                f"{o.pairs_strands_distance} | "
-                                f"alignmentLength "
-                                f"{o.alignment_cols_nongap} | ",
-                                f" | {o.mapq} {o.mapq} | "
-                                f"{o.this_weighted_ok} "
-                                f"{o.paired_weighted_ok} | "
-                                f"{o.read_id} {o.paired_read_id}]")
-                            frag_cache[fk] = frag
-                        q = o.qualities
-                        quals = (q1_cache[q[0]] if len(q) == 1
-                                 else ", ".join(map(str, q)))
-                        mqs = mqp_cache.get(o.mapq_position)
-                        if mqs is None:
-                            mqs = mqp_cache[o.mapq_position] =                                 str(o.mapq_position)
-                        entries.append(o.genotype + " (" + quals + frag[0]
-                                       + mqs + frag[1])
-                        by_allele.setdefault(o.genotype, []).append(
-                            o.alignment_cols_nongap)
-                    fields.append(", ".join(entries))
-                    summary = []
-                    for g, lens in sorted(by_allele.items()):
-                        sf = strand_freqs.get(j, {}).get(g, 0.0)
-                        r1f = read1_freqs.get(j, {}).get(g, 0.0)
-                        summary.append(
-                            f"{g}x{len(lens)}"
-                            f"[{sum(lens) / len(lens):.1f};{sf};{r1f}]")
-                    fields.append("".join(summary))
+                a, b = starts[gi_], ends[gi_]
+                fields = [str(ei[j]), str(ep[j]), str(b - a)]
+                # per-read entries (reference pileup detail,
+                # HLATyper.cpp:1940-2010): genotype (qualities)
+                # [pairsDistance | alignmentLength | mapQ_position |
+                #  mapQ mapQ | weightedOK weightedOK | readIDs] —
+                # everything except genotype/qualities/mapQ_position is
+                # chain-constant, so those fragments are cached per mate
+                entries = []
+                by_allele: dict[str, list[int]] = {}
+                for t in range(a, b):
+                    mid = mid_l[t]
+                    frag = frag_cache.get(mid)
+                    if frag is None:
+                        frag = frag_cache[mid] = (
+                            f") [pairsDistance {m_dist[mid]} | "
+                            f"alignmentLength {m_cng[mid]} | ",
+                            f" | {m_mapq[mid]} {m_mapq[mid]} | "
+                            f"{m_wt[mid]} {m_wp[mid]} | "
+                            f"{m_name[mid]} {m_pname[mid]}]")
+                    g = geno_list[gid_l[t]]
+                    q = qual_list[qid_l[t]]
+                    quals = (q1_cache[q[0]] if len(q) == 1
+                             else ", ".join(map(str, q)))
+                    mq = mqp_l[t]
+                    mqs = mqp_cache.get(mq)
+                    if mqs is None:
+                        mqs = mqp_cache[mq] = str(mq)
+                    entries.append(g + " (" + quals + frag[0] + mqs
+                                   + frag[1])
+                    by_allele.setdefault(g, []).append(m_cng[mid])
+                fields.append(", ".join(entries))
+                summary = []
+                for g, lens in sorted(by_allele.items()):
+                    sf = strand_freqs.get(j, {}).get(g, 0.0)
+                    r1f = read1_freqs.get(j, {}).get(g, 0.0)
+                    summary.append(
+                        f"{g}x{len(lens)}"
+                        f"[{sum(lens) / len(lens):.1f};{sf};{r1f}]")
+                fields.append("".join(summary))
                 lines.append("\t".join(fields))
             if J > prev:
                 lines.append(zero_chunk(prev, J))

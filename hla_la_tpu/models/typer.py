@@ -270,6 +270,12 @@ class HLATyper:
         self._geno_list: list[str] = []
         self._qual_ids: dict[bytes, int] = {}
         self._qual_list: list[bytes] = []
+        # persistent single-char/byte intern luts (byte value -> table id),
+        # filled lazily: per-chain re-derivation (np.unique + a python
+        # loop, twice per chain) cost ~1s at platinum depth
+        self._lut_g = np.full(256, -1, dtype=np.int64)
+        self._lut_q = np.full(256, -1, dtype=np.int64)
+        self._qid_empty = -1            # id of b"" once interned
         self._intern_token = object()   # invalidates _records caches that
         # were interned against a different typer's tables
 
@@ -673,16 +679,21 @@ class HLATyper:
                 q_list.append(q)
             return i
 
-        lut_g = np.empty(256, dtype=np.int64)
-        for b in np.unique(seq_at).tolist():
-            lut_g[b] = intern_g(chr(b))
+        lut_g, lut_q = self._lut_g, self._lut_q
         gid = lut_g[seq_at]
+        if gid.min(initial=0) < 0:      # unseen byte(s): register + redo
+            for b in np.unique(seq_at[gid < 0]).tolist():
+                lut_g[b] = intern_g(chr(b))
+            gid = lut_g[seq_at]
         qual_at = al.seq_qual[rec_cols]
-        lut_q = np.empty(256, dtype=np.int64)
-        for b in np.unique(qual_at).tolist():
-            lut_q[b] = intern_q(bytes([b]))
         qid = lut_q[qual_at]
-        qid[is_del] = intern_q(b"")
+        if qid.min(initial=0) < 0:
+            for b in np.unique(qual_at[qid < 0]).tolist():
+                lut_q[b] = intern_q(bytes([b]))
+            qid = lut_q[qual_at]
+        if self._qid_empty < 0:
+            self._qid_empty = intern_q(b"")
+        qid[is_del] = self._qid_empty
         q0 = np.where(is_del, 0, qual_at).astype(np.int64)
         for i in np.nonzero(n_ins > 0)[0]:
             c = rec_cols[i]
@@ -944,13 +955,24 @@ class HLATyper:
 
         # one obs per (read, level), best worst-quality wins, earliest wins
         # ties (chain1's segment precedes chain2's in concatenation order —
-        # the sequential merge's replace-only-if-strictly-greater rule)
-        n = len(lv_c)
-        order = np.lexsort((np.arange(n), -worst_c, lv_c, slot_c))
-        slot_s = slot_c[order]
-        lv_s = lv_c[order]
-        keep = np.r_[True, (slot_s[1:] != slot_s[:-1])
-                     | (lv_s[1:] != lv_s[:-1])]
+        # the sequential merge's replace-only-if-strictly-greater rule).
+        # Single composite-key stable sort (~2.5x the 4-key lexsort): key =
+        # (slot, level-lv_min, 255-worst) packed into 63 bits; stability
+        # supplies the original-order tie-break
+        lv_rel = lv_c - lv_min
+        span = lv_max - lv_min + 1
+        if len(m_slot) * span < (1 << 55):
+            comp = (slot_c * span + lv_rel) * 256 + (255 - worst_c)
+            order = np.argsort(comp, kind="stable")
+            comp_key = comp >> 8
+            keep = np.r_[True, np.diff(comp_key[order]) != 0]
+        else:                        # overflow-proof fallback
+            n = len(lv_c)
+            order = np.lexsort((np.arange(n), -worst_c, lv_c, slot_c))
+            slot_s = slot_c[order]
+            lv_s = lv_c[order]
+            keep = np.r_[True, (slot_s[1:] != slot_s[:-1])
+                         | (lv_s[1:] != lv_s[:-1])]
         sel = order[keep]            # final obs order: (read asc, level asc)
         slot_sel = slot_c[sel]
         new_read = np.r_[True, slot_sel[1:] != slot_sel[:-1]]

@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from .. import native
 from ..graph.package import GraphPackage
 from ..io.fastq import FastqRead
 from ..ops.pair_ll import (cluster_onehot, cluster_read_ll, pair_ll_reduction,
@@ -478,7 +479,7 @@ class HLATyper:
         # package reload for fresh workers) only amortise at WGS scale
         # (~1M MHC reads / several loci) — below that serial typing wins
         min_reads = getattr(self.cfg, "min_reads_for_typing_workers", 50_000)
-        min_loci = getattr(self.cfg, "min_loci_for_typing_workers", 4)
+        min_loci = getattr(self.cfg, "min_loci_for_typing_workers", 2)
         if len(aligned_pairs) + len(aligned_unpaired) < min_reads \
                 or len(self.loci) < min_loci:
             return None
@@ -1162,23 +1163,31 @@ class HLATyper:
         order = np.lexsort((mism_avg, -pair_vals))
         cluster_ids = [";".join(sorted(c)) for c in clusters]
         with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
-                  "w") as fh:
-            fh.write("ClusterID\tP\tLL\tMismatches_avg\n")
-            # chunked bulk formatting: at IMGT scale this file is C(C+1)/2
-            # ~ 2.4M lines (~120 MB); a per-line write loop costs ~20 s.
-            # .tolist() floats repr identically to the scalar f-string
-            # (same shortest-round-trip algorithm), so output is
-            # byte-identical (locked by the snapshot test)
+                  "wb") as fh:
+            fh.write(b"ClusterID\tP\tLL\tMismatches_avg\n")
             iu0_o, iu1_o = iu[0][order], iu[1][order]
-            for lo in range(0, len(order), 262144):
-                hi = lo + 262144
-                fh.write("".join(
-                    f"{cluster_ids[a]}/{cluster_ids[b]}\t{p}\t{v}\t{m}\n"
-                    for a, b, p, v, m in zip(
-                        iu0_o[lo:hi].tolist(), iu1_o[lo:hi].tolist(),
-                        P[order[lo:hi]].tolist(),
-                        pair_vals[order[lo:hi]].tolist(),
-                        mism_avg[order[lo:hi]].tolist())))
+            # native bulk formatter (hla_format_pairs): threaded C++
+            # CPython-repr layout, byte-identical to the python path below
+            # (locked by tests/test_native_parity.py + the snapshot suite)
+            body = native.format_pairs(
+                iu0_o, iu1_o, P[order], pair_vals[order], mism_avg[order],
+                [s.encode() for s in cluster_ids])
+            if body is not None:
+                fh.write(body)
+            else:
+                # chunked bulk formatting: at IMGT scale this file is
+                # C(C+1)/2 ~ 2.4M lines (~120 MB); a per-line write loop
+                # costs ~20 s.  .tolist() floats repr identically to the
+                # scalar f-string (same shortest-round-trip algorithm)
+                for lo in range(0, len(order), 262144):
+                    hi = lo + 262144
+                    fh.write("".join(
+                        f"{cluster_ids[a]}/{cluster_ids[b]}\t{p}\t{v}\t{m}\n"
+                        for a, b, p, v, m in zip(
+                            iu0_o[lo:hi].tolist(), iu1_o[lo:hi].tolist(),
+                            P[order[lo:hi]].tolist(),
+                            pair_vals[order[lo:hi]].tolist(),
+                            mism_avg[order[lo:hi]].tolist())).encode())
 
         # ---- QC ----------------------------------------------------------
         allele1_id = cluster_ids[best1]

@@ -149,6 +149,13 @@ def _find_lib():
                 lib.hla_pair_ll.restype = None
                 lib.hla_pair_ll.argtypes = [vp, i64, i64, vp,
                                             ctypes.c_int]
+                lib.hla_repr_double.restype = ctypes.c_int
+                lib.hla_repr_double.argtypes = [f64, vp]
+                lib.hla_format_pairs.restype = ctypes.c_int
+                lib.hla_format_pairs.argtypes = (
+                    [vp] * 5 + [i64, vp, vp, i64,
+                    ctypes.POINTER(ctypes.c_void_p),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int])
             except AttributeError:
                 # stale previously-built .so missing a newer symbol:
                 # treat as unusable and fall back (next candidate or
@@ -765,3 +772,51 @@ def pair_ll(L: np.ndarray, n_threads: int | None = None
     lib.hla_pair_ll(c(L), C, R, c(out),
                     default_threads() if n_threads is None else n_threads)
     return out
+
+
+def repr_double(v: float) -> str | None:
+    """CPython-repr of a double via the native formatter (test surface for
+    hla_format_pairs's number layout)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(40)
+    n = lib.hla_repr_double(float(v), ctypes.cast(buf, ctypes.c_void_p))
+    return buf.raw[:n].decode()
+
+
+def format_pairs(a_idx: np.ndarray, b_idx: np.ndarray, P: np.ndarray,
+                 LL: np.ndarray, MM: np.ndarray, ids: list[bytes],
+                 n_threads: int | None = None) -> bytes | None:
+    """Bulk-format the R1_PP_<locus>_pairs.txt body (HLATyper.cpp:2382-2404
+    output contract): per line `ids[a]/ids[b]\\tP\\tLL\\tMM\\n` with floats
+    in exact CPython repr (byte-parity locked in tests/test_native_parity).
+    Returns the whole body as bytes, or None if the lib is missing."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n = len(P)
+    a_c = np.ascontiguousarray(a_idx, dtype=np.int32)
+    b_c = np.ascontiguousarray(b_idx, dtype=np.int32)
+    P_c = np.ascontiguousarray(P, dtype=np.float64)
+    LL_c = np.ascontiguousarray(LL, dtype=np.float64)
+    MM_c = np.ascontiguousarray(MM, dtype=np.float64)
+    blob = b"".join(ids)
+    off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in ids], out=off[1:])
+    blob_a = np.frombuffer(blob, dtype=np.uint8) if blob else \
+        np.empty(0, np.uint8)
+    out = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.hla_format_pairs(
+        c(a_c), c(b_c), c(P_c), c(LL_c), c(MM_c), n,
+        c(blob_a), c(off), len(ids), ctypes.byref(out),
+        ctypes.byref(out_len),
+        default_threads() if n_threads is None else n_threads)
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out.value, out_len.value)
+    finally:
+        lib.hla_free(out)

@@ -55,8 +55,12 @@ class TyperConfig:
     min_both_reads_weighted_ok: float = 0.0
     minimum_mapping_quality: float = 0.0
     # workload gate for per-locus typing workers (fixed per-worker costs
-    # only amortise at WGS scale; tests lower this to exercise the path)
+    # only amortise at WGS scale; tests lower this to exercise the path).
+    # min_loci=2: at >=50k aligned reads even a 2-locus split pays — the
+    # IMGT-scale world (2 loci x C=2200 x R=16.5k, ~50s/locus serial)
+    # halves; below the reads gate serial always wins (measured r2/r3)
     min_reads_for_typing_workers: int = 50_000
+    min_loci_for_typing_workers: int = 2
     minimum_per_position_mapping_quality: float = 0.7
     insert_size_sd_range: float = 5.0            # HLATyper.cpp:1411
     min_alignment_length_unpaired: int = 1000    # HLATyper.cpp:1034
@@ -106,6 +110,7 @@ class TyperConfig:
             unaccounted_min_allele_fraction=self.unaccounted_min_allele_fraction,
             k_for_kmer_index=self.k_for_kmer_index,
             min_reads_for_typing_workers=self.min_reads_for_typing_workers,
+            min_loci_for_typing_workers=self.min_loci_for_typing_workers,
         )
 
 

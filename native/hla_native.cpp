@@ -10,9 +10,12 @@
 //
 // Build: make -C native   (produces libhla_native.so)
 
+#include <charconv>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <memory>
 #include <vector>
 #include <thread>
@@ -2653,6 +2656,140 @@ static double pair_chunk_sum_scalar(const double* a, const double* b,
         if (d < 17.0) s += log1p(exp(-d));
     }
     return s;
+}
+
+// ------------------------------------------------------------ text output
+// CPython-repr float formatting + bulk line assembly for the
+// R1_PP_<locus>_pairs.txt posterior dump (HLATyper.cpp:2382-2404 output
+// contract).  At IMGT scale the dump is C(C+1)/2 ~ 2.4M lines (~120 MB)
+// per locus and Python-side repr dominates the write.  std::to_chars
+// (scientific, no precision) yields the same shortest correctly-rounded
+// digit string CPython's float_repr uses; we re-lay it out under CPython's
+// rule: fixed iff -4 <= exp10 < 16, else scientific with a signed
+// >=2-digit exponent.  Byte-parity vs repr() is locked by
+// tests/test_native_parity.py.
+static int py_repr_double(double v, char* out) {
+    char* p = out;
+    if (std::isnan(v)) { std::memcpy(p, "nan", 3); return 3; }
+    if (std::signbit(v)) { *p++ = '-'; v = -v; }
+    if (std::isinf(v)) {
+        std::memcpy(p, "inf", 3);
+        return (int)(p - out) + 3;
+    }
+    if (v == 0.0) {
+        std::memcpy(p, "0.0", 3);
+        return (int)(p - out) + 3;
+    }
+    char sci[48];
+    auto res = std::to_chars(sci, sci + sizeof(sci), v,
+                             std::chars_format::scientific);
+    // parse "d[.ddd]e(+|-)XX" -> digit string D + decimal exponent E
+    char digits[24];
+    int nd = 0;
+    const char* s = sci;
+    digits[nd++] = *s++;
+    if (*s == '.') {
+        ++s;
+        while (*s != 'e') digits[nd++] = *s++;
+    }
+    ++s;                                     // skip 'e'
+    int esign = (*s++ == '-') ? -1 : 1;
+    int E = 0;
+    while (s < res.ptr) E = E * 10 + (*s++ - '0');
+    E *= esign;
+    if (E < -4 || E >= 16) {                 // scientific, CPython layout
+        *p++ = digits[0];
+        if (nd > 1) {
+            *p++ = '.';
+            std::memcpy(p, digits + 1, (size_t)(nd - 1));
+            p += nd - 1;
+        }
+        *p++ = 'e';
+        *p++ = E < 0 ? '-' : '+';
+        int ea = E < 0 ? -E : E;
+        char eb[8];
+        int ne = 0;
+        do { eb[ne++] = (char)('0' + ea % 10); ea /= 10; } while (ea);
+        if (ne < 2) eb[ne++] = '0';
+        while (ne) *p++ = eb[--ne];
+    } else if (E < 0) {                      // 0.00ddd
+        *p++ = '0'; *p++ = '.';
+        for (int i = 0; i < -E - 1; ++i) *p++ = '0';
+        std::memcpy(p, digits, (size_t)nd);
+        p += nd;
+    } else if (E >= nd - 1) {                // ddd000.0 (integral)
+        std::memcpy(p, digits, (size_t)nd);
+        p += nd;
+        for (int i = 0; i < E - (nd - 1); ++i) *p++ = '0';
+        *p++ = '.'; *p++ = '0';
+    } else {                                 // ddd.ddd
+        std::memcpy(p, digits, (size_t)(E + 1));
+        p += E + 1;
+        *p++ = '.';
+        std::memcpy(p, digits + E + 1, (size_t)(nd - E - 1));
+        p += nd - E - 1;
+    }
+    return (int)(p - out);
+}
+
+// test/bench entry: repr one double into out (>=32 bytes), returns length
+extern "C" int hla_repr_double(double v, char* out) {
+    return py_repr_double(v, out);
+}
+
+// Assemble the full pair-dump body (no header line):
+//   ids[a] '/' ids[b] '\t' repr(P) '\t' repr(LL) '\t' repr(MM) '\n'
+// ids_blob/ids_off: C id strings, offsets int64[C+1].  *out is malloc'd
+// (caller frees with hla_free), length in *out_len.  Returns 0 on success.
+extern "C" int hla_format_pairs(
+    const int32_t* a_idx, const int32_t* b_idx,
+    const double* P, const double* LL, const double* MM, int64_t n,
+    const uint8_t* ids_blob, const int64_t* ids_off, int64_t C,
+    char** out, int64_t* out_len, int n_threads) {
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 8) nt = 8;
+    if ((int64_t)nt > n) nt = n > 0 ? (int)n : 1;
+    std::vector<std::string> bufs((size_t)nt);
+    auto worker = [&](int t) {
+        int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+        std::string& b = bufs[(size_t)t];
+        b.reserve((size_t)(hi - lo) * 64);
+        char num[36];
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t a = a_idx[i], c = b_idx[i];
+            b.append((const char*)ids_blob + ids_off[a],
+                     (size_t)(ids_off[a + 1] - ids_off[a]));
+            b.push_back('/');
+            b.append((const char*)ids_blob + ids_off[c],
+                     (size_t)(ids_off[c + 1] - ids_off[c]));
+            b.push_back('\t');
+            b.append(num, (size_t)py_repr_double(P[i], num));
+            b.push_back('\t');
+            b.append(num, (size_t)py_repr_double(LL[i], num));
+            b.push_back('\t');
+            b.append(num, (size_t)py_repr_double(MM[i], num));
+            b.push_back('\n');
+        }
+    };
+    if (nt == 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+        for (auto& th : threads) th.join();
+    }
+    size_t total = 0;
+    for (auto& b : bufs) total += b.size();
+    char* buf = (char*)std::malloc(total ? total : 1);
+    if (!buf) return -1;
+    size_t off = 0;
+    for (auto& b : bufs) {
+        std::memcpy(buf + off, b.data(), b.size());
+        off += b.size();
+    }
+    *out = buf;
+    *out_len = (int64_t)total;
+    return 0;
 }
 
 extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,

@@ -213,6 +213,25 @@ def main():
     peak = rss_gb()
     assert peak < 12.0, f"peak RSS {peak:.2f} GB — tiling regressed"
 
+    # ---- per-locus fan-out at IMGT scale: byte-identical + faster ----
+    # (the >=50k-reads x >=2-loci gate engages here: ~50s/locus serial)
+    out_dir2 = os.path.join(CACHE, "out_fanout")
+    if os.path.exists(out_dir2):
+        shutil.rmtree(out_dir2)
+    typer2 = HLATyper(pkg)
+    t0 = time.time()
+    typer2.type_all(kept_fq, aligned, [], [], float(ins_mean),
+                    float(ins_sd), out_dir2, n_workers=2)
+    t_fan = time.time() - t0
+    import filecmp
+    names = sorted(os.listdir(out_dir))
+    assert names == sorted(os.listdir(out_dir2))
+    match, mismatch, errors = filecmp.cmpfiles(out_dir, out_dir2, names,
+                                               shallow=False)
+    assert not mismatch and not errors, (mismatch, errors)
+    log(f"fan-out (2 workers): {t_fan:.1f}s vs serial {t_type:.1f}s — "
+        f"{len(match)} output files byte-identical")
+
     t_jax, t_np = time_pair_reduction(C_max, R_max, full_numpy)
     log(f"SUMMARY: align {t_align:.1f}s, typing {t_type:.1f}s "
         f"(both loci), C={C_max}, R={R_max}, peak RSS {peak:.2f} GB, "

@@ -149,3 +149,57 @@ def test_select_pair_edge_cases(world):
         assert abs(a.mapq - b.mapq) < 1e-9
         assert abs(a.chain1.mapq - b.chain1.mapq) < 1e-9
         assert np.array_equal(a.chain1.levels, b.chain1.levels)
+
+
+def test_repr_double_parity():
+    """hla_repr_double must be byte-identical to CPython's float repr —
+    the PP-pairs dump (hla_format_pairs) relies on it for snapshot-level
+    byte parity.  Sweep the layout boundaries (fixed<->scientific at
+    exp10 -4/16), integral floats, subnormals, and a large random mix."""
+    import math
+    import struct
+
+    adversarial = [
+        0.0, -0.0, 1.0, -1.0, 0.5, 1.5, 123.45, -123.45,
+        1e-4, 9.999e-5, 1e-5, 1.0000000000000002e-4,
+        1e15, 1e16, 1.5e16, 9999999999999998.0, 1e17,
+        15000.0, 0.0015, 1e300, 1e-300, 5e-324, 2.2250738585072014e-308,
+        1.7976931348623157e308, 1 / 3, 2 / 3, math.pi, math.e,
+        0.1, 0.2, 0.30000000000000004, -40.123456789,
+        float("inf"), float("-inf"), float("nan"),
+    ]
+    for v in adversarial:
+        assert native.repr_double(v) == repr(v), v
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.normal(-40, 20, 20000),
+        rng.normal(0, 1e-6, 5000),
+        np.exp(rng.uniform(-700, 700, 20000)) *
+        np.where(rng.random(20000) < 0.5, -1, 1),
+        struct.unpack("<10000d", rng.bytes(80000)),
+    ])
+    for v in vals.tolist():
+        if v != v:          # random-bits NaNs all repr as 'nan'
+            assert native.repr_double(v) == "nan"
+        else:
+            assert native.repr_double(v) == repr(v), v
+
+
+def test_format_pairs_parity():
+    """Native bulk dump body must be byte-identical to the python
+    formatting loop in HLATyper (dump contract HLATyper.cpp:2382-2404)."""
+    rng = np.random.default_rng(11)
+    C, n = 7, 400
+    ids = [f"A*{i:02d}:01;A*{i:02d}:02N".encode() for i in range(C)]
+    a = rng.integers(0, C, n).astype(np.int32)
+    b = rng.integers(0, C, n).astype(np.int32)
+    P = np.exp(rng.normal(-200, 100, n))
+    LL = rng.normal(-1e4, 1e3, n)
+    MM = rng.integers(0, 50, n) / 2.0
+    got = native.format_pairs(a, b, P, LL, MM, ids)
+    want = "".join(
+        f"{ids[x].decode()}/{ids[y].decode()}\t{p}\t{v}\t{m}\n"
+        for x, y, p, v, m in zip(a.tolist(), b.tolist(), P.tolist(),
+                                 LL.tolist(), MM.tolist())).encode()
+    assert got == want

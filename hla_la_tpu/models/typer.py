@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -43,6 +44,41 @@ from .alignment import (GraphAlignment, alignment_fraction_ok,
 
 GAP = ord("_")
 _BASE_CH = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
+class _AsyncOutput:
+    """Deferred writes for the big per-locus text artifacts (pileup, PP
+    pairs dump — ~180 MB + ~120 MB per locus at IMGT scale): the build/
+    write runs on a background thread and overlaps the GIL-releasing
+    native pair reduction and BLAS phases of the same/next locus.  All
+    threads are joined (and the first error re-raised, fail-loud) at
+    flush(), called before type_all returns — output bytes are identical
+    to the inline path."""
+
+    def __init__(self, max_pending: int = 4):
+        self._threads: list[threading.Thread] = []
+        self._errors: list[BaseException] = []
+        self._max = max_pending
+
+    def submit(self, fn):
+        if len(self._threads) >= self._max:   # bound buffered-body RSS
+            self._threads.pop(0).join()
+
+        def run():
+            try:
+                fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised in flush
+                self._errors.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        self._threads.append(t)
+
+    def flush(self):
+        while self._threads:
+            self._threads.pop(0).join()
+        if self._errors:
+            raise self._errors[0]
 
 
 @dataclass(slots=True)
@@ -377,21 +413,26 @@ class HLATyper:
                 raw_pairs, aligned_pairs, raw_unpaired, aligned_unpaired,
                 insert_mean, insert_sd, output_dir, cfg, long_reads,
                 kmer_counts, n_workers, worker_pool)
-        with open(hist_path, "w") as hist_fh:
-            hist_fh.write("Locus\tLevelValue\n")
-            for locus in self.loci:
-                if per_locus is not None:
-                    r, hist_text = per_locus[locus]
-                    hist_fh.write(hist_text)
-                else:
-                    log_progress(f"HLATypeInference: locus {locus}")
-                    r = self._type_locus(locus, raw_pairs, aligned_pairs,
-                                         raw_unpaired, aligned_unpaired,
-                                         insert_mean, insert_sd, output_dir,
-                                         cfg, long_reads, kmer_counts,
-                                         hist_fh)
-                if r is not None:
-                    results.append(r)
+        self._async_out = _AsyncOutput()
+        try:
+            with open(hist_path, "w") as hist_fh:
+                hist_fh.write("Locus\tLevelValue\n")
+                for locus in self.loci:
+                    if per_locus is not None:
+                        r, hist_text = per_locus[locus]
+                        hist_fh.write(hist_text)
+                    else:
+                        log_progress(f"HLATypeInference: locus {locus}")
+                        r = self._type_locus(locus, raw_pairs, aligned_pairs,
+                                             raw_unpaired, aligned_unpaired,
+                                             insert_mean, insert_sd,
+                                             output_dir, cfg, long_reads,
+                                             kmer_counts, hist_fh)
+                    if r is not None:
+                        results.append(r)
+        finally:
+            aout, self._async_out = self._async_out, None
+            aout.flush()
 
         self._pair_ranges = None     # only valid for this read set
         self._pair_quality = None
@@ -1162,19 +1203,23 @@ class HLATyper:
         # the structured argsort on the 2.4M-pair IMGT-scale dump)
         order = np.lexsort((mism_avg, -pair_vals))
         cluster_ids = [";".join(sorted(c)) for c in clusters]
-        with open(os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt"),
-                  "wb") as fh:
-            fh.write(b"ClusterID\tP\tLL\tMismatches_avg\n")
-            iu0_o, iu1_o = iu[0][order], iu[1][order]
-            # native bulk formatter (hla_format_pairs): threaded C++
-            # CPython-repr layout, byte-identical to the python path below
-            # (locked by tests/test_native_parity.py + the snapshot suite)
-            body = native.format_pairs(
-                iu0_o, iu1_o, P[order], pair_vals[order], mism_avg[order],
-                [s.encode() for s in cluster_ids])
-            if body is not None:
-                fh.write(body)
-            else:
+        pp_path = os.path.join(output_dir, f"R1_PP_{locus}_pairs.txt")
+        iu0_o, iu1_o = iu[0][order], iu[1][order]
+        P_o, LL_o, MM_o = P[order], pair_vals[order], mism_avg[order]
+
+        def write_pp():
+            with open(pp_path, "wb") as fh:
+                fh.write(b"ClusterID\tP\tLL\tMismatches_avg\n")
+                # native bulk formatter (hla_format_pairs): threaded C++
+                # CPython-repr layout, byte-identical to the python path
+                # below (locked by tests/test_native_parity.py + the
+                # snapshot suite)
+                body = native.format_pairs(
+                    iu0_o, iu1_o, P_o, LL_o, MM_o,
+                    [s.encode() for s in cluster_ids])
+                if body is not None:
+                    fh.write(body)
+                    return
                 # chunked bulk formatting: at IMGT scale this file is
                 # C(C+1)/2 ~ 2.4M lines (~120 MB); a per-line write loop
                 # costs ~20 s.  .tolist() floats repr identically to the
@@ -1185,9 +1230,14 @@ class HLATyper:
                         f"{cluster_ids[a]}/{cluster_ids[b]}\t{p}\t{v}\t{m}\n"
                         for a, b, p, v, m in zip(
                             iu0_o[lo:hi].tolist(), iu1_o[lo:hi].tolist(),
-                            P[order[lo:hi]].tolist(),
-                            pair_vals[order[lo:hi]].tolist(),
-                            mism_avg[order[lo:hi]].tolist())).encode())
+                            P_o[lo:hi].tolist(), LL_o[lo:hi].tolist(),
+                            MM_o[lo:hi].tolist())).encode())
+
+        aout = getattr(self, "_async_out", None)
+        if aout is not None:
+            aout.submit(write_pp)       # overlaps QC + the next locus
+        else:
+            write_pp()
 
         # ---- QC ----------------------------------------------------------
         allele1_id = cluster_ids[best1]
@@ -1512,6 +1562,35 @@ class HLATyper:
     # -------------------------------------------------------------- outputs
     def _write_pileup(self, locus, soa: _ObsSoA, used_idx, exon_idx,
                       exon_pos, strand_freqs, read1_freqs, output_dir):
+        """Build + write R1_pileup_<locus>.txt (HLATyper.cpp:1940-2010
+        layout).  When an _AsyncOutput is active (type_all / the typing
+        worker), the build+write runs on a background thread — all inputs
+        are locus-local and immutable by then, and the shared pos-str
+        cache is extended HERE on the caller thread (builder threads only
+        read already-built entries; CPython list growth never invalidates
+        them)."""
+        # str(i) cache lives on the typer (reclaimed with it, unlike a
+        # module global) and is shared across this run's loci
+        ep_a0 = np.asarray(exon_pos)
+        pos_str = getattr(self, "_pos_str_cache", None)
+        if pos_str is None:
+            pos_str = self._pos_str_cache = []
+        need = int(ep_a0.max()) + 1 if len(ep_a0) else 0
+        while len(pos_str) < need:
+            pos_str.extend(map(str, range(len(pos_str), need)))
+        aout = getattr(self, "_async_out", None)
+        if aout is not None:
+            aout.submit(lambda: self._build_pileup(
+                locus, soa, used_idx, exon_idx, exon_pos, strand_freqs,
+                read1_freqs, output_dir, pos_str))
+        else:
+            self._build_pileup(locus, soa, used_idx, exon_idx, exon_pos,
+                               strand_freqs, read1_freqs, output_dir,
+                               pos_str)
+
+    def _build_pileup(self, locus, soa: _ObsSoA, used_idx, exon_idx,
+                      exon_pos, strand_freqs, read1_freqs, output_dir,
+                      pos_str):
         path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
         with open(path, "w") as fh:
             J = len(exon_idx)
@@ -1527,14 +1606,6 @@ class HLATyper:
             run_breaks = ((np.flatnonzero((np.diff(ei_a) != 0)
                                           | (np.diff(ep_a) != 1)) + 1)
                           .tolist() if J > 1 else [])
-            # str(i) cache lives on the typer (reclaimed with it, unlike a
-            # module global) and is shared across this run's loci
-            pos_str = getattr(self, "_pos_str_cache", None)
-            if pos_str is None:
-                pos_str = self._pos_str_cache = []
-            need = int(ep_a.max()) + 1 if J else 0
-            while len(pos_str) < need:
-                pos_str.extend(map(str, range(len(pos_str), need)))
             import bisect as _bisect
 
             def zero_chunk(a, b):
@@ -1932,12 +2003,18 @@ def _typing_worker(args):
         aligned_pairs, insert_mean, insert_sd, cfg)
         if aligned_pairs else None)
     typer._hist_override = hist_w   # full-set fractions for the histogram
+    typer._async_out = _AsyncOutput()
     out = []
-    for locus in loci:
-        log_progress(f"HLATypeInference: locus {locus}")
-        fh = io.StringIO()
-        r = typer._type_locus(locus, raw_pairs, aligned_pairs, raw_unpaired,
-                              aligned_unpaired, insert_mean, insert_sd,
-                              output_dir, cfg, long_reads, kmer_counts, fh)
-        out.append((locus, r, fh.getvalue()))
+    try:
+        for locus in loci:
+            log_progress(f"HLATypeInference: locus {locus}")
+            fh = io.StringIO()
+            r = typer._type_locus(locus, raw_pairs, aligned_pairs,
+                                  raw_unpaired, aligned_unpaired,
+                                  insert_mean, insert_sd, output_dir, cfg,
+                                  long_reads, kmer_counts, fh)
+            out.append((locus, r, fh.getvalue()))
+    finally:
+        aout, typer._async_out = typer._async_out, None
+        aout.flush()
     return out

@@ -149,6 +149,9 @@ def _find_lib():
                 lib.hla_pair_ll.restype = None
                 lib.hla_pair_ll.argtypes = [vp, i64, i64, vp,
                                             ctypes.c_int]
+                lib.hla_pair_ll_f32.restype = None
+                lib.hla_pair_ll_f32.argtypes = [vp, i64, i64, vp,
+                                                ctypes.c_int]
                 lib.hla_repr_double.restype = ctypes.c_int
                 lib.hla_repr_double.argtypes = [f64, vp]
                 lib.hla_format_pairs.restype = ctypes.c_int
@@ -765,12 +768,18 @@ def pair_ll(L: np.ndarray, n_threads: int | None = None
     lib = _find_lib()
     if lib is None:
         return None
-    L = np.ascontiguousarray(L, dtype=np.float64)
     C, R = L.shape
     out = np.empty((C, C), dtype=np.float64)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-    lib.hla_pair_ll(c(L), C, R, c(out),
-                    default_threads() if n_threads is None else n_threads)
+    nt = default_threads() if n_threads is None else n_threads
+    if L.dtype == np.float32:
+        # f32 path converts on load in-kernel — bit-identical to the f64
+        # path on the converted matrix, minus the ~300 MB up-front copy
+        L32 = np.ascontiguousarray(L, dtype=np.float32)
+        lib.hla_pair_ll_f32(c(L32), C, R, c(out), nt)
+    else:
+        L64 = np.ascontiguousarray(L, dtype=np.float64)
+        lib.hla_pair_ll(c(L64), C, R, c(out), nt)
     return out
 
 

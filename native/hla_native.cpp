@@ -2658,6 +2658,67 @@ static double pair_chunk_sum_scalar(const double* a, const double* b,
     return s;
 }
 
+#if defined(__AVX512F__)
+// f32-input variant: cvt to f64 on load (exact), then byte-identical
+// accumulation structure to pair_chunk_sum_avx512 — the typing LL matrix
+// is f32 [C,R], and converting it up-front costs a ~300 MB copy per locus
+// at IMGT scale (measured ~4 s under contention).
+static double pair_chunk_sum_avx512_f32(const float* __restrict a,
+                                        const float* __restrict b,
+                                        int64_t n) {
+    const __m512d half = _mm512_set1_pd(0.5);
+    const __m512d cut = _mm512_set1_pd(17.0);
+    __m512d acc0 = _mm512_setzero_pd();
+    __m512d acc1 = _mm512_setzero_pd();
+    int64_t i = 0;
+    for (; i + 16 <= n; i += 16) {
+        __m512 av = _mm512_loadu_ps(a + i);
+        __m512 bv = _mm512_loadu_ps(b + i);
+        __m512d d0 = _mm512_abs_pd(_mm512_sub_pd(
+            _mm512_cvtps_pd(_mm512_extractf32x8_ps(av, 0)),
+            _mm512_cvtps_pd(_mm512_extractf32x8_ps(bv, 0))));
+        __m512d d1 = _mm512_abs_pd(_mm512_sub_pd(
+            _mm512_cvtps_pd(_mm512_extractf32x8_ps(av, 1)),
+            _mm512_cvtps_pd(_mm512_extractf32x8_ps(bv, 1))));
+        acc0 = _mm512_fmadd_pd(half, d0, acc0);
+        acc1 = _mm512_fmadd_pd(half, d1, acc1);
+        __mmask8 m0 = _mm512_cmp_pd_mask(d0, cut, _CMP_LT_OQ);
+        __mmask8 m1 = _mm512_cmp_pd_mask(d1, cut, _CMP_LT_OQ);
+        if (!(m0 | m1)) continue;
+        __m512 df = _mm512_min_ps(_mm512_set1_ps(17.0f), _mm512_insertf32x8(
+            _mm512_castps256_ps512(_mm512_cvtpd_ps(d0)),
+            _mm512_cvtpd_ps(d1), 1));
+        __m512 sp = pair_log512_ps(_mm512_add_ps(
+            _mm512_set1_ps(1.0f),
+            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df))));
+        acc0 = _mm512_add_pd(acc0, _mm512_maskz_cvtps_pd(
+            m0, _mm512_extractf32x8_ps(sp, 0)));
+        acc1 = _mm512_add_pd(acc1, _mm512_maskz_cvtps_pd(
+            m1, _mm512_extractf32x8_ps(sp, 1)));
+    }
+    double s = _mm512_reduce_add_pd(acc0) + _mm512_reduce_add_pd(acc1);
+    for (; i < n; ++i) {
+        double d = (double)a[i] - (double)b[i];
+        if (d < 0) d = -d;
+        s += 0.5 * d;
+        if (d < 17.0) s += log1p((float)exp((float)-d));
+    }
+    return s;
+}
+#endif  // __AVX512F__
+
+static double pair_chunk_sum_scalar_f32(const float* a, const float* b,
+                                        int64_t n) {
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        double d = (double)a[i] - (double)b[i];
+        if (d < 0) d = -d;
+        s += 0.5 * d;
+        if (d < 17.0) s += log1p(exp(-d));
+    }
+    return s;
+}
+
 // ------------------------------------------------------------ text output
 // CPython-repr float formatting + bulk line assembly for the
 // R1_PP_<locus>_pairs.txt posterior dump (HLATyper.cpp:2382-2404 output
@@ -2792,14 +2853,36 @@ extern "C" int hla_format_pairs(
     return 0;
 }
 
-extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
-                            double* out, int n_threads) {
+template <typename T>
+static double pair_chunk_sum(const T* a, const T* b, int64_t n);
+
+template <>
+double pair_chunk_sum<double>(const double* a, const double* b, int64_t n) {
+#if defined(__AVX512F__)
+    return pair_chunk_sum_avx512(a, b, n);
+#else
+    return pair_chunk_sum_scalar(a, b, n);
+#endif
+}
+
+template <>
+double pair_chunk_sum<float>(const float* a, const float* b, int64_t n) {
+#if defined(__AVX512F__)
+    return pair_chunk_sum_avx512_f32(a, b, n);
+#else
+    return pair_chunk_sum_scalar_f32(a, b, n);
+#endif
+}
+
+template <typename T>
+static void pair_ll_impl(const T* L, int64_t C, int64_t R,
+                         double* out, int n_threads) {
     const double LOG_HALF = -0.69314718055994530942;
     std::vector<double> rowsum((size_t)C);
     for (int64_t c = 0; c < C; ++c) {
         double s = 0.0;
-        const double* row = L + c * R;
-        for (int64_t r = 0; r < R; ++r) s += row[r];
+        const T* row = L + c * R;
+        for (int64_t r = 0; r < R; ++r) s += (double)row[r];
         rowsum[(size_t)c] = s;
     }
     int nt = n_threads > 0 ? n_threads : 1;
@@ -2818,17 +2901,11 @@ extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
                 // c2 outer / c1 inner: the b chunk stays L1-resident
                 // across the tile's 32 a rows (a rows live in L2)
                 for (int64_t c2 = c1_lo; c2 < C; ++c2) {
-                    const double* b = L + c2 * R + r0;
+                    const T* b = L + c2 * R + r0;
                     int64_t c1_top = c2 + 1 < c1_hi ? c2 + 1 : c1_hi;
-                    for (int64_t c1 = c1_lo; c1 < c1_top; ++c1) {
-#if defined(__AVX512F__)
-                        out[c1 * C + c2] += pair_chunk_sum_avx512(
+                    for (int64_t c1 = c1_lo; c1 < c1_top; ++c1)
+                        out[c1 * C + c2] += pair_chunk_sum<T>(
                             L + c1 * R + r0, b, rn);
-#else
-                        out[c1 * C + c2] += pair_chunk_sum_scalar(
-                            L + c1 * R + r0, b, rn);
-#endif
-                    }
                 }
             }
             for (int64_t c1 = c1_lo; c1 < c1_hi; ++c1) {
@@ -2846,4 +2923,18 @@ extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
     std::vector<std::thread> threads;
     for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
     for (auto& th : threads) th.join();
+}
+
+extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
+                            double* out, int n_threads) {
+    pair_ll_impl<double>(L, C, R, out, n_threads);
+}
+
+// f32 input (the typing LL matrix's dtype): cvt-on-load inside the kernel
+// — bit-identical to converting the matrix to f64 first (the cvt is
+// exact and the accumulation structure is shared), without the ~300 MB
+// up-front copy per IMGT-scale locus.
+extern "C" void hla_pair_ll_f32(const float* L, int64_t C, int64_t R,
+                                double* out, int n_threads) {
+    pair_ll_impl<float>(L, C, R, out, n_threads);
 }

@@ -203,3 +203,15 @@ def test_format_pairs_parity():
         for x, y, p, v, m in zip(a.tolist(), b.tolist(), P.tolist(),
                                  LL.tolist(), MM.tolist())).encode()
     assert got == want
+
+
+def test_pair_ll_f32_bitexact_vs_f64_path():
+    """hla_pair_ll_f32 (cvt-on-load) must be BIT-identical to the f64
+    kernel run on the up-converted matrix — same accumulation structure,
+    exact f32->f64 conversion (HLATyper.cpp:2280-2364 reduction)."""
+    rng = np.random.default_rng(23)
+    for C, R in ((5, 37), (64, 1000), (130, 2048)):
+        L32 = rng.normal(-40, 8, (C, R)).astype(np.float32)
+        got = native.pair_ll(L32)
+        want = native.pair_ll(L32.astype(np.float64))
+        assert np.array_equal(got, want), (C, R)

@@ -222,3 +222,26 @@ def test_filter_first20_erasure_warning_count():
     n2 = HLATyper._filter_first20(None, reads_obs2, set(), {}, cfg,
                                   soa=_ObsSoA(reads_obs2))
     assert n2 == 0
+
+
+def test_async_output_errors_fail_loud(typed_world, tmp_path, monkeypatch):
+    """A failure inside a deferred output write (pileup / PP dump built on
+    the background thread) must surface as an exception from type_all,
+    never a silent missing/truncated file."""
+    sim, pkg, res, out_dir, _ = typed_world
+    from hla_la_tpu.io.fastq import FastqRead
+    from hla_la_tpu.models.typer import HLATyper
+
+    def boom(*a, **k):
+        raise RuntimeError("pileup build failed")
+
+    monkeypatch.setattr(HLATyper, "_build_pileup", boom)
+    typer = HLATyper(pkg)
+    rs = ReadSimulator(np.random.default_rng(5), read_length=100,
+                       fragment_mean=320, fragment_sd=30)
+    seq, levels = sim.linearized(1)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 6.0, name_prefix="x")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    from hla_la_tpu.models.pipeline import run_hla_typing
+    with pytest.raises(RuntimeError, match="pileup build failed"):
+        run_hla_typing(pkg, pairs=fq, output_dir=str(tmp_path / "o"))

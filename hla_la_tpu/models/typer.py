@@ -520,7 +520,7 @@ class HLATyper:
         # package reload for fresh workers) only amortise at WGS scale
         # (~1M MHC reads / several loci) — below that serial typing wins
         min_reads = getattr(self.cfg, "min_reads_for_typing_workers", 50_000)
-        min_loci = getattr(self.cfg, "min_loci_for_typing_workers", 2)
+        min_loci = getattr(self.cfg, "min_loci_for_typing_workers", 4)
         if len(aligned_pairs) + len(aligned_unpaired) < min_reads \
                 or len(self.loci) < min_loci:
             return None
@@ -694,13 +694,13 @@ class HLATyper:
 
         worst_q = np.where(is_del, 0, al.seq_qual[rec_cols]
                            ).astype(np.uint8)
-        # fast path: no trailing insertions (the overwhelming majority)
+        # fast path: no trailing insertions (the overwhelming majority).
+        # Only interned ids live on the record — the per-record python
+        # string/bytes lists (~160 per chain, ~8.7M items per IMGT-scale
+        # run) exist nowhere on the hot path; the legacy ExonObs path
+        # reconstructs them from the intern tables on demand.
         chars = bytes(seq_at).decode()
         qual_all = bytes(al.seq_qual[rec_cols])
-        genotype = ["_" if d else chars[i]
-                    for i, d in enumerate(is_del.tolist())]
-        qualities = [b"" if d else qual_all[i:i + 1]
-                     for i, d in enumerate(is_del.tolist())]
         # intern genotype strings / quality bytes into the run-global
         # tables (single-char fast path via 256-entry luts; insertion
         # records fixed up in the rare-case loop below)
@@ -742,22 +742,17 @@ class HLATyper:
             ins_cols = np.arange(c + 1, c + 1 + n_ins[i])
             g = bytes(seq_c[ins_cols]).decode()
             q = bytes(al.seq_qual[ins_cols])
-            if is_del[i]:
-                # leading '_' absorbed by the insertion (reference
-                # removes it, HLATyper.cpp:3345-3357)
-                genotype[i] = g
-                qualities[i] = q
-            else:
-                genotype[i] = chars[i] + g
-                qualities[i] = qual_all[i:i + 1] + q
-            worst_q[i] = min(qualities[i]) if qualities[i] else 0
-            gid[i] = intern_g(genotype[i])
-            qid[i] = intern_q(qualities[i])
-            q0[i] = qualities[i][0] if qualities[i] else 0
+            if not is_del[i]:
+                g = chars[i] + g
+                q = qual_all[i:i + 1] + q
+            # else: leading '_' absorbed by the insertion (reference
+            # removes it, HLATyper.cpp:3345-3357)
+            worst_q[i] = min(q) if q else 0
+            gid[i] = intern_g(g)
+            qid[i] = intern_q(q)
+            q0[i] = q[0] if q else 0
         rec = dict(
             levels=levels_arr[rec_cols],
-            genotype=genotype,
-            qualities=qualities,
             worst_q=worst_q,
             gid=gid,
             qid=qid,
@@ -797,7 +792,12 @@ class HLATyper:
         lv_l = lv[lo:hi].tolist()
         mqp_l = rec["mapq_pos"][lo:hi].tolist()
         rn_l = rec["run_novel"][lo:hi].tolist()
-        geno, quals = rec["genotype"], rec["qualities"]
+        # reconstruct the per-record strings from the intern tables (the
+        # hot path carries only ids; this legacy ExonObs path is kept for
+        # the field-for-field parity lock, tests/test_obs_vectorized.py)
+        g_list, q_list = self._geno_list, self._qual_list
+        geno = [g_list[j] for j in rec["gid"].tolist()]
+        quals = [q_list[j] for j in rec["qid"].tolist()]
         mapq, name, cols_ng = al.mapq, read.name, rec["cols_nongap"]
         rev, ffr = al.reverse, al.from_first_read
         get_pos = level_to_pos.get

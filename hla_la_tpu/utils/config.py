@@ -56,11 +56,14 @@ class TyperConfig:
     minimum_mapping_quality: float = 0.0
     # workload gate for per-locus typing workers (fixed per-worker costs
     # only amortise at WGS scale; tests lower this to exercise the path).
-    # min_loci=2: at >=50k aligned reads even a 2-locus split pays — the
-    # IMGT-scale world (2 loci x C=2200 x R=16.5k, ~50s/locus serial)
-    # halves; below the reads gate serial always wins (measured r2/r3)
+    # min_loci=4 (measured r3): at 2 loci a fan-out split loses what the
+    # serial path gains from the 4-thread native pair kernel + async
+    # output writes (IMGT world, 2 x C=2200 x R=16.5k: serial 109.6s vs
+    # 2-worker fan-out 111.5s) — workers run kernels single-threaded.
+    # Byte-identity of fan-out vs serial stays locked by stress_imgt.py
+    # (explicit cfg override) and stress_wgs.py (17 loci, gate engaged).
     min_reads_for_typing_workers: int = 50_000
-    min_loci_for_typing_workers: int = 2
+    min_loci_for_typing_workers: int = 4
     minimum_per_position_mapping_quality: float = 0.7
     insert_size_sd_range: float = 5.0            # HLATyper.cpp:1411
     min_alignment_length_unpaired: int = 1000    # HLATyper.cpp:1034

@@ -15,7 +15,9 @@ C ~ 560 in-suite.  This script is the full-scale version:
     (numpy timed on a read-slice and extrapolated — it is linear in R;
     pass --full-numpy for the complete run).
 
-Usage: python stress_imgt.py [--fresh] [--full-numpy]
+Usage: python stress_imgt.py [--fresh] [--full-numpy] [--skip-kernels]
+(--skip-kernels: skip the backend kernel-timing section — the numpy
+extrapolation slice alone costs ~10 min on a contended VM)
 Cache: /tmp/hla_imgt_stress_v1.  Not in the pytest suite (minutes);
 run after invasive typer/pair_ll changes.  Results logged in
 docs/ROADMAP.md (round 3).
@@ -213,12 +215,15 @@ def main():
     peak = rss_gb()
     assert peak < 12.0, f"peak RSS {peak:.2f} GB — tiling regressed"
 
-    # ---- per-locus fan-out at IMGT scale: byte-identical + faster ----
-    # (the >=50k-reads x >=2-loci gate engages here: ~50s/locus serial)
+    # ---- per-locus fan-out at IMGT scale: byte-identical --------------
+    # (gate lowered explicitly: the production default needs >=4 loci —
+    # at 2 ultra-deep loci serial wins since workers run the native pair
+    # kernel single-threaded, measured r3: 109.6s serial vs 111.5s fan-out)
     out_dir2 = os.path.join(CACHE, "out_fanout")
     if os.path.exists(out_dir2):
         shutil.rmtree(out_dir2)
     typer2 = HLATyper(pkg)
+    typer2.cfg.min_loci_for_typing_workers = 2
     t0 = time.time()
     typer2.type_all(kept_fq, aligned, [], [], float(ins_mean),
                     float(ins_sd), out_dir2, n_workers=2)
@@ -232,10 +237,15 @@ def main():
     log(f"fan-out (2 workers): {t_fan:.1f}s vs serial {t_type:.1f}s — "
         f"{len(match)} output files byte-identical")
 
-    t_jax, t_np = time_pair_reduction(C_max, R_max, full_numpy)
-    log(f"SUMMARY: align {t_align:.1f}s, typing {t_type:.1f}s "
-        f"(both loci), C={C_max}, R={R_max}, peak RSS {peak:.2f} GB, "
-        f"C^2 kernel jax {t_jax:.1f}s / numpy ~{t_np:.0f}s")
+    if "--skip-kernels" in sys.argv:
+        log(f"SUMMARY: align {t_align:.1f}s, typing {t_type:.1f}s serial / "
+            f"{t_fan:.1f}s fan-out (both loci), C={C_max}, R={R_max}, "
+            f"peak RSS {peak:.2f} GB (kernel timing skipped)")
+    else:
+        t_jax, t_np = time_pair_reduction(C_max, R_max, full_numpy)
+        log(f"SUMMARY: align {t_align:.1f}s, typing {t_type:.1f}s "
+            f"(both loci), C={C_max}, R={R_max}, peak RSS {peak:.2f} GB, "
+            f"C^2 kernel jax {t_jax:.1f}s / numpy ~{t_np:.0f}s")
     print("STRESS_IMGT OK")
 
 

@@ -2575,31 +2575,24 @@ static inline __m512 pair_exp512_ps(__m512 x) {
     return _mm512_scalef_ps(y, fx);
 }
 
-static inline __m512 pair_log512_ps(__m512 u) {
-    // log(u) for u in (1, 2] (cephes polynomial via getmant/getexp)
-    const __m512 sqrthf = _mm512_set1_ps(0.707106781186547524f);
-    // frexp convention: u = m * 2^e with m in [0.5, 1) -> e = getexp + 1
-    __m512 e = _mm512_add_ps(_mm512_getexp_ps(u), _mm512_set1_ps(1.0f));
-    __m512 m = _mm512_getmant_ps(u, _MM_MANT_NORM_p5_1, _MM_MANT_SIGN_zero);
-    __mmask16 lt = _mm512_cmp_ps_mask(m, sqrthf, _CMP_LT_OQ);
-    e = _mm512_mask_sub_ps(e, lt, e, _mm512_set1_ps(1.0f));
-    m = _mm512_mask_add_ps(m, lt, m, m);
-    __m512 x = _mm512_sub_ps(m, _mm512_set1_ps(1.0f));
-    __m512 z = _mm512_mul_ps(x, x);
-    __m512 y = _mm512_set1_ps(7.0376836292e-2f);
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.1514610310e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(1.1676998740e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.2420140846e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(1.4249322787e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-1.6668057665e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(2.0000714765e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(-2.4999993993e-1f));
-    y = _mm512_fmadd_ps(y, x, _mm512_set1_ps(3.3333331174e-1f));
-    y = _mm512_mul_ps(_mm512_mul_ps(y, x), z);
-    y = _mm512_fmadd_ps(e, _mm512_set1_ps(-2.12194440e-4f), y);
-    y = _mm512_fnmadd_ps(_mm512_set1_ps(0.5f), z, y);
-    x = _mm512_add_ps(x, y);
-    return _mm512_fmadd_ps(e, _mm512_set1_ps(0.693359375f), x);
+static inline __m512 pair_log1p512_ps(__m512 y) {
+    // log1p(y) for y in [0, 1] as y * q(y), q a degree-9 Chebyshev fit of
+    // log1p(y)/y on [0,1] (design err 2.8e-9; f32 Horner eval brings the
+    // total to ~1.1e-7 abs AND rel — the y-factored form keeps the
+    // exp(-d)->0 tail exact in relative terms).  Replaces the former
+    // general-range cephes log of (1 + y): the argument is always in
+    // (1, 2], so mantissa/exponent range reduction was pure overhead.
+    __m512 p = _mm512_set1_ps(-3.1760570128e-03f);
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(1.9542528316e-02f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(-5.6373614818e-02f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(1.0543623567e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(-1.5269666910e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(1.9663274288e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(-2.4951615930e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(3.3329710364e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(-4.9999892712e-01f));
+    p = _mm512_fmadd_ps(p, y, _mm512_set1_ps(1.0f));
+    return _mm512_mul_ps(y, p);
 }
 
 // sum over one read chunk of 0.5*|a-b| + softplus(-|a-b|)
@@ -2627,9 +2620,8 @@ static double pair_chunk_sum_avx512(const double* __restrict a,
         __m512 df = _mm512_min_ps(_mm512_set1_ps(17.0f), _mm512_insertf32x8(
             _mm512_castps256_ps512(_mm512_cvtpd_ps(d0)),
             _mm512_cvtpd_ps(d1), 1));
-        __m512 sp = pair_log512_ps(_mm512_add_ps(
-            _mm512_set1_ps(1.0f),
-            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df))));
+        __m512 sp = pair_log1p512_ps(
+            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df)));
         acc0 = _mm512_add_pd(acc0, _mm512_maskz_cvtps_pd(
             m0, _mm512_extractf32x8_ps(sp, 0)));
         acc1 = _mm512_add_pd(acc1, _mm512_maskz_cvtps_pd(
@@ -2688,9 +2680,8 @@ static double pair_chunk_sum_avx512_f32(const float* __restrict a,
         __m512 df = _mm512_min_ps(_mm512_set1_ps(17.0f), _mm512_insertf32x8(
             _mm512_castps256_ps512(_mm512_cvtpd_ps(d0)),
             _mm512_cvtpd_ps(d1), 1));
-        __m512 sp = pair_log512_ps(_mm512_add_ps(
-            _mm512_set1_ps(1.0f),
-            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df))));
+        __m512 sp = pair_log1p512_ps(
+            pair_exp512_ps(_mm512_sub_ps(_mm512_setzero_ps(), df)));
         acc0 = _mm512_add_pd(acc0, _mm512_maskz_cvtps_pd(
             m0, _mm512_extractf32x8_ps(sp, 0)));
         acc1 = _mm512_add_pd(acc1, _mm512_maskz_cvtps_pd(

@@ -222,8 +222,9 @@ def main():
     out_dir2 = os.path.join(CACHE, "out_fanout")
     if os.path.exists(out_dir2):
         shutil.rmtree(out_dir2)
+    from dataclasses import replace
     typer2 = HLATyper(pkg)
-    typer2.cfg.min_loci_for_typing_workers = 2
+    typer2.cfg = replace(typer2.cfg, min_loci_for_typing_workers=2)
     t0 = time.time()
     typer2.type_all(kept_fq, aligned, [], [], float(ins_mean),
                     float(ins_sd), out_dir2, n_workers=2)

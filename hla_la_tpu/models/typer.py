@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import threading
 from dataclasses import dataclass
 
@@ -74,11 +75,18 @@ class _AsyncOutput:
         t.start()
         self._threads.append(t)
 
-    def flush(self):
+    def flush(self, raising: bool = True):
+        """Join all writers.  Re-raises the first deferred write error
+        unless ``raising=False`` — callers in a ``finally`` with a primary
+        exception already propagating pass False so the flush error is
+        logged instead of masking the original failure."""
         while self._threads:
             self._threads.pop(0).join()
         if self._errors:
-            raise self._errors[0]
+            if raising:
+                raise self._errors[0]
+            log_progress(f"WARNING deferred output write failed during "
+                         f"error unwind: {self._errors[0]!r}")
 
 
 @dataclass(slots=True)
@@ -432,7 +440,7 @@ class HLATyper:
                         results.append(r)
         finally:
             aout, self._async_out = self._async_out, None
-            aout.flush()
+            aout.flush(raising=sys.exc_info()[0] is None)
 
         self._pair_ranges = None     # only valid for this read set
         self._pair_quality = None
@@ -1003,7 +1011,10 @@ class HLATyper:
         # supplies the original-order tie-break
         lv_rel = lv_c - lv_min
         span = lv_max - lv_min + 1
-        if len(m_slot) * span < (1 << 55):
+        # `slot` (the final counter) bounds the max packed slot value —
+        # NOT len(m_slot): slot also increments for pairs whose mates
+        # contributed zero in-range obs, so raw values can exceed it.
+        if slot * span < (1 << 55):
             comp = (slot_c * span + lv_rel) * 256 + (255 - worst_c)
             order = np.argsort(comp, kind="stable")
             comp_key = comp >> 8
@@ -1564,11 +1575,12 @@ class HLATyper:
                       exon_pos, strand_freqs, read1_freqs, output_dir):
         """Build + write R1_pileup_<locus>.txt (HLATyper.cpp:1940-2010
         layout).  When an _AsyncOutput is active (type_all / the typing
-        worker), the build+write runs on a background thread — all inputs
-        are locus-local and immutable by then, and the shared pos-str
-        cache is extended HERE on the caller thread (builder threads only
-        read already-built entries; CPython list growth never invalidates
-        them)."""
+        worker), the build+write runs on a background thread.  The three
+        run-global tables the builder reads (intern'd genotype/quality
+        lists + the pos-str cache) keep growing on the caller thread for
+        later loci, so the async path hands the thread SNAPSHOTS of the
+        prefixes it needs (shallow pointer copies, ~1 ms/locus) — no
+        reliance on GIL list semantics (safe on free-threaded builds)."""
         # str(i) cache lives on the typer (reclaimed with it, unlike a
         # module global) and is shared across this run's loci
         ep_a0 = np.asarray(exon_pos)
@@ -1580,17 +1592,20 @@ class HLATyper:
             pos_str.extend(map(str, range(len(pos_str), need)))
         aout = getattr(self, "_async_out", None)
         if aout is not None:
+            pos_snap = pos_str[:need]
+            geno_snap = list(soa.genotypes)
+            qual_snap = list(soa.quals)
             aout.submit(lambda: self._build_pileup(
                 locus, soa, used_idx, exon_idx, exon_pos, strand_freqs,
-                read1_freqs, output_dir, pos_str))
+                read1_freqs, output_dir, pos_snap, geno_snap, qual_snap))
         else:
             self._build_pileup(locus, soa, used_idx, exon_idx, exon_pos,
                                strand_freqs, read1_freqs, output_dir,
-                               pos_str)
+                               pos_str, soa.genotypes, soa.quals)
 
     def _build_pileup(self, locus, soa: _ObsSoA, used_idx, exon_idx,
                       exon_pos, strand_freqs, read1_freqs, output_dir,
-                      pos_str):
+                      pos_str, geno_list, qual_list):
         path = os.path.join(output_dir, f"R1_pileup_{locus}.txt")
         with open(path, "w") as fh:
             J = len(exon_idx)
@@ -1642,7 +1657,6 @@ class HLATyper:
             qid_l = soa.qid[su].tolist()
             mqp_l = soa.mqp[su].tolist()
             mid_l = soa.mate_id[su].tolist()
-            geno_list, qual_list = soa.genotypes, soa.quals
             m_name, m_pname, m_mapq = soa.m_name, soa.m_pname, soa.m_mapq
             m_wt, m_wp = soa.m_wok_this, soa.m_wok_paired
             m_dist, m_cng = soa.m_dist, soa.m_colsng
@@ -2016,5 +2030,5 @@ def _typing_worker(args):
             out.append((locus, r, fh.getvalue()))
     finally:
         aout, typer._async_out = typer._async_out, None
-        aout.flush()
+        aout.flush(raising=sys.exc_info()[0] is None)
     return out

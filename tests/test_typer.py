@@ -245,3 +245,37 @@ def test_async_output_errors_fail_loud(typed_world, tmp_path, monkeypatch):
     from hla_la_tpu.models.pipeline import run_hla_typing
     with pytest.raises(RuntimeError, match="pileup build failed"):
         run_hla_typing(pkg, pairs=fq, output_dir=str(tmp_path / "o"))
+
+
+def test_async_flush_never_masks_primary_error(typed_world, tmp_path,
+                                               monkeypatch):
+    """If _type_locus raises while a deferred background write has ALSO
+    failed, the primary exception must propagate — the finally-block
+    flush logs the write error instead of replacing the original
+    failure (ADVICE r3)."""
+    sim, pkg, res, out_dir, _ = typed_world
+    from hla_la_tpu.models.typer import HLATyper
+
+    def boom_pileup(*a, **k):
+        raise RuntimeError("pileup build failed")
+
+    calls = {"n": 0}
+    orig = HLATyper._type_locus
+
+    def boom_locus(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # first locus runs (submitting the doomed pileup write) ...
+            return orig(self, *a, **k)
+        raise ValueError("primary typing failure")   # ... second raises
+
+    monkeypatch.setattr(HLATyper, "_build_pileup", boom_pileup)
+    monkeypatch.setattr(HLATyper, "_type_locus", boom_locus)
+    rs = ReadSimulator(np.random.default_rng(5), read_length=100,
+                       fragment_mean=320, fragment_sd=30)
+    seq, levels = sim.linearized(1)
+    pairs = rs.simulate_pairs_from_string(seq, levels, 6.0, name_prefix="x")
+    fq = [(p.r1.to_fastq(), p.r2.to_fastq()) for p in pairs]
+    from hla_la_tpu.models.pipeline import run_hla_typing
+    with pytest.raises(ValueError, match="primary typing failure"):
+        run_hla_typing(pkg, pairs=fq, output_dir=str(tmp_path / "o"))

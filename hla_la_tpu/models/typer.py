@@ -31,7 +31,9 @@ import numpy as np
 from .. import native
 from ..graph.package import GraphPackage
 from ..io.fastq import FastqRead
-from ..ops.pair_ll import (cluster_onehot, cluster_read_ll, pair_ll_reduction,
+from ..ops.pair_ll import (cluster_channel_codes, cluster_delta_plan,
+                           cluster_onehot, cluster_read_ll,
+                           cluster_read_ll_delta, pair_ll_reduction,
                            pair_min_mismatch_row, CH_GAP, CH_OTHER)
 from ..sim.read_sim import revcomp
 from ..utils.config import LOCI_2_EXONS, LOCI_FOR_TYPING, TyperConfig
@@ -45,6 +47,10 @@ from .alignment import (GraphAlignment, alignment_fraction_ok,
 
 GAP = ord("_")
 _BASE_CH = {"A": 0, "C": 1, "G": 2, "T": 3}
+# dense cluster-LL flops (C*J*6*R) above which the sparse-delta kernel takes
+# over from the byte-stable BLAS matmul (module-level so tests can force
+# the delta path on small worlds)
+DELTA_DISPATCH_FLOPS = 2e10
 
 
 class _AsyncOutput:
@@ -323,6 +329,21 @@ class HLATyper:
         self._qid_empty = -1            # id of b"" once interned
         self._intern_token = object()   # invalidates _records caches that
         # were interned against a different typer's tables
+        # reusable f32 scratch for the per-locus likelihood tensors: fresh
+        # 100MB+ allocations per locus/chunk intermittently cost seconds of
+        # page-fault stime on this shared VM (first-touch after free/re-mmap
+        # churn) — reuse across loci instead (one pool per typing process)
+        self._scratch_bufs: dict[str, np.ndarray] = {}
+
+    def _scratch(self, key: str, shape: tuple[int, ...]) -> np.ndarray:
+        """Persistent f32 scratch view, grown as needed and reused across
+        loci (NOT zeroed — callers that need zeros must .fill(0))."""
+        n = int(np.prod(shape)) if shape else 1
+        buf = self._scratch_bufs.get(key)
+        if buf is None or buf.size < n:
+            buf = np.empty(max(n, 1), dtype=np.float32)
+            self._scratch_bufs[key] = buf
+        return buf[:n].reshape(shape)
 
     # ------------------------------------------------------------- discovery
     def _discover_genes(self) -> dict[str, dict[str, str]]:
@@ -1148,31 +1169,52 @@ class HLATyper:
 
         # ---- likelihood tensors ------------------------------------------
         p_ins = 0.075 if long_reads else 0.001
-        onehot = cluster_onehot(cluster_seqs)
         R = soa.n_reads
         # chunk reads so the [Rc, J, 6] contribution tensors stay bounded
         # (~200 MB) even for very wide typed segments
         chunk = max(16, int(2e8 / max(J * 24, 1)))
-        if R <= chunk:
-            contrib, mismatch, used_count = self._build_read_tensors(
+        # sparse-delta dispatch: above ~2e10 dense flops (IMGT-scale
+        # matrices; every suite/soak-scale world stays on the byte-stable
+        # BLAS path) AND when the clusters are similar enough that the
+        # consensus-delta form does >=8x less work — the reference's
+        # segment matrices differ in a few % of columns, so the dense
+        # one-hot sgemm wastes ~100x flops (HLATyper.cpp:1198-1299)
+        delta_plan = None
+        if self.backend in ("auto", "numpy") \
+                and C * J * 6.0 * R > DELTA_DISPATCH_FLOPS:
+            codes = cluster_channel_codes(cluster_seqs)
+            plan = cluster_delta_plan(codes)
+            if (len(plan[2]) + J) * 8 < C * J * 6.0:
+                delta_plan = (codes, plan)
+        onehot = cluster_onehot(cluster_seqs) if delta_plan is None else None
+
+        # all big tensors come from the per-typer scratch pool and outputs
+        # are written straight into [C, R] column slices — fresh 100MB+
+        # allocations per call intermittently cost seconds of page-fault
+        # stime on this VM (measured: 7-28s CPU for a 1.2s kernel)
+        LLmat = self._scratch("LL", (C, R))
+        MMmat = self._scratch("MM", (C, R))
+        used_count = 0
+        for lo in range(0, R, chunk):
+            hi2 = min(lo + chunk, R)
+            rr = None if (lo, hi2) == (0, R) else (lo, hi2)
+            Rc = hi2 - lo
+            tshape = (J * 6, Rc) if delta_plan is not None else (Rc, J, 6)
+            contrib, mismatch, used_c = self._build_read_tensors(
                 None, J, cfg, ignore_read_ids, ignore_alleles,
-                long_reads, p_ins, soa=soa, kept_mask=kept_mask)
-            LLmat, MMmat = cluster_read_ll(onehot, contrib, mismatch,
-                                           backend=self.backend)
-        else:
-            LLmat = np.empty((C, R), dtype=np.float32)
-            MMmat = np.empty((C, R), dtype=np.float32)
-            used_count = 0
-            for lo in range(0, R, chunk):
-                hi2 = min(lo + chunk, R)
-                contrib, mismatch, used_c = self._build_read_tensors(
-                    None, J, cfg, ignore_read_ids, ignore_alleles,
-                    long_reads, p_ins, soa=soa, kept_mask=kept_mask,
-                    read_range=(lo, hi2))
-                used_count += used_c
-                LLmat[:, lo:hi2], MMmat[:, lo:hi2] = \
-                    cluster_read_ll(onehot, contrib, mismatch,
-                                    backend=self.backend)
+                long_reads, p_ins, soa=soa, kept_mask=kept_mask,
+                read_range=rr, transposed=delta_plan is not None,
+                out=(self._scratch("contrib", tshape),
+                     self._scratch("mismatch", tshape)))
+            used_count += used_c
+            if delta_plan is not None:
+                cluster_read_ll_delta(delta_plan[0], contrib, mismatch,
+                                      plan=delta_plan[1],
+                                      out_ll=LLmat[:, lo:hi2],
+                                      out_mm=MMmat[:, lo:hi2])
+            else:
+                LLmat[:, lo:hi2], MMmat[:, lo:hi2] = cluster_read_ll(
+                    onehot, contrib, mismatch, backend=self.backend)
         log_progress(f"  {locus}: {C} clusters x {R} reads")
 
         # ---- pair reduction ----------------------------------------------
@@ -1285,13 +1327,17 @@ class HLATyper:
     def _build_read_tensors(self, reads_obs, J, cfg, ignore_read_ids,
                             ignore_alleles, long_reads, p_ins,
                             soa: _ObsSoA | None = None, kept_mask=None,
-                            read_range=None):
+                            read_range=None, transposed=False, out=None):
         """[R, J, 6] log-likelihood contribution and mismatch tensors
         (the matmul lowering of HLATyper.cpp:2089-2276).
 
         `soa`/`kept_mask`: precomputed flat view + filter mask for the FULL
         read set; `read_range=(lo, hi)` restricts to a read-index window
-        (tensor row r = read lo+r), for the chunked wide-segment path."""
+        (tensor row r = read lo+r), for the chunked wide-segment path.
+        `transposed=True` builds the [J*6, R] layout the sparse-delta
+        cluster LL kernel consumes (rows contiguous over reads).
+        `out=(contrib, mismatch)`: preallocated scratch of the right shape
+        (zeroed here) — avoids per-chunk fresh-allocation page-fault churn."""
         log_ins_act = math.log(p_ins) + math.log(0.25)
         log_del = math.log(p_ins)
         log_mm = math.log(1.0 - 2 * p_ins)
@@ -1313,8 +1359,15 @@ class HLATyper:
         if read_range is not None:
             sel = sel & (soa.read_idx >= lo) & (soa.read_idx < hi)
         R = hi - lo
-        contrib = np.zeros((R, J, 6), dtype=np.float32)
-        mismatch = np.zeros((R, J, 6), dtype=np.float32)
+        shape = (J * 6, R) if transposed else (R, J, 6)
+        if out is not None:
+            contrib, mismatch = out
+            assert contrib.shape == shape and mismatch.shape == shape
+            contrib.fill(0)
+            mismatch.fill(0)
+        else:
+            contrib = np.zeros(shape, dtype=np.float32)
+            mismatch = np.zeros(shape, dtype=np.float32)
         # flatten: (r, j) is unique per obs (one obs per level after
         # removeDoublePositions), so scatter is plain fancy indexing
         r_idx = soa.read_idx[sel] - lo
@@ -1322,6 +1375,20 @@ class HLATyper:
         if used == 0:
             return contrib, mismatch, used
         j_idx = soa.pos[sel]
+        if transposed:
+            j6 = j_idx * 6
+
+            def put_c(chn, vals):
+                contrib[j6 + chn, r_idx] += vals
+
+            def put_m(chn, vals):
+                mismatch[j6 + chn, r_idx] += vals
+        else:
+            def put_c(chn, vals):
+                contrib[r_idx, j_idx, chn] += vals
+
+            def put_m(chn, vals):
+                mismatch[r_idx, j_idx, chn] += vals
         genos_tbl = soa.genotypes
         gap_tbl = np.asarray([g == "_" for g in genos_tbl], dtype=bool)
         first_tbl = np.asarray([0 if g == "_" else ord(g[0])
@@ -1339,20 +1406,18 @@ class HLATyper:
         v_mismatch = np.where(is_gap, log_del,
                               log_mm + np.log((1.0 - p_c) / 3.0))
         tail = l_diff * log_ins_act
-        contrib[r_idx, j_idx, CH_GAP] += np.where(
-            is_gap, 0.0, (1.0 + l_diff) * log_ins_act).astype(np.float32)
+        put_c(CH_GAP, np.where(
+            is_gap, 0.0, (1.0 + l_diff) * log_ins_act).astype(np.float32))
         single = (l_diff == 0) & ~is_gap
         for base, ch in _BASE_CH.items():
             m = (~is_gap) & (first == ord(base))
-            contrib[r_idx, j_idx, ch] += (
-                np.where(m, v_match, v_mismatch) + tail).astype(np.float32)
-            mismatch[r_idx, j_idx, ch] += (
-                (~is_gap) & ~(single & (first == ord(base)))
-            ).astype(np.float32)
-        contrib[r_idx, j_idx, CH_OTHER] += (v_mismatch
-                                            + tail).astype(np.float32)
-        mismatch[r_idx, j_idx, CH_OTHER] += (~is_gap).astype(np.float32)
-        mismatch[r_idx, j_idx, CH_GAP] += (~is_gap).astype(np.float32)
+            put_c(ch, (np.where(m, v_match, v_mismatch)
+                       + tail).astype(np.float32))
+            put_m(ch, ((~is_gap) & ~(single & (first == ord(base)))
+                       ).astype(np.float32))
+        put_c(CH_OTHER, (v_mismatch + tail).astype(np.float32))
+        put_m(CH_OTHER, (~is_gap).astype(np.float32))
+        put_m(CH_GAP, (~is_gap).astype(np.float32))
         return contrib, mismatch, used
 
     # -------------------------------------------------------------- filters

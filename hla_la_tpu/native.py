@@ -152,6 +152,9 @@ def _find_lib():
                 lib.hla_pair_ll_f32.restype = None
                 lib.hla_pair_ll_f32.argtypes = [vp, i64, i64, vp,
                                                 ctypes.c_int]
+                lib.hla_cluster_ll_delta.restype = None
+                lib.hla_cluster_ll_delta.argtypes = (
+                    [vp] * 6 + [i64, i64, i64, i64, vp, vp, ctypes.c_int])
                 lib.hla_repr_double.restype = ctypes.c_int
                 lib.hla_repr_double.argtypes = [f64, vp]
                 lib.hla_format_pairs.restype = ctypes.c_int
@@ -781,6 +784,51 @@ def pair_ll(L: np.ndarray, n_threads: int | None = None
         L64 = np.ascontiguousarray(L, dtype=np.float64)
         lib.hla_pair_ll(c(L64), C, R, c(out), nt)
     return out
+
+
+def cluster_ll_delta(contrib_T: np.ndarray, mismatch_T: np.ndarray,
+                     base_cols: np.ndarray, plus_cols: np.ndarray,
+                     minus_cols: np.ndarray, starts: np.ndarray,
+                     n_threads: int | None = None,
+                     out_ll: np.ndarray | None = None,
+                     out_mm: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Sparse-delta cluster_read_ll (hla_cluster_ll_delta): LL[c,:] =
+    consensus base row + sum over the cluster's differing columns of
+    (T[plus]-T[minus]) rows of the transposed [J*6, R] tensors — the
+    delta replacement for the dense one-hot sgemm (HLATyper.cpp:
+    2089-2277 lowering).  f64 accumulation; deterministic for any
+    thread count (each cluster row is built by one thread).
+
+    out_ll/out_mm: optional preallocated [C, R] f32 outputs; may be
+    column slices of a wider matrix (row stride is passed through, the
+    read axis must be contiguous).  Fresh 100MB+ allocations per call
+    intermittently cost seconds of page-fault stime on shared VMs —
+    callers should reuse buffers."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    J6, R = contrib_T.shape
+    C = len(starts) - 1
+    T = np.ascontiguousarray(contrib_T, dtype=np.float32)
+    M = np.ascontiguousarray(mismatch_T, dtype=np.float32)
+    bc = np.ascontiguousarray(base_cols, dtype=np.int64)
+    pc = np.ascontiguousarray(plus_cols, dtype=np.int64)
+    mc = np.ascontiguousarray(minus_cols, dtype=np.int64)
+    st = np.ascontiguousarray(starts, dtype=np.int64)
+    LL = np.empty((C, R), dtype=np.float32) if out_ll is None else out_ll
+    MM = np.empty((C, R), dtype=np.float32) if out_mm is None else out_mm
+    assert LL.shape == (C, R) and MM.shape == (C, R)
+    assert LL.dtype == np.float32 and MM.dtype == np.float32
+    # read axis contiguous; identical row stride for both outputs
+    assert LL.strides[1] == 4 and MM.strides[1] == 4
+    assert LL.strides[0] == MM.strides[0] and LL.strides[0] % 4 == 0
+    stride = LL.strides[0] // 4
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    nt = default_threads() if n_threads is None else n_threads
+    lib.hla_cluster_ll_delta(c(T), c(M), c(bc), c(pc), c(mc), c(st),
+                             C, J6 // 6, R, stride, c(LL), c(MM), nt)
+    return LL, MM
 
 
 def repr_double(v: float) -> str | None:

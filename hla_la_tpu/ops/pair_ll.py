@@ -43,6 +43,91 @@ def cluster_onehot(cluster_seqs: list[str]) -> np.ndarray:
     return onehot
 
 
+def cluster_channel_codes(cluster_seqs: list[str]) -> np.ndarray:
+    """[C, J] int8 channel code (CH_*) of each cluster column."""
+    C = len(cluster_seqs)
+    J = len(cluster_seqs[0])
+    codes = np.frombuffer("".join(cluster_seqs).encode(), dtype=np.uint8
+                          ).reshape(C, J)
+    return _CHANNEL[codes]
+
+
+def cluster_delta_plan(ch: np.ndarray):
+    """Sparse-delta evaluation plan for cluster_read_ll.
+
+    Exploits that allele clusters of one locus are near-identical (the
+    reference's segment matrices differ in a few % of columns,
+    HLATyper.cpp:1198-1299): pick the per-column consensus channel as a
+    reference row, so LL[c] = LL_ref + sum over the cluster's few
+    differing columns.  Returns (ref[J] consensus channel,
+    base_cols[J] = j*6+ref, plus_cols/minus_cols[ndiff] flat [J*6]
+    indices, starts[C+1] per-cluster diff ranges)."""
+    C, J = ch.shape
+    hist = np.zeros((J, 6), dtype=np.int32)
+    for c in range(6):
+        hist[:, c] = (ch == c).sum(axis=0, dtype=np.int32)
+    ref = hist.argmax(axis=1).astype(np.int8)
+    base_cols = (np.arange(J, dtype=np.int64) * 6 + ref)
+    dc, dj = np.nonzero(ch != ref[None, :])
+    plus_cols = dj * 6 + ch[dc, dj]
+    minus_cols = dj * 6 + ref[dj]
+    starts = np.searchsorted(dc, np.arange(C + 1)).astype(np.int64)
+    return ref, base_cols, plus_cols.astype(np.int64), \
+        minus_cols.astype(np.int64), starts
+
+
+def cluster_read_ll_delta_numpy(ch: np.ndarray, contrib_T: np.ndarray,
+                                mismatch_T: np.ndarray, plan=None,
+                                out_ll=None, out_mm=None
+                                ) -> tuple[np.ndarray, np.ndarray]:
+    """Reference (numpy) sparse-delta cluster_read_ll.
+
+    contrib_T / mismatch_T are the TRANSPOSED [J*6, R] tensors (rows
+    contiguous over reads).  Same math as the dense matmul up to f32
+    summation order (parity locked by tests/test_imgt_scale.py); base
+    rows accumulate in f64."""
+    C, J = ch.shape
+    R = contrib_T.shape[1]
+    ref, base_cols, plus_cols, minus_cols, starts = \
+        plan if plan is not None else cluster_delta_plan(ch)
+    out = []
+    for T, M in ((contrib_T, out_ll), (mismatch_T, out_mm)):
+        base = T[base_cols].sum(axis=0, dtype=np.float64)       # [R]
+        if M is None:
+            M = np.empty((C, R), dtype=np.float32)
+        for c in range(C):
+            k0, k1 = starts[c], starts[c + 1]
+            if k1 > k0:
+                d = (T[plus_cols[k0:k1]].sum(axis=0, dtype=np.float64)
+                     - T[minus_cols[k0:k1]].sum(axis=0, dtype=np.float64))
+                M[c] = (base + d).astype(np.float32)
+            else:
+                M[c] = base.astype(np.float32)
+        out.append(M)
+    return out[0], out[1]
+
+
+def cluster_read_ll_delta(ch: np.ndarray, contrib_T: np.ndarray,
+                          mismatch_T: np.ndarray, plan=None,
+                          out_ll=None, out_mm=None
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """Sparse-delta cluster_read_ll: native threaded kernel when available,
+    numpy reference otherwise.  See cluster_delta_plan.  out_ll/out_mm:
+    optional preallocated [C, R] f32 outputs (column slices of a wider
+    matrix are fine)."""
+    from .. import native
+    if plan is None:
+        plan = cluster_delta_plan(ch)
+    ref, base_cols, plus_cols, minus_cols, starts = plan
+    out = native.cluster_ll_delta(contrib_T, mismatch_T, base_cols,
+                                  plus_cols, minus_cols, starts,
+                                  out_ll=out_ll, out_mm=out_mm)
+    if out is not None:
+        return out
+    return cluster_read_ll_delta_numpy(ch, contrib_T, mismatch_T, plan,
+                                       out_ll=out_ll, out_mm=out_mm)
+
+
 def cluster_read_ll(onehot: np.ndarray, contrib: np.ndarray,
                     mismatch: np.ndarray, backend: str = "numpy"
                     ) -> tuple[np.ndarray, np.ndarray]:

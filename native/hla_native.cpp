@@ -2916,6 +2916,75 @@ static void pair_ll_impl(const T* L, int64_t C, int64_t R,
     for (auto& th : threads) th.join();
 }
 
+// Sparse-delta cluster LL (ops/pair_ll.cluster_read_ll_delta): the allele
+// clusters of one locus are near-identical (the reference's segment
+// matrices differ in a few % of columns, HLATyper.cpp:1198-1299), so
+// LL[c,:] = base(consensus row) + sum over the cluster's few differing
+// columns of (T[plus_col] - T[minus_col]).  Replaces the dense
+// [C,J6]x[J6,R] sgemm of cluster_read_ll with O(ndiff x R) row-axpy work
+// (~100x fewer flops at IMGT scale).  T / M are the TRANSPOSED [J*6, R]
+// contribution tensors (rows contiguous over reads); deltas accumulate
+// in f64 like the numpy reference, outputs are f32 [C, R].
+// out_stride: elements between consecutive cluster rows of LL/MM (lets a
+// read-chunk write directly into a column slice of the full [C, R_total]
+// matrices — fresh 100MB+ allocations per call hit this VM's page-fault
+// pathology, costing seconds of stime).
+extern "C" void hla_cluster_ll_delta(
+    const float* T, const float* M,
+    const int64_t* base_cols,            // [J] flat [J*6] indices
+    const int64_t* plus_cols,            // [ndiff]
+    const int64_t* minus_cols,           // [ndiff]
+    const int64_t* starts,               // [C+1] per-cluster diff ranges
+    int64_t C, int64_t J, int64_t R, int64_t out_stride,
+    float* LL, float* MM, int n_threads) {
+    // consensus base rows, accumulated in f64
+    std::vector<double> baseT((size_t)R, 0.0), baseM((size_t)R, 0.0);
+    for (int64_t j = 0; j < J; ++j) {
+        const float* rt = T + base_cols[j] * R;
+        const float* rm = M + base_cols[j] * R;
+        for (int64_t r = 0; r < R; ++r) {
+            baseT[(size_t)r] += (double)rt[r];
+            baseM[(size_t)r] += (double)rm[r];
+        }
+    }
+    std::vector<float> baseTf((size_t)R), baseMf((size_t)R);
+    for (int64_t r = 0; r < R; ++r) {
+        baseTf[(size_t)r] = (float)baseT[(size_t)r];
+        baseMf[(size_t)r] = (float)baseM[(size_t)r];
+    }
+    int nt = n_threads > 0 ? n_threads : 1;
+    auto worker = [&](int t) {
+        std::vector<double> acc((size_t)R);
+        for (int64_t c = t; c < C; c += nt) {
+            int64_t k0 = starts[c], k1 = starts[c + 1];
+            for (int pass = 0; pass < 2; ++pass) {
+                const float* src = pass == 0 ? T : M;
+                const double* base = pass == 0 ? baseT.data() : baseM.data();
+                const float* basef = pass == 0 ? baseTf.data()
+                                               : baseMf.data();
+                float* out_row = (pass == 0 ? LL : MM) + c * out_stride;
+                if (k1 == k0) {          // cluster == consensus
+                    std::memcpy(out_row, basef, (size_t)R * sizeof(float));
+                    continue;
+                }
+                std::memcpy(acc.data(), base, (size_t)R * sizeof(double));
+                for (int64_t k = k0; k < k1; ++k) {
+                    const float* p = src + plus_cols[k] * R;
+                    const float* m = src + minus_cols[k] * R;
+                    for (int64_t r = 0; r < R; ++r)
+                        acc[(size_t)r] += (double)p[r] - (double)m[r];
+                }
+                for (int64_t r = 0; r < R; ++r)
+                    out_row[r] = (float)acc[(size_t)r];
+            }
+        }
+    };
+    if (nt == 1) { worker(0); return; }
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker, t);
+    for (auto& th : threads) th.join();
+}
+
 extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
                             double* out, int n_threads) {
     pair_ll_impl<double>(L, C, R, out, n_threads);

@@ -98,6 +98,11 @@ class ReadAligner:
         # paralog defense (mapAgainstCompleteGenome equivalent,
         # HLA-LA.cpp:617-779): DecoyIndex or None
         self.decoy = decoy
+        # native NW output reuse pool: the ~150 MB pointer tensor + the
+        # backtrace ops freshly allocated per batch cost more page-fault
+        # stime than the kernels themselves on shared VMs; each batch is
+        # fully consumed (projected) before the next starts
+        self._nw_scratch: dict = {}
 
     def _load_or_build_index(self, kmer_k: int) -> KmerIndex:
         """Disk-cached k-mer index in the package dir (freshness rule as for
@@ -132,7 +137,8 @@ class ReadAligner:
     # ------------------------------------------------------------- NW batch
     def _run_nw(self, reads_arr, lens_arr, refs_arr):
         if not self.use_jax:
-            return banded_nw_forward(reads_arr, lens_arr, refs_arr)
+            return banded_nw_forward(reads_arr, lens_arr, refs_arr,
+                                     scratch=self._nw_scratch)
         import jax
         import jax.numpy as jnp
         L = reads_arr.shape[1]
@@ -349,7 +355,8 @@ class ReadAligner:
         native_bt = None
         if native.available():
             native_bt = native.nw_backtrace_batch(pointers, lens_arr,
-                                                  end_k, end_state)
+                                                  end_k, end_state,
+                                                  scratch=self._nw_scratch)
         ffr_l = ffr_in.tolist()
         if native_bt is not None:
             from .alignment import project_and_score_batch

@@ -37,8 +37,16 @@ def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray,
     n_levels = cprg.n_levels
     if lv_hi is None:
         lv_hi = n_levels - 1
-    row = np.full(n_levels - 1, GAP, dtype=np.uint8)
-    row[hap_levels] = np.frombuffer(hap_seq.encode(), dtype=np.uint8)
+    # window-local emission row (row[i] = emission at level lv_lo+i):
+    # building a GLOBAL row made every walk O(graph) on 3M-level PRGs
+    # (np.full + full scatter + whole-haplotype encode ~ 9ms/call — 10%
+    # of serial alignment CPU at real PRG scale)
+    row = np.full(lv_hi - lv_lo, GAP, dtype=np.uint8)
+    s = int(np.searchsorted(hap_levels, lv_lo))
+    e = int(np.searchsorted(hap_levels, lv_hi))
+    if e > s:
+        row[hap_levels[s:e] - lv_lo] = np.frombuffer(
+            hap_seq[s:e].encode(), dtype=np.uint8)
 
     from .. import native
     if native.available():
@@ -48,7 +56,7 @@ def walk_haplotype(cprg: CompiledPRG, hap_seq: str, hap_levels: np.ndarray,
                                             cprg.level_offsets[lv_lo + 1])}
     parents: list[dict[int, int | None]] = [dict(frontier)]
     for lv in range(lv_lo, lv_hi):
-        want = row[lv]
+        want = row[lv - lv_lo]
         nxt: dict[int, int] = {}
         for node in frontier:
             for e in cprg.out_edges[cprg.out_offsets[node]:

@@ -240,11 +240,33 @@ def bam_parse_packed(record_stream: bytes):
     return arrs
 
 
+def scratch_array(scratch: dict | None, key: str, shape,
+                  dtype) -> np.ndarray:
+    """Reused buffer from a caller-owned pool (NOT zeroed).  Fresh 100MB+
+    allocations per call intermittently cost seconds of page-fault stime
+    on shared VMs (first-touch after free/re-mmap churn) — hot callers
+    pass a dict that persists across calls; scratch=None allocates fresh
+    (callers that retain results across calls MUST use None)."""
+    n = 1
+    for s in shape:
+        n *= int(s)
+    if scratch is None:
+        return np.empty(shape, dtype=dtype)
+    buf = scratch.get(key)
+    if buf is None or buf.dtype != np.dtype(dtype) or buf.size < n:
+        buf = np.empty(max(n, 1), dtype=dtype)
+        scratch[key] = buf
+    return buf[:n].reshape(shape)
+
+
 def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
                match: float, mismatch: float, gap_open: float,
-               gap_extend: float, n_threads: int | None = None):
+               gap_extend: float, n_threads: int | None = None,
+               scratch: dict | None = None):
     """C++ banded NW forward (exact port of banded_nw_forward).  Returns
-    (scores, end_k, end_state, pointers) or None if the lib is missing."""
+    (scores, end_k, end_state, pointers) or None if the lib is missing.
+    scratch: optional pool — the pointer tensor is ~150 MB at production
+    batch sizes and dominated wrapper time when freshly allocated."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -253,10 +275,11 @@ def nw_forward(reads: np.ndarray, lens: np.ndarray, refs: np.ndarray,
     reads_c = np.ascontiguousarray(reads, dtype=np.uint8)
     refs_c = np.ascontiguousarray(refs, dtype=np.uint8)
     lens_c = np.ascontiguousarray(lens, dtype=np.int64)
-    scores = np.empty(B, dtype=np.float32)
-    end_k = np.empty(B, dtype=np.int32)
-    end_state = np.empty(B, dtype=np.int32)
-    pointers = np.empty((B, L + 1, W), dtype=np.uint8)
+    scores = scratch_array(scratch, "nw_scores", (B,), np.float32)
+    end_k = scratch_array(scratch, "nw_end_k", (B,), np.int32)
+    end_state = scratch_array(scratch, "nw_end_state", (B,), np.int32)
+    pointers = scratch_array(scratch, "nw_pointers", (B, L + 1, W),
+                             np.uint8)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     lib.hla_nw_forward(c(reads_c), c(lens_c), c(refs_c), B, L, W,
                        match, mismatch, gap_open, gap_extend,
@@ -568,9 +591,10 @@ def gather_windows(enc_cat: np.ndarray, hap_offsets: np.ndarray,
 def walk_haplotype(cprg, row: np.ndarray, lv_lo: int = 0,
                    lv_hi: int | None = None):
     """C++ haplotype walk (hla_walk_haplotype; graph_fallback.walk_haplotype
-    semantics).  row: [n_levels-1] uint8 wanted emissions.  Returns the
-    node path over levels [lv_lo, lv_hi] (default: whole graph) or None
-    (no path / lib unavailable)."""
+    semantics).  row: [lv_hi - lv_lo] uint8 wanted emissions, WINDOW-LOCAL
+    (row[i] = emission at level lv_lo+i).  Returns the node path over
+    levels [lv_lo, lv_hi] (default: whole graph) or None (no path / lib
+    unavailable)."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -739,9 +763,12 @@ def project_score_batch(ops: np.ndarray, n_ops: np.ndarray,
 
 
 def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,
-                       end_k: np.ndarray, end_state: np.ndarray
+                       end_k: np.ndarray, end_state: np.ndarray,
+                       scratch: dict | None = None
                        ) -> tuple[np.ndarray, np.ndarray] | None:
-    """Batched backtrace: returns (ops [B, max_ops, 3] int32, n_ops [B])."""
+    """Batched backtrace: returns (ops [B, max_ops, 3] int32, n_ops [B]).
+    Only ops[b, :n_ops[b]] are written (the tail is uninitialised when a
+    scratch pool is passed)."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -752,8 +779,13 @@ def nw_backtrace_batch(pointers: np.ndarray, lens: np.ndarray,
     lens64 = np.ascontiguousarray(lens, dtype=np.int64)
     ek = np.ascontiguousarray(end_k, dtype=np.int32)
     es = np.ascontiguousarray(end_state, dtype=np.int32)
-    out_ops = np.zeros((B, max_ops, 3), dtype=np.int32)
-    out_n = np.zeros(B, dtype=np.int32)
+    if scratch is None:        # legacy zeroed tails (lazy calloc pages)
+        out_ops = np.zeros((B, max_ops, 3), dtype=np.int32)
+        out_n = np.zeros(B, dtype=np.int32)
+    else:
+        out_ops = scratch_array(scratch, "bt_ops", (B, max_ops, 3),
+                                np.int32)
+        out_n = scratch_array(scratch, "bt_n", (B,), np.int32)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     lib.hla_nw_backtrace_batch(c(pointers), B, L, W, c(lens64), c(ek), c(es),
                                c(out_ops), max_ops, c(out_n))

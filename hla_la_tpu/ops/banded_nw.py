@@ -57,7 +57,7 @@ def _substitution(read_col: np.ndarray, ref_col: np.ndarray,
 
 def banded_nw_forward(reads: np.ndarray, read_lens: np.ndarray,
                       refs: np.ndarray, sc: NWScoring = NWScoring(),
-                      use_native: bool = True
+                      use_native: bool = True, scratch: dict | None = None
                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Forward DP.
 
@@ -67,11 +67,15 @@ def banded_nw_forward(reads: np.ndarray, read_lens: np.ndarray,
     Returns (final_scores [B], final_k [B], final_state [B],
              pointers [B, L+1, W] uint8).
     Dispatches to the C++ kernel (native/hla_native.cpp) when built.
+    scratch: optional reuse pool for the native outputs (the ~150 MB
+    pointer tensor dominates wrapper time when freshly allocated) —
+    callers passing it must consume the results before the next call.
     """
     if use_native:
         from .. import native
         out = native.nw_forward(reads, read_lens, refs, sc.match,
-                                sc.mismatch, sc.gap_open, sc.gap_extend) \
+                                sc.mismatch, sc.gap_open, sc.gap_extend,
+                                scratch=scratch) \
             if native.available() else None
         if out is not None:
             return out

@@ -541,6 +541,155 @@ static void nw_one_avx512(const uint8_t* __restrict rd,
 }
 #endif  // __AVX512F__
 
+// Jobs-in-lanes NW forward: 16 jobs per __m512 lane group, SERIAL scalar
+// recurrence order per lane — bit-exact vs nw_one<0> for EVERY row
+// (including N/pad rows; stricter than the row-vectorised kernel above,
+// whose closed-form IX relaxes the floor on filtered-domain lanes).  The
+// band index k is the *iteration* axis, so any runtime W works.  Why:
+// at W=32 the row kernel spends most of each row on cross-lane shifts +
+// the prefix-max network — ~6.6 ns/cell end-to-end on ~100x32 jobs.
+// Here the only serial dependency is the per-lane IX run (add+max+blend)
+// and it is amortised over 16 jobs.  readsT/refsT are lane-major
+// transposes ([pos][16]); pointer bytes stage in a [W][16] row buffer
+// and transpose out per row.
+#if defined(__AVX512F__)
+static void nw_lanes16_avx512(
+    const uint8_t* __restrict readsT,   // [L][16]
+    const uint8_t* __restrict refsT,    // [L+W][16]
+    const int64_t* __restrict lens,     // [16] (inactive lanes: 0)
+    int64_t L, int64_t W, int n_active,
+    float s_match, float s_mismatch, float s_open, float s_ext,
+    float* __restrict st,               // scratch [6*W*16] floats, 64-aligned
+    uint8_t* __restrict rowp,           // scratch [W*16], 64-aligned
+    float* out_scores, int32_t* out_k, int32_t* out_state,   // [n_active]
+    uint8_t* out_ptr, int64_t ptr_stride) {  // job j ptr at out_ptr+j*stride
+    const float NEGF = -1e30f;
+    const __m512 NEGV = _mm512_set1_ps(NEGF);
+    const __m512 matchv = _mm512_set1_ps(s_match);
+    const __m512 mismv = _mm512_set1_ps(s_mismatch);
+    const __m512 openv = _mm512_set1_ps(s_open);
+    const __m512 extv = _mm512_set1_ps(s_ext);
+    const __m512i four = _mm512_set1_epi32(4);
+    const __m512i one_i = _mm512_set1_epi32(1);
+    const __m512i two_i = _mm512_set1_epi32(2);
+    // stride pads one vector per array: at W=32 the 2 KB power-of-two
+    // array spacing cost ~1.8x via L1 set aliasing (measured 0.76 vs
+    // 1.37 Gcells/s at W=33 on the same job set)
+    const int64_t AS = (W + 1) * 16;
+    float* D = st;            float* IY = st + AS;
+    float* IX = st + 2 * AS;
+    float* nD = st + 3 * AS;  float* nIY = st + 4 * AS;
+    float* nIX = st + 5 * AS;
+    for (int64_t k = 0; k < W; k++) {
+        _mm512_store_ps(D + k * 16, _mm512_setzero_ps());
+        _mm512_store_ps(IY + k * 16, NEGV);
+        _mm512_store_ps(IX + k * 16, NEGV);
+    }
+    for (int j = 0; j < n_active; j++)
+        std::memset(out_ptr + j * ptr_stride, 0, (size_t)W);  // row 0
+    __m512 bestv = NEGV;
+    __m512i bestk = _mm512_setzero_si512();
+    __m512i bests = _mm512_setzero_si512();
+    __mmask16 done = 0;
+    // harvest lanes in `m` with the scalar kernel's tie order (state
+    // outer, k inner, strict >)
+    auto harvest = [&](__mmask16 m) {
+        const float* mats[3] = {D, IY, IX};
+        __m512 hb = NEGV;
+        __m512i hk = _mm512_setzero_si512(), hs = _mm512_setzero_si512();
+        for (int s2 = 0; s2 < 3; s2++)
+            for (int64_t k = 0; k < W; k++) {
+                __m512 v = _mm512_load_ps(mats[s2] + k * 16);
+                __mmask16 gt = _mm512_cmp_ps_mask(v, hb, _CMP_GT_OQ);
+                hb = _mm512_mask_mov_ps(hb, gt, v);
+                hk = _mm512_mask_mov_epi32(hk, gt,
+                                           _mm512_set1_epi32((int)k));
+                hs = _mm512_mask_mov_epi32(hs, gt, _mm512_set1_epi32(s2));
+            }
+        bestv = _mm512_mask_mov_ps(bestv, m, hb);
+        bestk = _mm512_mask_mov_epi32(bestk, m, hk);
+        bests = _mm512_mask_mov_epi32(bests, m, hs);
+        done |= m;
+    };
+    __mmask16 len0 = 0;
+    for (int j = 0; j < 16; j++) if (lens[j] == 0) len0 |= (1u << j);
+    if (len0) harvest(len0);
+    for (int64_t i = 1; i <= L; i++) {
+        __m512i rc = _mm512_cvtepu8_epi32(_mm_load_si128(
+            reinterpret_cast<const __m128i*>(readsT + (i - 1) * 16)));
+        __mmask16 rc_ok = _mm512_cmp_epu32_mask(rc, four, _MM_CMPINT_LT);
+        __m512 run = NEGV;
+        __m512 nd_prev = NEGV;
+        for (int64_t k = 0; k < W; k++) {
+            __m512i xc = _mm512_cvtepu8_epi32(_mm_load_si128(
+                reinterpret_cast<const __m128i*>(refsT + (i - 1 + k) * 16)));
+            __mmask16 okm = _mm512_cmp_epu32_mask(xc, four, _MM_CMPINT_LT);
+            __mmask16 eqm = _mm512_mask_cmpeq_epi32_mask(rc_ok, xc, rc);
+            __m512 sub = _mm512_mask_mov_ps(
+                NEGV, okm, _mm512_mask_mov_ps(mismv, eqm, matchv));
+            __m512 d = _mm512_load_ps(D + k * 16);
+            __m512 iy = _mm512_load_ps(IY + k * 16);
+            __m512 ix = _mm512_load_ps(IX + k * 16);
+            __m512 m12 = _mm512_max_ps(iy, ix);
+            __m512 pb = _mm512_max_ps(d, m12);
+            __mmask16 dge = _mm512_cmp_ps_mask(d, m12, _CMP_GE_OQ);
+            __mmask16 iyge = _mm512_cmp_ps_mask(iy, ix, _CMP_GE_OQ);
+            __m512i pbits = _mm512_maskz_mov_epi32(
+                (__mmask16)~dge, _mm512_mask_mov_epi32(two_i, iyge, one_i));
+            __m512 nd = _mm512_add_ps(pb, sub);
+            _mm512_store_ps(nD + k * 16, nd);
+            if (k < W - 1) {
+                __m512 oc = _mm512_add_ps(_mm512_load_ps(D + (k + 1) * 16),
+                                          openv);
+                __m512 ec = _mm512_add_ps(_mm512_load_ps(IY + (k + 1) * 16),
+                                          extv);
+                _mm512_store_ps(nIY + k * 16, _mm512_max_ps(oc, ec));
+                __mmask16 iyb = _mm512_cmp_ps_mask(ec, oc, _CMP_GT_OQ);
+                pbits = _mm512_mask_or_epi32(pbits, iyb, pbits,
+                                             _mm512_set1_epi32(4));
+            } else {
+                _mm512_store_ps(nIY + k * 16, NEGV);
+            }
+            if (k == 0) {
+                _mm512_store_ps(nIX, NEGV);
+            } else {
+                __m512 oc2 = _mm512_add_ps(nd_prev, openv);
+                __m512 ec2 = _mm512_add_ps(run, extv);
+                run = _mm512_mask_mov_ps(NEGV, okm,
+                                         _mm512_max_ps(oc2, ec2));
+                _mm512_store_ps(nIX + k * 16, run);
+                __mmask16 ixb = _mm512_cmp_ps_mask(ec2, oc2, _CMP_GT_OQ);
+                pbits = _mm512_mask_or_epi32(pbits, ixb, pbits,
+                                             _mm512_set1_epi32(8));
+            }
+            nd_prev = nd;
+            _mm512_mask_cvtepi32_storeu_epi8(rowp + k * 16,
+                                             (__mmask16)0xFFFF, pbits);
+        }
+        std::swap(D, nD); std::swap(IY, nIY); std::swap(IX, nIX);
+        // transpose the staged [W][16] pointer bytes to per-job rows
+        for (int j = 0; j < n_active; j++) {
+            uint8_t* pj = out_ptr + j * ptr_stride + i * W;
+            for (int64_t k = 0; k < W; k++) pj[k] = rowp[k * 16 + j];
+        }
+        __mmask16 fin = 0;
+        for (int j = 0; j < 16; j++)
+            if (lens[j] == i) fin |= (1u << j);
+        if (fin) harvest(fin);
+    }
+    alignas(64) float bb[16];
+    alignas(64) int32_t kk[16], ss[16];
+    _mm512_store_ps(bb, bestv);
+    _mm512_store_si512(reinterpret_cast<__m512i*>(kk), bestk);
+    _mm512_store_si512(reinterpret_cast<__m512i*>(ss), bests);
+    for (int j = 0; j < n_active; j++) {
+        out_scores[j] = bb[j];
+        out_k[j] = kk[j];
+        out_state[j] = ss[j];
+    }
+}
+#endif  // __AVX512F__
+
 extern "C" void hla_nw_forward(
     const uint8_t* reads, const int64_t* lens, const uint8_t* refs,
     int64_t B, int64_t L, int64_t W,
@@ -549,6 +698,58 @@ extern "C" void hla_nw_forward(
     uint8_t* out_ptr, int n_threads) {
     int nt = n_threads > 0 ? n_threads : 1;
     std::vector<std::thread> threads;
+#if defined(__AVX512F__)
+    // jobs-in-lanes kernel for band widths without a template
+    // specialisation (6-8x the generic scalar loop; the band-vectorised
+    // row kernel below stays faster at the templated widths — measured
+    // 1.17 vs 0.95 Gcells/s at W=32)
+    const bool w_templated = (W == 16 || W == 32 || W == 48 || W == 64
+                              || W == 128);
+    if (!w_templated) {
+        int64_t n_groups = (B + 15) / 16;
+        auto workl = [=](int t) {
+            auto al64 = [](void* p) {
+                return (reinterpret_cast<uintptr_t>(p) + 63)
+                       & ~static_cast<uintptr_t>(63);
+            };
+            std::vector<float> stv(6 * (W + 1) * 16 + 16);
+            std::vector<uint8_t> rdv(L * 16 + 64), rfv((L + W) * 16 + 64),
+                                 rpv(W * 16 + 64);
+            float* st = reinterpret_cast<float*>(al64(stv.data()));
+            uint8_t* rdT = reinterpret_cast<uint8_t*>(al64(rdv.data()));
+            uint8_t* rfT = reinterpret_cast<uint8_t*>(al64(rfv.data()));
+            uint8_t* rowp = reinterpret_cast<uint8_t*>(al64(rpv.data()));
+            alignas(64) int64_t lens16[16];
+            for (int64_t g = t; g < n_groups; g += nt) {
+                const int64_t b0 = g * 16;
+                const int na = (int)std::min<int64_t>(16, B - b0);
+                for (int j = 0; j < 16; j++)
+                    lens16[j] = j < na ? lens[b0 + j] : 0;
+                for (int j = 0; j < na; j++) {
+                    const uint8_t* rs = reads + (b0 + j) * L;
+                    const uint8_t* fs = refs + (b0 + j) * (L + W);
+                    for (int64_t i = 0; i < L; i++) rdT[i * 16 + j] = rs[i];
+                    for (int64_t p = 0; p < L + W; p++)
+                        rfT[p * 16 + j] = fs[p];
+                }
+                for (int j = na; j < 16; j++) {
+                    for (int64_t i = 0; i < L; i++) rdT[i * 16 + j] = 4;
+                    for (int64_t p = 0; p < L + W; p++) rfT[p * 16 + j] = 4;
+                }
+                nw_lanes16_avx512(rdT, rfT, lens16, L, W, na,
+                                  s_match, s_mismatch, s_open, s_ext,
+                                  st, rowp,
+                                  out_scores + b0, out_k + b0,
+                                  out_state + b0,
+                                  out_ptr + b0 * (L + 1) * W,
+                                  (L + 1) * W);
+            }
+        };
+        for (int t = 0; t < nt; t++) threads.emplace_back(workl, t);
+        for (auto& th : threads) th.join();
+        return;
+    }
+#endif
     auto work = [=](int t) {
         std::vector<float> buf(6 * W), subv(W);
         std::vector<uint8_t> okv(W);
@@ -1959,7 +2160,11 @@ extern "C" int hla_walk_haplotype(
     const int64_t* in_offsets, const int32_t* in_edges,
     const int32_t* edge_from, const int32_t* edge_to,
     const uint8_t* edge_emission,
-    const uint8_t* row,            // [n_levels-1] wanted emissions (global)
+    const uint8_t* row,            // [lv_hi - lv_lo] wanted emissions for
+                                   // levels [lv_lo, lv_hi), window-local
+                                   // (row[i] = emission at level lv_lo+i) —
+                                   // a global row would make every walk
+                                   // O(graph) to BUILD on 3M-level PRGs
     int64_t n_nodes,
     int64_t lv_lo, int64_t lv_hi,  // 0 <= lv_lo <= lv_hi <= n_levels-1
     int64_t* out_path) {           // [lv_hi - lv_lo + 1]
@@ -1969,7 +2174,7 @@ extern "C" int hla_walk_haplotype(
     for (int64_t n = level_offsets[lv_lo]; n < level_offsets[lv_lo + 1]; n++)
         reach[n - base] = 1;
     for (int64_t lv = lv_lo; lv < lv_hi; lv++) {
-        uint8_t want = row[lv];
+        uint8_t want = row[lv - lv_lo];
         bool any = false;
         for (int64_t n = level_offsets[lv]; n < level_offsets[lv + 1]; n++) {
             if (!reach[n - base]) continue;
@@ -1992,7 +2197,8 @@ extern "C" int hla_walk_haplotype(
         int64_t prev = -1;
         for (int64_t k = in_offsets[node]; k < in_offsets[node + 1]; k++) {
             int32_t e = in_edges[k];
-            if (edge_emission[e] == row[lv] && reach[edge_from[e] - base]) {
+            if (edge_emission[e] == row[lv - lv_lo]
+                && reach[edge_from[e] - base]) {
                 prev = edge_from[e];
                 break;
             }

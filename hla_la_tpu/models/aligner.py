@@ -33,6 +33,7 @@ from .alignment import (GraphAlignment, pair_distances_underlying,
                         project_linear_alignment, score_alignment,
                         strands_valid)
 
+GAP_ORD = ord("_")
 _ENC = np.full(256, 4, dtype=np.uint8)
 for i, b in enumerate(b"ACGT"):
     _ENC[b] = i
@@ -268,13 +269,104 @@ class ReadAligner:
         return self._align_core(uniq, job_row.astype(np.int64), job_seq,
                                 win_start, job_rev, ffr)
 
-    def _align_core(self, uniq: list[tuple], job_row: np.ndarray,
-                    job_seq_in: np.ndarray, win_start_in: np.ndarray,
-                    reverse_in: np.ndarray, ffr_in: np.ndarray
-                    ) -> list[GraphAlignment | None]:
-        """Batched NW + backtrace + projection for one job slice.  uniq:
-        unique (oriented_seq, oriented_qual) rows; job_row maps each job to
-        its row; the remaining arrays are per job."""
+    def _align_jobs_soa(self, job_read: np.ndarray, job_seq: np.ndarray,
+                        job_rev: np.ndarray, win_start: np.ndarray,
+                        all_reads, unpaired: bool = False) -> dict | None:
+        """SoA twin of _align_jobs_arrays: the projection results stay flat
+        arrays — no GraphAlignment objects (those are built only for the
+        ~2 chains/pair that survive selection; at ~6 candidate jobs/read
+        the per-object assembly was ~25% of warm serial alignment).
+        Returns None when the native projection path is unavailable.
+
+        Keys: per-job  valid, s, e (column ranges), ll, f_lv, l_lv,
+        lv2 [n,4], rev, prg_id, ffr;  flat columns  levels, graph_c,
+        seq_c, qual_c, pos_keys."""
+        from .. import native
+        if not native.available():
+            return None
+        from .alignment import project_batch_raw
+        n = len(job_read)
+        MAX_B = self._max_b()
+        chunks = []
+        col_base = 0
+        for lo in range(0, n, MAX_B):
+            sl = slice(lo, lo + MAX_B)
+            jr, js, jv, ws = (job_read[sl], job_seq[sl], job_rev[sl],
+                              win_start[sl])
+            keys, job_row = np.unique(jr * 2 + jv, return_inverse=True)
+            uniq = []
+            for key in keys.tolist():
+                r = all_reads[key >> 1]
+                if key & 1:
+                    uniq.append((revcomp(r.seq), r.qual[::-1]))
+                else:
+                    uniq.append((r.seq, r.qual))
+            raw = self._align_core_raw(uniq, job_row.astype(np.int64),
+                                       js, ws, jv)
+            if raw["ops"] is None:
+                return None
+            # (n_chain_extensions bumped inside _align_core_raw)
+            res = project_batch_raw(
+                raw["ops"], raw["n_ops"], raw["job_seq"], raw["win_start"],
+                raw["reads_ascii"], raw["quals_ascii"],
+                self.hap_codes_cat, self.hap_levels_cat, self.hap_offsets,
+                self.hap_lens, raw["reverse"], self.long_reads)
+            if res is None:
+                return None
+            (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
+             col_starts, ll, first_lv, last_lv, lv2, bad) = res
+            chunks.append(dict(
+                levels=levels, graph_c=graph_c, seq_c=seq_c, qual_c=qual_c,
+                pos_keys=pos_keys,
+                valid=~((bad != 0) | (col_counts == 0)),
+                s=col_starts + col_base, cnt=col_counts,
+                ll=ll, f_lv=first_lv, l_lv=last_lv, lv2=lv2,
+                rev=raw["reverse"], prg_id=raw["prg_ids"]))
+            col_base += len(levels)
+        if not chunks:
+            z = np.zeros(0, dtype=np.int64)
+            return dict(levels=z, graph_c=z.astype(np.uint8),
+                        seq_c=z.astype(np.uint8), qual_c=z.astype(np.uint8),
+                        pos_keys=z, valid=np.zeros(0, dtype=bool),
+                        s=z, e=z, ll=np.zeros(0), f_lv=z, l_lv=z,
+                        lv2=np.zeros((0, 4), dtype=np.int64),
+                        rev=np.zeros(0, dtype=np.uint8), prg_id=z,
+                        ffr=np.zeros(0, dtype=bool))
+        out = {k: (np.concatenate([c[k] for c in chunks])
+                   if len(chunks) > 1 else chunks[0][k])
+               for k in chunks[0]}
+        out["e"] = out.pop("cnt") + out["s"]
+        out["ffr"] = (np.ones(n, dtype=bool) if unpaired
+                      else job_read % 2 == 0)
+        return out
+
+    def _al_from_soa(self, soa: dict, j: int) -> GraphAlignment:
+        """Materialise job j of an _align_jobs_soa result as a
+        GraphAlignment (identical fields to the project_and_score_batch
+        assembly)."""
+        s = int(soa["s"][j])
+        e = int(soa["e"][j])
+        al = GraphAlignment.__new__(GraphAlignment)
+        al.__dict__ = {
+            "levels": soa["levels"][s:e], "graph_c": soa["graph_c"][s:e],
+            "seq_c": soa["seq_c"][s:e], "seq_qual": soa["qual_c"][s:e],
+            "reverse": bool(soa["rev"][j]), "seq_idx": int(soa["prg_id"][j]),
+            "mapq": 1.0, "mapq_per_pos": None,
+            "from_first_read": bool(soa["ffr"][j]),
+            "log_likelihood": float(soa["ll"][j]),
+            "_first_level": int(soa["f_lv"][j]),
+            "_last_level": int(soa["l_lv"][j]),
+            "_lv2": soa["lv2"][j], "_pos_keys": soa["pos_keys"][s:e],
+        }
+        return al
+
+    def _align_core_raw(self, uniq: list[tuple], job_row: np.ndarray,
+                        job_seq_in: np.ndarray, win_start_in: np.ndarray,
+                        reverse_in: np.ndarray):
+        """Staging + batched NW + native backtrace for one job slice.
+        Returns a dict of per-job arrays feeding the projection step, or
+        None when the native backtrace is unavailable (callers fall back
+        to the per-job python loop)."""
         nb = len(job_row)
         L = max(len(s) for s, _ in uniq)
         if self.use_jax:
@@ -357,25 +449,57 @@ class ReadAligner:
             native_bt = native.nw_backtrace_batch(pointers, lens_arr,
                                                   end_k, end_state,
                                                   scratch=self._nw_scratch)
-        ffr_l = ffr_in.tolist()
-        if native_bt is not None:
-            from .alignment import project_and_score_batch
+        if native_bt is None:
+            ops_b = n_ops_b = None
+        else:
             ops_b, n_ops_b = native_bt
             n_ops_b = n_ops_b.astype(np.int64).copy()
             n_ops_b[scores[:B] <= -1e29] = 0
+            ops_b, n_ops_b = ops_b[:nb], n_ops_b[:nb]
+        return dict(ops=ops_b, n_ops=n_ops_b,
+                    job_seq=job_seq[:nb], win_start=win_start[:nb],
+                    reads_ascii=reads_ascii[:nb],
+                    quals_ascii=quals_ascii[:nb],
+                    reverse=reverse_arr[:nb], prg_ids=prg_id_arr[:nb],
+                    uniq=uniq, job_row=job_row, scores=scores,
+                    end_k=end_k, end_state=end_state, pointers=pointers,
+                    lens=lens_arr)
+
+    def _align_core(self, uniq: list[tuple], job_row: np.ndarray,
+                    job_seq_in: np.ndarray, win_start_in: np.ndarray,
+                    reverse_in: np.ndarray, ffr_in: np.ndarray
+                    ) -> list[GraphAlignment | None]:
+        """Batched NW + backtrace + projection for one job slice.  uniq:
+        unique (oriented_seq, oriented_qual) rows; job_row maps each job to
+        its row; the remaining arrays are per job."""
+        raw = self._align_core_raw(uniq, job_row, job_seq_in, win_start_in,
+                                   reverse_in)
+        ffr_l = ffr_in.tolist()
+        if raw["ops"] is not None:
+            from .alignment import project_and_score_batch
             out = project_and_score_batch(
-                ops_b[:nb], n_ops_b[:nb], job_seq[:nb], win_start[:nb],
-                reads_ascii[:nb], quals_ascii[:nb],
+                raw["ops"], raw["n_ops"], raw["job_seq"], raw["win_start"],
+                raw["reads_ascii"], raw["quals_ascii"],
                 self.hap_codes_cat, self.hap_levels_cat, self.hap_offsets,
-                self.hap_lens, reverse_arr[:nb], prg_id_arr[:nb],
+                self.hap_lens, raw["reverse"], raw["prg_ids"],
                 self.long_reads)
             for al, ffr in zip(out, ffr_l):
                 if al is not None:
                     al.from_first_read = ffr
             return out
+        return self._align_core_pyloop(raw, ffr_l)
 
+    def _align_core_pyloop(self, raw: dict, ffr_l: list
+                           ) -> list[GraphAlignment | None]:
+        """Per-job python backtrace+projection (no native library)."""
+        scores, pointers, lens_arr = raw["scores"], raw["pointers"], \
+            raw["lens"]
+        end_k, end_state = raw["end_k"], raw["end_state"]
+        job_seq, win_start = raw["job_seq"], raw["win_start"]
+        uniq, job_row = raw["uniq"], raw["job_row"]
+        reverse_arr = raw["reverse"]
         out: list[GraphAlignment | None] = []
-        for bi in range(nb):
+        for bi in range(len(job_row)):
             if scores[bi] <= -1e29:
                 out.append(None)
                 continue
@@ -433,6 +557,13 @@ class ReadAligner:
                     read_of[m], seq_idx_a[m], rev_a[m], start_a[m])
         win_start = start_a - self.band // 2
         self.stats.considered_chains += len(read_of)
+        soa = self._align_jobs_soa(read_of, seq_idx_a, rev_a, win_start,
+                                   all_reads)
+        if soa is not None:
+            out = self._align_pairs_soa(pairs, all_reads, read_of, soa,
+                                        insert_mean, insert_sd, truth)
+            if out is not None:
+                return out
         alignments = self._align_jobs_arrays(read_of, seq_idx_a, rev_a,
                                              win_start, all_reads)
 
@@ -515,6 +646,184 @@ class ReadAligner:
                                    chain.aligned_levels_per_base(len(read.seq)),
                                    chain.reverse)
             out.append(ap)
+        return out
+
+    def _align_pairs_soa(self, pairs, all_reads, read_of, soa,
+                         insert_mean, insert_sd, truth):
+        """Object-free paired pipeline over an _align_jobs_soa result:
+        dedup -> graph-fallback gate -> native combination selection all
+        run on flat arrays; GraphAlignments are materialised only for the
+        selected chains (and the rare fallback candidates).  Byte-identical
+        to the object pipeline (same dedup key/tie rules, same selection
+        inputs in the same order).  Returns None if the native pair
+        selector is unavailable (caller falls back)."""
+        from .. import native
+        valid = soa["valid"]
+        jidx = np.nonzero(valid)[0]
+        out: list[AlignedPair] = []
+        if len(jidx) == 0:
+            return out
+        r = read_of[jidx].astype(np.int64)
+        f = soa["f_lv"][jidx]
+        l = soa["l_lv"][jidx]
+        rv = soa["rev"][jidx].astype(np.int64)
+        ll = soa["ll"][jidx]
+        # ---- dedup identical (first, last, rev) spans per read, keeping
+        # the best likelihood, first-on-ties; surviving chains keep the
+        # key's first-occurrence order (dict-insertion semantics of
+        # skipIdenticalCoordinates, processBAM.cpp:3233-3246)
+        local = np.arange(len(jidx))
+        order = np.lexsort((local, -ll, rv, l, f, r))
+        rs, fs, ls, vs = r[order], f[order], l[order], rv[order]
+        new_grp = np.r_[True, (rs[1:] != rs[:-1]) | (fs[1:] != fs[:-1])
+                        | (ls[1:] != ls[:-1]) | (vs[1:] != vs[:-1])]
+        grp_start = np.nonzero(new_grp)[0]
+        rep_local = order[grp_start]            # best-ll rep per group
+        key_first = np.minimum.reduceat(order, grp_start)
+        rep_read = rs[grp_start]
+        srt = np.lexsort((key_first, rep_read))
+        surv_job = jidx[rep_local[srt]]         # global job index
+        surv_read = rep_read[srt]
+        # per-read slots in dedup order; entries: int job index or a
+        # GraphAlignment (fallback extras)
+        per_read: dict[int, list] = {}
+        for rd, j in zip(surv_read.tolist(), surv_job.tolist()):
+            per_read.setdefault(rd, []).append(j)
+
+        # ---- graph-space fallback gate (vectorised pre-filter) ----------
+        if self.graph_fallback and len(soa["levels"]):
+            nongap = soa["seq_c"] != GAP_ORD
+            cs = np.r_[0, np.cumsum(nongap)]
+            nb_all = cs[soa["e"]] - cs[soa["s"]]   # non-gap bases per job
+            # best survivor per read, first-on-ties = the object path's
+            # max(slot, key=ll); survivors are grouped by read in slot
+            # order, so the earliest position within a read wins ties
+            ll_s = soa["ll"][surv_job]
+            bsort = np.lexsort((np.arange(len(surv_job)), -ll_s, surv_read))
+            rd_sorted = surv_read[bsort]
+            first = np.r_[True, rd_sorted[1:] != rd_sorted[:-1]]
+            best_pos = bsort[first]                 # index into surv_*
+            jb = surv_job[best_pos]
+            poor = (ll_s[best_pos]
+                    / np.maximum(nb_all[jb], 1)) < -0.25
+            for p in np.nonzero(poor)[0].tolist():
+                j = int(jb[p])
+                rd = int(surv_read[best_pos[p]])
+                s0, e0 = int(soa["s"][j]), int(soa["e"][j])
+                seq_c = soa["seq_c"][s0:e0]
+                match = ((seq_c == soa["graph_c"][s0:e0]) & (seq_c != GAP_ORD))
+                k = min(30, len(match))
+                if k:
+                    cs2 = np.cumsum(np.r_[0, match.astype(np.int64)])
+                    if (cs2[k:] - cs2[:-k]).max() / k < 0.9:
+                        self.stats.bump("graph_fallback_skipped_noise")
+                        continue
+                re_al = self._graph_realign(self._al_from_soa(soa, j),
+                                            all_reads[rd])
+                if re_al is not None:
+                    per_read[rd].append(re_al)
+                    self.stats.bump("graph_fallback_improved")
+
+        # ---- selection input assembly (flat arrays, entry order =
+        # per-pair c1 then c2, dedup order within each) -------------------
+        sel_idx = [pi for pi in range(len(pairs))
+                   if per_read.get(2 * pi) and per_read.get(2 * pi + 1)]
+        if not sel_idx:
+            return out
+        flat_job: list[int] = []        # job index, or -(1+extra_id)
+        extras: list[GraphAlignment] = []
+        n1l, n2l = [], []
+        for pi in sel_idx:
+            for rd in (2 * pi, 2 * pi + 1):
+                slot = per_read[rd]
+                (n1l if rd % 2 == 0 else n2l).append(len(slot))
+                for entry in slot:
+                    if isinstance(entry, int):
+                        flat_job.append(entry)
+                    else:
+                        flat_job.append(-(1 + len(extras)))
+                        extras.append(entry)
+        fj = np.asarray(flat_job, dtype=np.int64)
+        is_job = fj >= 0
+        gj = np.where(is_job, fj, 0)
+        ll_f = soa["ll"][gj].astype(np.float64)
+        f_f = soa["f_lv"][gj].astype(np.int64)
+        l_f = soa["l_lv"][gj].astype(np.int64)
+        rev_f = soa["rev"][gj].astype(np.uint8)
+        lv2_f = soa["lv2"][gj].astype(np.int64)
+        kstart = soa["s"][gj].astype(np.int64)
+        klen = (soa["e"] - soa["s"])[gj].astype(np.int64)
+        if extras:
+            ex_keys = []
+            ex_base = len(soa["pos_keys"])
+            for p in np.nonzero(~is_job)[0].tolist():
+                c = extras[-(1 + flat_job[p])]
+                ll_f[p] = c.log_likelihood
+                f_f[p] = c.first_level()
+                l_f[p] = c.last_level()
+                rev_f[p] = c.reverse
+                if c._lv2 is not None:
+                    lv2_f[p] = c._lv2
+                else:
+                    v = c.levels[c.levels >= 0]
+                    lv2_f[p] = ((v[0], v[1] if len(v) > 1 else -1,
+                                 v[-2] if len(v) > 1 else -1, v[-1])
+                                if len(v) else (-1, -1, -1, -1))
+                k = _position_keys(c)
+                kstart[p] = ex_base + sum(len(x) for x in ex_keys)
+                klen[p] = len(k)
+                ex_keys.append(k)
+            key_src = np.concatenate([soa["pos_keys"]] + ex_keys)
+        else:
+            key_src = soa["pos_keys"]
+        key_off = np.r_[0, np.cumsum(klen)].astype(np.int64)
+        total_k = int(key_off[-1])
+        flat_idx = (np.repeat(kstart - key_off[:-1], klen)
+                    + np.arange(total_k, dtype=np.int64))
+        keys = key_src[flat_idx]
+        tr_off = np.concatenate([self.hap_offsets,
+                                 [len(self.hap_levels_cat)]])
+        insert_sd = max(insert_sd, 1e-6)
+        max_pen_log = _normal_logpdf(insert_mean + 8 * insert_sd,
+                                     insert_mean, insert_sd)
+        res = native.select_pairs(
+            np.asarray(n1l), np.asarray(n2l), ll_f, f_f, l_f, lv2_f, rev_f,
+            key_off, keys, self.hap_levels_cat, tr_off,
+            insert_mean, insert_sd, max_pen_log)
+        if res is None:
+            return None
+        b1, b2, pm, m1, m2, conf = res
+
+        # ---- materialise the winners only -------------------------------
+        base = 0
+        for k_i, pi in enumerate(sel_idx):
+            c1 = per_read[2 * pi]
+            c2 = per_read[2 * pi + 1]
+            g1 = base + int(b1[k_i])
+            g2 = base + len(c1) + int(b2[k_i])
+            chs = []
+            for g, slot, bsel in ((g1, c1, int(b1[k_i])),
+                                  (g2, c2, int(b2[k_i]))):
+                entry = slot[bsel]
+                ch = (entry if isinstance(entry, GraphAlignment)
+                      else self._al_from_soa(soa, entry))
+                ch.mapq_per_pos = conf[key_off[g]:key_off[g + 1]]
+                chs.append(ch)
+            ch1, ch2 = chs
+            ch1.mapq = float(m1[k_i])
+            ch2.mapq = float(m2[k_i])
+            self.stats.considered_chain_pairs += len(c1) * len(c2)
+            self.stats.n_align_calls += 1
+            ap = AlignedPair(pairs[pi][0].name, ch1, ch2, float(pm[k_i]))
+            if truth is not None:
+                r1, r2 = pairs[pi]
+                for mate_i, (chain, read) in enumerate(
+                        ((ap.chain1, r1), (ap.chain2, r2)), start=1):
+                    truth.evaluate(f"{read.name}/{mate_i}",
+                                   chain.aligned_levels_per_base(len(read.seq)),
+                                   chain.reverse)
+            out.append(ap)
+            base += len(c1) + len(c2)
         return out
 
     def _select_pairs_native(self, pairs, per_pair, insert_mean, insert_sd,

@@ -157,6 +157,38 @@ def project_linear_alignment(ops, oriented_read: str, oriented_qual: str,
     )
 
 
+def project_batch_raw(ops: np.ndarray, n_ops: np.ndarray,
+                      job_seq: np.ndarray, window_start: np.ndarray,
+                      reads_ascii: np.ndarray, quals_ascii: np.ndarray,
+                      hap_codes_cat: np.ndarray, hap_levels_cat: np.ndarray,
+                      hap_offsets: np.ndarray, hap_lens: np.ndarray,
+                      reverse: np.ndarray, long_read_mode: bool):
+    """Native projection+scoring returning the raw SoA tuple
+    (levels, graph_c, seq_c, qual_c, pos_keys, col_counts, col_starts,
+    ll, first_lv, last_lv, lv2 [B,4], bad) — or None when the native
+    library is unavailable.  The SoA pair-selection path consumes this
+    directly; project_and_score_batch wraps it into GraphAlignments.
+
+    NOTE the scoring constants/formulas appear three times (here, the
+    vectorised fallback in project_and_score_batch, and score_alignment)
+    and must stay in sync; they CANNOT be unified into one table helper
+    because the fallback paths take logs in float32 while this path is
+    float64 — changing either's rounding breaks the byte-stable output
+    snapshot (tests/test_output_snapshot.py)."""
+    from .. import native
+    if not native.available():
+        return None
+    p_err = 0.075 if long_read_mode else 0.001
+    log_mm = math.log(1.0 - 2 * p_err)
+    table = phred_to_p_correct_table(conservative_cap=0.999, floor=1e-5)
+    tab64 = table.astype(np.float64)
+    return native.project_score_batch(
+        ops, n_ops, job_seq, window_start, reads_ascii, quals_ascii,
+        hap_codes_cat, hap_levels_cat, hap_offsets, hap_lens, reverse,
+        log_mm + np.log(tab64), log_mm + np.log((1.0 - tab64) / 3.0),
+        math.log(p_err) + math.log(0.25), math.log(p_err))
+
+
 def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
                             job_seq: np.ndarray, window_start: np.ndarray,
                             reads_ascii: np.ndarray, quals_ascii: np.ndarray,
@@ -179,21 +211,10 @@ def project_and_score_batch(ops: np.ndarray, n_ops: np.ndarray,
 
     from .. import native
     if native.available():
-        # NOTE the scoring constants/formulas appear three times (here, the
-        # vectorised fallback below, and score_alignment) and must stay in
-        # sync; they CANNOT be unified into one table helper because the
-        # fallback paths take logs in float32 while this path is float64 —
-        # changing either's rounding breaks the byte-stable output
-        # snapshot (tests/test_output_snapshot.py)
-        p_err = 0.075 if long_read_mode else 0.001
-        log_mm = math.log(1.0 - 2 * p_err)
-        table = phred_to_p_correct_table(conservative_cap=0.999, floor=1e-5)
-        tab64 = table.astype(np.float64)
-        res = native.project_score_batch(
-            ops, n_ops, job_seq, window_start, reads_ascii, quals_ascii,
-            hap_codes_cat, hap_levels_cat, hap_offsets, hap_lens, reverse,
-            log_mm + np.log(tab64), log_mm + np.log((1.0 - tab64) / 3.0),
-            math.log(p_err) + math.log(0.25), math.log(p_err))
+        res = project_batch_raw(ops, n_ops, job_seq, window_start,
+                                reads_ascii, quals_ascii, hap_codes_cat,
+                                hap_levels_cat, hap_offsets, hap_lens,
+                                reverse, long_read_mode)
         if res is not None:
             (levels, graph_c, seq_c, qual_c, pos_keys, col_counts,
              col_starts, ll, first_lv, last_lv, lv2, bad) = res

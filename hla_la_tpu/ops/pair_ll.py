@@ -251,5 +251,20 @@ def pair_ll_reduction(L: np.ndarray, backend: str = "auto",
 
 def pair_min_mismatch_row(mm: np.ndarray, c1: int) -> np.ndarray:
     """Mismatches_min for pairs (c1, *): sum_r min(m[c1,r], m[c,r])
-    (HLATyper.cpp:2337-2340, needed only for the best-guess row)."""
-    return np.minimum(mm[c1][None, :], mm).sum(axis=1)
+    (HLATyper.cpp:2337-2340, needed only for the best-guess row).
+
+    Chunked over clusters with a small reused temp: the naive broadcast
+    allocates a full [C, R] copy (~150 MB at IMGT scale) whose page
+    faults cost seconds on shared VMs.  Row sums are computed per row
+    either way, so the result is bit-identical to the one-shot form."""
+    C, R = mm.shape
+    out = np.empty(C, dtype=mm.dtype)
+    row = mm[c1][None, :]
+    chunk = max(1, int(4e6 // max(R, 1)))
+    buf = np.empty((min(chunk, C), R), dtype=mm.dtype)
+    for lo in range(0, C, chunk):
+        hi = min(lo + chunk, C)
+        b = buf[:hi - lo]
+        np.minimum(row, mm[lo:hi], out=b)
+        out[lo:hi] = b.sum(axis=1)
+    return out

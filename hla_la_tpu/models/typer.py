@@ -1115,11 +1115,16 @@ class HLATyper:
             oki = np.nonzero(ok_a)[0]
             hist = (w1_a[oki], w2_a[oki])
         if hist is not None:
-            parts = []
-            for w1, w2 in zip(hist[0].tolist(), hist[1].tolist()):
-                parts.append(f"{locus}\tread{w1}\n{locus}\tread{w2}\n"
-                             f"{locus}\treadPair{(w1 + w2) / 2}\n")
-            hist_fh.write("".join(parts))
+            # the weightedOK fractions are heavily quantised (most reads sit
+            # at a handful of values): format each distinct (w1, w2) pair's
+            # 3-line block once and emit by index — float formatting per
+            # pair was ~0.2 s/locus at real-PRG scale
+            key = np.asarray(hist[0]) + 1j * np.asarray(hist[1])
+            uv, inv = np.unique(key, return_inverse=True)
+            blocks = [f"{locus}\tread{w1}\n{locus}\tread{w2}\n"
+                      f"{locus}\treadPair{(w1 + w2) / 2}\n"
+                      for w1, w2 in zip(uv.real.tolist(), uv.imag.tolist())]
+            hist_fh.write("".join([blocks[i] for i in inv.tolist()]))
         soa = self._collect_locus_obs(raw_pairs, aligned_pairs, raw_unpaired,
                                       aligned_unpaired, ov, pq, levels,
                                       lv_min, lv_max, cfg)
@@ -1604,26 +1609,37 @@ class HLATyper:
                   "w") as fh:
             fh.write("Column\tCoverage\tExpectedIncompatible\t"
                      "ObservedIncompatible\tp\n")
-            for j in range(J):
-                expected = avg_err * per_col_total[j]
-                observed = per_col_incomp[j]
+            # coverage/observed values repeat across the J columns: format
+            # (and chi2) each distinct (coverage, observed) row tail once
+            # (per-row float formatting + chi2 was ~0.15 s/locus at J~7k)
+            key = per_col_total.astype(np.int64) * (
+                int(per_col_incomp.max()) + 1 if J else 1) + per_col_incomp
+            uv, inv = np.unique(key, return_inverse=True)
+            span = int(per_col_incomp.max()) + 1 if J else 1
+            tails = []
+            for kv in uv.tolist():
+                tot, observed = kv // span, kv % span
+                expected = avg_err * tot
                 p = 1.0
                 if observed > expected and expected > 0:
-                    p = _chi2_p1(
-                        [per_col_total[j] - observed, observed],
-                        [per_col_total[j] - expected, expected])
-                fh.write(f"{j}\t{per_col_total[j]}\t{expected}\t{observed}\t"
-                         f"{p}\n")
+                    p = _chi2_p1([tot - observed, observed],
+                                 [tot - expected, expected])
+                tails.append(f"\t{tot}\t{expected}\t{observed}\t{p}\n")
+            fh.write("".join(
+                [f"{j}{tails[i]}" for j, i in enumerate(inv.tolist())]))
+
+        exon_arr = np.asarray(exon_idx)
 
         def kmer_presence(combined: str) -> float:
             k = cfg.k_for_kmer_index
-            # split by exon, drop gaps, count k-mers present in the read index
+            # split by exon, drop gaps, count k-mers present in the read
+            # index (vectorised split: the per-char python loop cost
+            # ~60 ms/allele at J~7k)
             total = present = 0
-            by_exon: dict[int, list[str]] = {}
-            for j, ch in enumerate(combined):
-                by_exon.setdefault(int(exon_idx[j]), []).append(ch)
-            for chars in by_exon.values():
-                s = "".join(c for c in chars if c != "_")
+            arr = np.frombuffer(combined.encode(), dtype=np.uint8)
+            keep = arr != ord("_")
+            for e in np.unique(exon_arr).tolist():
+                s = bytes(arr[(exon_arr == e) & keep]).decode()
                 n = max(len(s) - k + 1, 0)
                 total += n
                 if n:
@@ -1936,6 +1952,10 @@ class KmerCountIndex:
         if not seqs:
             return cls(np.zeros(0, np.uint64), np.zeros(0, np.int64), k)
         cat = np.frombuffer(("\x00".join(seqs)).encode(), dtype=np.uint8)
+        if native.available():
+            res = native.kmer_count_build(cat, k)
+            if res is not None:
+                return cls(res[0], res[1], k)
         canon = None
         if native.available():
             res = native.encode_kmers(cat, k, canonical=True)

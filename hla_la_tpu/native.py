@@ -155,6 +155,10 @@ def _find_lib():
                 lib.hla_cluster_ll_delta.restype = None
                 lib.hla_cluster_ll_delta.argtypes = (
                     [vp] * 6 + [i64, i64, i64, i64, vp, vp, ctypes.c_int])
+                u64pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))
+                lib.hla_kmer_count_build.restype = i64
+                lib.hla_kmer_count_build.argtypes = [
+                    vp, i64, i64, ctypes.c_int, u64pp, i64pp]
                 lib.hla_repr_double.restype = ctypes.c_int
                 lib.hla_repr_double.argtypes = [f64, vp]
                 lib.hla_format_pairs.restype = ctypes.c_int
@@ -562,6 +566,34 @@ def encode_kmers(seq_bytes: np.ndarray, k: int, canonical: bool = False
     lib.hla_encode_kmers_c(c(sb), n, k, c(out), c(valid), default_threads(),
                            1 if canonical else 0)
     return out, valid.astype(bool)
+
+
+def kmer_count_build(seq_bytes: np.ndarray, k: int
+                     ) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ canonical k-mer count index build (hla_kmer_count_build):
+    sorted unique canonical codes + counts, identical to
+    sort+run-length-count of the canonical encode_kmers output
+    (typer.KmerCountIndex.build semantics).  None when unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    sb = np.ascontiguousarray(seq_bytes, dtype=np.uint8)
+    oc = ctypes.POINTER(ctypes.c_uint64)()
+    on = ctypes.POINTER(ctypes.c_int64)()
+    nu = int(lib.hla_kmer_count_build(
+        sb.ctypes.data_as(ctypes.c_void_p), len(sb), k, default_threads(),
+        ctypes.byref(oc), ctypes.byref(on)))
+    if nu < 0:
+        return None
+    if nu == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+    try:
+        codes = np.ctypeslib.as_array(oc, shape=(nu,)).copy()
+        counts = np.ctypeslib.as_array(on, shape=(nu,)).copy()
+    finally:
+        lib.hla_free(ctypes.cast(oc, ctypes.c_void_p))
+        lib.hla_free(ctypes.cast(on, ctypes.c_void_p))
+    return codes, counts
 
 
 def gather_windows(enc_cat: np.ndarray, hap_offsets: np.ndarray,

@@ -19,6 +19,7 @@
 #include <memory>
 #include <vector>
 #include <thread>
+#include <atomic>
 #include <zlib.h>
 #if defined(__AVX512F__)
 #include <immintrin.h>
@@ -3203,4 +3204,133 @@ extern "C" void hla_pair_ll(const double* L, int64_t C, int64_t R,
 extern "C" void hla_pair_ll_f32(const float* L, int64_t C, int64_t R,
                                 double* out, int n_threads) {
     pair_ll_impl<float>(L, C, R, out, n_threads);
+}
+
+// ---------------------------------------------------------------------------
+// Canonical k-mer count index build (typer.KmerCountIndex.build; the
+// kMer counting of HLATyper.cpp:999-1028): rolling canonical encode over
+// the '\0'-joined read set, compact the valid codes, bucketed parallel
+// sort, run-length count.  Outputs are malloc'd arrays (caller frees both
+// with hla_free); returns the number of unique codes, -1 on alloc failure.
+// Results are identical to sort+unique in any order (sorted uniques).
+// ---------------------------------------------------------------------------
+extern "C" int64_t hla_kmer_count_build(
+    const uint8_t* seq, int64_t n, int64_t k, int n_threads,
+    uint64_t** out_codes, int64_t** out_counts) {
+    *out_codes = nullptr; *out_counts = nullptr;
+    int64_t n_out = n - k + 1;
+    if (n_out <= 0) return 0;
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 16) nt = 16;
+    // 1) encode (canonical) + validity, then per-thread compact
+    std::vector<uint64_t> codes((size_t)n_out);
+    std::vector<uint8_t> valid((size_t)n_out);
+    hla_encode_kmers_c(seq, n, k, codes.data(), valid.data(), nt, 1);
+    // 2) partition valid codes into 2^PB buckets by top bits (canonical
+    //    codes are ~uniform there), counting per (thread, bucket) first so
+    //    each thread scatters into disjoint slots
+    constexpr int PB = 10;
+    const int NB = 1 << PB;
+    const int shift = (2 * (int)k > PB) ? (2 * (int)k - PB) : 0;
+    std::vector<int64_t> tb_count((size_t)nt * NB, 0);
+    int64_t chunk = (n_out + nt - 1) / nt;
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nt; t++) th.emplace_back([&, t]() {
+            int64_t lo = t * chunk, hi = std::min(lo + chunk, n_out);
+            int64_t* cnt = tb_count.data() + (size_t)t * NB;
+            for (int64_t i = lo; i < hi; i++)
+                if (valid[i]) cnt[codes[i] >> shift]++;
+        });
+        for (auto& x : th) x.join();
+    }
+    // prefix sums: bucket starts, then per-thread write cursors
+    std::vector<int64_t> bstart(NB + 1, 0);
+    for (int b = 0; b < NB; b++) {
+        int64_t s = 0;
+        for (int t = 0; t < nt; t++) s += tb_count[(size_t)t * NB + b];
+        bstart[b + 1] = bstart[b] + s;
+    }
+    int64_t n_valid = bstart[NB];
+    if (n_valid == 0) return 0;
+    std::vector<int64_t> cursor((size_t)nt * NB);
+    for (int b = 0; b < NB; b++) {
+        int64_t at = bstart[b];
+        for (int t = 0; t < nt; t++) {
+            cursor[(size_t)t * NB + b] = at;
+            at += tb_count[(size_t)t * NB + b];
+        }
+    }
+    std::vector<uint64_t> part((size_t)n_valid);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nt; t++) th.emplace_back([&, t]() {
+            int64_t lo = t * chunk, hi = std::min(lo + chunk, n_out);
+            int64_t* cur = cursor.data() + (size_t)t * NB;
+            for (int64_t i = lo; i < hi; i++)
+                if (valid[i]) part[(size_t)cur[codes[i] >> shift]++] = codes[i];
+        });
+        for (auto& x : th) x.join();
+    }
+    codes.clear(); codes.shrink_to_fit();
+    valid.clear(); valid.shrink_to_fit();
+    // 3) sort buckets in parallel (dynamic work stealing over bucket ids)
+    {
+        std::atomic<int> next{0};
+        std::vector<std::thread> th;
+        for (int t = 0; t < nt; t++) th.emplace_back([&]() {
+            for (;;) {
+                int b = next.fetch_add(1);
+                if (b >= NB) break;
+                std::sort(part.begin() + bstart[b],
+                          part.begin() + bstart[b + 1]);
+            }
+        });
+        for (auto& x : th) x.join();
+    }
+    // 4) run-length count per bucket (bucket boundaries never split a run:
+    //    equal codes share a bucket), then compact into the output arrays
+    std::vector<int64_t> uniq_in_bucket(NB, 0);
+    {
+        std::vector<std::thread> th;
+        std::atomic<int> next{0};
+        for (int t = 0; t < nt; t++) th.emplace_back([&]() {
+            for (;;) {
+                int b = next.fetch_add(1);
+                if (b >= NB) break;
+                int64_t u = 0;
+                for (int64_t i = bstart[b]; i < bstart[b + 1]; i++)
+                    if (i == bstart[b] || part[i] != part[i - 1]) u++;
+                uniq_in_bucket[b] = u;
+            }
+        });
+        for (auto& x : th) x.join();
+    }
+    std::vector<int64_t> ustart(NB + 1, 0);
+    for (int b = 0; b < NB; b++) ustart[b + 1] = ustart[b] + uniq_in_bucket[b];
+    int64_t n_uniq = ustart[NB];
+    uint64_t* oc = (uint64_t*)malloc((size_t)n_uniq * sizeof(uint64_t));
+    int64_t* on = (int64_t*)malloc((size_t)n_uniq * sizeof(int64_t));
+    if (!oc || !on) { free(oc); free(on); return -1; }
+    {
+        std::vector<std::thread> th;
+        std::atomic<int> next{0};
+        for (int t = 0; t < nt; t++) th.emplace_back([&]() {
+            for (;;) {
+                int b = next.fetch_add(1);
+                if (b >= NB) break;
+                int64_t w = ustart[b] - 1;
+                for (int64_t i = bstart[b]; i < bstart[b + 1]; i++) {
+                    if (i == bstart[b] || part[i] != part[i - 1]) {
+                        w++;
+                        oc[w] = part[i];
+                        on[w] = 1;
+                    } else on[w]++;
+                }
+            }
+        });
+        for (auto& x : th) x.join();
+    }
+    *out_codes = oc; *out_counts = on;
+    return n_uniq;
 }

@@ -215,3 +215,31 @@ def test_pair_ll_f32_bitexact_vs_f64_path():
         got = native.pair_ll(L32)
         want = native.pair_ll(L32.astype(np.float64))
         assert np.array_equal(got, want), (C, R)
+
+
+def test_kmer_count_build_parity():
+    """Native hla_kmer_count_build == the numpy sort+run-length path of
+    KmerCountIndex.build (sorted unique canonical codes + counts),
+    including N/lowercase handling and separator-crossing k-mers."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from hla_la_tpu.mapping.kmer_index import encode_kmers
+    from hla_la_tpu.models.typer import _revcomp_codes
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ACGTacgtN"), size=int(n),
+                               p=[.118] * 8 + [.056]))
+            for n in rng.integers(20, 160, size=400)]
+    k = 31
+    cat = np.frombuffer(("\x00".join(seqs)).encode(), dtype=np.uint8)
+    res = native.kmer_count_build(cat, k)
+    assert res is not None
+    codes, valid = encode_kmers(cat, k)
+    canon = np.minimum(codes, _revcomp_codes(codes, k))[valid]
+    want_codes, want_counts = np.unique(canon, return_counts=True)
+    assert np.array_equal(res[0], want_codes)
+    assert np.array_equal(res[1], want_counts.astype(np.int64))
+    # empty / all-invalid inputs
+    for edge in (np.zeros(0, np.uint8),
+                 np.frombuffer(b"N" * 64, dtype=np.uint8)):
+        r = native.kmer_count_build(edge, k)
+        assert len(r[0]) == 0 and len(r[1]) == 0

@@ -2049,6 +2049,7 @@ extern "C" int64_t hla_seed_chain(
             e.b1 = bstart[(e.c >> pshift) + 1];
             if (e.b1 > e.b0)
                 __builtin_prefetch(sorted_codes + e.b0);
+                __builtin_prefetch(sorted_pos + e.b0);
         }
         for (int q = 0; q < npend; q++) {
             const PendQ& e = pend[q];
@@ -2092,14 +2093,26 @@ extern "C" int64_t hla_seed_chain(
         *out_read = *out_seq = *out_start = *out_nk = *out_span = nullptr;
         return 0;
     }
-    std::sort(hits.begin(), hits.end(),
-              [](const SeedHit& a, const SeedHit& b) {
-        if (a.read != b.read) return a.read < b.read;
+    // Hits are generated slot-contiguously and every read owns exactly one
+    // slot per call (fwd: slot == read; rev: slot_to_read is a permutation),
+    // so each read's hits form one contiguous segment already.  Sorting the
+    // small per-read segments (tens of hits, cache-resident) instead of the
+    // whole multi-M-hit array is ~3x cheaper and yields the same groups;
+    // only the cross-read output order changes, which the downstream
+    // hla_seed_select stable-sorts by read anyway (within-read order — the
+    // tie-break that matters — is identical).
+    int64_t n = hits.size();
+    auto hit_lt = [](const SeedHit& a, const SeedHit& b) {
         if (a.seq != b.seq) return a.seq < b.seq;
         if (a.qdiag != b.qdiag) return a.qdiag < b.qdiag;
         return a.diag < b.diag;
-    });
-    int64_t n = hits.size();
+    };
+    for (int64_t seg = 0; seg < n;) {
+        int64_t seg_end = seg + 1;
+        while (seg_end < n && hits[seg_end].read == hits[seg].read) seg_end++;
+        std::sort(hits.begin() + seg, hits.begin() + seg_end, hit_lt);
+        seg = seg_end;
+    }
     int64_t* g_read = (int64_t*)malloc(n * sizeof(int64_t));
     int64_t* g_seq = (int64_t*)malloc(n * sizeof(int64_t));
     int64_t* g_start = (int64_t*)malloc(n * sizeof(int64_t));

@@ -204,9 +204,13 @@ class Seeder:
             # candidates costs ~5x, so keep it one fancy-index pass)
             rs = np.nonzero(out_counts)[0]
             cnts = out_counts[rs]
-            gsel = out_idx[np.repeat(rs, cnts),
-                           np.concatenate([np.arange(c) for c in cnts])
-                           if len(cnts) else np.empty(0, dtype=np.int64)]
+            total_sel = int(cnts.sum())
+            # ragged arange without a per-read python loop
+            col = (np.arange(total_sel, dtype=np.int64)
+                   - np.repeat(np.concatenate([[0], np.cumsum(cnts)[:-1]]),
+                               cnts)) if total_sel else \
+                np.empty(0, dtype=np.int64)
+            gsel = out_idx[np.repeat(rs, cnts), col]
             return (np.repeat(rs, cnts).astype(np.int64), seq_a[gsel],
                     rev_a[gsel], start_a[gsel], nk_a[gsel], span_a[gsel])
 

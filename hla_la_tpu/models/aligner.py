@@ -683,12 +683,10 @@ class ReadAligner:
         rep_read = rs[grp_start]
         srt = np.lexsort((key_first, rep_read))
         surv_job = jidx[rep_local[srt]]         # global job index
-        surv_read = rep_read[srt]
-        # per-read slots in dedup order; entries: int job index or a
-        # GraphAlignment (fallback extras)
-        per_read: dict[int, list] = {}
-        for rd, j in zip(surv_read.tolist(), surv_job.tolist()):
-            per_read.setdefault(rd, []).append(j)
+        surv_read = rep_read[srt]               # ascending; dedup order within
+        # fallback extras: at most one realigned chain per read, keyed by
+        # read (the gate below visits each poor read's best survivor once)
+        ex_by_read: dict[int, GraphAlignment] = {}
 
         # ---- graph-space fallback gate (vectorised pre-filter) ----------
         if self.graph_fallback and len(soa["levels"]):
@@ -721,29 +719,44 @@ class ReadAligner:
                 re_al = self._graph_realign(self._al_from_soa(soa, j),
                                             all_reads[rd])
                 if re_al is not None:
-                    per_read[rd].append(re_al)
+                    ex_by_read[rd] = re_al
                     self.stats.bump("graph_fallback_improved")
 
         # ---- selection input assembly (flat arrays, entry order =
         # per-pair c1 then c2, dedup order within each) -------------------
-        sel_idx = [pi for pi in range(len(pairs))
-                   if per_read.get(2 * pi) and per_read.get(2 * pi + 1)]
+        # survivors are grouped by ascending read (surv_read sorted), so
+        # the flat entry stream is just the survivor stream filtered to
+        # selected pairs, with each read's extras (<=1 fallback chain,
+        # created in ascending-read order) spliced after its job entries
+        n_reads_tot = 2 * len(pairs)
+        cnt = np.bincount(surv_read, minlength=n_reads_tot)
+        ex_rd = np.asarray(sorted(ex_by_read), dtype=np.int64) \
+            if ex_by_read else np.zeros(0, dtype=np.int64)
+        cnt_tot = cnt.copy()
+        if len(ex_rd):
+            cnt_tot[ex_rd] += 1
+        sel_mask_pair = (cnt_tot[0::2] > 0) & (cnt_tot[1::2] > 0)
+        sel_idx = np.nonzero(sel_mask_pair)[0].tolist()
         if not sel_idx:
             return out
-        flat_job: list[int] = []        # job index, or -(1+extra_id)
+        sel_read = np.zeros(n_reads_tot, dtype=bool)
+        sel_read[0::2] = sel_mask_pair
+        sel_read[1::2] = sel_mask_pair
+        keep_s = sel_read[surv_read]
+        fj = surv_job[keep_s].astype(np.int64)
         extras: list[GraphAlignment] = []
-        n1l, n2l = [], []
-        for pi in sel_idx:
-            for rd in (2 * pi, 2 * pi + 1):
-                slot = per_read[rd]
-                (n1l if rd % 2 == 0 else n2l).append(len(slot))
-                for entry in slot:
-                    if isinstance(entry, int):
-                        flat_job.append(entry)
-                    else:
-                        flat_job.append(-(1 + len(extras)))
-                        extras.append(entry)
-        fj = np.asarray(flat_job, dtype=np.int64)
+        if len(ex_rd):
+            ex_keep = ex_rd[sel_read[ex_rd]]
+            extras = [ex_by_read[int(rd)] for rd in ex_keep.tolist()]
+            # insert -(1+i) after the last job entry of each extra's read:
+            # position = #selected survivor entries with read <= rd
+            read_of_kept = surv_read[keep_s]
+            ins_pos = np.searchsorted(read_of_kept, ex_keep, side="right")
+            fj = np.insert(fj, ins_pos,
+                           -(1 + np.arange(len(ex_keep), dtype=np.int64)))
+        n_sel = np.asarray(sel_idx, dtype=np.int64)
+        n1l = cnt_tot[2 * n_sel]
+        n2l = cnt_tot[2 * n_sel + 1]
         is_job = fj >= 0
         gj = np.where(is_job, fj, 0)
         ll_f = soa["ll"][gj].astype(np.float64)
@@ -757,7 +770,7 @@ class ReadAligner:
             ex_keys = []
             ex_base = len(soa["pos_keys"])
             for p in np.nonzero(~is_job)[0].tolist():
-                c = extras[-(1 + flat_job[p])]
+                c = extras[-(1 + int(fj[p]))]
                 ll_f[p] = c.log_likelihood
                 f_f[p] = c.first_level()
                 l_f[p] = c.last_level()
@@ -797,22 +810,21 @@ class ReadAligner:
         # ---- materialise the winners only -------------------------------
         base = 0
         for k_i, pi in enumerate(sel_idx):
-            c1 = per_read[2 * pi]
-            c2 = per_read[2 * pi + 1]
+            ln1 = int(n1l[k_i])
+            ln2 = int(n2l[k_i])
             g1 = base + int(b1[k_i])
-            g2 = base + len(c1) + int(b2[k_i])
+            g2 = base + ln1 + int(b2[k_i])
             chs = []
-            for g, slot, bsel in ((g1, c1, int(b1[k_i])),
-                                  (g2, c2, int(b2[k_i]))):
-                entry = slot[bsel]
-                ch = (entry if isinstance(entry, GraphAlignment)
-                      else self._al_from_soa(soa, entry))
+            for g in (g1, g2):
+                code = int(fj[g])
+                ch = (extras[-(1 + code)] if code < 0
+                      else self._al_from_soa(soa, code))
                 ch.mapq_per_pos = conf[key_off[g]:key_off[g + 1]]
                 chs.append(ch)
             ch1, ch2 = chs
             ch1.mapq = float(m1[k_i])
             ch2.mapq = float(m2[k_i])
-            self.stats.considered_chain_pairs += len(c1) * len(c2)
+            self.stats.considered_chain_pairs += ln1 * ln2
             self.stats.n_align_calls += 1
             ap = AlignedPair(pairs[pi][0].name, ch1, ch2, float(pm[k_i]))
             if truth is not None:
@@ -823,7 +835,7 @@ class ReadAligner:
                                    chain.aligned_levels_per_base(len(read.seq)),
                                    chain.reverse)
             out.append(ap)
-            base += len(c1) + len(c2)
+            base += ln1 + ln2
         return out
 
     def _select_pairs_native(self, pairs, per_pair, insert_mean, insert_sd,

@@ -321,7 +321,9 @@ class ReadAligner:
                 valid=~((bad != 0) | (col_counts == 0)),
                 s=col_starts + col_base, cnt=col_counts,
                 ll=ll, f_lv=first_lv, l_lv=last_lv, lv2=lv2,
-                rev=raw["reverse"], prg_id=raw["prg_ids"]))
+                # copies: raw's arrays are views of the staging scratch,
+                # which the NEXT chunk's _align_core_raw overwrites
+                rev=raw["reverse"].copy(), prg_id=raw["prg_ids"].copy()))
             col_base += len(levels)
         if not chunks:
             z = np.zeros(0, dtype=np.int64)
@@ -384,15 +386,29 @@ class ReadAligner:
                     B = max(4096, B)
             except Exception:  # noqa: BLE001
                 pass
-        reads_arr = np.full((B, L), 4, dtype=np.uint8)
-        reads_ascii = np.zeros((B, L), dtype=np.uint8)
-        quals_ascii = np.zeros((B, L), dtype=np.uint8)
-        lens_arr = np.zeros(B, dtype=np.int64)
-        refs_arr = np.full((B, L + W), 4, dtype=np.uint8)
-        job_seq = np.zeros(B, dtype=np.int64)
-        win_start = np.zeros(B, dtype=np.int64)
-        reverse_arr = np.zeros(B, dtype=bool)
-        prg_id_arr = np.zeros(B, dtype=np.int64)
+        # staging buffers come from the aligner's scratch pool (same
+        # rationale as the NW output pool: fresh multi-MB allocations per
+        # chunk cost page-fault stime on shared VMs); every buffer is
+        # re-filled below and fully consumed before the next batch
+        def stage(name, shape, dtype, fill):
+            need = int(np.prod(shape))
+            buf = self._nw_scratch.get(name)
+            if buf is None or buf.size < need or buf.dtype != dtype:
+                buf = np.empty(max(need, 1), dtype=dtype)
+                self._nw_scratch[name] = buf
+            v = buf[:need].reshape(shape)
+            v.fill(fill)
+            return v
+
+        reads_arr = stage("st_reads", (B, L), np.uint8, 4)
+        reads_ascii = stage("st_rascii", (B, L), np.uint8, 0)
+        quals_ascii = stage("st_qascii", (B, L), np.uint8, 0)
+        lens_arr = stage("st_lens", (B,), np.int64, 0)
+        refs_arr = stage("st_refs", (B, L + W), np.uint8, 4)
+        job_seq = stage("st_jseq", (B,), np.int64, 0)
+        win_start = stage("st_wstart", (B,), np.int64, 0)
+        reverse_arr = stage("st_rev", (B,), bool, 0)
+        prg_id_arr = stage("st_prg", (B,), np.int64, 0)
         Rn = len(uniq)
         # vectorised stacking: one big encode + one scatter (a python loop
         # over ~10k unique reads cost ~0.6s/batch at real-PRG scale)
@@ -406,16 +422,16 @@ class ReadAligner:
         offs = np.concatenate([[0], np.cumsum(lens_u)])
         rows = np.repeat(np.arange(Rn), lens_u)
         cols = np.arange(len(cat_seq)) - offs[rows]
-        ascii_u = np.zeros((Rn, L), dtype=np.uint8)
-        qual_u = np.zeros((Rn, L), dtype=np.uint8)
+        ascii_u = stage("st_ascii_u", (Rn, L), np.uint8, 0)
+        qual_u = stage("st_qual_u", (Rn, L), np.uint8, 0)
         ascii_u[rows, cols] = cat_seq
         qual_u[rows, cols] = cat_qual
-        reads_u = np.full((Rn, L), 4, dtype=np.uint8)
+        reads_u = stage("st_reads_u", (Rn, L), np.uint8, 4)
         reads_u[rows, cols] = _ENC[cat_seq]
-        reads_arr[:nb] = reads_u[job_row]
-        reads_ascii[:nb] = ascii_u[job_row]
-        quals_ascii[:nb] = qual_u[job_row]
-        lens_arr[:nb] = lens_u[job_row]
+        np.take(reads_u, job_row, axis=0, out=reads_arr[:nb])
+        np.take(ascii_u, job_row, axis=0, out=reads_ascii[:nb])
+        np.take(qual_u, job_row, axis=0, out=quals_ascii[:nb])
+        np.take(lens_u, job_row, out=lens_arr[:nb])
         job_seq[:nb] = job_seq_in
         win_start[:nb] = win_start_in
         reverse_arr[:nb] = reverse_in

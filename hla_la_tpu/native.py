@@ -676,6 +676,11 @@ def graph_extend(cprg, sequence: str, start_seq: int, start_level: int,
             (cprg.jump_in_offsets, np.int64), (cprg.jump_in, np.int32)))
         cprg._gx_arrays = arrs
         cprg._gx_zmul = int(np.max(np.diff(arrs[0]))) + 1
+        # cached ctypes pointers: arrs is pinned on cprg for its lifetime,
+        # so the 17 data_as conversions per call are pure overhead
+        cprg._gx_ptrs = tuple(
+            a.ctypes.data_as(ctypes.c_void_p) for a in arrs)
+        cprg._gx_scratch = {}
     zmul = cprg._gx_zmul
     seq_b = np.frombuffer(sequence.encode(), dtype=np.uint8)
     # 64-bit cell-key capacity check (x * (len+2) * zmul must fit)
@@ -683,14 +688,18 @@ def graph_extend(cprg, sequence: str, start_seq: int, start_level: int,
         return None
     cap = abs(int(lim_level) - int(start_level)) \
         + abs(int(lim_seq) - int(start_seq)) + 8
-    out_g = np.empty(cap, dtype=np.uint8)
-    out_s = np.empty(cap, dtype=np.uint8)
-    out_l = np.empty(cap, dtype=np.int64)
+    scr = cprg._gx_scratch
+    if scr.get("cap", -1) < cap:
+        scr["cap"] = cap
+        scr["g"] = np.empty(cap, dtype=np.uint8)
+        scr["s"] = np.empty(cap, dtype=np.uint8)
+        scr["l"] = np.empty(cap, dtype=np.int64)
+        scr["end"] = np.empty(3, dtype=np.int64)
+    out_g, out_s, out_l, out_end = scr["g"], scr["s"], scr["l"], scr["end"]
     out_score = ctypes.c_double()
-    out_end = np.empty(3, dtype=np.int64)
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     n = lib.hla_graph_extend(
-        *(c(a) for a in arrs), cprg.n_levels, zmul,
+        *cprg._gx_ptrs, cprg.n_levels, zmul,
         c(seq_b), len(seq_b), int(start_seq), int(start_level),
         int(start_z), 1 if positive else 0, int(lim_level), int(lim_seq),
         float(sc.match), float(sc.mismatch), float(sc.open_gap),

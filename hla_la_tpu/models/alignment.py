@@ -417,6 +417,39 @@ def alignment_fraction_ok(al: GraphAlignment) -> float:
     return float(ok.sum()) / n_checked
 
 
+def fraction_ok_batch(chains: list[GraphAlignment]) -> np.ndarray:
+    """Vectorised alignment_fraction_ok over many chains: one concatenated
+    pass + per-chain reduceat counts (integer counts, so the result is
+    bit-identical to the scalar form for any non-empty chain).  Fills each
+    chain's _frac_ok cache; cached chains are skipped."""
+    out = np.empty(len(chains), dtype=np.float64)
+    todo = []
+    for i, c in enumerate(chains):
+        f = getattr(c, "_frac_ok", None)
+        if f is None:
+            todo.append(i)
+        else:
+            out[i] = f
+    if not todo:
+        return out
+    gc = np.concatenate([chains[i].graph_c for i in todo])
+    sc = np.concatenate([chains[i].seq_c for i in todo])
+    lens = np.fromiter((chains[i].n_columns for i in todo), np.int64,
+                       len(todo))
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    both_gap = (gc == GAP) & (sc == GAP)
+    checked = ~both_gap
+    ok = checked & (gc == sc)
+    n_checked = np.add.reduceat(checked, offs)
+    n_ok = np.add.reduceat(ok, offs)
+    vals = np.where(n_checked > 0, n_ok / np.maximum(n_checked, 1), 0.0)
+    for k, i in enumerate(todo):
+        v = float(vals[k])
+        chains[i]._frac_ok = v
+        out[i] = v
+    return out
+
+
 def alignment_weighted_ok_fraction(al: GraphAlignment) -> float:
     """HLATyper::alignmentWeightedOKFraction: 1 - weightedMismatches /
     consideredPositions, where a graph-gap opposite a base counts 1, a

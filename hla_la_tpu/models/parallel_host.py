@@ -71,7 +71,23 @@ def pack_chains(chains):
         first_lv=np.asarray([c.first_level() for c in chains],
                             dtype=np.int64),
         last_lv=np.asarray([c.last_level() for c in chains], dtype=np.int64),
+        # per-chain quality fractions computed HERE (in the worker, in
+        # parallel, over the already-concatenated arrays) so the typing
+        # phase's weighted_ok/fraction_ok batch passes are all cache hits;
+        # both batch functions are bit-identical to their lazy forms
+        wok=_wok_of(chains),
+        fok=_fok_of(chains),
     )
+
+
+def _wok_of(chains):
+    from .alignment import weighted_ok_fractions_batch
+    return weighted_ok_fractions_batch(chains)
+
+
+def _fok_of(chains):
+    from .alignment import fraction_ok_batch
+    return fraction_ok_batch(chains)
 
 
 def pack_aligned_pairs(aps):
@@ -101,6 +117,15 @@ def unpack_chains(d):
         al._first_level = int(d["first_lv"][i])
         al._last_level = int(d["last_lv"][i])
         chains.append(al)
+    # quality-fraction caches shipped with the pack (absent in pre-existing
+    # align-shard files: stays lazy then)
+    wok = d.get("wok")
+    fok = d.get("fok")
+    if wok is not None and fok is not None and len(wok) == len(chains):
+        wok_l, fok_l = wok.tolist(), fok.tolist()
+        for i, al in enumerate(chains):
+            al._wok = wok_l[i]
+            al._frac_ok = fok_l[i]
     return chains
 
 

@@ -41,7 +41,7 @@ from ..utils.phred import phred_to_p_correct_table
 from ..utils.timing import log_progress
 from .aligner import AlignedPair
 from .alignment import (GraphAlignment, alignment_fraction_ok,
-                        alignment_weighted_ok_fraction,
+                        alignment_weighted_ok_fraction, fraction_ok_batch,
                         pair_distance_graph_levels, strands_valid,
                         weighted_ok_fractions_batch)
 
@@ -1852,18 +1852,9 @@ class HLATyper:
         if aligned_pairs:
             chains = [c for ap in aligned_pairs
                       for c in (ap.chain1, ap.chain2)]
-            gc = np.concatenate([c.graph_c for c in chains])
-            sc = np.concatenate([c.seq_c for c in chains])
-            lens = np.fromiter((c.n_columns for c in chains), np.int64,
-                               len(chains))
-            offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
-            both_gap = (gc == ord("_")) & (sc == ord("_"))
-            checked = ~both_gap
-            ok = checked & (gc == sc)
-            n_checked = np.add.reduceat(checked, offs)
-            n_ok = np.add.reduceat(ok, offs)
-            frac = np.where(n_checked > 0, n_ok / np.maximum(n_checked, 1),
-                            0.0)
+            # cache-aware batch (worker-unpacked chains arrive with
+            # _frac_ok precomputed from the packed arrays — bit-identical)
+            frac = fraction_ok_batch(chains)
             # sequential (f1+f2) accumulation keeps the byte-stable output
             frac_l = frac.tolist()
             frac_sum = 0.0

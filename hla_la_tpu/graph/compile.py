@@ -147,10 +147,9 @@ def compile_prg(prg: PRG) -> CompiledPRG:
     """Lower a PRG to its dense compiled form, including the gap-jump index
     (the reference's computeGapEdgePaths + pseudoEdges, Graph.cpp:347-475)."""
     prg.check_structure()
-    node_z = np.empty(prg.n_nodes, dtype=np.int32)
-    for lv in range(prg.n_levels):
-        a, b = prg.level_offsets[lv], prg.level_offsets[lv + 1]
-        node_z[a:b] = np.arange(b - a, dtype=np.int32)
+    # z = index within level; nodes are level-major so this is one gather
+    node_z = (np.arange(prg.n_nodes, dtype=np.int64)
+              - prg.level_offsets[prg.node_level]).astype(np.int32)
 
     paths = prg.compute_gap_edge_paths()
     if paths:

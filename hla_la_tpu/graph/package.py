@@ -374,8 +374,15 @@ def write_package(graph_dir: str, prg: PRG,
         for i, (fasta_id, (seq, levels)) in enumerate(haplotype_seqs.items()):
             assert len(seq) == len(levels)
             fh.write(f"{i}\t{fasta_id}\t{fasta_id}\t\t\t\n")
-            np.savetxt(os.path.join(graph_dir, "translation", f"{i}.txt"),
-                       np.asarray(levels, dtype=np.int64), fmt="%d")
+            # one int per line, identical bytes to np.savetxt(fmt="%d") but
+            # ~5x faster (savetxt formats row-by-row through asarray/join;
+            # it was the second-largest write_package cost at 3M levels)
+            lv_arr = np.asarray(levels, dtype=np.int64)
+            with open(os.path.join(graph_dir, "translation",
+                                   f"{i}.txt"), "w") as tfh:
+                if len(lv_arr):
+                    tfh.write("\n".join(map(str, lv_arr.tolist())))
+                    tfh.write("\n")
             fasta[fasta_id] = seq
     write_fasta(os.path.join(graph_dir, "mapping_PRGonly", "referenceGenome.fa"),
                 fasta)

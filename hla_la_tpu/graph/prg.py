@@ -132,9 +132,8 @@ class PRG:
         non_first = self.node_level > 0
         assert np.all(in_deg[non_first] > 0), "non-first node without incoming edge"
         assert np.all(out_deg[~non_final] == 0), "final-level node with outgoing edge"
-        for lv in range(self.n_levels):
-            assert self.level_offsets[lv + 1] > self.level_offsets[lv], \
-                f"empty level {lv}"
+        bad = np.nonzero(np.diff(self.level_offsets) <= 0)[0]
+        assert len(bad) == 0, f"empty level {int(bad[0]) if len(bad) else -1}"
 
     # ------------------------------------------------------------- traversal
     def simulate_random_paths(self, n: int, rng: np.random.Generator
@@ -201,14 +200,29 @@ class PRG:
         if self.gap_paths is not None:
             return self.gap_paths
         is_gap = self.edge_emission == GAP
+        # Only nodes with a gap out-edge or a live run through them matter —
+        # visiting every node of every level cost ~20 s at 3M levels on
+        # gene-localised gap structure.  Node iteration order within a level
+        # stays ascending (sorted(cand)), so run starts, the per-(target,
+        # first) dedup, and the completed order are identical to the dense
+        # sweep.
+        gap_cnt = np.bincount(self.edge_from[is_gap],
+                              minlength=self.n_nodes) if is_gap.any() \
+            else np.zeros(self.n_nodes, dtype=np.int64)
+        gap_nodes = np.nonzero(gap_cnt)[0]          # sorted = level-major
+        gn_lv = self.node_level[gap_nodes]
+        gn_starts = np.searchsorted(gn_lv, np.arange(self.n_levels + 1))
         # running[v] = {first_node: edge_id_list}
         running: dict[int, dict[int, list[int]]] = {}
         completed: list[tuple[int, int, np.ndarray]] = []
         last_level = self.n_levels - 1
-        for lv in range(self.n_levels):
+        lv = int(gn_lv[0]) if len(gn_lv) else self.n_levels
+        while lv < self.n_levels:
             running_next: dict[int, dict[int, list[int]]] = {}
-            nodes = self.nodes_at_level(lv)
-            for node in nodes.tolist():
+            cand = gap_nodes[gn_starts[lv]:gn_starts[lv + 1]].tolist()
+            if running:
+                cand = sorted(set(cand).union(running))
+            for node in cand:
                 es = self.out_edge_ids(node)
                 gap_es = es[is_gap[es]] if len(es) else es
                 n_non_gap = len(es) - len(gap_es)
@@ -223,7 +237,8 @@ class PRG:
                     if n_non_gap > 0 or lv == last_level:
                         for first, elist in paths_here.items():
                             completed.append(
-                                (first, node, np.asarray(elist, dtype=np.int32)))
+                                (first, node,
+                                 np.asarray(elist, dtype=np.int32)))
                 else:
                     # fresh maximal runs start only at nodes not themselves
                     # reached by a gap run (Graph.cpp:431-456 seen_gap_edge)
@@ -233,6 +248,13 @@ class PRG:
                         if node not in slot:
                             slot[node] = [e]
             running = running_next
+            lv += 1
+            if not running:
+                # jump to the next level with a gap-edge start
+                nxt = np.searchsorted(gn_lv, lv)
+                if nxt == len(gn_lv):
+                    break
+                lv = int(gn_lv[nxt])
         self.gap_paths = completed
         return completed
 
@@ -244,6 +266,151 @@ class PRG:
 
     @classmethod
     def from_text(cls, text: str) -> "PRG":
+        fast = cls._from_text_fast(text)
+        if fast is not None:
+            return fast
+        return cls._from_text_slow(text)
+
+    @classmethod
+    def _from_text_fast(cls, text: str) -> "PRG | None":
+        """Vectorised parse of the common file shape: the three sections in
+        CODE/NODES/EDGES order, uniform 8-field (or 6-field) edge lines, no
+        '|||||||' ambiguity and no SLASH escapes.  Returns None for anything
+        else (the general line-by-line parser handles it) — output is
+        identical, just built with numpy column passes instead of ~10
+        python objects per line (the line parser cost ~100 s on a 3M-level
+        PRG, the dominant prepareGraph item)."""
+        if _PROBLEM in text or _SLASH in text:
+            return None
+        ic = text.find("CODE:\n")
+        inn = text.find("NODES:\n")
+        ie = text.find("EDGES:\n")
+        if not (0 <= ic < inn < ie):
+            return None
+        # markers must sit at line starts and appear exactly once
+        for pos, tag in ((ic, "CODE:\n"), (inn, "NODES:\n"),
+                         (ie, "EDGES:\n")):
+            if (pos > 0 and text[pos - 1] != "\n") \
+                    or text.find(tag, pos + 1) != -1:
+                return None
+
+        # CODE (small): locus ||| allele ||| code
+        decode: dict[tuple[str, int], str] = {}
+        for line in text[ic + 6:inn].splitlines():
+            if not line:
+                continue
+            f = line.split(_SEP)
+            if len(f) != 3:
+                return None
+            decode[(f[0], int(f[2]))] = f[1]
+
+        # NODES: orig ||| level ||| terminal
+        nsec = text[inn + 7:ie]
+        if "\n\n" in nsec:      # blank lines: let the line parser skip them
+            return None
+        flat = nsec.replace("\n", _SEP).split(_SEP)
+        while flat and flat[-1] == "":
+            flat.pop()
+        if len(flat) % 3:
+            return None
+        try:
+            orig = np.asarray(flat[0::3], dtype=np.int64)
+            lv = np.asarray(flat[1::3], dtype=np.int64)
+        except ValueError:
+            return None
+        term_s = np.asarray(flat[2::3], dtype=object)
+        term = ~((term_s == "0") | (term_s == ""))
+        order = np.lexsort((orig, lv))
+        node_level = lv[order].astype(np.int32)
+        node_terminal = term[order].astype(bool)
+        n_levels = int(node_level.max()) + 1 if len(node_level) else 0
+        level_offsets = np.searchsorted(
+            node_level, np.arange(n_levels + 1)).astype(np.int64)
+        # orig id -> new id lookup (orig ids are unique but arbitrary)
+        o_in_new = orig[order]
+        o_sort = np.argsort(o_in_new)
+        o_sorted = o_in_new[o_sort]
+        if len(np.unique(o_sorted)) != len(o_sorted):
+            return None
+
+        def map_ids(q: np.ndarray) -> np.ndarray:
+            p = np.searchsorted(o_sorted, q)
+            if (p >= len(o_sorted)).any() or (o_sorted[p] != q).any():
+                raise ValueError("edge references unknown node")
+            return o_sort[p]
+
+        # EDGES: eid ||| locus ||| 1 ||| code ||| from ||| to
+        #        [||| label ||| pgf]
+        esec = text[ie + 7:]
+        if "\n\n" in esec:
+            return None
+        rows = esec.split("\n")
+        while rows and rows[-1] == "":
+            rows.pop()
+        if not rows or "" in rows:
+            return None
+        eflat = _SEP.join(rows).split(_SEP)
+        ncols, rem = divmod(len(eflat), len(rows))
+        if rem or ncols not in (6, 8):
+            return None
+        try:
+            fr = map_ids(np.asarray(eflat[4::ncols], dtype=np.int64) )
+            to = map_ids(np.asarray(eflat[5::ncols], dtype=np.int64))
+        except ValueError:
+            return None
+        loc_s = eflat[1::ncols]
+        cc_s = eflat[3::ncols]
+        if any(len(c) != 1 for c in cc_s):
+            return None
+        eorder = np.argsort(fr, kind="stable")
+        # locus ids by first occurrence in from-sorted edge order
+        loc_arr = np.asarray(loc_s, dtype=object)[eorder]
+        uniq_loc, first_idx, loc_inv = np.unique(
+            loc_arr, return_index=True, return_inverse=True)
+        by_first = np.argsort(first_idx, kind="stable")
+        rank = np.empty(len(uniq_loc), dtype=np.int64)
+        rank[by_first] = np.arange(len(uniq_loc))
+        e_loc = rank[loc_inv].astype(np.int32)
+        locus_names = [str(uniq_loc[i]) for i in by_first]
+        # emissions: decode[(locus, code)] (default: the code char itself),
+        # one lookup per distinct (locus, code) pair
+        codes = np.fromiter((ord(c) for c in cc_s), np.int64,
+                            len(cc_s))[eorder]
+        if len(codes) and int(codes.max()) > 255:
+            return None
+        pair_id = e_loc.astype(np.int64) * 256 + codes
+        uniq_pair, pair_inv = np.unique(pair_id, return_inverse=True)
+        em_of_pair = np.empty(len(uniq_pair), dtype=np.uint8)
+        for i, pid in enumerate(uniq_pair.tolist()):
+            locus = locus_names[pid >> 8]
+            allele = decode.get((locus, pid & 255), chr(pid & 255))
+            if len(allele) != 1:
+                return None    # non-unit emission: let the slow path assert
+            em_of_pair[i] = ord(allele)
+        em = em_of_pair[pair_inv]
+        if ncols == 8:
+            lab_l = eflat[6::ncols]
+            e_lab = [lab_l[i] for i in eorder.tolist()]
+            pgf_s = np.asarray(eflat[7::ncols], dtype=object)[eorder]
+            e_pgf = ~((pgf_s == "0") | (pgf_s == ""))
+        else:
+            e_lab = [""] * len(rows)
+            e_pgf = np.zeros(len(rows), dtype=bool)
+        return cls(
+            node_level=node_level,
+            node_terminal=node_terminal,
+            level_offsets=level_offsets,
+            edge_from=fr[eorder].astype(np.int32),
+            edge_to=to[eorder].astype(np.int32),
+            edge_emission=em,
+            edge_locus=e_loc,
+            locus_names=locus_names,
+            edge_label=e_lab,
+            edge_pgf_protect=e_pgf.astype(bool),
+        )
+
+    @classmethod
+    def _from_text_slow(cls, text: str) -> "PRG":
         code_lines, node_lines, edge_lines = [], [], []
         mode = None
         for line in text.splitlines():
@@ -347,15 +514,18 @@ class PRG:
         LocusCodeAllocation; any byte works as long as CODE declares it)."""
         buf = io.StringIO()
         # allocate codes: use the allele character itself when it is a safe
-        # printable byte, otherwise allocate from a counter
+        # printable byte, otherwise allocate from a counter.  Allocation
+        # runs over distinct (locus, emission) pairs in first-occurrence
+        # edge order — identical to the original per-edge loop
         code_of: dict[tuple[str, str], int] = {}
         used: dict[str, set[int]] = {}
-        for e in range(self.n_edges):
-            locus = self.locus_names[self.edge_locus[e]]
-            allele = chr(self.edge_emission[e])
+        pair_arr = (self.edge_locus.astype(np.int64) * 256
+                    + self.edge_emission)
+        uniq_p, first_i = np.unique(pair_arr, return_index=True)
+        for pid in uniq_p[np.argsort(first_i, kind="stable")].tolist():
+            locus = self.locus_names[pid >> 8]
+            allele = chr(pid & 255)
             key = (locus, allele)
-            if key in code_of:
-                continue
             u = used.setdefault(locus, set())
             c = ord(allele)
             if c < 33 or c > 126 or c in u:
@@ -369,28 +539,41 @@ class PRG:
             a = _SLASH if allele == "|" else allele
             buf.write(f"{locus}{_SEP}{a}{_SEP}{c}\n")
         buf.write("NODES:\n")
-        for i in range(self.n_nodes):
-            buf.write(f"{i + 1}{_SEP}{self.node_level[i]}{_SEP}"
-                      f"{int(self.node_terminal[i])}\n")
+        lv_l = self.node_level.tolist()
+        t_l = self.node_terminal.astype(np.int64).tolist()
+        buf.write("".join(
+            [f"{i + 1}{_SEP}{lv}{_SEP}{t}\n"
+             for i, (lv, t) in enumerate(zip(lv_l, t_l))]))
         buf.write("EDGES:\n")
-        lines = []
-        for e in range(self.n_edges):
-            locus = self.locus_names[self.edge_locus[e]]
-            allele = chr(self.edge_emission[e])
-            cc = chr(code_of[(locus, allele)])
-            if cc == "|":
-                cc = _SLASH
-            label = self.edge_label[e] if self.edge_label else ""
-            # '|' is the field separator: escape it like the CODE section
-            # does (a label literally containing 'SLASH' is ambiguous —
-            # the same limitation the reference format has)
-            if "|" in label:
-                label = label.replace("|", _SLASH)
-            pgf = int(self.edge_pgf_protect[e]) if self.edge_pgf_protect is not None else 0
-            lines.append(f"{e + 1}{_SEP}{locus}{_SEP}1{_SEP}{cc}{_SEP}"
-                         f"{self.edge_from[e] + 1}{_SEP}{self.edge_to[e] + 1}"
-                         f"{_SEP}{label}{_SEP}{pgf}")
-        buf.write("\n".join(lines))
+        # plain-python column lists + a per-(locus, emission) code cache:
+        # numpy scalar indexing per edge cost ~7s at 3M levels
+        lnames = self.locus_names
+        eloc_l = self.edge_locus.tolist()
+        eem_l = self.edge_emission.tolist()
+        efrom_l = (self.edge_from.astype(np.int64) + 1).tolist()
+        eto_l = (self.edge_to.astype(np.int64) + 1).tolist()
+        labels = self.edge_label if self.edge_label \
+            else [""] * self.n_edges
+        pgf_l = (self.edge_pgf_protect.astype(np.int64).tolist()
+                 if self.edge_pgf_protect is not None
+                 else [0] * self.n_edges)
+        cc_cache: dict[int, str] = {}
+        for li, em in {(li, em) for li, em in zip(eloc_l, eem_l)}:
+            cc = chr(code_of[(lnames[li], chr(em))])
+            cc_cache[li * 256 + em] = _SLASH if cc == "|" else cc
+        cc_l = [cc_cache[li * 256 + em] for li, em in zip(eloc_l, eem_l)]
+        lname_l = [lnames[li] for li in eloc_l]
+        # '|' is the field separator: escape it like the CODE section
+        # does (a label literally containing 'SLASH' is ambiguous —
+        # the same limitation the reference format has)
+        lab_l = [lb.replace("|", _SLASH) if "|" in lb else lb
+                 for lb in labels]
+        buf.write("\n".join(
+            [f"{e}{_SEP}{ln}{_SEP}1{_SEP}{cc}{_SEP}{fr}{_SEP}{to}"
+             f"{_SEP}{lb}{_SEP}{pg}"
+             for e, ln, cc, fr, to, lb, pg in zip(
+                 range(1, self.n_edges + 1), lname_l, cc_l, efrom_l,
+                 eto_l, lab_l, pgf_l)]))
         return buf.getvalue()
 
 

@@ -95,3 +95,92 @@ def test_edge_label_pipe_round_trip():
     g2 = PRG.from_text(text)
     assert g2.n_edges == g.n_edges
     assert sorted(g2.edge_label) == sorted(g.edge_label)
+
+
+def _prg_fields_equal(p, q):
+    assert np.array_equal(p.node_level, q.node_level)
+    assert np.array_equal(p.node_terminal, q.node_terminal)
+    assert np.array_equal(p.level_offsets, q.level_offsets)
+    assert np.array_equal(p.edge_from, q.edge_from)
+    assert np.array_equal(p.edge_to, q.edge_to)
+    assert np.array_equal(p.edge_emission, q.edge_emission)
+    assert np.array_equal(p.edge_locus, q.edge_locus)
+    assert p.locus_names == q.locus_names
+    assert p.edge_label == q.edge_label
+    assert np.array_equal(p.edge_pgf_protect, q.edge_pgf_protect)
+
+
+def test_from_text_fast_path_matches_line_parser(rng):
+    """The vectorised graph.txt parser must be field-identical to the
+    general line parser on canonical files, and must BAIL (not misparse)
+    on SLASH-escaped files."""
+    from hla_la_tpu.graph.prg import prg_from_haplotypes
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+
+    sim = simulate_prg_package(rng, backbone_length=3000, n_haplotypes=5,
+                               snp_rate=0.02, genes={"A": (0.3, 0.4)})
+    for prg in (sim.prg, prg_from_haplotypes(["ACGT_A", "ACGTTA", "AC_TTA"])):
+        text = prg.to_text()
+        fast = PRG._from_text_fast(text)
+        assert fast is not None
+        _prg_fields_equal(fast, PRG._from_text_slow(text))
+
+    esc = prg_from_haplotypes(["ACGT", "ACCT"])
+    esc.edge_label = ["x|y"] + [""] * (esc.n_edges - 1)
+    text = esc.to_text()
+    assert PRG._from_text_fast(text) is None
+    _prg_fields_equal(PRG.from_text(text), PRG._from_text_slow(text))
+
+
+def test_gap_paths_sparse_sweep_matches_dense(rng):
+    """compute_gap_edge_paths (sparse candidate sweep) vs a dense
+    every-node reference sweep: same paths, same order, incl. runs that
+    complete at the final level."""
+    from hla_la_tpu.graph.prg import GAP, prg_from_haplotypes
+    from hla_la_tpu.sim.graph_sim import simulate_prg_package
+
+    def dense(prg):
+        is_gap = prg.edge_emission == GAP
+        running, completed = {}, []
+        last_level = prg.n_levels - 1
+        for lv in range(prg.n_levels):
+            running_next = {}
+            for node in prg.nodes_at_level(lv).tolist():
+                es = prg.out_edge_ids(node)
+                gap_es = es[is_gap[es]] if len(es) else es
+                n_non_gap = len(es) - len(gap_es)
+                paths_here = running.get(node)
+                if paths_here:
+                    for e in gap_es.tolist():
+                        tgt = int(prg.edge_to[e])
+                        slot = running_next.setdefault(tgt, {})
+                        for first, elist in paths_here.items():
+                            if first not in slot:
+                                slot[first] = elist + [e]
+                    if n_non_gap > 0 or lv == last_level:
+                        for first, elist in paths_here.items():
+                            completed.append(
+                                (first, node, np.asarray(elist, np.int32)))
+                else:
+                    for e in gap_es.tolist():
+                        tgt = int(prg.edge_to[e])
+                        slot = running_next.setdefault(tgt, {})
+                        if node not in slot:
+                            slot[node] = [e]
+            running = running_next
+        return completed
+
+    sim = simulate_prg_package(rng, backbone_length=4000, n_haplotypes=5,
+                               snp_rate=0.02, genes={"A": (0.3, 0.45)})
+    worlds = [sim.prg,
+              prg_from_haplotypes(["ACGT___A__", "ACGTTTTAAA",
+                                   "AC_T__TA_A", "ACGT______"]),
+              prg_from_haplotypes(["ACG___", "ACGTTT"]),
+              prg_from_haplotypes(["ACGT", "ACCT"])]
+    for prg in worlds:
+        got = prg.compute_gap_edge_paths()
+        want = dense(prg)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert g[0] == w[0] and g[1] == w[1]
+            assert np.array_equal(g[2], w[2])

@@ -34,14 +34,39 @@ def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str,
 
 
 def _align_chunk(args):
-    idx, pairs, insert_mean, insert_sd = args
+    idx, packed, insert_mean, insert_sd = args
     return idx, pack_aligned_pairs(
-        _WORKER_ALIGNER.align_pairs(pairs, insert_mean, insert_sd))
+        _WORKER_ALIGNER.align_pairs(unpack_read_pairs(packed),
+                                    insert_mean, insert_sd))
 
 
 def _align_unpaired_chunk(args):
-    idx, reads = args
-    return idx, _WORKER_ALIGNER.align_unpaired(reads)
+    idx, packed = args
+    return idx, _WORKER_ALIGNER.align_unpaired(unpack_reads(packed))
+
+
+def pack_reads(reads):
+    """Three newline-joined strings instead of a list of FastqRead objects:
+    pickling ~100k small dataclasses cost the parent ~0.5 s per dispatch at
+    real-PRG scale.  FASTQ/BAM fields never contain newlines."""
+    return ("\n".join(r.name for r in reads),
+            "\n".join(r.seq for r in reads),
+            "\n".join(r.qual for r in reads))
+
+
+def unpack_reads(t):
+    from ..io.fastq import FastqRead
+    names, seqs, quals = (s.split("\n") if s else [] for s in t)
+    return [FastqRead(n, s, q) for n, s, q in zip(names, seqs, quals)]
+
+
+def pack_read_pairs(pairs):
+    return pack_reads([r for p in pairs for r in p])
+
+
+def unpack_read_pairs(t):
+    rs = unpack_reads(t)
+    return list(zip(rs[0::2], rs[1::2]))
 
 
 def pack_chains(chains):
@@ -185,7 +210,7 @@ class ParallelAligner:
         slots = [None] * len(chunks)
         for idx, res in self.pool.imap_unordered(
                 _align_chunk,
-                [(i, c, insert_mean, insert_sd)
+                [(i, pack_read_pairs(c), insert_mean, insert_sd)
                  for i, c in enumerate(chunks)]):
             slots[idx] = unpack_aligned_pairs(res)
         out = [ap for res in slots for ap in res]
@@ -210,7 +235,8 @@ class ParallelAligner:
         chunks = [reads[i:i + chunk] for i in range(0, len(reads), chunk)]
         slots = [None] * len(chunks)
         for idx, res in self.pool.imap_unordered(
-                _align_unpaired_chunk, list(enumerate(chunks))):
+                _align_unpaired_chunk,
+                [(i, pack_reads(c)) for i, c in enumerate(chunks)]):
             slots[idx] = res
         out = [al for res in slots for al in res]
         if truth is not None:

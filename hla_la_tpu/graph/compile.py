@@ -114,7 +114,9 @@ class CompiledPRG:
 
     # ------------------------------------------------------------------- I/O
     def save(self, path: str) -> None:
-        np.savez_compressed(
+        # uncompressed: single-stream zlib cost ~12s of prepareGraph at 3M
+        # levels to save ~110 MB of disk; loads get faster too
+        np.savez(
             path,
             n_levels=np.int64(self.n_levels),
             node_level=self.node_level, node_z=self.node_z,

@@ -294,32 +294,39 @@ class PRG:
                     or text.find(tag, pos + 1) != -1:
                 return None
 
-        # CODE (small): locus ||| allele ||| code
-        decode: dict[tuple[str, int], str] = {}
-        for line in text[ic + 6:inn].splitlines():
-            if not line:
-                continue
-            f = line.split(_SEP)
-            if len(f) != 3:
-                return None
-            decode[(f[0], int(f[2]))] = f[1]
+        # CODE: locus ||| allele ||| code — parsed AFTER the edges (the
+        # locus table comes from there); real PRGs carry one locus per
+        # level, so this section has millions of lines
+        csec = text[ic + 6:inn]
 
-        # NODES: orig ||| level ||| terminal
+
+        # NODES: orig ||| level ||| terminal — native section parser when
+        # available (threaded byte-range scan; same field rules), else the
+        # numpy column path
+        from .. import native as _nat
+        use_native = _nat.available()
         nsec = text[inn + 7:ie]
-        if "\n\n" in nsec:      # blank lines: let the line parser skip them
-            return None
-        flat = nsec.replace("\n", _SEP).split(_SEP)
-        while flat and flat[-1] == "":
-            flat.pop()
-        if len(flat) % 3:
-            return None
-        try:
-            orig = np.asarray(flat[0::3], dtype=np.int64)
-            lv = np.asarray(flat[1::3], dtype=np.int64)
-        except ValueError:
-            return None
-        term_s = np.asarray(flat[2::3], dtype=object)
-        term = ~((term_s == "0") | (term_s == ""))
+        orig = None
+        if use_native:
+            res = _nat.parse_prg_nodes(nsec.encode())
+            if res is not None:
+                orig, lv, term_u8 = res
+                term = term_u8.astype(bool)
+        if orig is None:
+            if "\n\n" in nsec:   # blank lines: let the line parser skip them
+                return None
+            flat = nsec.replace("\n", _SEP).split(_SEP)
+            while flat and flat[-1] == "":
+                flat.pop()
+            if len(flat) % 3:
+                return None
+            try:
+                orig = np.asarray(flat[0::3], dtype=np.int64)
+                lv = np.asarray(flat[1::3], dtype=np.int64)
+            except ValueError:
+                return None
+            term_s = np.asarray(flat[2::3], dtype=object)
+            term = ~((term_s == "0") | (term_s == ""))
         order = np.lexsort((orig, lv))
         node_level = lv[order].astype(np.int32)
         node_terminal = term[order].astype(bool)
@@ -342,60 +349,134 @@ class PRG:
         # EDGES: eid ||| locus ||| 1 ||| code ||| from ||| to
         #        [||| label ||| pgf]
         esec = text[ie + 7:]
-        if "\n\n" in esec:
-            return None
-        rows = esec.split("\n")
-        while rows and rows[-1] == "":
-            rows.pop()
-        if not rows or "" in rows:
-            return None
-        eflat = _SEP.join(rows).split(_SEP)
-        ncols, rem = divmod(len(eflat), len(rows))
-        if rem or ncols not in (6, 8):
-            return None
-        try:
-            fr = map_ids(np.asarray(eflat[4::ncols], dtype=np.int64) )
-            to = map_ids(np.asarray(eflat[5::ncols], dtype=np.int64))
-        except ValueError:
-            return None
-        loc_s = eflat[1::ncols]
-        cc_s = eflat[3::ncols]
-        if any(len(c) != 1 for c in cc_s):
-            return None
-        eorder = np.argsort(fr, kind="stable")
+        nat_e = _nat.parse_prg_edges(esec.encode()) if use_native else None
+        loc_blob = loc_off = None
+        if nat_e is not None:
+            (fr0, to0, cc_b, lid0, pg_u8, lab_l, names0,
+             loc_blob, loc_off) = nat_e
+            try:
+                fr = map_ids(fr0)
+                to = map_ids(to0)
+            except ValueError:
+                return None
+            eorder = np.argsort(fr, kind="stable")
+            la = lid0.astype(np.int64)[eorder]
+            codes = cc_b.astype(np.int64)[eorder]
+            e_lab = [lab_l[i] for i in eorder.tolist()]
+            e_pgf = pg_u8[eorder].astype(bool)
+        else:
+            if "\n\n" in esec:
+                return None
+            rows = esec.split("\n")
+            while rows and rows[-1] == "":
+                rows.pop()
+            if not rows or "" in rows:
+                return None
+            eflat = _SEP.join(rows).split(_SEP)
+            ncols, rem = divmod(len(eflat), len(rows))
+            if rem or ncols not in (6, 8):
+                return None
+            try:
+                fr = map_ids(np.asarray(eflat[4::ncols], dtype=np.int64))
+                to = map_ids(np.asarray(eflat[5::ncols], dtype=np.int64))
+            except ValueError:
+                return None
+            loc_s = eflat[1::ncols]
+            cc_s = eflat[3::ncols]
+            if any(len(c) != 1 for c in cc_s):
+                return None
+            eorder = np.argsort(fr, kind="stable")
+            # map locus strings to file-order first-occurrence ids so the
+            # shared tail below treats both paths identically
+            loc_first: dict[str, int] = {}
+            for s in loc_s:
+                if s not in loc_first:
+                    loc_first[s] = len(loc_first)
+            names0 = [None] * len(loc_first)
+            for s, i in loc_first.items():
+                names0[i] = s
+            la = np.fromiter((loc_first[s] for s in loc_s), np.int64,
+                             len(loc_s))[eorder]
+            codes = np.fromiter((ord(c) for c in cc_s), np.int64,
+                                len(cc_s))[eorder]
+            if ncols == 8:
+                lab_l = eflat[6::ncols]
+                e_lab = [lab_l[i] for i in eorder.tolist()]
+                pgf_s = np.asarray(eflat[7::ncols], dtype=object)[eorder]
+                e_pgf = ~((pgf_s == "0") | (pgf_s == ""))
+            else:
+                e_lab = [""] * len(rows)
+                e_pgf = np.zeros(len(rows), dtype=bool)
         # locus ids by first occurrence in from-sorted edge order
-        loc_arr = np.asarray(loc_s, dtype=object)[eorder]
         uniq_loc, first_idx, loc_inv = np.unique(
-            loc_arr, return_index=True, return_inverse=True)
+            la, return_index=True, return_inverse=True)
         by_first = np.argsort(first_idx, kind="stable")
         rank = np.empty(len(uniq_loc), dtype=np.int64)
         rank[by_first] = np.arange(len(uniq_loc))
         e_loc = rank[loc_inv].astype(np.int32)
-        locus_names = [str(uniq_loc[i]) for i in by_first]
-        # emissions: decode[(locus, code)] (default: the code char itself),
-        # one lookup per distinct (locus, code) pair
-        codes = np.fromiter((ord(c) for c in cc_s), np.int64,
-                            len(cc_s))[eorder]
+        locus_names = np.asarray(names0,
+                                 dtype=object)[uniq_loc[by_first]].tolist()
+        # emissions, vectorised: CODE rows keyed by (file locus id, code);
+        # a later CODE row overwrites an earlier one (dict semantics);
+        # unmatched (locus, code) pairs emit the code char itself
         if len(codes) and int(codes.max()) > 255:
             return None
-        pair_id = e_loc.astype(np.int64) * 256 + codes
-        uniq_pair, pair_inv = np.unique(pair_id, return_inverse=True)
-        em_of_pair = np.empty(len(uniq_pair), dtype=np.uint8)
-        for i, pid in enumerate(uniq_pair.tolist()):
-            locus = locus_names[pid >> 8]
-            allele = decode.get((locus, pid & 255), chr(pid & 255))
-            if len(allele) != 1:
-                return None    # non-unit emission: let the slow path assert
-            em_of_pair[i] = ord(allele)
-        em = em_of_pair[pair_inv]
-        if ncols == 8:
-            lab_l = eflat[6::ncols]
-            e_lab = [lab_l[i] for i in eorder.tolist()]
-            pgf_s = np.asarray(eflat[7::ncols], dtype=object)[eorder]
-            e_pgf = ~((pgf_s == "0") | (pgf_s == ""))
+        c_all = a0 = alen = None
+        c_fid = None
+        if loc_blob is not None:
+            nat_c = _nat.parse_prg_code(csec.encode(), loc_blob, loc_off)
+            if nat_c is not None:
+                c_fid, c_code, a0, alen = nat_c
+        if c_fid is None:
+            # python CODE columns (native unavailable or section malformed
+            # in a way the native parser rejects)
+            if "\n\n" in csec:
+                return None
+            cflat = csec.replace("\n", _SEP).split(_SEP)
+            while cflat and cflat[-1] == "":
+                cflat.pop()
+            if len(cflat) % 3:
+                return None
+            c_loc = cflat[0::3]
+            c_all = cflat[1::3]
+            try:
+                c_code = np.asarray(cflat[2::3], dtype=np.int64) \
+                    if cflat else np.zeros(0, dtype=np.int64)
+            except ValueError:
+                return None
+            name_to_fid = {s: i for i, s in enumerate(names0)}
+            c_fid = np.fromiter((name_to_fid.get(s, -1) for s in c_loc),
+                                np.int64, len(c_loc))
+        if len(c_code) and (int(c_code.min()) < 0
+                            or int(c_code.max()) > 255):
+            return None
+        ckey = c_fid * 256 + c_code
+        corder = np.argsort(ckey, kind="stable")
+        ckeys_s = ckey[corder]
+        ekey = la * 256 + codes
+        pos = np.searchsorted(ckeys_s, ekey, side="right") - 1
+        hit = pos >= 0
+        if len(ckeys_s):
+            hit &= ckeys_s[np.maximum(pos, 0)] == ekey
         else:
-            e_lab = [""] * len(rows)
-            e_pgf = np.zeros(len(rows), dtype=bool)
+            hit &= False
+        em = codes.astype(np.uint8)
+        hit_idx = np.nonzero(hit)[0]
+        if len(hit_idx):
+            src = corder[pos[hit_idx]]             # CODE row per hit edge
+            used, src_inv = np.unique(src, return_inverse=True)
+            if a0 is not None:
+                if (alen[used] != 1).any():
+                    return None   # non-unit emission: slow path asserts
+                uord = a0[used].astype(np.int64)
+            else:
+                ua = [c_all[u] for u in used.tolist()]
+                if any(len(a) != 1 for a in ua):
+                    return None   # non-unit emission: slow path asserts
+                uord = np.fromiter((ord(a) for a in ua), np.int64, len(ua))
+            if len(uord) and int(uord.max()) > 255:
+                return None
+            em[hit_idx] = uord[src_inv].astype(np.uint8)
         return cls(
             node_level=node_level,
             node_terminal=node_terminal,

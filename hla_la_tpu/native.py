@@ -159,6 +159,20 @@ def _find_lib():
                 lib.hla_kmer_count_build.restype = i64
                 lib.hla_kmer_count_build.argtypes = [
                     vp, i64, i64, ctypes.c_int, u64pp, i64pp]
+                u8pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))
+                i32pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))
+                lib.hla_parse_prg_nodes.restype = i64
+                lib.hla_parse_prg_nodes.argtypes = [
+                    vp, i64, ctypes.c_int, i64pp, i64pp, u8pp]
+                lib.hla_parse_prg_edges.restype = i64
+                lib.hla_parse_prg_edges.argtypes = [
+                    vp, i64, ctypes.c_int, i64pp, i64pp, u8pp, i32pp,
+                    u8pp, u8pp, i64pp, ctypes.POINTER(i64),
+                    u8pp, i64pp, ctypes.POINTER(i64)]
+                lib.hla_parse_prg_code.restype = i64
+                lib.hla_parse_prg_code.argtypes = [
+                    vp, i64, ctypes.c_int, vp, vp, i64,
+                    i64pp, i64pp, u8pp, i64pp]
                 lib.hla_repr_double.restype = ctypes.c_int
                 lib.hla_repr_double.argtypes = [f64, vp]
                 lib.hla_format_pairs.restype = ctypes.c_int
@@ -566,6 +580,118 @@ def encode_kmers(seq_bytes: np.ndarray, k: int, canonical: bool = False
     lib.hla_encode_kmers_c(c(sb), n, k, c(out), c(valid), default_threads(),
                            1 if canonical else 0)
     return out, valid.astype(bool)
+
+
+def _take_free(lib, ptr, n, ctype, dtype):
+    """Copy a malloc'd C array into numpy and free it."""
+    try:
+        if n == 0:
+            return np.zeros(0, dtype=dtype)
+        return np.ctypeslib.as_array(ptr, shape=(n,)).astype(dtype,
+                                                             copy=True)
+    finally:
+        if ptr:
+            lib.hla_free(ctypes.cast(ptr, ctypes.c_void_p))
+
+
+def parse_prg_nodes(sec: bytes):
+    """C++ NODES-section parse -> (orig, level, terminal) arrays, or None
+    (unavailable / malformed: caller falls back to the python parsers)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    o = ctypes.POINTER(ctypes.c_int64)()
+    lv = ctypes.POINTER(ctypes.c_int64)()
+    tm = ctypes.POINTER(ctypes.c_uint8)()
+    n = int(lib.hla_parse_prg_nodes(sec, len(sec), default_threads(),
+                                    ctypes.byref(o), ctypes.byref(lv),
+                                    ctypes.byref(tm)))
+    if n < 0:
+        return None
+    return (_take_free(lib, o, n, ctypes.c_int64, np.int64),
+            _take_free(lib, lv, n, ctypes.c_int64, np.int64),
+            _take_free(lib, tm, n, ctypes.c_uint8, np.uint8))
+
+
+def parse_prg_edges(sec: bytes):
+    """C++ EDGES-section parse -> (from, to, cc, locus_id, pgf, labels,
+    locus_names) with labels/locus_names as python lists, or None."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    fr = ctypes.POINTER(ctypes.c_int64)()
+    to = ctypes.POINTER(ctypes.c_int64)()
+    cc = ctypes.POINTER(ctypes.c_uint8)()
+    lc = ctypes.POINTER(ctypes.c_int32)()
+    pg = ctypes.POINTER(ctypes.c_uint8)()
+    lab_b = ctypes.POINTER(ctypes.c_uint8)()
+    lab_o = ctypes.POINTER(ctypes.c_int64)()
+    lab_n = ctypes.c_int64()
+    loc_b = ctypes.POINTER(ctypes.c_uint8)()
+    loc_o = ctypes.POINTER(ctypes.c_int64)()
+    loc_n = ctypes.c_int64()
+    n = int(lib.hla_parse_prg_edges(
+        sec, len(sec), default_threads(),
+        ctypes.byref(fr), ctypes.byref(to), ctypes.byref(cc),
+        ctypes.byref(lc), ctypes.byref(pg),
+        ctypes.byref(lab_b), ctypes.byref(lab_o), ctypes.byref(lab_n),
+        ctypes.byref(loc_b), ctypes.byref(loc_o), ctypes.byref(loc_n)))
+    if n < 0:
+        return None
+    fr_a = _take_free(lib, fr, n, ctypes.c_int64, np.int64)
+    to_a = _take_free(lib, to, n, ctypes.c_int64, np.int64)
+    cc_a = _take_free(lib, cc, n, ctypes.c_uint8, np.uint8)
+    lc_a = _take_free(lib, lc, n, ctypes.c_int32, np.int32)
+    pg_a = _take_free(lib, pg, n, ctypes.c_uint8, np.uint8)
+    lab_off = _take_free(lib, lab_o, n + 1, ctypes.c_int64, np.int64)
+    lab_blob = _take_free(lib, lab_b, int(lab_n.value), ctypes.c_uint8,
+                          np.uint8).tobytes()
+    loc_off = _take_free(lib, loc_o, int(loc_n.value) + 1, ctypes.c_int64,
+                         np.int64)
+    loc_blob = _take_free(lib, loc_b, int(loc_off[-1]), ctypes.c_uint8,
+                          np.uint8).tobytes()
+    if lab_off[-1] == 0:
+        labels = [""] * n
+    else:
+        lo_l = lab_off.tolist()
+        labels = [""] * n
+        for i in np.nonzero(np.diff(lab_off))[0].tolist():
+            labels[i] = lab_blob[lo_l[i]:lo_l[i + 1]].decode()
+    lo2 = loc_off.tolist()
+    if loc_blob.isascii():
+        s_blob = loc_blob.decode()
+        locus_names = [s_blob[lo2[i]:lo2[i + 1]]
+                       for i in range(int(loc_n.value))]
+    else:
+        locus_names = [loc_blob[lo2[i]:lo2[i + 1]].decode()
+                       for i in range(int(loc_n.value))]
+    return (fr_a, to_a, cc_a, lc_a, pg_a, labels, locus_names,
+            loc_blob, loc_off)
+
+
+def parse_prg_code(sec: bytes, loc_blob: bytes, loc_off: np.ndarray):
+    """C++ CODE-section parse against the edge locus table ->
+    (locus_file_id [-1 = unknown], code, allele_first_byte, allele_len)
+    arrays, or None (unavailable / malformed)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    off = np.ascontiguousarray(loc_off, dtype=np.int64)
+    fid = ctypes.POINTER(ctypes.c_int64)()
+    cd = ctypes.POINTER(ctypes.c_int64)()
+    a0 = ctypes.POINTER(ctypes.c_uint8)()
+    al = ctypes.POINTER(ctypes.c_int64)()
+    n = int(lib.hla_parse_prg_code(
+        sec, len(sec), default_threads(), loc_blob,
+        off.ctypes.data_as(ctypes.c_void_p), len(off) - 1,
+        ctypes.byref(fid), ctypes.byref(cd), ctypes.byref(a0),
+        ctypes.byref(al)))
+    if n < 0:
+        return None
+    return (_take_free(lib, fid, n, ctypes.c_int64, np.int64),
+            _take_free(lib, cd, n, ctypes.c_int64, np.int64),
+            _take_free(lib, a0, n, ctypes.c_uint8, np.uint8),
+            _take_free(lib, al, n, ctypes.c_int64, np.int64))
 
 
 def kmer_count_build(seq_bytes: np.ndarray, k: int

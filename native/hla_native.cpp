@@ -16,6 +16,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <memory>
 #include <vector>
 #include <thread>
@@ -3346,4 +3347,400 @@ extern "C" int64_t hla_kmer_count_build(
     }
     *out_codes = oc; *out_counts = on;
     return n_uniq;
+}
+
+// ---------------------------------------------------------------------------
+// graph.txt section parsers (PRG._from_text_fast native core;
+// /root/reference readGraph role, Graph.cpp:77-160).  Both parse the raw
+// section bytes ('|||'-separated fields, one row per line, no SLASH
+// escapes — the python caller guards those) into flat arrays, threaded by
+// byte-range.  Returns the row count, or -1 on any malformed row (the
+// caller falls back to the python parsers).  All outputs are malloc'd;
+// caller frees with hla_free.
+// ---------------------------------------------------------------------------
+namespace prgparse {
+
+struct Range { int64_t lo, hi, rows; };
+
+// split [0, n) into nt ranges aligned to '\n'; counts rows per range
+static std::vector<Range> split_rows(const uint8_t* sec, int64_t n, int nt) {
+    std::vector<Range> rs;
+    int64_t chunk = (n + nt - 1) / nt;
+    int64_t lo = 0;
+    for (int t = 0; t < nt && lo < n; t++) {
+        int64_t hi = lo + chunk < n ? lo + chunk : n;
+        while (hi < n && sec[hi - 1] != '\n') hi++;
+        rs.push_back({lo, hi, 0});
+        lo = hi;
+    }
+    std::vector<std::thread> th;
+    for (auto& r : rs) th.emplace_back([&r, sec]() {
+        int64_t c = 0;
+        for (int64_t i = r.lo; i < r.hi; i++) if (sec[i] == '\n') c++;
+        if (r.hi > r.lo && sec[r.hi - 1] != '\n') c++;   // unterminated tail
+        r.rows = c;
+    });
+    for (auto& x : th) x.join();
+    return rs;
+}
+
+static inline bool parse_i64(const uint8_t* b, const uint8_t* e,
+                             int64_t* out) {
+    if (b == e) return false;
+    int64_t v = 0;
+    bool neg = false;
+    if (*b == '-') { neg = true; b++; if (b == e) return false; }
+    for (; b < e; b++) {
+        if (*b < '0' || *b > '9') return false;
+        v = v * 10 + (*b - '0');
+    }
+    *out = neg ? -v : v;
+    return true;
+}
+
+// field is "0" or empty -> 0, else 1 (PRG terminal/pgf rule)
+static inline uint8_t flag_of(const uint8_t* b, const uint8_t* e) {
+    return !(b == e || (e - b == 1 && *b == '0'));
+}
+
+// advance past one field: [*p, returned pos) is the field, sep skipped.
+// sep is "|||"; end of row at '\n' or section end.
+static inline bool next_field(const uint8_t* sec, int64_t n, int64_t* p,
+                              int64_t* f_lo, int64_t* f_hi, bool* row_end) {
+    int64_t i = *p;
+    int64_t lo = i;
+    while (i < n && sec[i] != '\n') {
+        if (sec[i] == '|' && i + 2 < n && sec[i + 1] == '|'
+            && sec[i + 2] == '|') {
+            *f_lo = lo; *f_hi = i; *p = i + 3; *row_end = false;
+            return true;
+        }
+        i++;
+    }
+    *f_lo = lo; *f_hi = i; *p = (i < n) ? i + 1 : i; *row_end = true;
+    return true;
+}
+
+}  // namespace prgparse
+
+extern "C" int64_t hla_parse_prg_nodes(
+    const uint8_t* sec, int64_t n, int n_threads,
+    int64_t** out_orig, int64_t** out_level, uint8_t** out_term) {
+    using namespace prgparse;
+    *out_orig = *out_level = nullptr; *out_term = nullptr;
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 8) nt = 8;
+    auto ranges = split_rows(sec, n, nt);
+    int64_t total = 0;
+    std::vector<int64_t> base(ranges.size());
+    for (size_t i = 0; i < ranges.size(); i++) {
+        base[i] = total; total += ranges[i].rows;
+    }
+    int64_t* o_orig = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    int64_t* o_lv = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    uint8_t* o_tm = (uint8_t*)malloc(total ? total : 1);
+    if (!o_orig || !o_lv || !o_tm) {
+        free(o_orig); free(o_lv); free(o_tm); return -1;
+    }
+    std::atomic<int> bad{0};
+    std::vector<std::thread> th;
+    for (size_t t = 0; t < ranges.size(); t++) th.emplace_back([&, t]() {
+        int64_t p = ranges[t].lo, row = base[t];
+        const int64_t hi = ranges[t].hi;
+        while (p < hi && !bad.load(std::memory_order_relaxed)) {
+            int64_t f_lo, f_hi; bool row_end;
+            // field 0: orig id
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (f_lo == f_hi && row_end) continue;     // blank line
+            if (row_end || !parse_i64(sec + f_lo, sec + f_hi,
+                                      &o_orig[row])) { bad = 1; return; }
+            // field 1: level
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end || !parse_i64(sec + f_lo, sec + f_hi,
+                                      &o_lv[row])) { bad = 1; return; }
+            // field 2: terminal flag (last field)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (!row_end) { bad = 1; return; }
+            o_tm[row] = flag_of(sec + f_lo, sec + f_hi);
+            row++;
+        }
+        if (!bad.load() && row != base[t] + ranges[t].rows) {
+            // blank lines shrank the count: compact later via sentinel
+            for (int64_t r = row; r < base[t] + ranges[t].rows; r++)
+                o_orig[r] = INT64_MIN;   // mark unused slot
+        }
+    });
+    for (auto& x : th) x.join();
+    if (bad.load()) {
+        free(o_orig); free(o_lv); free(o_tm); return -1;
+    }
+    // compact out blank-line slots (rare)
+    int64_t w = 0;
+    for (int64_t r = 0; r < total; r++) {
+        if (o_orig[r] == INT64_MIN) continue;
+        if (w != r) { o_orig[w] = o_orig[r]; o_lv[w] = o_lv[r];
+                      o_tm[w] = o_tm[r]; }
+        w++;
+    }
+    *out_orig = o_orig; *out_level = o_lv; *out_term = o_tm;
+    return w;
+}
+
+extern "C" int64_t hla_parse_prg_edges(
+    const uint8_t* sec, int64_t n, int n_threads,
+    int64_t** out_from, int64_t** out_to, uint8_t** out_cc,
+    int32_t** out_locus, uint8_t** out_pgf,
+    uint8_t** out_lab_blob, int64_t** out_lab_off, int64_t* out_lab_len,
+    uint8_t** out_loc_blob, int64_t** out_loc_off, int64_t* out_n_locus) {
+    using namespace prgparse;
+    *out_from = *out_to = nullptr; *out_cc = *out_pgf = nullptr;
+    *out_locus = nullptr; *out_lab_blob = nullptr; *out_lab_off = nullptr;
+    *out_loc_blob = nullptr; *out_loc_off = nullptr;
+    *out_lab_len = 0; *out_n_locus = 0;
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 8) nt = 8;
+    auto ranges = split_rows(sec, n, nt);
+    int64_t total = 0;
+    std::vector<int64_t> base(ranges.size());
+    for (size_t i = 0; i < ranges.size(); i++) {
+        base[i] = total; total += ranges[i].rows;
+    }
+    if (total == 0) return -1;
+    struct Per {   // per-thread results
+        // string_views into `sec`, which outlives every map/table here —
+        // a std::string per row cost ~3.7M allocations at 3M levels
+        std::vector<std::string_view> loci;      // local intern table
+        std::vector<uint8_t> lab;                // local label blob
+        int64_t rows = 0;
+    };
+    std::vector<Per> per(ranges.size());
+    int64_t* o_fr = (int64_t*)malloc(sizeof(int64_t) * total);
+    int64_t* o_to = (int64_t*)malloc(sizeof(int64_t) * total);
+    uint8_t* o_cc = (uint8_t*)malloc(total);
+    int32_t* o_lc = (int32_t*)malloc(sizeof(int32_t) * total);  // local ids
+    uint8_t* o_pg = (uint8_t*)malloc(total);
+    int64_t* lab_len_row = (int64_t*)malloc(sizeof(int64_t) * total);
+    if (!o_fr || !o_to || !o_cc || !o_lc || !o_pg || !lab_len_row) {
+        free(o_fr); free(o_to); free(o_cc); free(o_lc); free(o_pg);
+        free(lab_len_row);
+        return -1;
+    }
+    std::atomic<int> bad{0};
+    std::vector<std::thread> th;
+    for (size_t t = 0; t < ranges.size(); t++) th.emplace_back([&, t]() {
+        std::unordered_map<std::string_view, int32_t> intern;
+        Per& P = per[t];
+        int64_t p = ranges[t].lo, row = base[t];
+        const int64_t hi = ranges[t].hi;
+        int64_t f_lo, f_hi; bool row_end;
+        while (p < hi && !bad.load(std::memory_order_relaxed)) {
+            // f0: edge id (unused)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (f_lo == f_hi && row_end) continue;     // blank line
+            if (row_end) { bad = 1; return; }
+            // f1: locus
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end) { bad = 1; return; }
+            std::string_view loc((const char*)sec + f_lo,
+                                 (size_t)(f_hi - f_lo));
+            auto it = intern.find(loc);
+            int32_t lid;
+            if (it == intern.end()) {
+                lid = (int32_t)P.loci.size();
+                intern.emplace(loc, lid);
+                P.loci.push_back(loc);
+            } else lid = it->second;
+            o_lc[row] = lid;
+            // f2: unused
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end) { bad = 1; return; }
+            // f3: code char (must be exactly 1 byte)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end || f_hi - f_lo != 1) { bad = 1; return; }
+            o_cc[row] = sec[f_lo];
+            // f4: from
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end || !parse_i64(sec + f_lo, sec + f_hi,
+                                      &o_fr[row])) { bad = 1; return; }
+            // f5: to (may be last field: 6-col row)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (!parse_i64(sec + f_lo, sec + f_hi, &o_to[row])) {
+                bad = 1; return;
+            }
+            if (row_end) {          // 6-field row: label "", pgf 0
+                lab_len_row[row] = 0;
+                o_pg[row] = 0;
+                row++;
+                continue;
+            }
+            // f6: label
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end) { bad = 1; return; }
+            lab_len_row[row] = f_hi - f_lo;
+            P.lab.insert(P.lab.end(), sec + f_lo, sec + f_hi);
+            // f7: pgf flag (must end the row)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (!row_end) { bad = 1; return; }
+            o_pg[row] = flag_of(sec + f_lo, sec + f_hi);
+            row++;
+        }
+        if (!bad.load()) {
+            P.rows = row - base[t];
+            for (int64_t r = row; r < base[t] + ranges[t].rows; r++)
+                o_fr[r] = INT64_MIN;
+        }
+    });
+    for (auto& x : th) x.join();
+    if (bad.load()) {
+        free(o_fr); free(o_to); free(o_cc); free(o_lc); free(o_pg);
+        free(lab_len_row);
+        return -1;
+    }
+    // merge per-thread locus tables into a global one (first occurrence
+    // in FILE order = thread order, local order within a thread)
+    std::unordered_map<std::string_view, int32_t> gmap;
+    std::vector<std::string_view> gnames;
+    std::vector<std::vector<int32_t>> remap(ranges.size());
+    for (size_t t = 0; t < ranges.size(); t++) {
+        remap[t].resize(per[t].loci.size());
+        for (size_t i = 0; i < per[t].loci.size(); i++) {
+            auto it = gmap.find(per[t].loci[i]);
+            if (it == gmap.end()) {
+                int32_t gid = (int32_t)gnames.size();
+                gmap.emplace(per[t].loci[i], gid);
+                gnames.push_back(per[t].loci[i]);
+                remap[t][i] = gid;
+            } else remap[t][i] = it->second;
+        }
+    }
+    // compact blank-line slots + apply locus remap + build label offsets
+    int64_t w = 0, lab_total = 0;
+    for (size_t t = 0; t < ranges.size(); t++)
+        lab_total += (int64_t)per[t].lab.size();
+    uint8_t* lab_blob = (uint8_t*)malloc(lab_total ? lab_total : 1);
+    int64_t* lab_off = (int64_t*)malloc(sizeof(int64_t) * (total + 1));
+    if (!lab_blob || !lab_off) {
+        free(o_fr); free(o_to); free(o_cc); free(o_lc); free(o_pg);
+        free(lab_len_row); free(lab_blob); free(lab_off);
+        return -1;
+    }
+    int64_t lab_w = 0;
+    lab_off[0] = 0;
+    for (size_t t = 0; t < ranges.size(); t++) {
+        const uint8_t* lb = per[t].lab.data();
+        int64_t lb_pos = 0;
+        for (int64_t r = base[t]; r < base[t] + ranges[t].rows; r++) {
+            if (o_fr[r] == INT64_MIN) continue;
+            o_fr[w] = o_fr[r]; o_to[w] = o_to[r]; o_cc[w] = o_cc[r];
+            o_pg[w] = o_pg[r];
+            o_lc[w] = remap[t][o_lc[r]];
+            int64_t ll = lab_len_row[r];
+            memcpy(lab_blob + lab_w, lb + lb_pos, (size_t)ll);
+            lb_pos += ll; lab_w += ll;
+            lab_off[w + 1] = lab_w;
+            w++;
+        }
+    }
+    free(lab_len_row);
+    // locus name blob
+    int64_t loc_total = 0;
+    for (auto& s : gnames) loc_total += (int64_t)s.size();
+    uint8_t* loc_blob = (uint8_t*)malloc(loc_total ? loc_total : 1);
+    int64_t* loc_off = (int64_t*)malloc(sizeof(int64_t)
+                                        * (gnames.size() + 1));
+    if (!loc_blob || !loc_off) {
+        free(o_fr); free(o_to); free(o_cc); free(o_lc); free(o_pg);
+        free(lab_blob); free(lab_off); free(loc_blob); free(loc_off);
+        return -1;
+    }
+    int64_t lw = 0;
+    loc_off[0] = 0;
+    for (size_t i = 0; i < gnames.size(); i++) {
+        memcpy(loc_blob + lw, gnames[i].data(), gnames[i].size());
+        lw += (int64_t)gnames[i].size();
+        loc_off[i + 1] = lw;
+    }
+    *out_from = o_fr; *out_to = o_to; *out_cc = o_cc; *out_locus = o_lc;
+    *out_pgf = o_pg;
+    *out_lab_blob = lab_blob; *out_lab_off = lab_off; *out_lab_len = lab_w;
+    *out_loc_blob = loc_blob; *out_loc_off = loc_off;
+    *out_n_locus = (int64_t)gnames.size();
+    return w;
+}
+
+// CODE-section parse against a provided locus-name table: rows are
+// locus ||| allele ||| code.  Returns row count, -1 on malformed.
+// out_fid[i] = index of the locus in the provided (blob, off) table or -1,
+// out_code[i] = integer code, out_a0[i] = first byte of the allele,
+// out_alen[i] = allele length in bytes.  Caller frees with hla_free.
+extern "C" int64_t hla_parse_prg_code(
+    const uint8_t* sec, int64_t n, int n_threads,
+    const uint8_t* loc_blob, const int64_t* loc_off, int64_t n_locus,
+    int64_t** out_fid, int64_t** out_code,
+    uint8_t** out_a0, int64_t** out_alen) {
+    using namespace prgparse;
+    *out_fid = *out_code = *out_alen = nullptr; *out_a0 = nullptr;
+    std::unordered_map<std::string_view, int64_t> table;
+    table.reserve((size_t)n_locus * 2);
+    for (int64_t i = 0; i < n_locus; i++)
+        table.emplace(std::string_view(
+            (const char*)loc_blob + loc_off[i],
+            (size_t)(loc_off[i + 1] - loc_off[i])), i);
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 8) nt = 8;
+    auto ranges = split_rows(sec, n, nt);
+    int64_t total = 0;
+    std::vector<int64_t> base(ranges.size());
+    for (size_t i = 0; i < ranges.size(); i++) {
+        base[i] = total; total += ranges[i].rows;
+    }
+    int64_t* o_fid = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    int64_t* o_cd = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    uint8_t* o_a0 = (uint8_t*)malloc(total ? total : 1);
+    int64_t* o_al = (int64_t*)malloc(sizeof(int64_t) * (total ? total : 1));
+    if (!o_fid || !o_cd || !o_a0 || !o_al) {
+        free(o_fid); free(o_cd); free(o_a0); free(o_al); return -1;
+    }
+    std::atomic<int> bad{0};
+    std::vector<std::thread> th;
+    for (size_t t = 0; t < ranges.size(); t++) th.emplace_back([&, t]() {
+        int64_t p = ranges[t].lo, row = base[t];
+        const int64_t hi = ranges[t].hi;
+        int64_t f_lo, f_hi; bool row_end;
+        while (p < hi && !bad.load(std::memory_order_relaxed)) {
+            // f0: locus
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (f_lo == f_hi && row_end) continue;    // blank line
+            if (row_end) { bad = 1; return; }
+            auto it = table.find(std::string_view(
+                (const char*)sec + f_lo, (size_t)(f_hi - f_lo)));
+            o_fid[row] = (it == table.end()) ? -1 : it->second;
+            // f1: allele
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (row_end) { bad = 1; return; }
+            o_a0[row] = (f_hi > f_lo) ? sec[f_lo] : 0;
+            o_al[row] = f_hi - f_lo;
+            // f2: code (ends the row)
+            next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
+            if (!row_end || !parse_i64(sec + f_lo, sec + f_hi,
+                                       &o_cd[row])) { bad = 1; return; }
+            row++;
+        }
+        if (!bad.load())
+            for (int64_t r = row; r < base[t] + ranges[t].rows; r++)
+                o_fid[r] = INT64_MIN;
+    });
+    for (auto& x : th) x.join();
+    if (bad.load()) {
+        free(o_fid); free(o_cd); free(o_a0); free(o_al); return -1;
+    }
+    int64_t w = 0;
+    for (int64_t r = 0; r < total; r++) {
+        if (o_fid[r] == INT64_MIN) continue;
+        if (w != r) { o_fid[w] = o_fid[r]; o_cd[w] = o_cd[r];
+                      o_a0[w] = o_a0[r]; o_al[w] = o_al[r]; }
+        w++;
+    }
+    *out_fid = o_fid; *out_code = o_cd; *out_a0 = o_a0; *out_alen = o_al;
+    return w;
 }

@@ -1401,6 +1401,26 @@ class HLATyper:
         ldiff_tbl = np.asarray([len(g) - 1 for g in genos_tbl],
                                dtype=np.float64)
         garr = soa.gid[sel]
+        if native.available():
+            # native per-obs channel writer: all float values come from
+            # f64 tables computed HERE in numpy (one f64 add + f32 cast in
+            # C++), so the cells are bit-identical to the scatter path
+            # below (locked by tests/test_native_parity.py)
+            chf_tbl = np.full(len(genos_tbl), -1, dtype=np.int8)
+            for b, ch in _BASE_CH.items():
+                chf_tbl[first_tbl == ord(b)] = ch
+            sing_tbl = (ldiff_tbl == 0).astype(np.uint8)
+            tail_tbl = ldiff_tbl * log_ins_act
+            chgap_tbl = (1.0 + ldiff_tbl) * log_ins_act
+            pc_t = table.astype(np.float64)
+            pc_t = np.where(pc_t <= 0, 0.001, pc_t)
+            vmatch_q = log_mm + np.log(pc_t)
+            vmis_q = log_mm + np.log((1.0 - pc_t) / 3.0)
+            if native.build_read_tensors(
+                    r_idx, j_idx, garr, soa.q0[sel], gap_tbl, chf_tbl,
+                    sing_tbl, tail_tbl, chgap_tbl, vmatch_q, vmis_q,
+                    log_del, R, J, transposed, contrib, mismatch):
+                return contrib, mismatch, used
         is_gap = gap_tbl[garr]
         first = first_tbl[garr]
         l_diff = ldiff_tbl[garr]

@@ -173,6 +173,10 @@ def _find_lib():
                 lib.hla_parse_prg_code.argtypes = [
                     vp, i64, ctypes.c_int, vp, vp, i64,
                     i64pp, i64pp, u8pp, i64pp]
+                lib.hla_build_read_tensors.restype = None
+                lib.hla_build_read_tensors.argtypes = (
+                    [vp] * 4 + [i64] + [vp] * 7 + [f64, i64, i64,
+                    ctypes.c_int, vp, vp, ctypes.c_int])
                 lib.hla_repr_double.restype = ctypes.c_int
                 lib.hla_repr_double.argtypes = [f64, vp]
                 lib.hla_format_pairs.restype = ctypes.c_int
@@ -692,6 +696,38 @@ def parse_prg_code(sec: bytes, loc_blob: bytes, loc_off: np.ndarray):
             _take_free(lib, cd, n, ctypes.c_int64, np.int64),
             _take_free(lib, a0, n, ctypes.c_uint8, np.uint8),
             _take_free(lib, al, n, ctypes.c_int64, np.int64))
+
+
+def build_read_tensors(r_idx, j_idx, gid, q0, gap_tbl, chf_tbl, sing_tbl,
+                       tail_tbl, chgap_tbl, vmatch_q, vmis_q,
+                       log_del: float, R: int, J: int, transposed: bool,
+                       contrib: np.ndarray, mismatch: np.ndarray) -> bool:
+    """C++ per-observation channel-cell writer (hla_build_read_tensors;
+    bit-identical to typer._build_read_tensors' numpy scatter).  Writes
+    into the caller's zeroed contrib/mismatch; returns False when the lib
+    is unavailable."""
+    lib = _find_lib()
+    if lib is None:
+        return False
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    args = [np.ascontiguousarray(r_idx, dtype=np.int64),
+            np.ascontiguousarray(j_idx, dtype=np.int64),
+            np.ascontiguousarray(gid, dtype=np.int64),
+            np.ascontiguousarray(q0, dtype=np.uint8)]
+    tbls = [np.ascontiguousarray(gap_tbl, dtype=np.uint8),
+            np.ascontiguousarray(chf_tbl, dtype=np.int8),
+            np.ascontiguousarray(sing_tbl, dtype=np.uint8),
+            np.ascontiguousarray(tail_tbl, dtype=np.float64),
+            np.ascontiguousarray(chgap_tbl, dtype=np.float64),
+            np.ascontiguousarray(vmatch_q, dtype=np.float64),
+            np.ascontiguousarray(vmis_q, dtype=np.float64)]
+    assert contrib.dtype == np.float32 and contrib.flags.c_contiguous
+    assert mismatch.dtype == np.float32 and mismatch.flags.c_contiguous
+    lib.hla_build_read_tensors(
+        *[c(a) for a in args], len(args[0]), *[c(a) for a in tbls],
+        float(log_del), R, J, 1 if transposed else 0,
+        c(contrib), c(mismatch), default_threads())
+    return True
 
 
 def kmer_count_build(seq_bytes: np.ndarray, k: int

@@ -3744,3 +3744,71 @@ extern "C" int64_t hla_parse_prg_code(
     *out_fid = o_fid; *out_code = o_cd; *out_a0 = o_a0; *out_alen = o_al;
     return w;
 }
+
+// ---------------------------------------------------------------------------
+// Read-tensor build (typer._build_read_tensors hot loop; the matmul
+// lowering of HLATyper.cpp:2089-2276): per observation, write the 6
+// contribution + 6 mismatch channel cells.  All float math is table
+// lookups precomputed by the caller in numpy (per-genotype and per-quality
+// f64 tables) + one f64 add + f32 cast — bit-identical to the numpy
+// scatter path.  (r, j) is unique per obs, so threads over obs ranges
+// write disjoint cells.
+// ---------------------------------------------------------------------------
+extern "C" void hla_build_read_tensors(
+    const int64_t* r_idx, const int64_t* j_idx, const int64_t* gid,
+    const uint8_t* q0, int64_t n_obs,
+    const uint8_t* gap_tbl, const int8_t* chf_tbl, const uint8_t* sing_tbl,
+    const double* tail_tbl, const double* chgap_tbl,
+    const double* vmatch_q, const double* vmis_q, double log_del,
+    int64_t R, int64_t J, int transposed,
+    float* contrib, float* mismatch, int n_threads) {
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (nt > 8) nt = 8;
+    int64_t chunk = (n_obs + nt - 1) / nt;
+    auto work = [&](int t) {
+        int64_t lo = t * chunk;
+        int64_t hi = lo + chunk < n_obs ? lo + chunk : n_obs;
+        for (int64_t i = lo; i < hi; i++) {
+            int64_t g = gid[i];
+            int q = q0[i];
+            bool is_gap = gap_tbl[g] != 0;
+            int ch1 = chf_tbl[g];
+            double vm, vs;
+            if (is_gap) { vm = log_del; vs = log_del; }
+            else { vm = vmatch_q[q]; vs = vmis_q[q]; }
+            double tail = tail_tbl[g];
+            float c_other = (float)(vs + tail);
+            float c_match = (float)(vm + tail);
+            float c_gap = is_gap ? 0.0f : (float)chgap_tbl[g];
+            float m_base = is_gap ? 0.0f : 1.0f;
+            bool single = sing_tbl[g] != 0;
+            int64_t r = r_idx[i], j = j_idx[i];
+            float* c;
+            float* m;
+            int64_t stride;          // per-channel step
+            if (transposed) {        // [J*6, R]: cell = (j*6+ch)*R + r
+                c = contrib + j * 6 * R + r;
+                m = mismatch + j * 6 * R + r;
+                stride = R;
+            } else {                 // [R, J, 6]: cell = (r*J+j)*6 + ch
+                c = contrib + (r * J + j) * 6;
+                m = mismatch + (r * J + j) * 6;
+                stride = 1;
+            }
+            for (int ch = 0; ch < 4; ch++) {
+                bool hit = (ch == ch1) && !is_gap;
+                c[ch * stride] = hit ? c_match : c_other;
+                m[ch * stride] = (!is_gap && !(single && ch == ch1))
+                                 ? 1.0f : 0.0f;
+            }
+            c[4 * stride] = c_gap;            // CH_GAP
+            m[4 * stride] = m_base;
+            c[5 * stride] = c_other;          // CH_OTHER
+            m[5 * stride] = m_base;
+        }
+    };
+    if (nt == 1) { work(0); return; }
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+}

@@ -243,3 +243,53 @@ def test_kmer_count_build_parity():
                  np.frombuffer(b"N" * 64, dtype=np.uint8)):
         r = native.kmer_count_build(edge, k)
         assert len(r[0]) == 0 and len(r[1]) == 0
+
+
+def test_build_read_tensors_native_bitexact():
+    """hla_build_read_tensors == the numpy scatter path of
+    typer._build_read_tensors, bit for bit, in both layouts."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from hla_la_tpu.models.typer import HLATyper, _ObsSoA  # noqa: F401
+    import hla_la_tpu.models.typer as T
+
+    rng = np.random.default_rng(17)
+    # synthetic SoA with multi-base genotypes, gaps, and odd quality bytes
+    genos = ["A", "C", "G", "T", "_", "AC", "GATT", "N", "TTG"]
+    n_obs, R, J = 5000, 64, 300
+
+    class FakeSoA:
+        pass
+
+    soa = FakeSoA()
+    soa.n_obs = n_obs
+    soa.n_reads = R
+    soa.genotypes = genos
+    soa.gid = rng.integers(0, len(genos), n_obs)
+    soa.read_idx = rng.integers(0, R, n_obs)
+    # (r, j) unique per obs: draw unique flat cells
+    cells = rng.choice(R * J, size=n_obs, replace=False)
+    soa.read_idx = cells // J
+    soa.pos = cells % J
+    soa.q0 = rng.integers(33, 127, n_obs)
+
+    typer = HLATyper.__new__(HLATyper)
+    for transposed in (False, True):
+        shape = (J * 6, R) if transposed else (R, J, 6)
+        kept = np.ones(n_obs, dtype=bool)
+        got = T.HLATyper._build_read_tensors(
+            typer, None, J, None, set(), {}, False, 0.001,
+            soa=soa, kept_mask=kept, transposed=transposed)
+        # python reference: force the fallback path
+        import hla_la_tpu.native as nat
+        orig = nat.build_read_tensors
+        nat.build_read_tensors = lambda *a, **k: False
+        try:
+            want = T.HLATyper._build_read_tensors(
+                typer, None, J, None, set(), {}, False, 0.001,
+                soa=soa, kept_mask=kept, transposed=transposed)
+        finally:
+            nat.build_read_tensors = orig
+        assert np.array_equal(got[0], want[0]), "contrib differs"
+        assert np.array_equal(got[1], want[1]), "mismatch differs"
+        assert got[2] == want[2]

@@ -737,7 +737,7 @@ def kmer_count_build(seq_bytes: np.ndarray, k: int
     sort+run-length-count of the canonical encode_kmers output
     (typer.KmerCountIndex.build semantics).  None when unavailable."""
     lib = _find_lib()
-    if lib is None:
+    if lib is None or k > 32:   # 2-bit codes pack into uint64
         return None
     sb = np.ascontiguousarray(seq_bytes, dtype=np.uint8)
     oc = ctypes.POINTER(ctypes.c_uint64)()

@@ -309,9 +309,15 @@ class PRG:
         orig = None
         if use_native:
             res = _nat.parse_prg_nodes(nsec.encode())
-            if res is not None:
-                orig, lv, term_u8 = res
-                term = term_u8.astype(bool)
+            if res is None:
+                # the native parser validates per-row field counts; a
+                # rejected section must go to the LINE parser — the column
+                # splitter below cannot detect row misalignment (e.g. a
+                # 2-field line plus a 4-field line still splits to a
+                # multiple of 3) and could misparse silently
+                return None
+            orig, lv, term_u8 = res
+            term = term_u8.astype(bool)
         if orig is None:
             if "\n\n" in nsec:   # blank lines: let the line parser skip them
                 return None
@@ -350,6 +356,8 @@ class PRG:
         #        [||| label ||| pgf]
         esec = text[ie + 7:]
         nat_e = _nat.parse_prg_edges(esec.encode()) if use_native else None
+        if use_native and nat_e is None:
+            return None      # malformed rows: line parser (see NODES note)
         loc_blob = loc_off = None
         if nat_e is not None:
             (fr0, to0, cc_b, lid0, pg_u8, lab_l, names0,
@@ -425,8 +433,9 @@ class PRG:
         c_fid = None
         if loc_blob is not None:
             nat_c = _nat.parse_prg_code(csec.encode(), loc_blob, loc_off)
-            if nat_c is not None:
-                c_fid, c_code, a0, alen = nat_c
+            if nat_c is None:
+                return None  # malformed rows: line parser (see NODES note)
+            c_fid, c_code, a0, alen = nat_c
         if c_fid is None:
             # python CODE columns (native unavailable or section malformed
             # in a way the native parser rejects)

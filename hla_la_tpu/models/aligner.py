@@ -40,6 +40,23 @@ for i, b in enumerate(b"ACGT"):
     _ENC[b + 32] = i
 
 
+def _uniq_oriented_reads(job_read: np.ndarray, job_rev: np.ndarray,
+                         all_reads) -> tuple[list[tuple], np.ndarray]:
+    """Deduplicate a job slice to its distinct (read, strand) oriented
+    sequences: returns (uniq [(seq, qual)], job_row int64 index per job).
+    Shared by the SoA and object job pipelines so the key encoding and
+    revcomp/qual-reversal rules cannot desynchronise."""
+    keys, job_row = np.unique(job_read * 2 + job_rev, return_inverse=True)
+    uniq = []
+    for key in keys.tolist():
+        r = all_reads[key >> 1]
+        if key & 1:
+            uniq.append((revcomp(r.seq), r.qual[::-1]))
+        else:
+            uniq.append((r.seq, r.qual))
+    return uniq, job_row.astype(np.int64)
+
+
 @dataclass
 class AlignedPair:
     read_id: str
@@ -255,15 +272,7 @@ class ReadAligner:
                     job_read[sl], job_seq[sl], job_rev[sl], win_start[sl],
                     all_reads, unpaired))
             return out
-        keys, job_row = np.unique(job_read * 2 + job_rev,
-                                  return_inverse=True)
-        uniq = []
-        for key in keys.tolist():
-            r = all_reads[key >> 1]
-            if key & 1:
-                uniq.append((revcomp(r.seq), r.qual[::-1]))
-            else:
-                uniq.append((r.seq, r.qual))
+        uniq, job_row = _uniq_oriented_reads(job_read, job_rev, all_reads)
         ffr = (np.ones(len(job_read), dtype=bool) if unpaired
                else job_read % 2 == 0)
         return self._align_core(uniq, job_row.astype(np.int64), job_seq,
@@ -293,16 +302,8 @@ class ReadAligner:
             sl = slice(lo, lo + MAX_B)
             jr, js, jv, ws = (job_read[sl], job_seq[sl], job_rev[sl],
                               win_start[sl])
-            keys, job_row = np.unique(jr * 2 + jv, return_inverse=True)
-            uniq = []
-            for key in keys.tolist():
-                r = all_reads[key >> 1]
-                if key & 1:
-                    uniq.append((revcomp(r.seq), r.qual[::-1]))
-                else:
-                    uniq.append((r.seq, r.qual))
-            raw = self._align_core_raw(uniq, job_row.astype(np.int64),
-                                       js, ws, jv)
+            uniq, job_row = _uniq_oriented_reads(jr, jv, all_reads)
+            raw = self._align_core_raw(uniq, job_row, js, ws, jv)
             if raw["ops"] is None:
                 return None
             # (n_chain_extensions bumped inside _align_core_raw)

@@ -46,18 +46,26 @@ def _align_unpaired_chunk(args):
 
 
 def pack_reads(reads):
-    """Three newline-joined strings instead of a list of FastqRead objects:
-    pickling ~100k small dataclasses cost the parent ~0.5 s per dispatch at
-    real-PRG scale.  FASTQ/BAM fields never contain newlines."""
-    return ("\n".join(r.name for r in reads),
+    """Count + three newline-joined strings instead of a list of FastqRead
+    objects: pickling ~100k small dataclasses cost the parent ~0.5 s per
+    dispatch at real-PRG scale.  FASTQ/BAM fields never contain newlines.
+    The explicit count disambiguates the n==1-with-empty-field case
+    (\"\" joins to \"\" for both 0 and 1 reads) and guards truncation."""
+    return (len(reads),
+            "\n".join(r.name for r in reads),
             "\n".join(r.seq for r in reads),
             "\n".join(r.qual for r in reads))
 
 
 def unpack_reads(t):
     from ..io.fastq import FastqRead
-    names, seqs, quals = (s.split("\n") if s else [] for s in t)
-    return [FastqRead(n, s, q) for n, s, q in zip(names, seqs, quals)]
+    n = t[0]
+    if n == 0:
+        return []
+    cols = [s.split("\n") for s in t[1:]]
+    for c in cols:
+        assert len(c) == n, f"packed read chunk corrupt: {len(c)} != {n}"
+    return [FastqRead(nm, sq, q) for nm, sq, q in zip(*cols)]
 
 
 def pack_read_pairs(pairs):

@@ -95,12 +95,20 @@ def cluster_read_ll_delta_numpy(ch: np.ndarray, contrib_T: np.ndarray,
         base = T[base_cols].sum(axis=0, dtype=np.float64)       # [R]
         if M is None:
             M = np.empty((C, R), dtype=np.float32)
+        acc = np.empty(R, dtype=np.float64)
         for c in range(C):
             k0, k1 = starts[c], starts[c + 1]
             if k1 > k0:
-                d = (T[plus_cols[k0:k1]].sum(axis=0, dtype=np.float64)
-                     - T[minus_cols[k0:k1]].sum(axis=0, dtype=np.float64))
-                M[c] = (base + d).astype(np.float32)
+                # accumulate per-k (plus - minus) deltas onto base IN THE
+                # NATIVE KERNEL'S ORDER (acc += p_k - m_k), so the f64
+                # rounding sequence — and therefore the f32 result — is
+                # bit-identical to hla_cluster_ll_delta for any k-count
+                # (a sum(plus) - sum(minus) form rounds differently)
+                np.copyto(acc, base)
+                for k in range(int(k0), int(k1)):
+                    acc += (T[plus_cols[k]].astype(np.float64)
+                            - T[minus_cols[k]].astype(np.float64))
+                M[c] = acc.astype(np.float32)
             else:
                 M[c] = base.astype(np.float32)
         out.append(M)

@@ -2048,9 +2048,10 @@ extern "C" int64_t hla_seed_chain(
             PendQ& e = pend[q];
             e.b0 = bstart[e.c >> pshift];
             e.b1 = bstart[(e.c >> pshift) + 1];
-            if (e.b1 > e.b0)
+            if (e.b1 > e.b0) {
                 __builtin_prefetch(sorted_codes + e.b0);
                 __builtin_prefetch(sorted_pos + e.b0);
+            }
         }
         for (int q = 0; q < npend; q++) {
             const PendQ& e = pend[q];

@@ -3,6 +3,7 @@
 non-identity CODE tables, the '|||||||' -> '|||SLASH|||' pipe escaping, and
 blank lines."""
 
+import pytest
 import numpy as np
 
 from hla_la_tpu.graph.prg import PRG
@@ -184,3 +185,15 @@ def test_gap_paths_sparse_sweep_matches_dense(rng):
         for g, w in zip(got, want):
             assert g[0] == w[0] and g[1] == w[1]
             assert np.array_equal(g[2], w[2])
+
+
+def test_from_text_malformed_rows_reach_line_parser():
+    """A NODES section mixing a 2-field and a 4-field line must NOT be
+    silently misparsed by the column fast path (2+4 tokens still split to
+    a multiple of 3): the fast path must bail and the line parser raise."""
+    text = ("CODE:\nL|||A|||65\nNODES:\n"
+            "5|||0\n7|||1|||0|||9\n"
+            "EDGES:\n1|||L|||1|||A|||5|||7\n")
+    assert PRG._from_text_fast(text) is None
+    with pytest.raises(Exception):
+        PRG.from_text(text)

@@ -197,3 +197,33 @@ def test_from_text_malformed_rows_reach_line_parser():
     assert PRG._from_text_fast(text) is None
     with pytest.raises(Exception):
         PRG.from_text(text)
+
+
+def test_from_text_randomized_differential(rng):
+    """Property test: randomized PRGs (random locus names, labels with and
+    without '|', random terminal flags, varying gap structure) must parse
+    identically through the fast path (native or python columns) and the
+    line parser, and survive a to_text round trip."""
+    from hla_la_tpu.graph.prg import prg_from_haplotypes
+
+    alpha = "ACGT_"
+    for trial in range(8):
+        L = int(rng.integers(4, 40))
+        n_h = int(rng.integers(2, 5))
+        haps = ["".join(rng.choice(list(alpha), size=L).tolist())
+                for _ in range(n_h)]
+        # keep column 0 gap-free (a fully-gap first level is degenerate)
+        haps = ["A" + h[1:] for h in haps]
+        names = [f"L{int(rng.integers(0, 5))}_{j}" for j in range(L)]
+        g = prg_from_haplotypes(haps, locus_names=names)
+        if trial % 3 == 0:
+            g.edge_label = [("lab|%d" % e if e % 7 == 0 else
+                             ("x%d" % e if e % 3 == 0 else ""))
+                            for e in range(g.n_edges)]
+        text = g.to_text()
+        slow = PRG._from_text_slow(text)
+        via = PRG.from_text(text)
+        _prg_fields_equal(via, slow)
+        # round trip again through the (possibly escaped) serialisation
+        text2 = via.to_text()
+        _prg_fields_equal(PRG.from_text(text2), PRG._from_text_slow(text2))

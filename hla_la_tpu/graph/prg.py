@@ -287,12 +287,21 @@ class PRG:
         ie = text.find("EDGES:\n")
         if not (0 <= ic < inn < ie):
             return None
-        # markers must sit at line starts and appear exactly once
-        for pos, tag in ((ic, "CODE:\n"), (inn, "NODES:\n"),
-                         (ie, "EDGES:\n")):
-            if (pos > 0 and text[pos - 1] != "\n") \
-                    or text.find(tag, pos + 1) != -1:
+        # markers must sit at line starts
+        for pos in (ic, inn, ie):
+            if pos > 0 and text[pos - 1] != "\n":
                 return None
+        from .. import native as _nat
+        use_native = _nat.available()
+        if not use_native:
+            # duplicate markers would contaminate the sections; the native
+            # parsers reject a stray marker line (no fields), but the
+            # python column splitters cannot — scan only on that path
+            # (each find re-scans the multi-hundred-MB text)
+            for pos, tag in ((ic, "CODE:\n"), (inn, "NODES:\n"),
+                             (ie, "EDGES:\n")):
+                if text.find(tag, pos + 1) != -1:
+                    return None
 
         # CODE: locus ||| allele ||| code — parsed AFTER the edges (the
         # locus table comes from there); real PRGs carry one locus per
@@ -303,8 +312,6 @@ class PRG:
         # NODES: orig ||| level ||| terminal — native section parser when
         # available (threaded byte-range scan; same field rules), else the
         # numpy column path
-        from .. import native as _nat
-        use_native = _nat.available()
         nsec = text[inn + 7:ie]
         orig = None
         if use_native:

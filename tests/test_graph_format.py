@@ -227,3 +227,19 @@ def test_from_text_randomized_differential(rng):
         # round trip again through the (possibly escaped) serialisation
         text2 = via.to_text()
         _prg_fields_equal(PRG.from_text(text2), PRG._from_text_slow(text2))
+
+
+def test_from_text_duplicate_marker_not_misparsed():
+    """A stray second 'EDGES:' marker line inside the edges section must
+    not be silently swallowed by the fast path: either it bails (the
+    marker row has no fields, so the native parser rejects it) or it
+    matches the line parser exactly."""
+    text = ("CODE:\nL|||A|||65\nL|||C|||67\nNODES:\n"
+            "1|||0|||0\n2|||1|||0\n3|||1|||0\n4|||2|||1\n"
+            "EDGES:\n1|||L|||1|||A|||1|||2\n2|||L|||1|||C|||1|||3\n"
+            "3|||L|||1|||A|||2|||4\n4|||L|||1|||C|||3|||4\n"
+            "EDGES:\n5|||L|||1|||A|||1|||2\n")
+    fast = PRG._from_text_fast(text)
+    if fast is not None:
+        slow = PRG._from_text_slow(text)
+        _prg_fields_equal(fast, slow)

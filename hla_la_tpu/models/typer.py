@@ -691,6 +691,66 @@ class HLATyper:
             return cached
         seq_c, graph_c, levels_arr = al.seq_c, al.graph_c, al.levels
         n_cols = al.n_columns
+        # native fast path (hla_chain_record): bit-identical record arrays
+        # when every single-byte genotype/quality is already interned; a
+        # chain needing a NEW intern (or b"" itself) runs the python body
+        # so the run-global intern-table order stays canonical
+        mqa = al.mapq_per_pos
+        if (self._qid_empty >= 0 and native.available()
+                and seq_c.dtype == np.uint8 and seq_c.flags.c_contiguous
+                and graph_c.dtype == np.uint8
+                and graph_c.flags.c_contiguous
+                and al.seq_qual.dtype == np.uint8
+                and al.seq_qual.flags.c_contiguous
+                and levels_arr.dtype == np.int64
+                and levels_arr.flags.c_contiguous
+                and (mqa is None or (isinstance(mqa, np.ndarray)
+                                     and mqa.dtype == np.float64
+                                     and mqa.flags.c_contiguous))):
+            n_rec = int((levels_arr >= 0).sum())
+            scr = getattr(self, "_cr_scratch", None)
+            if scr is None:
+                scr = self._cr_scratch = {}
+            res = native.chain_record(seq_c, graph_c, levels_arr,
+                                      al.seq_qual, mqa, self._lut_g,
+                                      self._lut_q, self._qid_empty, n_rec,
+                                      scratch=scr)
+            if res is not None:
+                (lv_o, worst_o, gid_o, qid_o, q0_o, mqp_o, rn_o, cng,
+                 ins_idx) = res
+                if len(ins_idx):
+                    # rare: records with trailing insertion columns — the
+                    # same multi-byte intern loop as the python body
+                    rec_cols = np.nonzero(levels_arr >= 0)[0]
+                    g_ids, g_list = self._geno_ids, self._geno_list
+                    q_ids, q_list = self._qual_ids, self._qual_list
+                    for i in ins_idx.tolist():
+                        c = int(rec_cols[i])
+                        c_next = int(rec_cols[i + 1]) \
+                            if i + 1 < n_rec else n_cols
+                        g = bytes(seq_c[c + 1:c_next]).decode()
+                        q = bytes(al.seq_qual[c + 1:c_next])
+                        if seq_c[c] != GAP:
+                            g = chr(seq_c[c]) + g
+                            q = bytes([al.seq_qual[c]]) + q
+                        worst_o[i] = min(q) if q else 0
+                        gi = g_ids.get(g)
+                        if gi is None:
+                            gi = g_ids[g] = len(g_list)
+                            g_list.append(g)
+                        qi = q_ids.get(q)
+                        if qi is None:
+                            qi = q_ids[q] = len(q_list)
+                            q_list.append(q)
+                        gid_o[i] = gi
+                        qid_o[i] = qi
+                        q0_o[i] = q[0] if q else 0
+                rec = dict(levels=lv_o, worst_q=worst_o, gid=gid_o,
+                           qid=qid_o, q0=q0_o, mapq_pos=mqp_o,
+                           run_novel=rn_o, cols_nongap=cng,
+                           token=self._intern_token)
+                al._records = rec
+                return rec
         # the reference's expression is the typo
         # `(seq != "_") || (seq != "_")` (HLATyper.cpp:3235, 3610), which
         # reduces to seq-non-gap alone — reproduced verbatim so the pileup

@@ -173,6 +173,9 @@ def _find_lib():
                 lib.hla_parse_prg_code.argtypes = [
                     vp, i64, ctypes.c_int, vp, vp, i64,
                     i64pp, i64pp, u8pp, i64pp]
+                lib.hla_chain_record.restype = i64
+                lib.hla_chain_record.argtypes = (
+                    [vp] * 5 + [i64] + [vp, vp, i64] + [vp] * 10)
                 lib.hla_build_read_tensors.restype = None
                 lib.hla_build_read_tensors.argtypes = (
                     [vp] * 4 + [i64] + [vp] * 7 + [f64, i64, i64,
@@ -696,6 +699,51 @@ def parse_prg_code(sec: bytes, loc_blob: bytes, loc_off: np.ndarray):
             _take_free(lib, cd, n, ctypes.c_int64, np.int64),
             _take_free(lib, a0, n, ctypes.c_uint8, np.uint8),
             _take_free(lib, al, n, ctypes.c_int64, np.int64))
+
+
+def chain_record(seq_c, graph_c, levels, qual, mqp, lut_g, lut_q,
+                 qid_empty: int, n_rec: int, scratch: dict | None = None):
+    """C++ per-chain record build (hla_chain_record; the column walk of
+    typer._chain_records).  Caller guarantees contiguous arrays of the
+    right dtypes and n_rec == (levels >= 0).sum().  Returns the record
+    arrays + (cols_nongap, ins_record_indices), or None when the lib is
+    unavailable or an unseen byte needs interning (python path)."""
+    lib = _find_lib()
+    if lib is None:
+        return None
+    n = len(seq_c)
+    # one int64 block for the five integer outputs (records retain the
+    # views); worst/mqp separate; the 3 tiny outputs reuse scratch
+    blk = np.empty(5 * n_rec, np.int64)
+    out_levels = blk[:n_rec]
+    out_gid = blk[n_rec:2 * n_rec]
+    out_qid = blk[2 * n_rec:3 * n_rec]
+    out_q0 = blk[3 * n_rec:4 * n_rec]
+    out_rn = blk[4 * n_rec:]
+    out_worst = np.empty(n_rec, np.uint8)
+    out_mqp = np.empty(n_rec, np.float64)
+    if scratch is not None:
+        small = scratch.get("cr_small")
+        if small is None or len(small) < n_rec + 2:
+            small = scratch["cr_small"] = np.empty(
+                max(n_rec + 2, 256), np.int64)
+    else:
+        small = np.empty(n_rec + 2, np.int64)
+    base = blk.ctypes.data
+    r = lib.hla_chain_record(
+        seq_c.ctypes.data, graph_c.ctypes.data, levels.ctypes.data,
+        qual.ctypes.data,
+        mqp.ctypes.data if mqp is not None else None, n,
+        lut_g.ctypes.data, lut_q.ctypes.data, qid_empty,
+        base, out_worst.ctypes.data,
+        base + 8 * n_rec, base + 16 * n_rec, base + 24 * n_rec,
+        out_mqp.ctypes.data, base + 32 * n_rec, small.ctypes.data,
+        small.ctypes.data + 16, small.ctypes.data + 8)
+    if r < 0:
+        return None
+    assert r == n_rec, (r, n_rec)
+    return (out_levels, out_worst, out_gid, out_qid, out_q0, out_mqp,
+            out_rn, int(small[0]), small[2:2 + int(small[1])])
 
 
 def build_read_tensors(r_idx, j_idx, gid, q0, gap_tbl, chf_tbl, sing_tbl,

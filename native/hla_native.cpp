@@ -3813,3 +3813,85 @@ extern "C" void hla_build_read_tensors(
     for (int t = 0; t < nt; t++) threads.emplace_back(work, t);
     for (auto& th : threads) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// Per-chain record build (typer._chain_records; the column walk of
+// HLATyper.cpp:3192-3566 done once per chain): record columns are the
+// level-bearing columns; trailing insertion columns fold into the record.
+// Interning uses the caller's 256-entry LUTs; any unseen byte or any
+// record with trailing insertions that needs a multi-byte intern is
+// reported back (return -1 = unseen byte: caller uses its python path for
+// this chain, preserving intern-table order; insertion records are
+// returned via out_ins_idx for the caller's rare-case loop).
+// Returns n_rec, or -1.
+// ---------------------------------------------------------------------------
+extern "C" int64_t hla_chain_record(
+    const uint8_t* seq_c, const uint8_t* graph_c, const int64_t* levels,
+    const uint8_t* qual, const double* mq,      // mq may be NULL (-> 1.0)
+    int64_t n_cols,
+    const int64_t* lut_g, const int64_t* lut_q, int64_t qid_empty,
+    int64_t* out_levels, uint8_t* out_worst, int64_t* out_gid,
+    int64_t* out_qid, int64_t* out_q0, double* out_mqp,
+    int64_t* out_runnovel, int64_t* out_cols_nongap,
+    int64_t* out_ins_idx, int64_t* out_n_ins) {
+    const uint8_t GAPB = (uint8_t)'_';
+    // forward/backward running-novel-gap lengths
+    std::vector<int64_t> fwd((size_t)n_cols), bwd((size_t)n_cols);
+    {
+        int64_t cs = 0, base = 0;
+        for (int64_t i = 0; i < n_cols; i++) {
+            bool sg = seq_c[i] == GAPB, gg = graph_c[i] == GAPB;
+            bool reset = !sg && !gg;
+            bool novel = !reset && !(sg && gg);
+            cs += novel ? 1 : 0;
+            int64_t v = reset ? cs : 0;
+            if (v > base) base = v;
+            fwd[(size_t)i] = cs - base;
+        }
+        cs = 0; base = 0;
+        for (int64_t i = n_cols - 1; i >= 0; i--) {
+            bool sg = seq_c[i] == GAPB, gg = graph_c[i] == GAPB;
+            bool reset = !sg && !gg;
+            bool novel = !reset && !(sg && gg);
+            cs += novel ? 1 : 0;
+            int64_t v = reset ? cs : 0;
+            if (v > base) base = v;
+            bwd[(size_t)i] = cs - base;
+        }
+    }
+    int64_t nongap = 0;
+    for (int64_t i = 0; i < n_cols; i++)
+        if (seq_c[i] != GAPB) nongap++;
+    *out_cols_nongap = nongap;
+    // records + interning (exact python order: every record's single-byte
+    // lookups happen before the insertion overrides)
+    int64_t n_rec = 0, n_ins_rec = 0;
+    int64_t i = 0;
+    while (i < n_cols) {
+        if (levels[i] < 0) { i++; continue; }
+        int64_t nxt = i + 1;
+        while (nxt < n_cols && levels[nxt] < 0) nxt++;
+        int64_t n_ins = nxt - i - 1;
+        bool is_del = seq_c[i] == GAPB;
+        int64_t g = lut_g[seq_c[i]];
+        int64_t q = lut_q[qual[i]];
+        if (g < 0 || q < 0) return -1;        // unseen byte: python path
+        out_levels[n_rec] = levels[i];
+        out_gid[n_rec] = g;
+        out_qid[n_rec] = is_del ? qid_empty : q;
+        out_q0[n_rec] = is_del ? 0 : (int64_t)qual[i];
+        out_worst[n_rec] = is_del ? 0 : qual[i];
+        out_mqp[n_rec] = mq ? mq[i] : 1.0;
+        out_runnovel[n_rec] = fwd[(size_t)i] > bwd[(size_t)i]
+                              ? fwd[(size_t)i] : bwd[(size_t)i];
+        if (n_ins > 0) {
+            // caller's python loop interns the multi-byte genotype/qual
+            // and overrides gid/qid/q0/worst for these records
+            out_ins_idx[n_ins_rec++] = n_rec;
+        }
+        n_rec++;
+        i = nxt;
+    }
+    *out_n_ins = n_ins_rec;
+    return n_rec;
+}

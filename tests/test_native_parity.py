@@ -293,3 +293,67 @@ def test_build_read_tensors_native_bitexact():
         assert np.array_equal(got[0], want[0]), "contrib differs"
         assert np.array_equal(got[1], want[1]), "mismatch differs"
         assert got[2] == want[2]
+
+
+def test_chain_record_native_bitexact():
+    """hla_chain_record == the python _chain_records body (identical record
+    arrays AND identical intern-table evolution), across chains with
+    deletions, trailing insertions, novel-gap runs, and a mapq vector."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    from hla_la_tpu.models.alignment import GraphAlignment
+    from hla_la_tpu.models.typer import HLATyper
+
+    rng = np.random.default_rng(23)
+
+    def mk_chain(n):
+        seq = rng.choice(np.frombuffer(b"ACGT_", np.uint8), size=n)
+        gph = rng.choice(np.frombuffer(b"ACGT_", np.uint8), size=n)
+        lv = np.arange(n, dtype=np.int64)
+        # sprinkle insertion columns (level -1 runs)
+        ins = rng.random(n) < 0.15
+        ins[0] = False
+        lv[ins] = -1
+        lv[~ins] = np.arange(int((~ins).sum()))
+        qual = rng.integers(33, 74, n).astype(np.uint8)
+        al = GraphAlignment.__new__(GraphAlignment)
+        al.__dict__ = dict(levels=lv, graph_c=gph, seq_c=seq,
+                           seq_qual=qual, reverse=False, seq_idx=0,
+                           mapq=1.0, from_first_read=True,
+                           log_likelihood=0.0,
+                           mapq_per_pos=(rng.random(n)
+                                         if rng.random() < 0.5 else None))
+        return al
+
+    chains = [mk_chain(int(rng.integers(5, 120))) for _ in range(60)]
+
+    def run(disable_native):
+        t = HLATyper.__new__(HLATyper)
+        t._geno_ids, t._geno_list = {}, []
+        t._qual_ids, t._qual_list = {}, []
+        t._lut_g = np.full(256, -1, dtype=np.int64)
+        t._lut_q = np.full(256, -1, dtype=np.int64)
+        t._qid_empty = -1
+        t._intern_token = object()
+        out = []
+        if disable_native:
+            orig = native.chain_record
+            native.chain_record = lambda *a, **k: None
+        try:
+            for al in chains:
+                al._records = None
+                out.append(dict(HLATyper._chain_records(t, al)))
+                al._records = None
+        finally:
+            if disable_native:
+                native.chain_record = orig
+        return out, t._geno_list, t._qual_list
+
+    got, g_gl, g_ql = run(False)
+    want, w_gl, w_ql = run(True)
+    assert g_gl == w_gl and g_ql == w_ql, "intern-table evolution differs"
+    for a, b in zip(got, want):
+        for k in ("levels", "worst_q", "gid", "qid", "q0", "mapq_pos",
+                  "run_novel"):
+            assert np.array_equal(a[k], b[k]), k
+        assert a["cols_nongap"] == b["cols_nongap"]

@@ -651,8 +651,21 @@ class HLATyper:
                 if ":" not in allele:
                     continue
                 seq = "".join(vals)
-                assert len(seq) == len(cols), \
-                    f"multi-char column in {fn} allele {allele}"
+                if len(seq) != len(cols):
+                    # Documented contract (COMPONENTS.md): one character per
+                    # segment-matrix cell.  The reference concatenates cells
+                    # blindly (HLATyper.cpp:1285-1297) so a multi-char cell
+                    # silently SHIFTS every downstream column->position
+                    # mapping — we fail loudly with the exact cell instead.
+                    bad = next((i for i, v in enumerate(vals)
+                                if len(v) != 1), None)
+                    col = cols[bad] if bad is not None else "?"
+                    raise ValueError(
+                        f"multi-character segment-matrix cell: file {fn}, "
+                        f"allele {allele}, column {bad} ({col}), cell "
+                        f"{vals[bad] if bad is not None else '?'!r} — one "
+                        "char per cell is required (the reference would "
+                        "positionally corrupt here, HLATyper.cpp:1285-1297)")
                 if ei == 0:
                     combined[allele] = seq
                 else:

@@ -147,7 +147,8 @@ def real_scale_bench():
     pkg = GraphPackage(pkg_dir)
     typer = HLATyper(pkg)
     pool = engine if isinstance(engine, ParallelAligner) else None
-    aligned_ids = {ap.read_id for ap in aligned}
+    aligned_ids = (set(aligned.read_ids) if hasattr(aligned, "read_ids")
+                   else {ap.read_id for ap in aligned})
     kept_fq = [p for p in fq if p[0].name in aligned_ids]
     type_reps, type_cpu, res = [], [], None
     for rep in range(TYPE_WARMUP + TYPE_REPS):

@@ -171,6 +171,158 @@ def unpack_aligned_pairs(d):
             for i in range(len(ids))]
 
 
+class PackedAlignedPairs:
+    """Sequence façade over the packed SoA chain arrays — the align→typing
+    seam closed (VERDICT r4 next #1).  The workers' flat chain arrays stay
+    live through typing: per-pair/per-chain scalar arrays (level ranges,
+    reverse flags, mapQ, weightedOK/fractionOK) are read straight off the
+    pack with zero python loops, and `GraphAlignment`/`AlignedPair` objects
+    materialise LAZILY — only for the chains a locus actually visits (obs
+    extraction) or for explicit consumers (truth evaluation, BAM export).
+    Matches the reference's in-memory handoff processBAM.cpp:1788-1923 →
+    HLATyper.cpp:933 without the object puff-up in between.
+
+    `pack` keys are exactly `pack_aligned_pairs`'s output; `subset()` and
+    `from_chunks()` operate purely on the arrays, so fan-out shipping and
+    shard merging never round-trip through objects either."""
+
+    __slots__ = ("pack", "_offs", "_ids", "_pairs", "_chains")
+
+    def __init__(self, pack: dict):
+        self.pack = pack
+        self._offs = None
+        self._ids = None
+        self._pairs = None
+        self._chains = None
+
+    def __getstate__(self):
+        return self.pack      # pickle the arrays, never the lazy caches
+
+    def __setstate__(self, pack):
+        self.__init__(pack)
+
+    # ------------------------------------------------------------ plumbing
+    @classmethod
+    def from_chunks(cls, packs: list[dict]) -> "PackedAlignedPairs":
+        """Concatenate per-chunk packs (worker results) into one."""
+        import numpy as np
+        if not packs:
+            return cls(pack_aligned_pairs([]))
+        if len(packs) == 1:
+            return cls(packs[0])
+        out = {k: np.concatenate([p[k] for p in packs])
+               for k in packs[0] if k != "read_ids"}
+        out["read_ids"] = "\n".join(
+            p["read_ids"] for p in packs if p["read_ids"])
+        return cls(out)
+
+    @property
+    def offsets(self):
+        import numpy as np
+        if self._offs is None:
+            self._offs = np.concatenate(
+                [[0], np.cumsum(self.pack["n_cols"])])
+        return self._offs
+
+    @property
+    def read_ids(self) -> list[str]:
+        if self._ids is None:
+            s = self.pack["read_ids"]
+            self._ids = s.split("\n") if s else []
+        return self._ids
+
+    def __len__(self) -> int:
+        return len(self.pack["pair_mapq"])
+
+    # ------------------------------------------------- lazy materialisation
+    def chain(self, j: int):
+        """GraphAlignment for chain index j (pair i's mates are 2i, 2i+1),
+        materialised on first touch and cached — obs extraction revisits
+        the same chains across typing passes, and `_chain_records` caches
+        live on the object."""
+        if self._chains is None:
+            self._chains = [None] * (2 * len(self))
+        al = self._chains[j]
+        if al is None:
+            from .alignment import GraphAlignment
+            d = self.pack
+            offs = self.offsets
+            s, e = int(offs[j]), int(offs[j + 1])
+            al = GraphAlignment(
+                levels=d["levels"][s:e], graph_c=d["graph_c"][s:e],
+                seq_c=d["seq_c"][s:e], seq_qual=d["seq_qual"][s:e],
+                reverse=bool(d["reverse"][j]), seq_idx=int(d["seq_idx"][j]),
+                mapq=float(d["mapq"][j]), mapq_per_pos=d["mapq_pp"][s:e],
+                from_first_read=bool(d["ffr"][j]),
+                log_likelihood=float(d["ll"][j]))
+            al._first_level = int(d["first_lv"][j])
+            al._last_level = int(d["last_lv"][j])
+            wok, fok = d.get("wok"), d.get("fok")
+            if wok is not None and fok is not None:
+                al._wok = float(wok[j])
+                al._frac_ok = float(fok[j])
+            self._chains[j] = al
+        return al
+
+    def __getitem__(self, i):
+        from .aligner import AlignedPair
+        if isinstance(i, slice):
+            return [self[k] for k in range(*i.indices(len(self)))]
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        if self._pairs is None:
+            self._pairs = [None] * n
+        ap = self._pairs[i]
+        if ap is None:
+            ap = AlignedPair(self.read_ids[i], self.chain(2 * i),
+                             self.chain(2 * i + 1),
+                             float(self.pack["pair_mapq"][i]))
+            self._pairs[i] = ap
+        return ap
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    # ------------------------------------------------------- array surgery
+    def subset(self, idx) -> "PackedAlignedPairs":
+        """New PackedAlignedPairs with pairs `idx` (any order) — pure array
+        gathers, no object round-trip."""
+        import numpy as np
+        idx = np.asarray(idx, dtype=np.int64)
+        d = self.pack
+        ci = np.empty(2 * len(idx), dtype=np.int64)
+        ci[0::2] = 2 * idx
+        ci[1::2] = 2 * idx + 1
+        offs = self.offsets
+        lens = d["n_cols"][ci]
+        starts = offs[ci]
+        total = int(lens.sum())
+        ends_out = np.cumsum(lens)
+        col_idx = (np.arange(total, dtype=np.int64)
+                   - np.repeat(ends_out - lens, lens)
+                   + np.repeat(starts, lens))
+        ids = self.read_ids
+        out = dict(
+            n_cols=lens,
+            levels=d["levels"][col_idx], graph_c=d["graph_c"][col_idx],
+            seq_c=d["seq_c"][col_idx], seq_qual=d["seq_qual"][col_idx],
+            mapq_pp=d["mapq_pp"][col_idx],
+            reverse=d["reverse"][ci], seq_idx=d["seq_idx"][ci],
+            mapq=d["mapq"][ci], ll=d["ll"][ci], ffr=d["ffr"][ci],
+            first_lv=d["first_lv"][ci], last_lv=d["last_lv"][ci],
+            read_ids="\n".join(ids[i] for i in idx.tolist()),
+            pair_mapq=d["pair_mapq"][idx],
+        )
+        for k in ("wok", "fok"):
+            if k in d:
+                out[k] = d[k][ci]
+        return PackedAlignedPairs(out)
+
+
 def spawn_safe() -> bool:
     """Spawned children re-execute the __main__ module; with an interactive /
     stdin main module that crash-loops.  Only parallelise when safe, and
@@ -220,8 +372,10 @@ class ParallelAligner:
                 _align_chunk,
                 [(i, pack_read_pairs(c), insert_mean, insert_sd)
                  for i, c in enumerate(chunks)]):
-            slots[idx] = unpack_aligned_pairs(res)
-        out = [ap for res in slots for ap in res]
+            slots[idx] = res
+        # the packed chunk arrays stay live end-to-end (PackedAlignedPairs):
+        # GraphAlignment objects materialise lazily, only where consumed
+        out = PackedAlignedPairs.from_chunks(slots)
         if truth is not None:
             by_id = {ap.read_id: ap for ap in out}
             for r1, r2 in pairs:

@@ -72,6 +72,7 @@ def _align_all(engine, pairs, unpaired, insert_mean, insert_sd, batch_size,
     subset, the kept raw reads, and each kept read's index in the input
     (used by align shards to restore the global order on merge)."""
     aligned_pairs: list[AlignedPair] = []
+    packed_batches = []   # PackedAlignedPairs per batch (parallel engine)
     kept_pairs: list[tuple[FastqRead, FastqRead]] = []
     kept_pair_idx: list[int] = []
     aligned_unpaired = []
@@ -81,6 +82,19 @@ def _align_all(engine, pairs, unpaired, insert_mean, insert_sd, batch_size,
     for lo in range(0, len(pairs), bs):
         batch = pairs[lo:lo + bs]
         out = engine.align_pairs(batch, insert_mean, insert_sd, truth=truth)
+        if hasattr(out, "pack"):
+            # packed SoA result: restore input order via the id arrays,
+            # no object materialisation
+            by_id = {nm: j for j, nm in enumerate(out.read_ids)}
+            sel = []
+            for k, pr in enumerate(batch):
+                j = by_id.get(pr[0].name)
+                if j is not None:
+                    sel.append(j)
+                    kept_pairs.append(pr)
+                    kept_pair_idx.append(lo + k)
+            packed_batches.append(out.subset(np.asarray(sel, np.int64)))
+            continue
         by_id = {p.read_id: p for p in out}
         for k, pr in enumerate(batch):
             ap = by_id.get(pr[0].name)
@@ -88,6 +102,11 @@ def _align_all(engine, pairs, unpaired, insert_mean, insert_sd, batch_size,
                 aligned_pairs.append(ap)
                 kept_pairs.append(pr)
                 kept_pair_idx.append(lo + k)
+    if packed_batches:
+        from .parallel_host import PackedAlignedPairs
+        assert not aligned_pairs   # one engine → one representation
+        aligned_pairs = PackedAlignedPairs.from_chunks(
+            [p.pack for p in packed_batches])
     for lo in range(0, len(unpaired), bs):
         batch = unpaired[lo:lo + bs]
         out = engine.align_unpaired(batch, truth=truth)
@@ -241,7 +260,8 @@ def align_shard(pkg: GraphPackage, pairs, unpaired, shard_dir: str,
     log_progress(f"host {host_idx}: aligned {len(aligned_pairs)} pairs + "
                  f"{len(aligned_unpaired)} unpaired "
                  f"({t.rate(n_reads):.1f} reads/s)")
-    d = pack_aligned_pairs(aligned_pairs)
+    d = (aligned_pairs.pack if hasattr(aligned_pairs, "pack")
+         else pack_aligned_pairs(aligned_pairs))
     du = pack_chains(aligned_unpaired)
     blob = {f"p_{k}": v for k, v in d.items()}
     blob.update({f"u_{k}": v for k, v in du.items()})
@@ -273,7 +293,7 @@ def merge_shards_and_type(pkg: GraphPackage, shard_dir: str,
     order via the stored original indices) and run typing once.  Outputs
     are byte-identical to a single-host `run_hla_typing` on the same
     input."""
-    from .parallel_host import unpack_aligned_pairs, unpack_chains
+    from .parallel_host import unpack_chains
     cfg = cfg or RunConfig()
     import glob as _glob
     files = sorted(_glob.glob(os.path.join(shard_dir, "align_shard_*.npz")))
@@ -309,23 +329,28 @@ def merge_shards_and_type(pkg: GraphPackage, shard_dir: str,
         quals = s[f"{pre}_quals"].split("\n") if s[f"{pre}_quals"] else []
         return [FastqRead(n, sq, q) for n, sq, q in zip(names, seqs, quals)]
 
-    pair_items, unp_items = [], []
+    from .parallel_host import PackedAlignedPairs
+    pair_packs, pair_idx, pair_reads = [], [], []
+    unp_items = []
     for s in shards:
-        aps = unpack_aligned_pairs(
+        pair_packs.append(
             {k[2:]: v for k, v in s.items() if k.startswith("p_")
              and not k.startswith("p_orig")})
-        r1s, r2s = reads_of(s, "r1"), reads_of(s, "r2")
-        for idx, ap, r1, r2 in zip(s["p_orig_idx"], aps, r1s, r2s):
-            pair_items.append((int(idx), ap, (r1, r2)))
+        pair_idx.append(np.asarray(s["p_orig_idx"], dtype=np.int64))
+        pair_reads += list(zip(reads_of(s, "r1"), reads_of(s, "r2")))
         chains = unpack_chains(
             {k[2:]: v for k, v in s.items() if k.startswith("u_")
              and not k.startswith("u_orig")})
         for idx, al, r in zip(s["u_orig_idx"], chains, reads_of(s, "ru")):
             unp_items.append((int(idx), al, r))
-    pair_items.sort(key=lambda x: x[0])
+    # restore the single-host input order with ONE array permutation over
+    # the concatenated packs (no per-pair object round-trip)
+    merged = PackedAlignedPairs.from_chunks(pair_packs)
+    perm = np.argsort(np.concatenate(pair_idx)
+                      if pair_idx else np.zeros(0, np.int64), kind="stable")
+    aligned_pairs = merged.subset(perm)
+    kept_pairs = [pair_reads[i] for i in perm.tolist()]
     unp_items.sort(key=lambda x: x[0])
-    aligned_pairs = [x[1] for x in pair_items]
-    kept_pairs = [x[2] for x in pair_items]
     aligned_unpaired = [x[1] for x in unp_items]
     kept_unpaired = [x[2] for x in unp_items]
     log_progress(f"merged {len(files)} shards: {len(aligned_pairs)} pairs "
@@ -344,7 +369,21 @@ def _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir):
     """Coverage track `reads_per_level.txt` (processBAM.cpp:1902-1913)."""
     n_levels = pkg.compiled().n_levels
     counts = np.zeros(n_levels, dtype=np.int64)
-    chains = [c for ap in aligned_pairs for c in (ap.chain1, ap.chain2)]
+    pack = getattr(aligned_pairs, "pack", None)
+    if pack is not None:
+        # packed SoA: the column levels are already one flat array.  The
+        # per-chain loop's `counts[lv] += 1` increments each level AT MOST
+        # ONCE per chain (numpy fancy-index buffering) — reproduce that by
+        # dedup'ing (chain, level) keys before the scatter-add
+        lv_all = pack["levels"]
+        ncol = pack["n_cols"]
+        chain_id = np.repeat(np.arange(len(ncol), dtype=np.int64), ncol)
+        m = lv_all >= 0
+        key = np.unique(chain_id[m] * np.int64(n_levels) + lv_all[m])
+        np.add.at(counts, (key % np.int64(n_levels)).astype(np.int64), 1)
+        chains = []
+    else:
+        chains = [c for ap in aligned_pairs for c in (ap.chain1, ap.chain2)]
     chains += [c for c in aligned_unpaired if c is not None]
     for ch in chains:
         lv = ch.levels[ch.levels >= 0]

@@ -484,12 +484,22 @@ class HLATyper:
         n = len(aligned_pairs)
         if n == 0:
             return np.zeros(n, dtype=bool), np.zeros(0), np.zeros(0)
-        w1 = weighted_ok_fractions_batch([ap.chain1 for ap in aligned_pairs])
-        w2 = weighted_ok_fractions_batch([ap.chain2 for ap in aligned_pairs])
+        pack = getattr(aligned_pairs, "pack", None)
+        if pack is not None and "wok" in pack:
+            # packed SoA: the worker-computed fractions/mapQs read straight
+            # off the pack (bit-identical — the worker runs the same batch
+            # functions the legacy path's caches come from)
+            w1, w2 = pack["wok"][0::2], pack["wok"][1::2]
+            mapq1 = pack["mapq"][0::2]
+        else:
+            w1 = weighted_ok_fractions_batch(
+                [ap.chain1 for ap in aligned_pairs])
+            w2 = weighted_ok_fractions_batch(
+                [ap.chain2 for ap in aligned_pairs])
+            mapq1 = np.fromiter((ap.chain1.mapq for ap in aligned_pairs),
+                                np.float64, n)
         thr = cfg.min_both_reads_weighted_ok
         rng = cfg.insert_size_sd_range * insert_sd
-        mapq1 = np.fromiter((ap.chain1.mapq for ap in aligned_pairs),
-                            np.float64, n)
         so = getattr(self, "_pair_strand_ok", None)
         if so is None or len(so) != n:   # direct _type_locus callers
             so = np.fromiter((strands_valid(ap.chain1, ap.chain2)
@@ -519,14 +529,23 @@ class HLATyper:
             l = np.fromiter(((c.last_level() if c is not None else -1)
                              for c in chains), np.int64, len(chains))
             return f, l
-        pr_f1, pr_l1 = _levels([ap.chain1 for ap in aligned_pairs])
-        pr_f2, pr_l2 = _levels([ap.chain2 for ap in aligned_pairs])
+        pack = getattr(aligned_pairs, "pack", None)
+        if pack is not None:
+            # packed SoA fast path: the per-chain ranges/orientations are
+            # already flat arrays (chain j of pair i at index 2i+j)
+            pf, pl = pack["first_lv"], pack["last_lv"]
+            pr_f1, pr_l1 = pf[0::2], pl[0::2]
+            pr_f2, pr_l2 = pf[1::2], pl[1::2]
+            r1, r2 = pack["reverse"][0::2], pack["reverse"][1::2]
+        else:
+            pr_f1, pr_l1 = _levels([ap.chain1 for ap in aligned_pairs])
+            pr_f2, pr_l2 = _levels([ap.chain2 for ap in aligned_pairs])
+            r1 = np.fromiter((ap.chain1.reverse for ap in aligned_pairs),
+                             np.bool_, n)
+            r2 = np.fromiter((ap.chain2.reverse for ap in aligned_pairs),
+                             np.bool_, n)
         un_f, un_l = _levels(aligned_unpaired)
         self._pair_ranges = (pr_f1, pr_l1, pr_f2, pr_l2, un_f, un_l)
-        r1 = np.fromiter((ap.chain1.reverse for ap in aligned_pairs),
-                         np.bool_, n)
-        r2 = np.fromiter((ap.chain2.reverse for ap in aligned_pairs),
-                         np.bool_, n)
         self._pair_strand_ok = ((pr_f1 != -1) & (pr_f2 != -1) & (r1 != r2)
                                 & np.where(~r1, pr_f1 < pr_f2,
                                            pr_l1 > pr_l2))
@@ -588,7 +607,9 @@ class HLATyper:
             sel = self._subset_for_loci(chunk, raw_pairs, aligned_pairs,
                                         raw_unpaired, aligned_unpaired)
             (sub_raw_pairs, sub_aligned, sub_rawu, sub_unal) = sel
-            packed = pack_aligned_pairs(sub_aligned)
+            # packed input subsets are already SoA — ship the arrays as-is
+            packed = (sub_aligned.pack if hasattr(sub_aligned, "pack")
+                      else pack_aligned_pairs(sub_aligned))
             # raw reads ship as THREE joined strings per side, not a tuple
             # per read: pickling millions of small tuples/strings made the
             # fan-out 5x SLOWER than serial at WGS scale (measured: 76s vs
@@ -970,7 +991,10 @@ class HLATyper:
                 keep_u |= (uf[:nu] <= hi) & (ul[:nu] >= lo) & (uf[:nu] >= 0)
         pi = np.nonzero(keep_p)[0]
         ui = np.nonzero(keep_u)[0]
-        return ([raw_pairs[i] for i in pi], [aligned_pairs[i] for i in pi],
+        sub_aligned = (aligned_pairs.subset(pi)
+                       if hasattr(aligned_pairs, "subset")
+                       else [aligned_pairs[i] for i in pi])
+        return ([raw_pairs[i] for i in pi], sub_aligned,
                 [raw_unpaired[i] for i in ui],
                 [aligned_unpaired[i] for i in ui])
 
@@ -1943,11 +1967,17 @@ class HLATyper:
         n_perfect = 0
         n_one_perfect = 0
         if aligned_pairs:
-            chains = [c for ap in aligned_pairs
-                      for c in (ap.chain1, ap.chain2)]
-            # cache-aware batch (worker-unpacked chains arrive with
-            # _frac_ok precomputed from the packed arrays — bit-identical)
-            frac = fraction_ok_batch(chains)
+            pack = getattr(aligned_pairs, "pack", None)
+            if pack is not None and "fok" in pack:
+                # packed SoA: worker-computed, interleaved [c1,c2,...] —
+                # exactly the order the legacy chains list flattens to
+                frac = pack["fok"]
+            else:
+                chains = [c for ap in aligned_pairs
+                          for c in (ap.chain1, ap.chain2)]
+                # cache-aware batch (worker-unpacked chains arrive with
+                # _frac_ok precomputed from the packed arrays)
+                frac = fraction_ok_batch(chains)
             # sequential (f1+f2) accumulation keeps the byte-stable output
             frac_l = frac.tolist()
             frac_sum = 0.0
@@ -2156,7 +2186,6 @@ def _typing_worker(args):
     import io
 
     from ..graph.package import GraphPackage
-    from .parallel_host import unpack_aligned_pairs
 
     # reuse the worker's already-loaded package when running inside the
     # alignment worker pool (avoids a multi-GB package reload per worker at
@@ -2177,7 +2206,10 @@ def _typing_worker(args):
         pkg = GraphPackage(pkg_dir)
     typer = HLATyper(pkg, base_cfg,
                      g_nomenclature_path=g_path, backend=backend)
-    aligned_pairs = unpack_aligned_pairs(packed)
+    # wrap, don't unpack: the worker's typing loop reads the SoA arrays
+    # directly and materialises objects only for locus-overlapping chains
+    from .parallel_host import PackedAlignedPairs
+    aligned_pairs = PackedAlignedPairs(packed)
     raw_pairs = list(zip(_unpack_reads(raw1), _unpack_reads(raw2)))
     raw_unpaired = _unpack_reads(rawu)
     aligned_unpaired = _unpack_optional_chains(packed_unal)

@@ -122,13 +122,16 @@ def main():
         t0 = time.time()
         aligned = engine.align_pairs(fq, 118, 30)
         t_align = time.time() - t0
-        aligned = [ap for ap in aligned if ap is not None]
+        if not hasattr(aligned, "pack"):   # packed form has no None slots
+            aligned = [ap for ap in aligned if ap is not None]
         log(f"align: {t_align:.1f}s = {2 * len(fq) / t_align:.0f} reads/s "
             f"({len(aligned)}/{len(fq)} pairs aligned)")
         with open(aligned_cache + ".tmp", "wb") as fh:
             pickle.dump(aligned, fh)
         os.replace(aligned_cache + ".tmp", aligned_cache)
-    aligned_ids = {ap.read_id for ap in aligned}
+    aligned_ids = (set(aligned.read_ids)
+                   if hasattr(aligned, "read_ids")
+                   else {ap.read_id for ap in aligned})
     kept_fq = [p for p in fq if p[0].name in aligned_ids]
 
     pkg = GraphPackage(pkg_dir)

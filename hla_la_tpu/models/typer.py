@@ -1318,6 +1318,9 @@ class HLATyper:
                 LLmat[:, lo:hi2], MMmat[:, lo:hi2] = cluster_read_ll(
                     onehot, contrib, mismatch, backend=self.backend)
         log_progress(f"  {locus}: {C} clusters x {R} reads")
+        dump_dir = os.environ.get("HLA_LLMAT_DUMP")
+        if dump_dir:      # kernel-tuning diagnostic: the real LL matrix
+            np.save(os.path.join(dump_dir, f"LLmat_{locus}.npy"), LLmat)
 
         # ---- pair reduction ----------------------------------------------
         pair_LL = pair_ll_reduction(LLmat, backend=self.backend)

@@ -1321,6 +1321,10 @@ class HLATyper:
         dump_dir = os.environ.get("HLA_LLMAT_DUMP")
         if dump_dir:      # kernel-tuning diagnostic: the real LL matrix
             np.save(os.path.join(dump_dir, f"LLmat_{locus}.npy"), LLmat)
+            if soa.n_obs:   # each read's first typed-segment position
+                first = np.r_[True, soa.read_idx[1:] != soa.read_idx[:-1]]
+                np.save(os.path.join(dump_dir, f"readpos_{locus}.npy"),
+                        soa.pos[first])
 
         # ---- pair reduction ----------------------------------------------
         pair_LL = pair_ll_reduction(LLmat, backend=self.backend)

@@ -2769,8 +2769,13 @@ extern "C" int64_t hla_graph_extend(
 // The |a-b| part is accumulated in f64 (magnitudes ~1e3, sums ~1e6); the
 // softplus tail is computed in f32 (bounded by log 2) with the standard
 // cephes exp/log polynomials, and skipped outright when every lane has
-// d >= 17 (softplus < 4.2e-8), which is the common case for well-separated
-// cluster pairs.  Tiled over (read chunks x 32 c1-rows) so the streamed
+// d >= 17 (softplus < 4.2e-8).  NOTE (r5, measured on real IMGT LL
+// matrices): real data has ~38% of cells with d>=17 but scattered, so
+// this vector-wide skip essentially never fires there (it pays on
+// well-separated synthetic benchmarks); softplus evaluation is ~72% of
+// kernel CPU at the real working point and is at its evaluation floor —
+// see docs/ROADMAP.md round-5 dead-end entry before attempting an
+// approximation.  Tiled over (read chunks x 32 c1-rows) so the streamed
 // row data stays cache-resident; each (c1,c2) pair is summed by exactly
 // one thread in fixed chunk order, so output is deterministic for any
 // thread count.

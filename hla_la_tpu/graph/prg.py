@@ -340,24 +340,48 @@ class PRG:
                 return None
             term_s = np.asarray(flat[2::3], dtype=object)
             term = ~((term_s == "0") | (term_s == ""))
-        order = np.lexsort((orig, lv))
-        node_level = lv[order].astype(np.int32)
-        node_terminal = term[order].astype(bool)
+        # files we wrote ourselves (and the reference's) store nodes
+        # already (level, orig)-sorted — a stable lexsort of sorted input
+        # is the identity, so skip the sort AND the gathers then
+        nodes_sorted = bool(len(lv) == 0 or np.all(
+            (lv[1:] > lv[:-1]) | ((lv[1:] == lv[:-1])
+                                  & (orig[1:] >= orig[:-1]))))
+        if nodes_sorted:
+            node_level = lv.astype(np.int32)
+            node_terminal = term.astype(bool)
+            o_in_new = orig
+        else:
+            order = np.lexsort((orig, lv))
+            node_level = lv[order].astype(np.int32)
+            node_terminal = term[order].astype(bool)
+            o_in_new = orig[order]
         n_levels = int(node_level.max()) + 1 if len(node_level) else 0
         level_offsets = np.searchsorted(
             node_level, np.arange(n_levels + 1)).astype(np.int64)
-        # orig id -> new id lookup (orig ids are unique but arbitrary)
-        o_in_new = orig[order]
-        o_sort = np.argsort(o_in_new)
-        o_sorted = o_in_new[o_sort]
-        if len(np.unique(o_sorted)) != len(o_sorted):
-            return None
+        # orig id -> new id lookup (orig ids are unique but arbitrary);
+        # the common case orig == 0..n-1 in new order needs no sort at all
+        n_nodes = len(o_in_new)
+        off = int(o_in_new[0]) if n_nodes else 0
+        if nodes_sorted and n_nodes \
+                and np.array_equal(o_in_new, np.arange(off, off + n_nodes)):
+            # consecutive ids (to_text writes 1-based consecutive): the
+            # orig->new map is a constant shift — no sort, no searchsorted
+            def map_ids(q: np.ndarray) -> np.ndarray:
+                if len(q) and (int(q.min()) < off
+                               or int(q.max()) >= off + n_nodes):
+                    raise ValueError("edge references unknown node")
+                return q - off if off else q
+        else:
+            o_sort = np.argsort(o_in_new)
+            o_sorted = o_in_new[o_sort]
+            if len(np.unique(o_sorted)) != len(o_sorted):
+                return None
 
-        def map_ids(q: np.ndarray) -> np.ndarray:
-            p = np.searchsorted(o_sorted, q)
-            if (p >= len(o_sorted)).any() or (o_sorted[p] != q).any():
-                raise ValueError("edge references unknown node")
-            return o_sort[p]
+            def map_ids(q: np.ndarray) -> np.ndarray:
+                p = np.searchsorted(o_sorted, q)
+                if (p >= len(o_sorted)).any() or (o_sorted[p] != q).any():
+                    raise ValueError("edge references unknown node")
+                return o_sort[p]
 
         # EDGES: eid ||| locus ||| 1 ||| code ||| from ||| to
         #        [||| label ||| pgf]
@@ -374,11 +398,21 @@ class PRG:
                 to = map_ids(to0)
             except ValueError:
                 return None
-            eorder = np.argsort(fr, kind="stable")
-            la = lid0.astype(np.int64)[eorder]
-            codes = cc_b.astype(np.int64)[eorder]
-            e_lab = [lab_l[i] for i in eorder.tolist()]
-            e_pgf = pg_u8[eorder].astype(bool)
+            if len(fr) == 0 or bool(np.all(fr[1:] >= fr[:-1])):
+                # already from-sorted (to_text's own order): a stable
+                # argsort is the identity — skip it and all five gathers
+                # plus the 3.7M-element label permutation
+                eorder = None
+                la = lid0.astype(np.int64)
+                codes = cc_b.astype(np.int64)
+                e_lab = lab_l
+                e_pgf = pg_u8.astype(bool)
+            else:
+                eorder = np.argsort(fr, kind="stable")
+                la = lid0.astype(np.int64)[eorder]
+                codes = cc_b.astype(np.int64)[eorder]
+                e_lab = [lab_l[i] for i in eorder.tolist()]
+                e_pgf = pg_u8[eorder].astype(bool)
         else:
             if "\n\n" in esec:
                 return None
@@ -400,7 +434,9 @@ class PRG:
             cc_s = eflat[3::ncols]
             if any(len(c) != 1 for c in cc_s):
                 return None
-            eorder = np.argsort(fr, kind="stable")
+            eorder = None if (len(fr) == 0
+                              or bool(np.all(fr[1:] >= fr[:-1]))) \
+                else np.argsort(fr, kind="stable")
             # map locus strings to file-order first-occurrence ids so the
             # shared tail below treats both paths identically
             loc_first: dict[str, int] = {}
@@ -411,26 +447,40 @@ class PRG:
             for s, i in loc_first.items():
                 names0[i] = s
             la = np.fromiter((loc_first[s] for s in loc_s), np.int64,
-                             len(loc_s))[eorder]
+                             len(loc_s))
             codes = np.fromiter((ord(c) for c in cc_s), np.int64,
-                                len(cc_s))[eorder]
+                                len(cc_s))
+            if eorder is not None:
+                la = la[eorder]
+                codes = codes[eorder]
             if ncols == 8:
                 lab_l = eflat[6::ncols]
-                e_lab = [lab_l[i] for i in eorder.tolist()]
-                pgf_s = np.asarray(eflat[7::ncols], dtype=object)[eorder]
+                pgf_s = np.asarray(eflat[7::ncols], dtype=object)
+                if eorder is not None:
+                    e_lab = [lab_l[i] for i in eorder.tolist()]
+                    pgf_s = pgf_s[eorder]
+                else:
+                    e_lab = lab_l
                 e_pgf = ~((pgf_s == "0") | (pgf_s == ""))
             else:
                 e_lab = [""] * len(rows)
                 e_pgf = np.zeros(len(rows), dtype=bool)
-        # locus ids by first occurrence in from-sorted edge order
-        uniq_loc, first_idx, loc_inv = np.unique(
-            la, return_index=True, return_inverse=True)
-        by_first = np.argsort(first_idx, kind="stable")
-        rank = np.empty(len(uniq_loc), dtype=np.int64)
-        rank[by_first] = np.arange(len(uniq_loc))
-        e_loc = rank[loc_inv].astype(np.int32)
-        locus_names = np.asarray(names0,
-                                 dtype=object)[uniq_loc[by_first]].tolist()
+        # locus ids by first occurrence in from-sorted edge order.  Both
+        # sources assign ids by first occurrence in FILE row order, so
+        # with no re-sort (eorder None) the ranking is the identity
+        if eorder is None:
+            e_loc = la.astype(np.int32)
+            locus_names = list(names0)
+        else:
+            uniq_loc, first_idx, loc_inv = np.unique(
+                la, return_index=True, return_inverse=True)
+            by_first = np.argsort(first_idx, kind="stable")
+            rank = np.empty(len(uniq_loc), dtype=np.int64)
+            rank[by_first] = np.arange(len(uniq_loc))
+            e_loc = rank[loc_inv].astype(np.int32)
+            locus_names = np.asarray(names0,
+                                     dtype=object)[uniq_loc[by_first]
+                                                   ].tolist()
         # emissions, vectorised: CODE rows keyed by (file locus id, code);
         # a later CODE row overwrites an earlier one (dict semantics);
         # unmatched (locus, code) pairs emit the code char itself
@@ -497,8 +547,10 @@ class PRG:
             node_level=node_level,
             node_terminal=node_terminal,
             level_offsets=level_offsets,
-            edge_from=fr[eorder].astype(np.int32),
-            edge_to=to[eorder].astype(np.int32),
+            edge_from=(fr if eorder is None else fr[eorder]
+                       ).astype(np.int32),
+            edge_to=(to if eorder is None else to[eorder]
+                     ).astype(np.int32),
             edge_emission=em,
             edge_locus=e_loc,
             locus_names=locus_names,

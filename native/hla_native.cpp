@@ -3366,6 +3366,67 @@ extern "C" int64_t hla_kmer_count_build(
 // ---------------------------------------------------------------------------
 namespace prgparse {
 
+// Flat open-addressing string_view intern table (FNV-1a, linear probe).
+// Real PRGs have ~one locus name per level (3M unique names in a 3.7M-row
+// section): std::unordered_map paid a node allocation per unique name —
+// ~6M mallocs per parse between the per-thread maps and the merge.
+struct InternTable {
+    std::vector<int64_t> slots;          // index into names+1, 0 = empty
+    std::vector<std::string_view> names;
+    std::vector<uint64_t> hashes;
+    uint64_t mask = 0;
+
+    static uint64_t hash_of(std::string_view s) {
+        uint64_t h = 1469598103934665603ull;
+        for (char c : s) { h ^= (uint8_t)c; h *= 1099511628211ull; }
+        return h | 1;                    // never 0
+    }
+    void reserve_names(size_t n) {
+        size_t cap = 16;
+        while (cap < n * 2) cap <<= 1;
+        slots.assign(cap, 0);
+        mask = cap - 1;
+        names.reserve(n);
+        hashes.reserve(n);
+    }
+    void grow() {
+        size_t cap = (mask + 1) * 2;
+        slots.assign(cap, 0);
+        mask = cap - 1;
+        for (size_t i = 0; i < names.size(); i++) {
+            uint64_t p = hashes[i] & mask;
+            while (slots[p]) p = (p + 1) & mask;
+            slots[p] = (int64_t)i + 1;
+        }
+    }
+    int32_t intern(std::string_view s) {
+        if (slots.empty()) reserve_names(64);
+        if (names.size() * 2 >= mask + 1) grow();
+        uint64_t h = hash_of(s);
+        uint64_t p = h & mask;
+        while (slots[p]) {
+            int64_t id = slots[p] - 1;
+            if (hashes[id] == h && names[id] == s) return (int32_t)id;
+            p = (p + 1) & mask;
+        }
+        slots[p] = (int64_t)names.size() + 1;
+        names.push_back(s);
+        hashes.push_back(h);
+        return (int32_t)names.size() - 1;
+    }
+    int32_t find(std::string_view s) const {   // -1 when absent
+        if (slots.empty()) return -1;
+        uint64_t h = hash_of(s);
+        uint64_t p = h & mask;
+        while (slots[p]) {
+            int64_t id = slots[p] - 1;
+            if (hashes[id] == h && names[id] == s) return (int32_t)id;
+            p = (p + 1) & mask;
+        }
+        return -1;
+    }
+};
+
 struct Range { int64_t lo, hi, rows; };
 
 // split [0, n) into nt ranges aligned to '\n'; counts rows per range
@@ -3534,11 +3595,15 @@ extern "C" int64_t hla_parse_prg_edges(
     std::atomic<int> bad{0};
     std::vector<std::thread> th;
     for (size_t t = 0; t < ranges.size(); t++) th.emplace_back([&, t]() {
-        std::unordered_map<std::string_view, int32_t> intern;
+        InternTable intern;
+        intern.reserve_names((size_t)(ranges[t].rows > 16
+                                      ? ranges[t].rows : 16));
         Per& P = per[t];
         int64_t p = ranges[t].lo, row = base[t];
         const int64_t hi = ranges[t].hi;
         int64_t f_lo, f_hi; bool row_end;
+        std::string_view prev_loc;
+        int32_t prev_lid = -1;
         while (p < hi && !bad.load(std::memory_order_relaxed)) {
             // f0: edge id (unused)
             next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
@@ -3549,13 +3614,12 @@ extern "C" int64_t hla_parse_prg_edges(
             if (row_end) { bad = 1; return; }
             std::string_view loc((const char*)sec + f_lo,
                                  (size_t)(f_hi - f_lo));
-            auto it = intern.find(loc);
+            // edges of one level are adjacent: run fast path skips the
+            // table for the repeat rows
             int32_t lid;
-            if (it == intern.end()) {
-                lid = (int32_t)P.loci.size();
-                intern.emplace(loc, lid);
-                P.loci.push_back(loc);
-            } else lid = it->second;
+            if (prev_lid >= 0 && loc == prev_loc) lid = prev_lid;
+            else lid = intern.intern(loc);
+            prev_loc = loc; prev_lid = lid;
             o_lc[row] = lid;
             // f2: unused
             next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
@@ -3591,6 +3655,7 @@ extern "C" int64_t hla_parse_prg_edges(
             row++;
         }
         if (!bad.load()) {
+            P.loci = std::move(intern.names);
             P.rows = row - base[t];
             for (int64_t r = row; r < base[t] + ranges[t].rows; r++)
                 o_fr[r] = INT64_MIN;
@@ -3604,21 +3669,17 @@ extern "C" int64_t hla_parse_prg_edges(
     }
     // merge per-thread locus tables into a global one (first occurrence
     // in FILE order = thread order, local order within a thread)
-    std::unordered_map<std::string_view, int32_t> gmap;
-    std::vector<std::string_view> gnames;
+    InternTable gtab;
+    size_t tot_loc = 0;
+    for (auto& P : per) tot_loc += P.loci.size();
+    gtab.reserve_names(tot_loc > 16 ? tot_loc : 16);
     std::vector<std::vector<int32_t>> remap(ranges.size());
     for (size_t t = 0; t < ranges.size(); t++) {
         remap[t].resize(per[t].loci.size());
-        for (size_t i = 0; i < per[t].loci.size(); i++) {
-            auto it = gmap.find(per[t].loci[i]);
-            if (it == gmap.end()) {
-                int32_t gid = (int32_t)gnames.size();
-                gmap.emplace(per[t].loci[i], gid);
-                gnames.push_back(per[t].loci[i]);
-                remap[t][i] = gid;
-            } else remap[t][i] = it->second;
-        }
+        for (size_t i = 0; i < per[t].loci.size(); i++)
+            remap[t][i] = gtab.intern(per[t].loci[i]);
     }
+    std::vector<std::string_view>& gnames = gtab.names;
     // compact blank-line slots + apply locus remap + build label offsets
     int64_t w = 0, lab_total = 0;
     for (size_t t = 0; t < ranges.size(); t++)
@@ -3686,12 +3747,19 @@ extern "C" int64_t hla_parse_prg_code(
     uint8_t** out_a0, int64_t** out_alen) {
     using namespace prgparse;
     *out_fid = *out_code = *out_alen = nullptr; *out_a0 = nullptr;
-    std::unordered_map<std::string_view, int64_t> table;
-    table.reserve((size_t)n_locus * 2);
-    for (int64_t i = 0; i < n_locus; i++)
-        table.emplace(std::string_view(
+    InternTable table;   // flat table: 3M unordered_map nodes cost ~1s
+    table.reserve_names((size_t)(n_locus > 16 ? n_locus : 16));
+    // duplicate names in the provided table (not produced by our edge
+    // parser, but keep exact first-wins semantics): map rank -> first
+    // blob index
+    std::vector<int64_t> first_idx;
+    first_idx.reserve((size_t)n_locus);
+    for (int64_t i = 0; i < n_locus; i++) {
+        int32_t id = table.intern(std::string_view(
             (const char*)loc_blob + loc_off[i],
-            (size_t)(loc_off[i + 1] - loc_off[i])), i);
+            (size_t)(loc_off[i + 1] - loc_off[i])));
+        if ((size_t)id == first_idx.size()) first_idx.push_back(i);
+    }
     int nt = n_threads > 0 ? n_threads : 1;
     if (nt > 8) nt = 8;
     auto ranges = split_rows(sec, n, nt);
@@ -3718,9 +3786,9 @@ extern "C" int64_t hla_parse_prg_code(
             next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
             if (f_lo == f_hi && row_end) continue;    // blank line
             if (row_end) { bad = 1; return; }
-            auto it = table.find(std::string_view(
+            int32_t rk = table.find(std::string_view(
                 (const char*)sec + f_lo, (size_t)(f_hi - f_lo)));
-            o_fid[row] = (it == table.end()) ? -1 : it->second;
+            o_fid[row] = rk < 0 ? -1 : first_idx[rk];
             // f1: allele
             next_field(sec, hi, &p, &f_lo, &f_hi, &row_end);
             if (row_end) { bad = 1; return; }

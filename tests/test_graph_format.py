@@ -227,6 +227,20 @@ def test_from_text_randomized_differential(rng):
         # round trip again through the (possibly escaped) serialisation
         text2 = via.to_text()
         _prg_fields_equal(PRG.from_text(text2), PRG._from_text_slow(text2))
+        # SHUFFLED rows: to_text output is (level, orig)/from-sorted, which
+        # the r5 identity fast paths detect and skip the sorts for —
+        # shuffling NODES and EDGES rows forces the general sort/remap
+        # branches, which must still match the line parser exactly
+        ic = text.find("CODE:\n")
+        inn = text.find("NODES:\n")
+        ie = text.find("EDGES:\n")
+        nrows = text[inn + 7:ie].rstrip("\n").split("\n")
+        erows = text[ie + 7:].rstrip("\n").split("\n")
+        rng.shuffle(nrows)
+        rng.shuffle(erows)
+        text3 = (text[:inn] + "NODES:\n" + "\n".join(nrows)
+                 + "\nEDGES:\n" + "\n".join(erows) + "\n")
+        _prg_fields_equal(PRG.from_text(text3), PRG._from_text_slow(text3))
 
 
 def test_from_text_duplicate_marker_not_misparsed():

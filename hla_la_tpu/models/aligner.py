@@ -106,6 +106,18 @@ class ReadAligner:
         self.seeder = Seeder(self.index)
         self.level_to_seqpos = pkg.level_to_seqpos()
         self.long_reads = bool(self.cfg.long_reads)
+        if self.long_reads and band == 32:
+            # the reference maps long reads with bwa's indel-tolerant
+            # presets (-x ont2d/pacbio, HLA-LA.pl:481-530); our fixed DP
+            # band tuned for 100-150bp Illumina reads (32) cannot absorb
+            # the indel drift of a 50kb split chunk — net drift is
+            # ±4σ ≈ 126 columns at 1% indels over 50kb (σ=√(2·rate·L)).
+            # Widen to 256 in long-read mode (mode constant, so serial
+            # and worker-chunked runs stay deterministic); an explicit
+            # band= override still wins.  Measured at 3M levels / 25kb
+            # reads, 0.5% ins+del: per-base level accuracy 0.46 at band
+            # 32 → 0.90+ at 160+.
+            self.band = 256
         self.stats = Stats()
         self._jax_fwd = None
         self._jax_shapes = None

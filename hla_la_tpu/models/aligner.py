@@ -78,12 +78,13 @@ class _Job:
 
 class ReadAligner:
     def __init__(self, pkg: GraphPackage, cfg: RunConfig | None = None,
-                 band: int = 32, kmer_k: int = 20, use_jax: bool = False,
+                 band: int | None = None, kmer_k: int = 20,
+                 use_jax: bool = False,
                  graph_fallback: bool = True, decoy=None,
                  sharded: bool = False):
         self.pkg = pkg
         self.cfg = cfg or RunConfig()
-        self.band = band
+        self.band = 32 if band is None else band
         fasta = pkg.prg_fasta()
         self.seq_infos = pkg.sequences()
         self.hap_names = [s.fasta_id for s in self.seq_infos]
@@ -106,7 +107,7 @@ class ReadAligner:
         self.seeder = Seeder(self.index)
         self.level_to_seqpos = pkg.level_to_seqpos()
         self.long_reads = bool(self.cfg.long_reads)
-        if self.long_reads and band == 32:
+        if self.long_reads and band is None:
             # the reference maps long reads with bwa's indel-tolerant
             # presets (-x ont2d/pacbio, HLA-LA.pl:481-530); our fixed DP
             # band tuned for 100-150bp Illumina reads (32) cannot absorb
@@ -114,7 +115,8 @@ class ReadAligner:
             # ±4σ ≈ 126 columns at 1% indels over 50kb (σ=√(2·rate·L)).
             # Widen to 256 in long-read mode (mode constant, so serial
             # and worker-chunked runs stay deterministic); an explicit
-            # band= override still wins.  Measured at 3M levels / 25kb
+            # band= override (any value, incl. 32) wins — band=None is
+            # the 'pick per mode' sentinel.  Measured at 3M levels / 25kb
             # reads, 0.5% ins+del: per-base level accuracy 0.46 at band
             # 32 → 0.90+ at 160+.
             self.band = 256

@@ -17,7 +17,7 @@ import os
 _WORKER_ALIGNER = None
 
 
-def _init_worker(graph_dir: str, band: int, kmer_k: int, long_reads: str,
+def _init_worker(graph_dir: str, band, kmer_k: int, long_reads: str,
                  decoy_fasta: str = "", map_complete: bool = False):
     global _WORKER_ALIGNER
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -133,23 +133,30 @@ def pack_aligned_pairs(aps):
     return d
 
 
+def _chain_from_pack(d: dict, s: int, e: int, j: int):
+    """One GraphAlignment from pack slice [s:e] / chain index j — the
+    single construction point shared by unpack_chains and the lazy
+    PackedAlignedPairs.chain (divergence here would desynchronise
+    worker-unpacked and lazily-materialised chains)."""
+    from .alignment import GraphAlignment
+    al = GraphAlignment(
+        levels=d["levels"][s:e], graph_c=d["graph_c"][s:e],
+        seq_c=d["seq_c"][s:e], seq_qual=d["seq_qual"][s:e],
+        reverse=bool(d["reverse"][j]), seq_idx=int(d["seq_idx"][j]),
+        mapq=float(d["mapq"][j]), mapq_per_pos=d["mapq_pp"][s:e],
+        from_first_read=bool(d["ffr"][j]),
+        log_likelihood=float(d["ll"][j]))
+    al._first_level = int(d["first_lv"][j])
+    al._last_level = int(d["last_lv"][j])
+    return al
+
+
 def unpack_chains(d):
     import numpy as np
-    from .alignment import GraphAlignment
     offs = np.concatenate([[0], np.cumsum(d["n_cols"])])
     chains = []
     for i in range(len(d["n_cols"])):
-        s, e = int(offs[i]), int(offs[i + 1])
-        al = GraphAlignment(
-            levels=d["levels"][s:e], graph_c=d["graph_c"][s:e],
-            seq_c=d["seq_c"][s:e], seq_qual=d["seq_qual"][s:e],
-            reverse=bool(d["reverse"][i]), seq_idx=int(d["seq_idx"][i]),
-            mapq=float(d["mapq"][i]), mapq_per_pos=d["mapq_pp"][s:e],
-            from_first_read=bool(d["ffr"][i]),
-            log_likelihood=float(d["ll"][i]))
-        al._first_level = int(d["first_lv"][i])
-        al._last_level = int(d["last_lv"][i])
-        chains.append(al)
+        chains.append(_chain_from_pack(d, int(offs[i]), int(offs[i + 1]), i))
     # quality-fraction caches shipped with the pack (absent in pre-existing
     # align-shard files: stays lazy then)
     wok = d.get("wok")
@@ -204,14 +211,25 @@ class PackedAlignedPairs:
     # ------------------------------------------------------------ plumbing
     @classmethod
     def from_chunks(cls, packs: list[dict]) -> "PackedAlignedPairs":
-        """Concatenate per-chunk packs (worker results) into one."""
+        """Concatenate per-chunk packs (worker results) into one.  Only
+        keys present in EVERY pack are kept: merging align-shard files
+        from mixed builds (older shards lack the wok/fok caches) must
+        drop the optional caches, not crash — consumers already guard on
+        key presence."""
         import numpy as np
         if not packs:
             return cls(pack_aligned_pairs([]))
         if len(packs) == 1:
             return cls(packs[0])
+        keys = set(packs[0])
+        for p in packs[1:]:
+            keys &= set(p)
+        missing = {"n_cols", "levels", "pair_mapq", "read_ids"} - keys
+        if missing:
+            raise ValueError(f"align packs missing required keys: "
+                             f"{sorted(missing)}")
         out = {k: np.concatenate([p[k] for p in packs])
-               for k in packs[0] if k != "read_ids"}
+               for k in keys if k != "read_ids"}
         out["read_ids"] = "\n".join(
             p["read_ids"] for p in packs if p["read_ids"])
         return cls(out)
@@ -244,21 +262,12 @@ class PackedAlignedPairs:
             self._chains = [None] * (2 * len(self))
         al = self._chains[j]
         if al is None:
-            from .alignment import GraphAlignment
             d = self.pack
             offs = self.offsets
-            s, e = int(offs[j]), int(offs[j + 1])
-            al = GraphAlignment(
-                levels=d["levels"][s:e], graph_c=d["graph_c"][s:e],
-                seq_c=d["seq_c"][s:e], seq_qual=d["seq_qual"][s:e],
-                reverse=bool(d["reverse"][j]), seq_idx=int(d["seq_idx"][j]),
-                mapq=float(d["mapq"][j]), mapq_per_pos=d["mapq_pp"][s:e],
-                from_first_read=bool(d["ffr"][j]),
-                log_likelihood=float(d["ll"][j]))
-            al._first_level = int(d["first_lv"][j])
-            al._last_level = int(d["last_lv"][j])
+            al = _chain_from_pack(d, int(offs[j]), int(offs[j + 1]), j)
             wok, fok = d.get("wok"), d.get("fok")
-            if wok is not None and fok is not None:
+            if wok is not None and fok is not None \
+                    and len(wok) == 2 * len(self):
                 al._wok = float(wok[j])
                 al._frac_ok = float(fok[j])
             self._chains[j] = al
@@ -339,7 +348,8 @@ def spawn_safe() -> bool:
 class ParallelAligner:
     """Drop-in align_pairs/align_unpaired over a process pool."""
 
-    def __init__(self, graph_dir: str, n_workers: int, band: int = 32,
+    def __init__(self, graph_dir: str, n_workers: int,
+                 band: int | None = None,
                  kmer_k: int = 20, long_reads: str = "",
                  decoy_fasta: str = "", map_complete: bool = False):
         if not spawn_safe():

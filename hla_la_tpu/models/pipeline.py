@@ -93,7 +93,14 @@ def _align_all(engine, pairs, unpaired, insert_mean, insert_sd, batch_size,
                     sel.append(j)
                     kept_pairs.append(pr)
                     kept_pair_idx.append(lo + k)
-            packed_batches.append(out.subset(np.asarray(sel, np.int64)))
+            if len(sel) == len(out) and sel == list(range(len(out))):
+                # common case: every pair aligned, already in input order
+                # — skip the identity-permutation copy (from_chunks will
+                # copy once at the end anyway)
+                packed_batches.append(out)
+            else:
+                packed_batches.append(
+                    out.subset(np.asarray(sel, np.int64)))
             continue
         by_id = {p.read_id: p for p in out}
         for k, pr in enumerate(batch):
@@ -380,7 +387,10 @@ def _write_reads_per_level(aligned_pairs, aligned_unpaired, pkg, output_dir):
         chain_id = np.repeat(np.arange(len(ncol), dtype=np.int64), ncol)
         m = lv_all >= 0
         key = np.unique(chain_id[m] * np.int64(n_levels) + lv_all[m])
-        np.add.at(counts, (key % np.int64(n_levels)).astype(np.int64), 1)
+        # bincount, not np.add.at: the deduped keys are unique so this is
+        # a plain histogram (~10x faster at tens of millions of columns)
+        counts += np.bincount(key % np.int64(n_levels),
+                              minlength=n_levels).astype(np.int64)
         chains = []
     else:
         chains = [c for ap in aligned_pairs for c in (ap.chain1, ap.chain2)]

@@ -672,12 +672,15 @@ class HLATyper:
                 if ":" not in allele:
                     continue
                 seq = "".join(vals)
-                if len(seq) != len(cols):
+                if len(seq) != len(cols) or any(len(v) != 1 for v in vals):
                     # Documented contract (COMPONENTS.md): one character per
                     # segment-matrix cell.  The reference concatenates cells
                     # blindly (HLATyper.cpp:1285-1297) so a multi-char cell
                     # silently SHIFTS every downstream column->position
                     # mapping — we fail loudly with the exact cell instead.
+                    # Per-cell check, not aggregate length: compensating
+                    # errors (an empty cell + a 2-char cell in one row)
+                    # keep the total length but still corrupt positions.
                     bad = next((i for i, v in enumerate(vals)
                                 if len(v) != 1), None)
                     col = cols[bad] if bad is not None else "?"

@@ -231,7 +231,6 @@ def test_from_text_randomized_differential(rng):
         # the r5 identity fast paths detect and skip the sorts for —
         # shuffling NODES and EDGES rows forces the general sort/remap
         # branches, which must still match the line parser exactly
-        ic = text.find("CODE:\n")
         inn = text.find("NODES:\n")
         ie = text.find("EDGES:\n")
         nrows = text[inn + 7:ie].rstrip("\n").split("\n")

@@ -199,3 +199,43 @@ def test_sharded_nw_matches_single_device(rng):
     np.testing.assert_array_equal(k1, k2)
     np.testing.assert_array_equal(st1, st2)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_from_chunks_mixed_optional_keys():
+    """Merging packs from mixed builds (older align shards lack the
+    wok/fok caches) must drop the optional caches, not crash; required
+    keys missing must raise."""
+    import numpy as np
+    import pytest
+
+    from hla_la_tpu.models.alignment import GraphAlignment
+    from hla_la_tpu.models.parallel_host import (PackedAlignedPairs,
+                                                 pack_aligned_pairs)
+    from hla_la_tpu.models.aligner import AlignedPair
+
+    def mk_pair(i):
+        def chain():
+            n = 10
+            return GraphAlignment(
+                levels=np.arange(n, dtype=np.int64),
+                graph_c=np.full(n, ord("A"), np.uint8),
+                seq_c=np.full(n, ord("A"), np.uint8),
+                seq_qual=np.full(n, 70, np.uint8), reverse=False,
+                seq_idx=0, mapq=1.0, mapq_per_pos=None,
+                from_first_read=True, log_likelihood=-1.0)
+        return AlignedPair(f"r{i}", chain(), chain(), 1.0)
+
+    new = pack_aligned_pairs([mk_pair(0)])
+    old = pack_aligned_pairs([mk_pair(1)])
+    del old["wok"], old["fok"]          # pre-wok-era shard
+    merged = PackedAlignedPairs.from_chunks([new, old])
+    assert len(merged) == 2
+    assert "wok" not in merged.pack     # dropped, not crashed
+    # lazy chains still materialise (without the cache priming)
+    assert merged[0].chain1.n_columns == 10
+    assert merged[1].read_id == "r1"
+
+    bad = dict(new)
+    del bad["pair_mapq"]
+    with pytest.raises(ValueError, match="required keys"):
+        PackedAlignedPairs.from_chunks([new, bad])

@@ -62,6 +62,33 @@ def test_multichar_cell_raises_with_diagnostics(pkg_dir):
     assert "HLATyper.cpp" in msg  # points the reader at the reference quirk
 
 
+def test_compensating_cell_errors_still_raise(tmp_path):
+    """An empty cell + a 2-char cell in one row keep the aggregate length
+    but still shift positions — the per-cell check must catch it."""
+    rng = np.random.default_rng(55003)
+    sim = simulate_prg_package(rng, backbone_length=1500, n_haplotypes=4,
+                               snp_rate=0.01)
+    d = str(tmp_path / "pkg")
+    sim.write_package(d)
+    typer = HLATyper(GraphPackage(d))
+    locus = typer.loci[0]
+    fn = next(iter(typer.graph_genes[locus].values()))
+    path = os.path.join(d, "PRG", fn)
+    lines = open(path).read().splitlines()
+    for i, line in enumerate(lines[1:], start=1):
+        f = line.split(" ")
+        if ":" in f[0] and len(f) >= 4:
+            f[1] = ""              # empty cell
+            f[2] = f[2] + "T"      # compensating 2-char cell
+            lines[i] = " ".join(f)
+            break
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    typer2 = HLATyper(GraphPackage(d))
+    with pytest.raises(ValueError, match="multi-character segment"):
+        typer2._combined_exon_matrix(locus)
+
+
 def test_clean_package_unaffected(pkg_dir):
     # the fixture is module-scoped and mutated above — rebuild clean
     rng = np.random.default_rng(55002)

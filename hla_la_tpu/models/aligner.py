@@ -175,6 +175,16 @@ class ReadAligner:
         import jax.numpy as jnp
         L = reads_arr.shape[1]
         W = refs_arr.shape[1] - L
+        # long-read shapes cannot run on the device kernels: the Pallas
+        # kernel holds the whole [L+1, W, 128] int32 pointer block in
+        # VMEM (~16 MB/core; fine at L=128/W=32 = 2.1 MB, impossible at
+        # L>=2k/W=256), and the XLA scan's compile time scales with L
+        # (537s cold at L=128).  Fall back to the host NW for such
+        # shapes — a row-chunked long-read Pallas kernel is the recorded
+        # round-6 candidate (docs/ROADMAP.md).
+        if (L + 1) * W * 128 * 4 > 8e6:
+            return banded_nw_forward(reads_arr, lens_arr, refs_arr,
+                                     scratch=self._nw_scratch)
         if self.sharded and len(jax.devices()) > 1:
             # device-sharded NW over the mesh "data" axis (SURVEY §2.3)
             if self._jax_shapes != ("sharded", L, W):

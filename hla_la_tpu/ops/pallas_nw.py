@@ -276,3 +276,280 @@ def make_pallas_banded_nw(L: int, W: int, match: float = 2.0,
         return scores[0, :B], endk[0, :B], endstate[0, :B], pointers
 
     return forward
+
+
+@functools.lru_cache(maxsize=8)
+def make_pallas_banded_nw_long(L: int, W: int, match: float = 2.0,
+                               mismatch: float = -5.0,
+                               gap_open: float = -6.0,
+                               gap_extend: float = -2.0,
+                               interpret: bool | None = None,
+                               tb: int = 128, rc: int = 32):
+    """Row-chunked variant of make_pallas_banded_nw for LONG reads
+    (L in the thousands-to-50k range, W up to 256+).
+
+    The short-read kernel holds the whole [L+1, W, TB] pointer block in
+    VMEM — 2.1 MB at L=128/W=32, gigabytes at long-read shapes.  Here the
+    grid is (read_block, row_chunk): each step computes RC rows and
+    streams its [RC, W, TB] pointer block to HBM while the D/IY/IX band
+    state persists in scratch across the sequential row-chunk steps
+    (standard TPU-grid accumulator pattern).  The reference window rows
+    are pre-chunked host-side into overlapping [RC+W, B] slabs (BlockSpec
+    offsets are block-shape multiples, so overlapping windows cannot be
+    expressed directly).  Same numerics as the short kernel: identical
+    row recurrence, segmented-cummax IX at masked rows, first-argmax
+    harvest at each lane's end row.
+
+    NOTE the pointer tensor is int32 [L, W, B] on device (~2.1 GB at
+    L=16k/W=256/B=128) — callers slice B accordingly, and reading it
+    back over a thin link dominates everything (use only with co-located
+    PCIe/DMA hosts; aligner gates this behind HLA_TPU_LONG_NW=1)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    neg = float(NEG)
+    open_ = float(gap_open)
+    ext = float(gap_extend)
+    TB = tb
+    RC = rc
+    assert RC % 8 == 0, "row chunk must be a multiple of the sublane tile"
+    n_shifts = max(int(np.ceil(np.log2(max(W, 2)))), 1)
+    Lpad = -(-L // RC) * RC
+    n_rc = Lpad // RC
+
+    def kernel(ends_ref, chunk_ends_ref, readsT_ref, refsT_ref, lens_ref,
+               score_ref, endk_ref, endstate_ref, ptr_ref,
+               D_s, IY_s, IX_s, best_s):
+        blk = pl.program_id(0)
+        rcb = pl.program_id(1)
+
+        @pl.when(rcb == 0)
+        def _():
+            D_s[:] = jnp.zeros((W, TB), jnp.float32)
+            IY_s[:] = jnp.full((W, TB), neg)
+            IX_s[:] = jnp.full((W, TB), neg)
+            best_s[:] = jnp.zeros((8, TB), jnp.float32)
+            best_s[0:1, :] = jnp.full((1, TB), neg)
+
+        lens_row = lens_ref[0:1, :][0]                       # [TB] int32
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (W, TB), 0
+                                          ).astype(jnp.float32)
+
+        def harvest(i):
+            D, IY, IX = D_s[:], IY_s[:], IX_s[:]
+            at_end = (lens_row == i)[None, :]
+
+            def red(mat):
+                m = jnp.max(mat, axis=0, keepdims=True)
+                mb = jnp.broadcast_to(m, (W, TB))
+                kk = jnp.min(jnp.where(mat >= mb, k_iota, jnp.float32(W)),
+                             axis=0, keepdims=True)
+                return m, kk
+            mD, kD = red(D)
+            mIY, kIY = red(IY)
+            mIX, kIX = red(IX)
+            best = jnp.maximum(jnp.maximum(mD, mIY), mIX)
+            state = jnp.where(mD >= best, 0.0,
+                              jnp.where(mIY >= best, 1.0, 2.0))
+            kbest = jnp.where(mD >= best, kD,
+                              jnp.where(mIY >= best, kIY, kIX))
+            upd = at_end & (lens_row >= 0)[None, :]
+            best_s[0:1, :] = jnp.where(upd, best, best_s[0:1, :])
+            best_s[1:2, :] = jnp.where(upd, kbest, best_s[1:2, :])
+            best_s[2:3, :] = jnp.where(upd, state, best_s[2:3, :])
+
+        @pl.when(jnp.logical_and(rcb == 0, ends_ref[blk, 0] > 0))
+        def _():
+            harvest(0)
+
+        def row_body(i, local, read_row, ref_rows, clean: bool,
+                     check_ends: bool = True):
+            # identical recurrence to the short kernel's row_body; `i` is
+            # the GLOBAL row (1-based), `local` the row inside this chunk
+            rr = jnp.broadcast_to(read_row, (W, TB))
+            rf = ref_rows
+            ok = rf < 4
+            m_f = (jnp.where(rf == rr, 1.0, 0.0)
+                   * jnp.where(rr < 4, 1.0, 0.0))
+            sub = jnp.where(ok, mismatch + (match - mismatch) * m_f, neg)
+            D, IY, IX = D_s[:], IY_s[:], IX_s[:]
+            m12 = jnp.maximum(IY, IX)
+            pb = jnp.maximum(D, m12)
+            m_src = jnp.where(D >= m12, 0, jnp.where(IY >= IX, 1, 2))
+            nD = pb + sub
+            D_sh = jnp.concatenate([D[1:], jnp.full((1, TB), neg)], axis=0)
+            IY_sh = jnp.concatenate([IY[1:], jnp.full((1, TB), neg)],
+                                    axis=0)
+            oc = D_sh + open_
+            ec = IY_sh + ext
+            nIY = jnp.maximum(oc, ec)
+            iy_src = jnp.where(ec > oc, 4, 0)
+            if clean:
+                g = nD - k_iota * ext
+                cm = g
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), neg),
+                         cm[:max(W - sh, 0)]], axis=0)
+                    cm = jnp.maximum(cm, rolled)
+                    sh *= 2
+            else:
+                ok_f = jnp.where(ok, 0.0, 1.0)
+                seg = ok_f
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled_seg = jnp.concatenate(
+                        [jnp.zeros((min(sh, W), TB), jnp.float32),
+                         seg[:max(W - sh, 0)]], axis=0)
+                    seg = seg + rolled_seg
+                    sh *= 2
+                g = jnp.where(ok, nD - k_iota * ext, neg)
+                cm = g
+                sh = 1
+                for _s in range(n_shifts):
+                    rolled = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), neg),
+                         cm[:max(W - sh, 0)]], axis=0)
+                    rolled_seg = jnp.concatenate(
+                        [jnp.full((min(sh, W), TB), -1.0),
+                         seg[:max(W - sh, 0)]], axis=0)
+                    same = jnp.where(rolled_seg == seg, 1.0, 0.0)
+                    cm = jnp.maximum(cm, jnp.where(same > 0.0, rolled, neg))
+                    sh *= 2
+            cm_shift = jnp.concatenate([jnp.full((1, TB), neg), cm[:-1]],
+                                       axis=0)
+            nIX = open_ + (k_iota - 1.0) * ext + cm_shift
+            if not clean:
+                nIX = jnp.where(ok, nIX, neg)
+            nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
+            ocx = jnp.concatenate([jnp.full((1, TB), neg),
+                                   nD[:-1] + open_], axis=0)
+            ecx = jnp.concatenate([jnp.full((1, TB), neg),
+                                   nIX[:-1] + ext], axis=0)
+            ix_src = jnp.where(ecx > ocx, 8, 0)
+            ptr_ref[pl.ds(local, 1)] = (m_src + iy_src + ix_src)[None]
+            D_s[:] = nD
+            IY_s[:] = nIY
+            IX_s[:] = nIX
+            if check_ends:          # only inside chunks with a lane end
+                @pl.when(ends_ref[blk, i] > 0)
+                def _():
+                    harvest(i)
+
+        # RC rows of this chunk in 8-row blocks (static offsets inside).
+        # The per-row harvest check (SMEM read + cond) only runs in
+        # chunks where some lane actually ends (chunk_ends bitmap) —
+        # with near-uniform lens that's 1-2 of the n_rc chunks
+        def chunk_rows(check_ends: bool):
+            for io in range(RC // 8):
+                base = io * 8
+                read_blk = readsT_ref[pl.ds(base, 8), :]
+                ref_blk = refsT_ref[pl.ds(base, W + 8), :]
+                has_mask = jnp.max(ref_blk) >= 4
+
+                @pl.when(jnp.logical_not(has_mask))
+                def _():
+                    for r8 in range(8):
+                        local = base + r8
+                        i = rcb * RC + local + 1
+                        row_body(i, local, read_blk[r8:r8 + 1, :],
+                                 ref_blk[r8:r8 + W, :], clean=True,
+                                 check_ends=check_ends)
+
+                @pl.when(has_mask)
+                def _():
+                    for r8 in range(8):
+                        local = base + r8
+                        i = rcb * RC + local + 1
+                        row_body(i, local, read_blk[r8:r8 + 1, :],
+                                 ref_blk[r8:r8 + W, :], clean=False,
+                                 check_ends=check_ends)
+
+        @pl.when(chunk_ends_ref[blk, rcb] > 0)
+        def _():
+            chunk_rows(True)
+
+        @pl.when(chunk_ends_ref[blk, rcb] == 0)
+        def _():
+            chunk_rows(False)
+
+        @pl.when(rcb == n_rc - 1)
+        def _():
+            score_ref[0:1, :] = best_s[0:1, :]
+            endk_ref[0:1, :] = best_s[1:2, :].astype(jnp.int32)
+            endstate_ref[0:1, :] = best_s[2:3, :].astype(jnp.int32)
+
+    @jax.jit
+    def forward(reads, read_lens, refs):
+        B = reads.shape[0]
+        n_b = -(-B // TB)
+        Bp = n_b * TB
+        reads_p = jnp.pad(reads, ((0, Bp - B), (0, Lpad - L)),
+                          constant_values=4)
+        refs_p = jnp.pad(refs, ((0, Bp - B), (0, Lpad - L)),
+                         constant_values=4)
+        lens_p = jnp.pad(read_lens.astype(jnp.int32), (0, Bp - B),
+                         constant_values=-1)
+        readsT = reads_p.T.astype(jnp.int32)           # [Lpad, Bp]
+        refsT = refs_p.T.astype(jnp.int32)             # [Lpad+W, Bp]
+        # overlapping ref slabs: chunk c needs rows [c*RC, c*RC + RC + W)
+        slab_idx = (np.arange(n_rc)[:, None] * RC
+                    + np.arange(RC + W)[None, :])      # [n_rc, RC+W]
+        refs_slabs = refsT[slab_idx.reshape(-1)]       # [n_rc*(RC+W), Bp]
+        lens2 = lens_p.reshape(1, Bp)
+        lens_blocks = lens_p.reshape(n_b, TB)
+        clipped = jnp.clip(lens_blocks, 0, Lpad + 7)
+        ends = jnp.zeros((n_b, Lpad + 8), jnp.int32).at[
+            jnp.arange(n_b)[:, None], clipped].max(
+                (lens_blocks >= 0).astype(jnp.int32))
+        # per-(block, chunk) flag: any lane end row inside the chunk
+        end_chunk = jnp.clip((jnp.maximum(lens_blocks, 1) - 1) // RC,
+                             0, n_rc - 1)
+        chunk_ends = jnp.zeros((n_b, n_rc), jnp.int32).at[
+            jnp.arange(n_b)[:, None], end_chunk].max(
+                (lens_blocks >= 1).astype(jnp.int32))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_b, n_rc),
+            in_specs=[
+                pl.BlockSpec((RC, TB), lambda b, c, e, ce: (c, b)),
+                pl.BlockSpec((RC + W, TB), lambda b, c, e, ce: (c, b)),
+                pl.BlockSpec((1, TB), lambda b, c, e, ce: (0, b)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, TB), lambda b, c, e, ce: (0, b)),
+                pl.BlockSpec((1, TB), lambda b, c, e, ce: (0, b)),
+                pl.BlockSpec((1, TB), lambda b, c, e, ce: (0, b)),
+                pl.BlockSpec((RC, W, TB), lambda b, c, e, ce: (c, 0, b)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((W, TB), jnp.float32),
+                pltpu.VMEM((8, TB), jnp.float32),
+            ],
+        )
+        scores, endk, endstate, ptrs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((1, Bp), jnp.float32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((Lpad, W, Bp), jnp.int32),
+            ),
+            interpret=interpret,
+        )(ends, chunk_ends, readsT, refs_slabs, lens2)
+        # chunked rows cover global rows 1..Lpad; prepend the zero row 0
+        body = ptrs.transpose(2, 0, 1)[:B, :L].astype(jnp.uint8)
+        row0 = jnp.zeros((B, 1, W), jnp.uint8)
+        pointers = jnp.concatenate([row0, body], axis=1)
+        return scores[0, :B], endk[0, :B], endstate[0, :B], pointers
+
+    return forward

@@ -74,3 +74,53 @@ def test_pallas_nw_n_bases_parity(rng):
     live = s_p > -1e29
     assert (k_j == k_p)[live].all() and (st_j == st_p)[live].all()
     assert (p_j == p_p)[live].all()
+
+
+def test_long_read_kernel_parity():
+    """The row-chunked long-read kernel (make_pallas_banded_nw_long) must
+    match the reference forward exactly — scores, end_k/state, pointer
+    bits — incl. N bases, masked ref positions, an empty read, and lane
+    ends spread across row chunks.  Runs in interpret mode (the real-chip
+    record lives in docs/ROADMAP.md round 5)."""
+    import numpy as np
+
+    from hla_la_tpu.ops.banded_nw import banded_nw_forward
+    from hla_la_tpu.ops.pallas_nw import make_pallas_banded_nw_long
+
+    rng = np.random.default_rng(5)
+    L, W, RC = 64, 16, 16
+    B = 7
+    refs = rng.integers(0, 4, (B, L + W)).astype(np.uint8)
+    reads = np.empty((B, L), np.uint8)
+    lens = rng.integers(L // 2, L + 1, B).astype(np.int64)
+    for b in range(B):
+        pos = W // 2
+        out = []
+        while len(out) < L and pos < L + W - 1:
+            r = rng.random()
+            if r < 0.05:
+                pos += 1
+                continue
+            if r < 0.1:
+                out.append(rng.integers(0, 4))
+                continue
+            c = refs[b, pos]
+            if rng.random() < 0.05:
+                c = (c + 1) % 4
+            out.append(c)
+            pos += 1
+        while len(out) < L:
+            out.append(0)
+        reads[b] = out
+    reads[0, 10:13] = 5     # N bases in the read
+    refs[2, 20:24] = 4      # masked ref positions (unalignable wall)
+    lens[3] = 0             # empty read
+
+    fwd = make_pallas_banded_nw_long(L, W, rc=RC, interpret=True)
+    got = fwd(reads, lens, refs)
+    want = banded_nw_forward(reads, lens, refs, use_native=False)
+    assert np.allclose(np.asarray(got[0]),
+                       np.asarray(want[0]).astype(np.float32), atol=1e-4)
+    assert np.array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    assert np.array_equal(np.asarray(got[2]), np.asarray(want[2]))
+    assert np.array_equal(np.asarray(got[3]), np.asarray(want[3]))

@@ -369,7 +369,15 @@ def make_pallas_banded_nw_long(L: int, W: int, match: float = 2.0,
         def row_body(i, local, read_row, ref_rows, clean: bool,
                      check_ends: bool = True):
             # identical recurrence to the short kernel's row_body; `i` is
-            # the GLOBAL row (1-based), `local` the row inside this chunk
+            # the GLOBAL row (1-based), `local` the row inside this chunk.
+            # Sublane shifts use pltpu.roll + iota masks instead of the
+            # short kernel's shifted concatenates: at W=256 (32 sublane
+            # tiles) Mosaic lowers each shifted concat into multi-tile
+            # copies and the row body becomes relayout-bound.
+            def dn(a, sh):       # a[k] -> k+sh, vacated rows = neg
+                return jnp.where(k_iota >= float(sh),
+                                 pltpu.roll(a, shift=sh, axis=0), neg)
+
             rr = jnp.broadcast_to(read_row, (W, TB))
             rf = ref_rows
             ok = rf < 4
@@ -381,9 +389,13 @@ def make_pallas_banded_nw_long(L: int, W: int, match: float = 2.0,
             pb = jnp.maximum(D, m12)
             m_src = jnp.where(D >= m12, 0, jnp.where(IY >= IX, 1, 2))
             nD = pb + sub
-            D_sh = jnp.concatenate([D[1:], jnp.full((1, TB), neg)], axis=0)
-            IY_sh = jnp.concatenate([IY[1:], jnp.full((1, TB), neg)],
-                                    axis=0)
+            up_mask = k_iota < float(W - 1)
+            # up-shift by 1 == circular roll by W-1 (roll requires a
+            # non-negative shift)
+            D_sh = jnp.where(up_mask, pltpu.roll(D, shift=W - 1, axis=0),
+                             neg)
+            IY_sh = jnp.where(up_mask, pltpu.roll(IY, shift=W - 1, axis=0),
+                              neg)
             oc = D_sh + open_
             ec = IY_sh + ext
             nIY = jnp.maximum(oc, ec)
@@ -393,46 +405,43 @@ def make_pallas_banded_nw_long(L: int, W: int, match: float = 2.0,
                 cm = g
                 sh = 1
                 for _s in range(n_shifts):
-                    rolled = jnp.concatenate(
-                        [jnp.full((min(sh, W), TB), neg),
-                         cm[:max(W - sh, 0)]], axis=0)
-                    cm = jnp.maximum(cm, rolled)
+                    cm = jnp.maximum(cm, dn(cm, min(sh, W)))
                     sh *= 2
             else:
                 ok_f = jnp.where(ok, 0.0, 1.0)
                 seg = ok_f
                 sh = 1
                 for _s in range(n_shifts):
-                    rolled_seg = jnp.concatenate(
-                        [jnp.zeros((min(sh, W), TB), jnp.float32),
-                         seg[:max(W - sh, 0)]], axis=0)
-                    seg = seg + rolled_seg
+                    seg = seg + jnp.where(
+                        k_iota >= float(min(sh, W)),
+                        pltpu.roll(seg, shift=min(sh, W), axis=0), 0.0)
                     sh *= 2
                 g = jnp.where(ok, nD - k_iota * ext, neg)
                 cm = g
                 sh = 1
                 for _s in range(n_shifts):
-                    rolled = jnp.concatenate(
-                        [jnp.full((min(sh, W), TB), neg),
-                         cm[:max(W - sh, 0)]], axis=0)
-                    rolled_seg = jnp.concatenate(
-                        [jnp.full((min(sh, W), TB), -1.0),
-                         seg[:max(W - sh, 0)]], axis=0)
+                    shv = min(sh, W)
+                    rolled = dn(cm, shv)
+                    rolled_seg = jnp.where(
+                        k_iota >= float(shv),
+                        pltpu.roll(seg, shift=shv, axis=0), -1.0)
                     same = jnp.where(rolled_seg == seg, 1.0, 0.0)
                     cm = jnp.maximum(cm, jnp.where(same > 0.0, rolled, neg))
                     sh *= 2
-            cm_shift = jnp.concatenate([jnp.full((1, TB), neg), cm[:-1]],
-                                       axis=0)
+            cm_shift = dn(cm, 1)
             nIX = open_ + (k_iota - 1.0) * ext + cm_shift
             if not clean:
                 nIX = jnp.where(ok, nIX, neg)
-            nIX = jnp.concatenate([jnp.full((1, TB), neg), nIX[1:]], axis=0)
-            ocx = jnp.concatenate([jnp.full((1, TB), neg),
-                                   nD[:-1] + open_], axis=0)
-            ecx = jnp.concatenate([jnp.full((1, TB), neg),
-                                   nIX[:-1] + ext], axis=0)
+            row0 = k_iota >= 1.0
+            nIX = jnp.where(row0, nIX, neg)
+            ocx = jnp.where(row0,
+                            pltpu.roll(nD, shift=1, axis=0) + open_, neg)
+            # extend-bit exactly as the sequential recurrence sets it
+            ecx = jnp.where(row0,
+                            pltpu.roll(nIX, shift=1, axis=0) + ext, neg)
             ix_src = jnp.where(ecx > ocx, 8, 0)
-            ptr_ref[pl.ds(local, 1)] = (m_src + iy_src + ix_src)[None]
+            ptr_ref[pl.ds(local, 1)] = (m_src + iy_src
+                                        + ix_src).astype(jnp.int8)[None]
             D_s[:] = nD
             IY_s[:] = nIY
             IX_s[:] = nIX
@@ -542,7 +551,7 @@ def make_pallas_banded_nw_long(L: int, W: int, match: float = 2.0,
                 jax.ShapeDtypeStruct((1, Bp), jnp.float32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((Lpad, W, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((Lpad, W, Bp), jnp.int8),
             ),
             interpret=interpret,
         )(ends, chunk_ends, readsT, refs_slabs, lens2)

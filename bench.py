@@ -236,11 +236,19 @@ def kernel_diag(backend):
         kreads = rng.integers(0, 4, (Bk, Lk)).astype(np.uint8)
         krefs = rng.integers(0, 4, (Bk, Lk + Wk)).astype(np.uint8)
         klens = np.full(Bk, Lk, dtype=np.int64)
+        import jax.numpy as jnp
         nw = make_pallas_banded_nw(Lk, Wk)
-        jax.block_until_ready(nw(kreads, klens, krefs))
+        # distinct input per rep (jnp.roll on device): the tunnel has
+        # been observed to intermittently return cached results for
+        # repeat-identical dispatches (ROADMAP r5 measurement note)
+        stepped = jax.jit(lambda r, l, f, i: nw(jnp.roll(r, i, axis=0),
+                                                l, f))
+        r_d, l_d, f_d = (jax.device_put(x)
+                         for x in (kreads, klens, krefs))
+        jax.block_until_ready(stepped(r_d, l_d, f_d, jnp.int32(0)))
         t0 = time.time()
-        for _ in range(10):
-            out = nw(kreads, klens, krefs)
+        for i in range(10):
+            out = stepped(r_d, l_d, f_d, jnp.int32(i + 1))
         jax.block_until_ready(out)
         kdt = (time.time() - t0) / 10
         log(f"pallas NW kernel: {Bk / kdt / 1e6:.2f} M reads/s, "

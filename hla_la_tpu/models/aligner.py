@@ -175,14 +175,29 @@ class ReadAligner:
         import jax.numpy as jnp
         L = reads_arr.shape[1]
         W = refs_arr.shape[1] - L
-        # long-read shapes cannot run on the device kernels: the Pallas
-        # kernel holds the whole [L+1, W, 128] int32 pointer block in
-        # VMEM (~16 MB/core; fine at L=128/W=32 = 2.1 MB, impossible at
-        # L>=2k/W=256), and the XLA scan's compile time scales with L
-        # (537s cold at L=128).  Fall back to the host NW for such
-        # shapes — a row-chunked long-read Pallas kernel is the recorded
-        # round-6 candidate (docs/ROADMAP.md).
+        # long-read shapes cannot run on the SHORT-read device kernels:
+        # the Pallas kernel holds the whole [L+1, W, 128] int32 pointer
+        # block in VMEM (~16 MB/core; fine at L=128/W=32 = 2.1 MB,
+        # impossible at L>=2k/W=256), and the XLA scan's compile time
+        # scales with L (537s cold at L=128).  Default: host NW.  With
+        # HLA_TPU_LONG_NW=1 on a TPU backend, the row-chunked long-read
+        # kernel runs instead (8.8-14.9 Gcells/s measured at L=16k/W=256
+        # vs ~4.8 for the whole 4-core host; bit-exact parity) — opt-in
+        # because the pointer readback (0.5 GB/128 reads) only makes
+        # sense on co-located PCIe/DMA hosts, not this VM's 20 MB/s
+        # tunnel.
         if (L + 1) * W * 128 * 4 > 8e6:
+            import os as _os
+            if (_os.environ.get("HLA_TPU_LONG_NW") == "1"
+                    and jax.default_backend() == "tpu"):
+                if self._jax_shapes != ("long", L, W):
+                    from ..ops.pallas_nw import make_pallas_banded_nw_long
+                    self._jax_fwd = make_pallas_banded_nw_long(L, W)
+                    self._jax_shapes = ("long", L, W)
+                out = self._jax_fwd(jnp.asarray(reads_arr),
+                                    jnp.asarray(lens_arr),
+                                    jnp.asarray(refs_arr))
+                return tuple(np.asarray(x) for x in out)
             return banded_nw_forward(reads_arr, lens_arr, refs_arr,
                                      scratch=self._nw_scratch)
         if self.sharded and len(jax.devices()) > 1:

@@ -229,30 +229,22 @@ def kernel_diag(backend):
     if backend != "tpu":
         return
     try:
-        from hla_la_tpu.ops.pallas_nw import make_pallas_banded_nw
-        import jax
-        rng = np.random.default_rng(0)
-        Lk, Wk, Bk = 128, 32, 4096
-        kreads = rng.integers(0, 4, (Bk, Lk)).astype(np.uint8)
-        krefs = rng.integers(0, 4, (Bk, Lk + Wk)).astype(np.uint8)
-        klens = np.full(Bk, Lk, dtype=np.int64)
-        import jax.numpy as jnp
-        nw = make_pallas_banded_nw(Lk, Wk)
-        # distinct input per rep (jnp.roll on device): the tunnel has
-        # been observed to intermittently return cached results for
-        # repeat-identical dispatches (ROADMAP r5 measurement note)
-        stepped = jax.jit(lambda r, l, f, i: nw(jnp.roll(r, i, axis=0),
-                                                l, f))
-        r_d, l_d, f_d = (jax.device_put(x)
-                         for x in (kreads, klens, krefs))
-        jax.block_until_ready(stepped(r_d, l_d, f_d, jnp.int32(0)))
-        t0 = time.time()
-        for i in range(10):
-            out = stepped(r_d, l_d, f_d, jnp.int32(i + 1))
-        jax.block_until_ready(out)
-        kdt = (time.time() - t0) / 10
-        log(f"pallas NW kernel: {Bk / kdt / 1e6:.2f} M reads/s, "
-            f"{Bk * Lk * Wk / kdt / 1e9:.1f} Gcells/s")
+        # tpu_check's probe is the one trustworthy kernel timing through
+        # the tunnel: K perturbed iterations CHAINED inside one dispatch,
+        # rate from the marginal between two K values (RTT-corrected).
+        # Ad-hoc dispatch loops here have produced impossible numbers —
+        # repeat-identical dispatches can return cached results and
+        # block_until_ready has been observed not to block (ROADMAP r5
+        # measurement note).
+        import contextlib
+        import io as _io
+        from hla_la_tpu import tpu_check
+        stats: dict = {}
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = tpu_check.run(stats=stats)
+        msg = buf.getvalue().strip()
+        log(f"tpu_check kernel probe (rc={rc}): {msg}")
     except Exception as e:  # noqa: BLE001
         log(f"pallas NW diag failed: {e}")
 
